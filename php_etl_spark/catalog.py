@@ -1,0 +1,89 @@
+"""Table catalog: scale-factor directory → DataFrames / temp views.
+
+Mirrors the reference's connection+table resolution layer
+(``SQLConnectionFactory`` + ``SQLTable`` binding a connection to a
+table name and column list, /root/reference/sdk/src/SQLTable.php:5-26,
+/root/reference/sdk/src/SQLConnectionFactory.php:43-77) on top of
+``spark.read``. A Catalog binds a directory of parquet tables; reads
+are lazy DataFrames so Catalyst pushes projections/predicates into
+the parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+class Catalog:
+    """Bind a SparkSession to a directory of parquet tables.
+
+    ``catalog.table("lineitem")`` returns the lazy DataFrame;
+    ``catalog.register_views()`` exposes every table as a temp view so
+    ``spark.sql`` works against the same data.
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        self._cache: dict[str, DataFrame] = {}
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base_dir, f"{name}.parquet")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            df = self.spark.read.parquet(self.path(name))
+            if name == "events":
+                df = _normalize_event_ts(df)
+            self._cache[name] = df
+        return self._cache[name]
+
+    def tables(self) -> dict[str, DataFrame]:
+        return {name: self.table(name) for name in TABLES}
+
+    def register_views(self, suffix: str = "") -> None:
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(name + suffix)
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS); Spark reads it as
+    long nanoseconds under ``nanosAsLong``. Convert to a microsecond
+    timestamp — the same truncation DuckDB applies — so event-time
+    semantics (windows, watermarks) work on a proper TimestampType.
+    """
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # integer division: ns-since-epoch exceeds double's 53-bit
+        # mantissa, so a float divide would corrupt microseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load(spark: SparkSession, base_dir: str) -> Catalog:
+    return Catalog(spark, base_dir)

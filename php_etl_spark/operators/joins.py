@@ -1,0 +1,126 @@
+"""Join operators (SURVEY.md §2.4).
+
+The reference's joins are either SQL inner joins
+(/root/reference/sdk/migrate_conjoint.php:76-84) or — dominantly —
+per-row ``SELECT ... WHERE key=? LIMIT 1`` probes against another
+table (/root/reference/sdk/migrate_assures.php:19-36), i.e. O(N)
+network round trips. Every one of those becomes a set-oriented join
+here; small dimension sides get an explicit broadcast hint so the
+probe pattern costs one shuffle-free pass at any scale.
+
+Extensions the reference lacks (as-of, range) are composed from
+built-in ops — no RDDs, no Python row loops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lookup_join(
+    driver: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """The J2 per-row probe as one broadcast hash join.
+
+    ``how='inner'`` reproduces the miss-skip path
+    (/root/reference/sdk/migrate_conjoint.php:124-127), ``how='left'``
+    the keep-on-miss path (/root/reference/sdk/migrate_assure_users.php:217-231).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return driver.join(d, on=on, how=how)
+
+
+def semi_join(df: DataFrame, other: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Existence probe (J4): keep rows whose key exists in ``other``
+    (registrant_exists, /root/reference/sdk/migrate_employeur.php:27-40)."""
+    return df.join(other, on=on, how="left_semi")
+
+
+def anti_join(df: DataFrame, other: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Dedup-against-destination (J5): keep rows whose unique key does
+    NOT exist in the destination (ETLTask,
+    /root/reference/sdk/src/ETLTask.php:43-53)."""
+    return df.join(other, on=on, how="left_anti")
+
+
+def fanout_join(
+    parent: DataFrame, child: DataFrame, on: str | Sequence[str]
+) -> DataFrame:
+    """1:N re-association (J6) preserving child multiplicity
+    (carriere fan-out, /root/reference/sdk/migrate_assures.php:90-96,217-227)."""
+    return parent.join(child, on=on, how="inner")
+
+
+def range_join(
+    fact: DataFrame,
+    ranges: DataFrame,
+    value: str | Column,
+    lo: str | Column,
+    hi: str | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Band join: fact.value ∈ [ranges.lo, ranges.hi).
+
+    Capability extension (no theta joins in the reference). The small
+    ranges side is broadcast — a nested-loop broadcast join, which is
+    the right physical plan for a fact×tiny-dim interval probe.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    lo_c = F.col(lo) if isinstance(lo, str) else lo
+    hi_c = F.col(hi) if isinstance(hi, str) else hi
+    return fact.join(F.broadcast(ranges), (v >= lo_c) & (v < hi_c), how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same key group.
+
+    Implemented as union + sort + last-value carry-forward inside a
+    window — one shuffle on the key, no per-row probes, no range
+    explosion. This is the scalable pattern for "most recent prior
+    event" joins (the naive formulation is a non-equi join that
+    Catalyst would execute as a broadcast nested loop).
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+    lt, rt = F.col(left_ts), F.col(right_ts)
+
+    l_tag = left.withColumn("__side", F.lit(1)).withColumn("__ts", lt)
+    r_proj = right.select(
+        *on_cols,
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(c + suffix) for c in right_values],
+    ).withColumn("__side", F.lit(0))
+
+    merged = l_tag.unionByName(r_proj, allowMissingColumns=True)
+    # right rows sort before left rows at equal timestamps so a tie
+    # (right_ts == left_ts) is matched, per asof "<=" semantics
+    w = (
+        Window.partitionBy(*on_cols)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = merged.select(
+        "*",
+        *[
+            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + "__carried")
+            for c in right_values
+        ],
+    ).filter(F.col("__side") == 1)
+    for c in right_values:
+        out = out.withColumn(c + suffix, F.col(c + "__carried")).drop(c + "__carried")
+    return out.drop("__side", "__ts")

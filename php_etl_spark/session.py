@@ -1,0 +1,76 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine has no runtime tuning beyond hard-coded batch
+sizes (/root/reference/sdk/process.php:137 batches 500 keys per
+worker process). Here partitioning/parallelism is Spark's job; we
+pick defaults that hold from local[32] tests up to a large cluster:
+AQE on (runtime coalescing + skew-join splitting), a shuffle
+partition count sized to the local core count but overridable, and
+Arrow enabled for the few pandas-UDF code paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "php-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults are chosen for scale-out behavior:
+
+    - ``spark.sql.adaptive.enabled``: runtime re-planning — coalesces
+      tiny shuffle partitions, converts sort-merge to broadcast when a
+      side turns out small, splits skewed partitions.
+    - ``spark.sql.adaptive.skewJoin.enabled``: the salting fallback the
+      reference never needed (its "partitioner" was a 500-key batch
+      spawner, /root/reference/sdk/process.php:129-147).
+    - Arrow for pandas UDF exchange (vectorized Python boundary).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark has no
+        # native type for; read as long and convert (catalog.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply engine runtime confs to an externally-created session.
+
+    The verification driver hands us its own SparkSession; settable
+    runtime confs are applied here so catalog reads behave the same.
+    """
+    for k, v in [
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — catalog has a fallback
+    return spark

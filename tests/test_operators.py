@@ -1,0 +1,97 @@
+"""Operator-library unit tests on tiny in-memory DataFrames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from php_etl_spark.operators import (
+    apply_mapping,
+    parse_conjunction,
+    parse_predicate,
+    first_wins_dedup,
+    anti_join,
+    semi_join,
+    asof_join,
+    range_join,
+)
+from php_etl_spark.operators.project import normalize_spec, source_columns
+
+
+def test_normalize_spec_list_and_mapping():
+    assert normalize_spec(["a <- [x]", "b <- lit", "c"]) == {
+        "a": "[x]",
+        "b": "lit",
+        "c": "[c]",
+    }
+    assert normalize_spec({"a": "[x]"}) == {"a": "[x]"}
+
+
+def test_source_columns():
+    assert source_columns({"a": "[x]", "b": "42", "c": "[y]"}) == ["x", "y"]
+
+
+def test_apply_mapping(spark):
+    df = spark.createDataFrame([(1, "n")], ["id", "name"])
+    out = apply_mapping(df, {"pid": "[id]", "tag": "etl", "n": "7"})
+    row = out.collect()[0]
+    assert row.pid == 1 and row.tag == "etl" and row.n == 7
+
+
+def test_parse_predicate_ops(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 5.0), (2, "y", 9.5), (3, "x", 11.0)], ["id", "tag", "v"]
+    )
+    assert df.filter(parse_predicate("v >= 9.5")).count() == 2
+    assert df.filter(parse_predicate("tag = 'x'")).count() == 2
+    assert df.filter(parse_predicate("tag <> x")).count() == 1
+    assert df.filter(parse_conjunction("v > 5", "tag = x")).count() == 1
+    assert df.filter(parse_predicate("id in (1, 3)")).count() == 2
+    assert df.filter(parse_predicate("tag like 'x%'")).count() == 2
+
+
+def test_first_wins_dedup_deterministic(spark):
+    rows = [(1, "k", "first"), (2, "k", "second"), (3, "j", "only")]
+    df = spark.createDataFrame(rows, ["seq", "key", "val"])
+    out = first_wins_dedup(df, keys=["key"], order_by=["seq"])
+    got = {r.key: r.val for r in out.collect()}
+    assert got == {"k": "first", "j": "only"}
+
+
+def test_first_wins_dedup_trim_normalization(spark):
+    rows = [(1, "A ", "first"), (2, "A", "dup"), (3, " B", "b")]
+    df = spark.createDataFrame(rows, ["seq", "key", "val"])
+    out = first_wins_dedup(df, keys=["key"], order_by=["seq"])
+    vals = sorted(r.val for r in out.collect())
+    assert vals == ["b", "first"]
+
+
+def test_semi_anti_partition(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    right = spark.createDataFrame([(2,), (3,), (4,)], ["k"])
+    assert {r.k for r in semi_join(left, right, "k").collect()} == {2, 3}
+    assert {r.k for r in anti_join(left, right, "k").collect()} == {1}
+
+
+def test_range_join(spark):
+    fact = spark.createDataFrame([(1, 5.0), (2, 50.0), (3, 500.0)], ["id", "v"])
+    ranges = spark.createDataFrame(
+        [("small", 0.0, 10.0), ("mid", 10.0, 100.0), ("big", 100.0, 1e9)],
+        ["tier", "lo", "hi"],
+    )
+    out = range_join(fact, ranges, "v", "lo", "hi")
+    got = {r.id: r.tier for r in out.collect()}
+    assert got == {1: "small", 2: "mid", 3: "big"}
+
+
+def test_asof_join(spark):
+    quotes = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 5, 11.0), ("b", 3, 20.0)], ["sym", "t", "px"]
+    )
+    trades = spark.createDataFrame(
+        [("a", 2), ("a", 5), ("a", 0), ("b", 9)], ["sym", "t"]
+    )
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="t", right_ts="t", right_values=["px"]
+    )
+    got = {(r.sym, r.t): r.px_asof for r in out.collect()}
+    assert got == {("a", 2): 10.0, ("a", 5): 11.0, ("a", 0): None, ("b", 9): 20.0}
