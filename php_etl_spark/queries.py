@@ -533,3 +533,659 @@ def limit_offset(spark, sf_dir):
         .offset(25)
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregation extensions (cube / rollup / grouping sets / having)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE over two keys (capability extension, SURVEY.md §2.5)."""
+    return (
+        _cat(spark, sf_dir)
+        .lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT YEAR(o_orderdate) AS order_year, MONTH(o_orderdate) AS order_month,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY ROLLUP (YEAR(o_orderdate), MONTH(o_orderdate))
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP over a date hierarchy (capability extension)."""
+    o = _cat(spark, sf_dir).orders
+    return (
+        o.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            "o_totalprice",
+        )
+        .rollup("order_year", "order_month")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via the SQL surface (views registered from the
+    catalog, exercising spark.sql end-to-end)."""
+    cat = _cat(spark, sf_dir)
+    cat.lineitem.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+    """,
+)
+def agg_having(spark, sf_dir):
+    """Post-aggregation filter (HAVING)."""
+    return (
+        _cat(spark, sf_dir)
+        .orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_spent"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 window functions (capability extensions)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+from php_etl_spark.operators.windows import top_k_per_group, moving_avg  # noqa: E402
+
+
+@query(
+    "window_row_number",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+)
+def window_row_number(spark, sf_dir):
+    o = _cat(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).alias("order_seq")
+    )
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS price_dense_rank
+    FROM orders
+    """,
+)
+def window_rank(spark, sf_dir):
+    o = _cat(spark, sf_dir).orders
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, value,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg(spark, sf_dir):
+    """Trailing 5-row mean — mirrors the reference's 5-datapoint rate
+    estimator (/root/reference/sdk/lib/progress.php:424-446)."""
+    ev = _cat(spark, sf_dir).events
+    return moving_avg(
+        ev,
+        value="value",
+        partition_by=["user_id"],
+        order_by=[F.col("ts"), F.col("event_id")],
+        window_rows=5,
+    ).select("user_id", "event_id", "moving_avg")
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rank_in_group FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_group
+      FROM orders
+    ) WHERE rank_in_group <= 3
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    o = _cat(spark, sf_dir).orders.select("o_custkey", "o_orderkey", "o_totalprice")
+    return top_k_per_group(
+        o,
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sort / top-k extensions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_orderby",
+    oracle="""
+    SELECT n_name, n_nationkey, n_regionkey FROM nation
+    ORDER BY n_regionkey DESC, n_name ASC
+    """,
+)
+def sort_orderby(spark, sf_dir):
+    """Multi-key sort (extension; the reference only sorts column
+    names for stable INSERTs, /root/reference/sdk/lib/db.php:255)."""
+    return (
+        _cat(spark, sf_dir)
+        .nation.select("n_name", "n_nationkey", "n_regionkey")
+        .orderBy(F.col("n_regionkey").desc(), F.col("n_name").asc())
+    )
+
+
+@query(
+    "topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk(spark, sf_dir):
+    """Global top-k — physical plan is TakeOrderedAndProject (no full
+    sort at scale)."""
+    return (
+        _cat(spark, sf_dir)
+        .orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 set operations (capability extensions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_name AS name, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_name AS name, 'supplier' AS kind FROM supplier
+    """,
+)
+def set_union(spark, sf_dir):
+    cat = _cat(spark, sf_dir)
+    a = cat.customer.select(F.col("c_name").alias("name"), F.lit("customer").alias("kind"))
+    b = cat.supplier.select(F.col("s_name").alias("name"), F.lit("supplier").alias("kind"))
+    return a.unionByName(b)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark, sf_dir):
+    cat = _cat(spark, sf_dir)
+    return cat.customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        cat.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_except(spark, sf_dir):
+    cat = _cat(spark, sf_dir)
+    return cat.customer.select(F.col("c_custkey").alias("custkey")).subtract(
+        cat.orders.filter(F.col("o_totalprice") > 300000).select(
+            F.col("o_custkey").alias("custkey")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_str_before",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN strpos(p_name, ' ') <= 1 THEN ''
+                ELSE substr(p_name, 1, strpos(p_name, ' ') - 1) END AS first_word,
+           CASE WHEN strpos(p_brand, '#') <= 1 THEN ''
+                ELSE substr(p_brand, 1, strpos(p_brand, '#') - 1) END AS brand_prefix
+    FROM part
+    """,
+)
+def fn_str_before(spark, sf_dir):
+    """X1: str_before with PHP falsy-strpos semantics
+    (/root/reference/sdk/lib/str.php:11-17)."""
+    p = _cat(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        str_before("p_name", " ").alias("first_word"),
+        str_before("p_brand", "#").alias("brand_prefix"),
+    )
+
+
+@query(
+    "fn_str_after",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN strpos(p_name, ' ') = 0 THEN ''
+                ELSE substr(p_name, strpos(p_name, ' ') + 1) END AS rest,
+           CASE WHEN strpos(p_brand, '#') = 0 THEN ''
+                ELSE substr(p_brand, strpos(p_brand, '#') + 1) END AS brand_num
+    FROM part
+    """,
+)
+def fn_str_after(spark, sf_dir):
+    """X2: str_after (/root/reference/sdk/lib/str.php:25-31); used for
+    phone-from-address parsing (/root/reference/sdk/migrate_employeur.php:91)."""
+    p = _cat(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        str_after("p_name", " ").alias("rest"),
+        str_after("p_brand", "#").alias("brand_num"),
+    )
+
+
+@query(
+    "fn_trim",
+    oracle="""
+    SELECT c_custkey,
+           trim('  ' || c_name || '  ') AS trimmed,
+           ltrim('  ' || c_name) AS ltrimmed,
+           rtrim(c_name || '  ') AS rtrimmed
+    FROM customer
+    """,
+)
+def fn_trim(spark, sf_dir):
+    """X3: trim normalization (/root/reference/sdk/src/ETLTask.php:52)."""
+    c = _cat(spark, sf_dir).customer
+    padded = F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))
+    return c.select(
+        "c_custkey",
+        F.trim(padded).alias("trimmed"),
+        F.ltrim(F.concat(F.lit("  "), F.col("c_name"))).alias("ltrimmed"),
+        F.rtrim(F.concat(F.col("c_name"), F.lit("  "))).alias("rtrimmed"),
+    )
+
+
+@query(
+    "fn_translate",
+    oracle="""
+    SELECT p_partkey,
+           translate('[' || p_brand || '](a),', '[](),', '') AS cleaned
+    FROM part
+    """,
+)
+def fn_translate(spark, sf_dir):
+    """X4: config-token char strip (str_replace of '[](),',
+    /root/reference/sdk/etl.php:119)."""
+    p = _cat(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.translate(
+            F.concat(F.lit("["), F.col("p_brand"), F.lit("](a),")), "[](),", ""
+        ).alias("cleaned"),
+    )
+
+
+@query(
+    "fn_upper",
+    oracle="""
+    SELECT c_custkey, UPPER(c_mktsegment) AS seg_upper, LOWER(c_name) AS name_lower,
+           CASE WHEN UPPER(c_mktsegment) = 'BUILDING' THEN 1 ELSE 0 END AS is_building
+    FROM customer
+    """,
+)
+def fn_upper(spark, sf_dir):
+    """X5: case-normalized flag compare ('O' → 1/0,
+    /root/reference/sdk/migrate_assures.php:259,331)."""
+    c = _cat(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.when(F.upper(F.col("c_mktsegment")) == "BUILDING", 1)
+        .otherwise(0)
+        .alias("is_building"),
+    )
+
+
+@query(
+    "fn_when",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_error,
+           CASE WHEN value >= 100 THEN 'high'
+                WHEN value >= 10 THEN 'mid'
+                ELSE 'low' END AS value_band
+    FROM events
+    """,
+)
+def fn_when(spark, sf_dir):
+    """X6: conditional expressions (handicaped = code==='O' ? 1 : 0,
+    /root/reference/sdk/migrate_assures.php:259)."""
+    ev = _cat(spark, sf_dir).events
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_error"),
+        F.when(F.col("value") >= 100, "high")
+        .when(F.col("value") >= 10, "mid")
+        .otherwise("low")
+        .alias("value_band"),
+    )
+
+
+@query(
+    "fn_coalesce",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(NULLIF(lang, 'en'), 'default-en') AS lang_or_default,
+           COALESCE(NULLIF(source, ''), lang, 'unknown') AS chain
+    FROM documents
+    """,
+)
+def fn_coalesce(spark, sf_dir):
+    """X7: ?? null-coalescing chains
+    (/root/reference/sdk/migrate_assures.php:108,121-126)."""
+    d = _cat(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.coalesce(F.nullif(F.col("lang"), F.lit("en")), F.lit("default-en")).alias(
+            "lang_or_default"
+        ),
+        F.coalesce(
+            F.nullif(F.col("source"), F.lit("")), F.col("lang"), F.lit("unknown")
+        ).alias("chain"),
+    )
+
+
+@query(
+    "fn_date_format",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_str,
+           strftime(l_shipdate, '%Y%m%d') AS ship_compact
+    FROM lineitem
+    """,
+)
+def fn_date_format(spark, sf_dir):
+    """X8: 'Y-m-d H:i:s' / 'YmdHis' formats
+    (/root/reference/sdk/src/ETLTask.php:83, sdk/process.php:94)."""
+    li = _cat(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_str"),
+        F.date_format("l_shipdate", "yyyyMMdd").alias("ship_compact"),
+    )
+
+
+@query(
+    "fn_try_cast",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_brand AS DOUBLE) AS brand_as_num,
+           TRY_CAST(CAST(p_size AS VARCHAR) || '.5' AS DOUBLE) AS size_plus_half,
+           (TRY_CAST(p_brand AS DOUBLE) IS NOT NULL) AS brand_is_numeric
+    FROM part
+    """,
+)
+def fn_try_cast(spark, sf_dir):
+    """X10: is_numeric branch as try_cast
+    (/root/reference/sdk/src/ETLTask.php:52)."""
+    p = _cat(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.col("p_brand").try_cast("double").alias("brand_as_num"),
+        F.concat(F.col("p_size").cast("string"), F.lit(".5"))
+        .try_cast("double")
+        .alias("size_plus_half"),
+        F.col("p_brand").try_cast("double").isNotNull().alias("brand_is_numeric"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
+           CAST(trunc(o_totalprice) AS BIGINT) AS price_int
+    FROM orders
+    """,
+)
+def fn_cast(spark, sf_dir):
+    """X11: strval/intval boundary casts
+    (/root/reference/sdk/migrate_assures.php:255)."""
+    o = _cat(spark, sf_dir).orders
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_back"),
+        F.col("o_totalprice").cast("long").alias("price_int"),
+    )
+
+
+@query(
+    "fn_concat",
+    oracle="""
+    SELECT c_custkey,
+           concat_ws(', ', c_name, c_mktsegment) AS joined,
+           c_name || '#' || CAST(c_custkey AS VARCHAR) AS tagged
+    FROM customer
+    """,
+)
+def fn_concat(spark, sf_dir):
+    """X13: concat / implode(', ') (/root/reference/sdk/src/SQLTable.php:40)."""
+    c = _cat(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.concat_ws(", ", "c_name", "c_mktsegment").alias("joined"),
+        F.concat(
+            F.col("c_name"), F.lit("#"), F.col("c_custkey").cast("string")
+        ).alias("tagged"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT c_custkey,
+           abs(c_acctbal) AS abs_bal,
+           CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+           CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+           CAST(round(c_acctbal) AS DOUBLE) AS round_bal,
+           sqrt(abs(c_acctbal)) AS sqrt_bal,
+           power(2, c_nationkey % 8) AS pow2
+    FROM customer
+    """,
+)
+def fn_math(spark, sf_dir):
+    """Math extension (the reference's only arithmetic is the progress
+    rate estimator, /root/reference/sdk/lib/progress.php:438-446)."""
+    c = _cat(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.abs(F.col("c_acctbal")).alias("abs_bal"),
+        F.floor("c_acctbal").alias("floor_bal"),
+        F.ceil("c_acctbal").alias("ceil_bal"),
+        F.round(F.col("c_acctbal"), 0).alias("round_bal"),
+        F.sqrt(F.abs(F.col("c_acctbal"))).alias("sqrt_bal"),
+        F.pow(F.lit(2), F.col("c_nationkey") % 8).alias("pow2"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           YEAR(l_shipdate) AS ship_year,
+           MONTH(l_shipdate) AS ship_month,
+           DAY(l_shipdate) AS ship_day,
+           date_diff('day', DATE '1995-01-01', l_shipdate) AS days_since_epoch_start,
+           CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month_start
+    FROM lineitem
+    """,
+)
+def fn_datetime(spark, sf_dir):
+    li = _cat(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.dayofmonth("l_shipdate").alias("ship_day"),
+        F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month_start"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           embedding[1] AS first_val,
+           list_max(embedding) AS max_val,
+           list_min(embedding) AS min_val
+    FROM embeddings
+    """,
+)
+def fn_array(spark, sf_dir):
+    """Array functions over the nested embedding column (extension;
+    no nested types exist in the reference, SURVEY.md §1.2)."""
+    e = _cat(spark, sf_dir).embeddings
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.array_max("embedding").alias("max_val"),
+        F.array_min("embedding").alias("min_val"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_val,
+           (CAST(props->>'$.k' AS BIGINT) > 50) AS k_high
+    FROM events
+    """,
+)
+def fn_json(spark, sf_dir):
+    """JSON extraction from events.props (extension)."""
+    ev = _cat(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id", k.alias("k_val"), (k > 50).alias("k_high")
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id, k AS map_key,
+           CAST(json_extract(props, '$.' || k) AS BIGINT) AS map_value
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    """,
+)
+def fn_map(spark, sf_dir):
+    """Map explode over parsed JSON props (extension): from_json →
+    MapType → explode to (key, value) rows."""
+    ev = _cat(spark, sf_dir).events
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,bigint>").alias("m"),
+    )
+    return parsed.select(
+        "event_id", F.explode("m").alias("map_key", "map_value")
+    )
