@@ -1,0 +1,49 @@
+"""CLI mirror of the reference's etl.php entry point
+(/root/reference/sdk/etl.php:40-74 with console_get_options,
+/root/reference/sdk/lib/console.php:13-56)::
+
+    python -m php_etl_spark.cli --config pipeline.json \
+        [--from-path DIR] [--to-path DIR] [--master local[8]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from php_etl_spark.plans.spec import PipelineSpec
+from php_etl_spark.plans.runner import run_pipeline
+from php_etl_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="php-etl-spark")
+    ap.add_argument("--config", required=True, help="pipeline spec JSON path")
+    ap.add_argument("--from-path", help="override source connection path")
+    ap.add_argument("--to-path", help="override destination connection path")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    with open(args.config) as f:
+        doc = json.load(f)
+    if args.from_path:
+        doc.setdefault("connections", {}).setdefault("from", {"type": "parquet"})[
+            "path"
+        ] = args.from_path
+    if args.to_path:
+        doc.setdefault("connections", {}).setdefault("to", {"type": "parquet"})[
+            "path"
+        ] = args.to_path
+
+    spec = PipelineSpec.from_dict(doc)
+    spark = get_spark("php-etl-spark-cli", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    results = run_pipeline(spark, spec)
+    for r in results:
+        print(json.dumps({"table": r.table, "rows_written": r.rows_written, "path": r.path}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,112 @@
+"""Pipeline runner — ETLTask::run re-expressed as ~5 DataFrame ops
+(/root/reference/sdk/src/ETLTask.php:28-72).
+
+Per table: scan (+pushed filter) → mapping projection → in-run
+first-wins dedup on the unique keys → anti-join against the
+destination's existing keys → batched write. The reference does this
+with a per-row cursor loop, an unbounded driver-memory dedup cache
+and one existence probe per row; here dedup is a shuffle and the
+destination probe one anti-join, so no driver memory grows with the
+data.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from php_etl_spark.functions.strings import dedup_key
+from php_etl_spark.operators.agg import first_wins_dedup
+from php_etl_spark.operators.project import compile_mapping, source_columns
+from php_etl_spark.plans.spec import PipelineSpec, TableSpec
+from php_etl_spark.sources.readers import read_source
+from php_etl_spark.sources.writers import append, overwrite, upsert, _sink_path
+
+
+@dataclass
+class TableResult:
+    table: str
+    rows_written: int
+    path: str | None
+
+
+def build_table_frame(
+    spark: SparkSession, spec: PipelineSpec, table: TableSpec
+) -> DataFrame:
+    """The transform plan for one table, without the sink — scan,
+    filter, mapping, in-run dedup."""
+    conn = spec.conn_for(table, "from")
+    cols = source_columns(table.columns) or None
+    # read full columns when order_by needs extra ones
+    needed = set(cols or [])
+    needed.update(table.order_by)
+    df = read_source(
+        spark, conn, table.source, query=table.query, columns=sorted(needed) or None
+    )
+    if table.order_by:
+        order_cols = [F.col(c) for c in table.order_by]
+    else:
+        # the reference's "first" is cursor order; without a declared
+        # order we fall back to source row position, stable for a
+        # given file layout
+        df = df.withColumn("__pos", F.monotonically_increasing_id())
+        order_cols = [F.col("__pos")]
+    projected = df.select(*compile_mapping(table.columns), *[c for c in order_cols])
+    if table.unique:
+        projected = first_wins_dedup(
+            projected, keys=table.unique, order_by=order_cols, normalize=True
+        )
+    out_cols = list(table.columns.keys())
+    return projected.select(*out_cols)
+
+
+def run_table(
+    spark: SparkSession, spec: PipelineSpec, table: TableSpec
+) -> TableResult:
+    frame = build_table_frame(spark, spec, table)
+    to_conn = spec.conn_for(table, "to")
+
+    if table.mode == "upsert":
+        n = frame.count()
+        upsert(spark, frame, to_conn, table.destination, keys=table.unique)
+        return TableResult(table.destination, n, _sink_path(to_conn, table.destination))
+
+    if table.mode == "overwrite":
+        n = frame.count()
+        path = overwrite(frame, to_conn, table.destination)
+        return TableResult(table.destination, n, path)
+
+    # append mode: anti-join against destination's existing unique
+    # keys (ETLTask's exists() probe per row → one left-anti join,
+    # /root/reference/sdk/src/ETLTask.php:43-53)
+    dest_path = _sink_path(to_conn, table.destination)
+    if table.unique and os.path.exists(dest_path):
+        existing = spark.read.parquet(dest_path)
+        norm = lambda c: dedup_key(c)  # noqa: E731
+        on = [
+            norm(F.col(k)).eqNullSafe(norm(F.col(f"__e_{k}"))) for k in table.unique
+        ]
+        ekeys = existing.select(
+            *[F.col(k).alias(f"__e_{k}") for k in table.unique]
+        ).dropDuplicates()
+        cond = on[0]
+        for c in on[1:]:
+            cond = cond & c
+        frame = frame.join(ekeys, on=cond, how="left_anti")
+    frame = frame.localCheckpoint(eager=True)
+    n = frame.count()
+    append(frame, to_conn, table.destination)
+    return TableResult(table.destination, n, dest_path)
+
+
+def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> list[TableResult]:
+    """Ordered sequential execution of the tables[] DAG
+    (/root/reference/sdk/etl.php:91-150; its parallel execution TODO
+    is Spark's scheduler here — independent writes could be submitted
+    concurrently, kept sequential for deterministic dependencies as in
+    import.sh's employeurs→assures ordering)."""
+    return [run_table(spark, spec, t) for t in spec.tables]

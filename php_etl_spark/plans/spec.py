@@ -1,0 +1,93 @@
+"""Pipeline spec model — the reference's JSON config surface
+(SURVEY.md §1.3; /root/reference/sdk/etl.php:76-143).
+
+A spec document::
+
+    {
+      "connections": {"from": {...}, "to": {...}},
+      "tables": [{
+        "flow": "src_table -> dst_table",
+        "columns": {"dst": "[src]"} | ["dst <- [src]", ...],
+        "unique": ["col", ...],
+        "query": "where fragment",
+        "order_by": ["col", ...],          # extension: explicit
+                                            # first-wins order (PHP got
+                                            # it from the cursor)
+        "mode": "append" | "upsert" | "overwrite",   # extension
+        "connections": {...}                # per-table override
+      }]
+    }
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from php_etl_spark.operators.project import normalize_spec
+
+
+@dataclass
+class TableSpec:
+    source: str
+    destination: str
+    columns: dict[str, str]
+    unique: list[str] = field(default_factory=list)
+    query: str | None = None
+    order_by: list[str] = field(default_factory=list)
+    mode: str = "append"
+    connections: dict[str, Any] | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "TableSpec":
+        flow = d.get("flow", "")
+        # '->' flow parse (/root/reference/sdk/etl.php:97-105): both
+        # sides trimmed; a flow without '->' maps a table to itself
+        if "->" in flow:
+            src, _, dst = flow.partition("->")
+        else:
+            src = dst = flow
+        src, dst = src.strip(), dst.strip()
+        if not src or not dst:
+            raise ValueError(f"invalid flow: {flow!r}")
+        return cls(
+            source=src,
+            destination=dst,
+            columns=normalize_spec(d.get("columns", {})),
+            unique=list(d.get("unique", [])),
+            query=d.get("query"),
+            order_by=list(d.get("order_by", [])),
+            mode=d.get("mode", "append"),
+            connections=d.get("connections"),
+        )
+
+
+@dataclass
+class PipelineSpec:
+    connections: dict[str, Any]
+    tables: list[TableSpec]
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "PipelineSpec":
+        if "tables" not in d:
+            # config validation parity (/root/reference/sdk/etl.php:76-82)
+            raise ValueError("pipeline spec requires a 'tables' list")
+        return cls(
+            connections=d.get("connections", {}),
+            tables=[TableSpec.from_dict(t) for t in d["tables"]],
+        )
+
+    @classmethod
+    def from_json(cls, path: str) -> "PipelineSpec":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def conn_for(self, table: TableSpec, side: str) -> dict[str, Any]:
+        """Per-table connection override falling back to the global
+        one (/root/reference/sdk/etl.php:129,136)."""
+        if table.connections and side in table.connections:
+            return table.connections[side]
+        if side not in self.connections:
+            raise ValueError(f"no '{side}' connection configured")
+        return self.connections[side]

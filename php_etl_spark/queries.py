@@ -1189,3 +1189,290 @@ def fn_map(spark, sf_dir):
     return parsed.select(
         "event_id", F.explode("m").alias("map_key", "map_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 join extensions + merge sinks as relational semantics
+# ---------------------------------------------------------------------------
+
+from php_etl_spark.operators.joins import range_join, asof_join  # noqa: E402
+from php_etl_spark.sources.writers import merge_frames, refresh_frames  # noqa: E402
+
+
+@query(
+    "join_range",
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('small', 0.0, 50000.0),
+             ('mid', 50000.0, 150000.0),
+             ('big', 150000.0, 1e12)
+    )
+    SELECT o.o_orderkey, o.o_totalprice, t.tier
+    FROM orders o JOIN tiers t
+      ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    """,
+)
+def join_range(spark, sf_dir):
+    """Band/interval join (capability extension; SURVEY.md §2.4 'not
+    present in reference'). Physical plan: broadcast nested loop over
+    the tiny tier side — the right strategy for fact×interval-dim."""
+    o = _cat(spark, sf_dir).orders
+    tiers = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("big", 150000.0, 1e12)],
+        ["tier", "lo", "hi"],
+    )
+    return range_join(o, tiers, "o_totalprice", "lo", "hi").select(
+        "o_orderkey", "o_totalprice", "tier"
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_event_id,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join (capability extension): for each purchase, the
+    latest prior-or-simultaneous click by the same user. Implemented
+    via union + window carry-forward — one shuffle on user_id, no
+    range explosion (scales to arbitrarily long histories)."""
+    ev = _cat(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_src_id"), "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks.withColumnRenamed("ts", "click_ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_values=["click_src_id", "value"],
+        suffix="_asof",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("click_src_id_asof").alias("click_event_id"),
+        F.col("value_asof").alias("click_value"),
+    )
+
+
+@query(
+    "upsert_merge",
+    oracle="""
+    WITH existing AS (
+      SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
+      FROM customer WHERE c_custkey <= 1000
+    ), updates AS (
+      SELECT c_custkey AS k, UPPER(c_name) AS name, c_acctbal + 100 AS bal
+      FROM customer WHERE c_custkey BETWEEN 500 AND 1500
+    )
+    SELECT e.k, e.name, e.bal FROM existing e
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.k = e.k)
+    UNION ALL
+    SELECT k, name, bal FROM updates
+    """,
+)
+def upsert_merge(spark, sf_dir):
+    """J7 upsert semantics as a pure relational op (matched → update,
+    unmatched existing survives, unmatched update inserts;
+    /root/reference/sdk/migrate_assures.php:165-203). The parquet sink
+    applies exactly this frame then atomically swaps directories;
+    Delta's MERGE INTO is the transactional production path."""
+    c = _cat(spark, sf_dir).customer
+    existing = c.filter(F.col("c_custkey") <= 1000).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    updates = c.filter(F.col("c_custkey").between(500, 1500)).select(
+        F.col("c_custkey").alias("k"),
+        F.upper("c_name").alias("name"),
+        (F.col("c_acctbal") + 100).alias("bal"),
+    )
+    return merge_frames(existing, updates, keys=["k"])
+
+
+@query(
+    "delete_reinsert",
+    oracle="""
+    WITH existing AS (
+      SELECT o_custkey AS fk, o_orderkey AS ok FROM orders
+    ), replacement AS (
+      SELECT o_custkey AS fk, -o_orderkey AS ok FROM orders
+      WHERE o_totalprice > 400000
+    )
+    SELECT e.fk, e.ok FROM existing e
+    WHERE NOT EXISTS (SELECT 1 FROM replacement r WHERE r.fk = e.fk)
+    UNION ALL
+    SELECT fk, ok FROM replacement
+    """,
+)
+def delete_reinsert(spark, sf_dir):
+    """J8 delete-then-reinsert refresh semantics
+    (/root/reference/sdk/migrate_assures.php:205-236): every existing
+    row under a refreshed key is dropped, replacement rows insert."""
+    o = _cat(spark, sf_dir).orders
+    existing = o.select(F.col("o_custkey").alias("fk"), F.col("o_orderkey").alias("ok"))
+    replacement = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("fk"), (-F.col("o_orderkey")).alias("ok")
+    )
+    return refresh_frames(existing, replacement, keys=["fk"])
+
+
+@query(
+    "pipeline_etl",
+    oracle="""
+    SELECT item_id, line_no, qty, part_ref FROM (
+      SELECT l_orderkey AS item_id, l_linenumber AS line_no,
+             l_quantity AS qty, l_partkey AS part_ref,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem WHERE l_quantity > 45
+    ) WHERE rn = 1
+    """,
+)
+def pipeline_etl(spark, sf_dir):
+    """The full config-driven pipeline transform (§1.3 spec → plan):
+    flow parse, bracket mapping, pushed WHERE, unique-key first-wins
+    dedup — ETLTask::run minus the sink
+    (/root/reference/sdk/etl.php:91-150)."""
+    from php_etl_spark.plans.spec import PipelineSpec
+    from php_etl_spark.plans.runner import build_table_frame
+
+    spec = PipelineSpec.from_dict(
+        {
+            "connections": {
+                "from": {"type": "parquet", "path": sf_dir},
+                "to": {"type": "parquet", "path": "/tmp/unused"},
+            },
+            "tables": [
+                {
+                    "flow": "lineitem -> items",
+                    "columns": {
+                        "item_id": "[l_orderkey]",
+                        "line_no": "[l_linenumber]",
+                        "qty": "[l_quantity]",
+                        "part_ref": "[l_partkey]",
+                    },
+                    "unique": ["part_ref"],
+                    "query": "l_quantity > 45",
+                    "order_by": ["l_orderkey", "l_linenumber"],
+                }
+            ],
+        }
+    )
+    return build_table_frame(spark, spec, spec.tables[0])
+
+
+# ---------------------------------------------------------------------------
+# §2.10 streaming (availableNow runs —真 Structured Streaming where the
+# sink mode stays deterministic; session windows run the same plan in
+# batch mode so the oracle can check them)
+# ---------------------------------------------------------------------------
+
+from php_etl_spark.streaming.events import (  # noqa: E402
+    events_stream,
+    run_to_memory,
+    tumbling_agg,
+    sliding_agg,
+    session_agg,
+    dedup_keys,
+    stateful_counts,
+)
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling(spark, sf_dir):
+    """Tumbling event-time windows, executed as a REAL streaming query
+    (readStream → state-store agg → availableNow → memory sink)."""
+    return run_to_memory(tumbling_agg(events_stream(spark, sf_dir)), "complete")
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n
+    FROM (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - k * INTERVAL '15 minutes' AS ws
+      FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+    ) GROUP BY ws
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """Sliding windows (1h every 15min) as a streaming query; each
+    event contributes to 4 windows."""
+    return run_to_memory(sliding_agg(events_stream(spark, sf_dir)), "complete")
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark, sf_dir):
+    """Session windows (30-min gap) — same session_window plan runs
+    under streaming (tests); batch run here so the gaps-and-islands
+    oracle can verify end-to-end."""
+    return session_agg(_cat(spark, sf_dir).events)
+
+
+@query(
+    "stream_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_watermark(spark, sf_dir):
+    """Watermarked streaming dedup (dropDuplicatesWithinWatermark) —
+    the exactly-once-by-key ingestion trait the reference gets from
+    per-key existence probes (/root/reference/sdk/migrate_employeur.php:60-68)."""
+    return run_to_memory(dedup_keys(events_stream(spark, sf_dir)), "append")
+
+
+@query(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful(spark, sf_dir):
+    """Running per-user counts as streaming state (complete mode) —
+    final state equals the batch aggregate."""
+    return run_to_memory(stateful_counts(events_stream(spark, sf_dir)), "complete")

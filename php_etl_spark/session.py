@@ -67,7 +67,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
     for k, v in [
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)),
     ]:
         try:
             spark.conf.set(k, v)

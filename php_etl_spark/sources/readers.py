@@ -1,0 +1,76 @@
+"""Source readers (SURVEY.md §2.1).
+
+The reference resolves a connection config (driver/host/port/db →
+DSN, /root/reference/sdk/lib/db.php:106-134) plus a table name into a
+streamed SELECT. Here a connection config resolves to a Spark reader;
+formats cover the reference's SQL tables (JDBC) and text-file IO
+(ReadWriter, /root/reference/sdk/src/IO/ReadWriter.php) plus the
+columnar formats a Spark-native engine lives on.
+
+Connection config shape::
+
+    {"type": "parquet" | "csv" | "json" | "text" | "jdbc",
+     "path": "/base/dir",            # file formats: dir containing <table>.parquet etc
+     "url": "jdbc:...", "options": {...}}   # jdbc
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _table_path(conn: dict[str, Any], table: str) -> str:
+    base = conn.get("path", ".")
+    ext = conn.get("extension", conn.get("type", "parquet"))
+    candidate = os.path.join(base, f"{table}.{ext}")
+    if os.path.exists(candidate):
+        return candidate
+    # directory-style layout (what our sinks write)
+    return os.path.join(base, table)
+
+
+def read_source(
+    spark: SparkSession,
+    conn: dict[str, Any],
+    table: str,
+    query: str | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Scan a table through a connection config.
+
+    ``query`` is the reference's pushed-down WHERE fragment
+    (/root/reference/sdk/etl.php:141); ``columns`` its projection list
+    (/root/reference/sdk/src/SQLTable.php:40-44). Both are applied as
+    DataFrame ops so Catalyst pushes them into the scan.
+    """
+    kind = conn.get("type", "parquet")
+    if kind == "parquet":
+        df = spark.read.parquet(_table_path(conn, table))
+    elif kind == "csv":
+        df = spark.read.options(header="true", inferSchema="true", **conn.get("options", {})).csv(
+            _table_path(conn, table)
+        )
+    elif kind == "json":
+        df = spark.read.options(**conn.get("options", {})).json(_table_path(conn, table))
+    elif kind == "text":
+        # line-oriented source (ReadWriter::getIterator parity,
+        # /root/reference/sdk/src/IO/ReadWriter.php:90-102)
+        df = spark.read.text(_table_path(conn, table))
+    elif kind == "jdbc":
+        reader = spark.read.format("jdbc").option("url", conn["url"]).option(
+            "dbtable", table
+        )
+        for k, v in conn.get("options", {}).items():
+            reader = reader.option(k, v)
+        df = reader.load()
+    else:
+        raise ValueError(f"unknown connection type: {kind!r}")
+    if query:
+        df = df.filter(F.expr(query))
+    if columns:
+        df = df.select(*columns)
+    return df

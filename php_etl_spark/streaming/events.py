@@ -1,0 +1,146 @@
+"""Structured Streaming operators (SURVEY.md §2.10 — capability
+extensions; the reference is batch-only, its streaming-adjacent
+traits being incremental cursor consumption and idempotent re-runs
+via key dedup, /root/reference/sdk/process.php:137-146).
+
+Each operator is a *transformation* applicable to either a batch or a
+streaming DataFrame — the same plan runs under ``spark.read`` (for
+oracle-checkable results) and ``spark.readStream`` with an
+``availableNow`` trigger (true incremental execution with state
+store + watermarks). Tests run both and assert they agree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from php_etl_spark.functions.exact import dec
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table. Schema comes from a batch
+    probe (file-stream sources require an explicit schema); the
+    nanosecond epoch column converts to a microsecond timestamp
+    exactly as in the batch catalog."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # the streaming file source needs a directory; expose the
+        # single-file table through a symlink dir (testdata is
+        # read-only)
+        link_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"stream_events_{hashlib.sha1(path.encode()).hexdigest()[:10]}",
+        )
+        os.makedirs(link_dir, exist_ok=True)
+        link = os.path.join(link_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = link_dir
+    sdf = spark.readStream.schema(schema).parquet(path)
+    if dict(sdf.dtypes)["ts"] == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def run_to_memory(
+    transformed: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan to completion (availableNow) into an
+    in-memory sink and return the result table. availableNow processes
+    all currently-available files then stops — at-least-once batch
+    semantics with streaming state machinery, the same pattern used
+    for incremental backfills at scale."""
+    name = f"stream_out_{uuid.uuid4().hex[:10]}"
+    q = (
+        transformed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return transformed.sparkSession.table(name)
+
+
+# --- transformations (batch- and stream-applicable) ---------------------------
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event type: count + exact sum."""
+    w = F.window("ts", "1 hour")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event lands in 4
+    windows)."""
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows: a session extends while consecutive
+    events arrive within ``gap``; window end = last event + gap."""
+    w = F.session_window("ts", gap)
+    return (
+        events.groupBy(w.alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_keys(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked streaming dedup: first event per (user_id,
+    event_type), state dropped past the watermark
+    (dropDuplicatesWithinWatermark). Projected to the key set so the
+    result is deterministic under any arrival order."""
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    return deduped.select("user_id", "event_type")
+
+
+def stateful_counts(events: DataFrame) -> DataFrame:
+    """Running per-user aggregate — the streaming-state op whose
+    complete-mode output equals the batch groupBy."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )

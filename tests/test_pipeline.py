@@ -1,0 +1,158 @@
+"""End-to-end pipeline-engine tests: JSON spec → scan → mapping →
+first-wins dedup → anti-join vs destination → sink; upsert and
+delete-reinsert semantics; quarantine split.
+
+Golden expectations follow the reference semantics in
+/root/reference/sdk/src/ETLTask.php (dedup/trim rules) and
+/root/reference/sdk/migrate_assures.php (upsert / delete-reinsert).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from php_etl_spark.plans.spec import PipelineSpec
+from php_etl_spark.plans.runner import run_pipeline
+from php_etl_spark.sources.writers import (
+    merge_frames,
+    refresh_frames,
+    upsert,
+    delete_reinsert,
+    split_quarantine,
+)
+
+
+@pytest.fixture()
+def src_dir(tmp_path, spark):
+    d = tmp_path / "src"
+    rows = [
+        (1, "Alice ", "a@x.com", 10.0),
+        (2, "Alice", "dup-of-1-after-trim@x.com", 20.0),
+        (3, "Bob", "b@x.com", 30.0),
+        (4, "Carol", "c@x.com", 40.0),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "email", "amount"])
+    df.coalesce(1).write.parquet(str(d / "people"))
+    return str(d)
+
+
+def _spec(src, dst, **table_extra):
+    table = {
+        "flow": "people -> persons",
+        "columns": {
+            "person_id": "[id]",
+            "full_name": "[name]",
+            "source_system": "legacy",
+        },
+        "unique": ["full_name"],
+        "order_by": ["id"],
+    }
+    table.update(table_extra)
+    return PipelineSpec.from_dict(
+        {
+            "connections": {
+                "from": {"type": "parquet", "path": src},
+                "to": {"type": "parquet", "path": dst},
+            },
+            "tables": [table],
+        }
+    )
+
+
+def test_pipeline_end_to_end_first_wins_and_literal(spark, src_dir, tmp_path):
+    dst = str(tmp_path / "dst")
+    results = run_pipeline(spark, _spec(src_dir, dst))
+    assert results[0].rows_written == 3  # 'Alice ' ≡ 'Alice' after trim
+    out = spark.read.parquet(os.path.join(dst, "persons"))
+    rows = {r.person_id: r for r in out.collect()}
+    assert set(rows) == {1, 3, 4}  # first wins: id=1 kept, id=2 dropped
+    assert rows[1].full_name == "Alice "  # original value kept, key trimmed
+    assert rows[1].source_system == "legacy"
+
+
+def test_pipeline_rerun_is_idempotent(spark, src_dir, tmp_path):
+    dst = str(tmp_path / "dst")
+    run_pipeline(spark, _spec(src_dir, dst))
+    results2 = run_pipeline(spark, _spec(src_dir, dst))
+    assert results2[0].rows_written == 0  # anti-join vs destination
+    out = spark.read.parquet(os.path.join(dst, "persons"))
+    assert out.count() == 3
+
+
+def test_pipeline_query_pushdown(spark, src_dir, tmp_path):
+    dst = str(tmp_path / "dst2")
+    spec = _spec(src_dir, dst, query="amount >= 30")
+    results = run_pipeline(spark, spec)
+    assert results[0].rows_written == 2
+
+
+def test_merge_frames_upsert_semantics(spark):
+    existing = spark.createDataFrame(
+        [(1, "old", 1.0), (2, "keep", 2.0)], ["k", "v", "x"]
+    )
+    updates = spark.createDataFrame([(1, "new", 9.0), (3, "ins", 3.0)], ["k", "v", "x"])
+    out = {r.k: r.v for r in merge_frames(existing, updates, ["k"]).collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_refresh_frames_delete_reinsert(spark):
+    existing = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "keep")], ["fk", "v"]
+    )
+    replacement = spark.createDataFrame([(1, "c")], ["fk", "v"])
+    out = sorted((r.fk, r.v) for r in refresh_frames(existing, replacement, ["fk"]).collect())
+    assert out == [(1, "c"), (2, "keep")]
+
+
+def test_upsert_sink_on_disk(spark, tmp_path):
+    conn = {"type": "parquet", "path": str(tmp_path)}
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    upsert(spark, base, conn, "t", keys=["k"])
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    upsert(spark, upd, conn, "t", keys=["k"])
+    out = {r.k: r.v for r in spark.read.parquet(str(tmp_path / "t")).collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}
+
+
+def test_delete_reinsert_sink_on_disk(spark, tmp_path):
+    conn = {"type": "parquet", "path": str(tmp_path)}
+    base = spark.createDataFrame([(1, "a"), (1, "a2"), (2, "b")], ["fk", "v"])
+    delete_reinsert(spark, base, conn, "links", keys=["fk"])
+    repl = spark.createDataFrame([(1, "fresh")], ["fk", "v"])
+    delete_reinsert(spark, repl, conn, "links", keys=["fk"])
+    out = sorted((r.fk, r.v) for r in spark.read.parquet(str(tmp_path / "links")).collect())
+    assert out == [(1, "fresh"), (2, "b")]
+
+
+def test_quarantine_split(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "ok@x.com"), (2, "bad"), (3, "another@y.org")], ["id", "email"]
+    )
+    from php_etl_spark.functions.strings import email_valid
+
+    qpath = str(tmp_path / "quarantine")
+    good, bad = split_quarantine(df, email_valid("email"), qpath)
+    assert {r.id for r in good.collect()} == {1, 3}
+    assert spark.read.parquet(qpath).count() == 1
+
+
+def test_spec_parsing_flow_and_column_forms():
+    spec = PipelineSpec.from_dict(
+        {
+            "connections": {"from": {}, "to": {}},
+            "tables": [
+                {"flow": "  a  ->  b ", "columns": ["x <- [y]", "z"]},
+            ],
+        }
+    )
+    t = spec.tables[0]
+    assert (t.source, t.destination) == ("a", "b")
+    assert t.columns == {"x": "[y]", "z": "[z]"}
+
+
+def test_spec_requires_tables():
+    with pytest.raises(ValueError):
+        PipelineSpec.from_dict({"connections": {}})

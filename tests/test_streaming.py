@@ -1,0 +1,51 @@
+"""Streaming operators: the same transformation run as a true
+streaming query (availableNow + state store) must agree with its
+batch execution."""
+
+from __future__ import annotations
+
+import pytest
+
+from php_etl_spark.catalog import Catalog
+from php_etl_spark.streaming.events import (
+    events_stream,
+    run_to_memory,
+    tumbling_agg,
+    session_agg,
+    dedup_keys,
+    stateful_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark):
+    batch = tumbling_agg(Catalog(spark, SF).events)
+    stream = run_to_memory(tumbling_agg(events_stream(spark, SF)), "complete")
+    assert _rows(stream) == _rows(batch)
+
+
+def test_stateful_stream_equals_batch(spark):
+    batch = stateful_counts(Catalog(spark, SF).events)
+    stream = run_to_memory(stateful_counts(events_stream(spark, SF)), "complete")
+    assert _rows(stream) == _rows(batch)
+
+
+def test_dedup_stream_equals_batch_distinct(spark):
+    ev = Catalog(spark, SF).events
+    batch = ev.select("user_id", "event_type").distinct()
+    stream = run_to_memory(dedup_keys(events_stream(spark, SF)), "append")
+    assert _rows(stream) == _rows(batch)
+
+
+def test_session_windows_streaming_run(spark):
+    """Session windows under real streaming state (update mode needs a
+    watermark); counts must equal the batch plan's."""
+    sdf = events_stream(spark, SF).withWatermark("ts", "1 hour")
+    stream = run_to_memory(session_agg(sdf), "complete")
+    batch = session_agg(Catalog(spark, SF).events)
+    assert stream.count() == batch.count()
