@@ -1,0 +1,238 @@
+"""Document deduplication at scale: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design notes (the 100 TB story):
+
+- Exact dedup is a hash-groupBy — one shuffle on a 16-byte key.
+- Pairwise Jaccard is quadratic; it is only ever computed on
+  *candidate pairs*. Candidates come from an inverted shingle index
+  (small corpora) or MinHash-LSH band buckets (the subquadratic path:
+  cost ∝ documents × bands, pairs only within buckets).
+- All hashing is xxhash64 (JVM, codegen) — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from php_etl_spark.llm.text import normalized_hash, word_shingles
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on the normalized-text hash: one row per distinct
+    content, keeping the smallest id (deterministic winner) and the
+    duplicate count."""
+    return (
+        df.select(F.col(id_col), normalized_hash(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted shingle index: explode
+    shingles, self-join on shingle (only co-occurring docs meet),
+    count intersections, join sizes. Output: (doc_a, doc_b, jaccard)
+    with doc_a < doc_b and jaccard >= threshold.
+
+    At large N, feed this only LSH candidates (minhash_lsh_pairs) —
+    the inverted index alone blows up on common shingles.
+    """
+    sh = _shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature_cols(n_hashes: int) -> list[str]:
+    return [f"mh_{i}" for i in range(n_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures: for hash family i, sig_i(doc) =
+    min over shingles of xxhash64(shingle, salt_i). One explode + one
+    groupBy — shuffle ∝ total shingle count, independent of pair
+    count."""
+    sh = _shingle_table(df, text_col, id_col, n)
+    hashes = [
+        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"\x00{i}")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc").agg(*hashes)
+
+
+def lsh_candidates(
+    signatures: DataFrame, n_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Band the signature (rows per (doc, band) = docs × bands) and
+    self-join per band bucket: two docs are candidates iff they agree
+    on EVERY row of at least one band — the classic S-curve knob
+    (bands=8, rows=4 → ~(j^4) per-band match prob)."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+        )
+    banded = signatures.select(
+        "doc", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Subquadratic near-dup pipeline: MinHash → LSH banding →
+    candidate pairs → exact Jaccard verification on candidates only.
+    This is the shape that survives 100 TB; the exact all-pairs join
+    does not."""
+    sigs = minhash_signatures(df, text_col, id_col, n, n_hashes)
+    cands = lsh_candidates(sigs, n_hashes, bands)
+    # verify with exact Jaccard on the candidate set via array ops
+    sets_df = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh")
+    )
+    sa = sets_df.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets_df.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document: explode tokens, hash each with
+    xxhash64, let every bit vote ±1, take the sign vector as the
+    fingerprint. One explode + one groupBy with 64 conditional sums —
+    all JVM codegen, shuffle ∝ token count."""
+    from php_etl_spark.llm.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    voted = tok.groupBy("doc").agg(*votes)
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return voted.select("doc", packed.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Hamming-near pairs via banded SimHash: split 64 bits into
+    max_distance+1 bands — any pair within the distance budget must
+    agree exactly on ≥1 band (pigeonhole), so candidates come from
+    band-bucket joins, then exact popcount(xor) verification."""
+    st = simhash_table(df, text_col, id_col)
+    n_bands = max_distance + 1
+    width = 64 // n_bands
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = st.select(
+        "doc", "simhash", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select("doc_a", "doc_b", dist.alias("hamming")).filter(
+        F.col("hamming") <= max_distance
+    )

@@ -1,0 +1,218 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Cosine arithmetic runs in exact decimals: float×float products are
+exactly representable in double, each product rounds once to
+decimal(30,15), and decimal sums are associative — so a dot product
+is bit-identical under any partitioning/order and across engines
+(the reproducibility you want when a 1000-executor job re-shuffles).
+
+Search paths:
+- brute-force top-k: broadcast the query set, one linear scan of the
+  candidate side, per-query heap via window row_number. O(N·Q·d) —
+  the exact baseline.
+- random-hyperplane LSH: deterministic hash-derived planes bucket
+  vectors by sign pattern; probing only same-bucket candidates makes
+  the scan sublinear. Approximate → verified by recall tests, not an
+  SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Embedding components quantize to integers at 1e6 — after that every
+# dot product/norm is exact BIGINT arithmetic: associative, partition-
+# order-independent, identical in any engine. (Summing raw doubles
+# is none of those; and decimal casts of doubles round differently
+# across engines at the 15th digit.) 64 dims × (1e6·|x|)² stays far
+# below 2^63.
+QUANT = 1_000_000
+
+
+def quantize(vec: Column) -> Column:
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * QUANT).cast("long")
+    )
+
+
+def dot_q(qa: Column, qb: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_q(qa: Column, qb: Column) -> Column:
+    """Cosine over quantized vectors — deterministic to the last bit."""
+    return dot_q(qa, qb).cast("double") / (
+        F.sqrt(dot_q(qa, qa).cast("double")) * F.sqrt(dot_q(qb, qb).cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return cosine_q(quantize(a), quantize(b))
+
+
+def near_duplicate_pairs(
+    emb: DataFrame,
+    threshold: float,
+    bucket_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold. The
+    ``bucket_col`` restricts the quadratic join to within-bucket pairs
+    — at scale that bucket is an LSH/IVF cell, here the label column
+    plays that role."""
+    a = emb.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("emb_a"),
+        *( [F.col(bucket_col).alias("bucket")] if bucket_col else [] ),
+    )
+    b = emb.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("emb_b"),
+        *( [F.col(bucket_col).alias("bucket")] if bucket_col else [] ),
+    )
+    cond = F.col("vec_a") < F.col("vec_b")
+    joined = a.join(b, on=(["bucket"] if bucket_col else []), how="inner").filter(cond) \
+        if bucket_col else a.crossJoin(b).filter(cond)
+    cos = cosine(F.col("emb_a"), F.col("emb_b"))
+    return joined.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast queries, linear scan
+    of candidates, window top-k with deterministic tiebreak."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+        )
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_coefficients(
+    spark, n_tables: int, n_planes: int, dim: int
+) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes for ``n_tables``
+    independent hash tables of ``n_planes`` bits each, derived from
+    xxhash64 — reproducible across runs/cluster sizes with no RNG
+    state. Coefficients ~uniform in [-1, 1]."""
+    per_table = n_planes * dim
+    return spark.range(n_tables * per_table).select(
+        (F.col("id") / per_table).cast("long").alias("tbl"),
+        ((F.col("id") % per_table) / dim).cast("long").alias("plane"),
+        (F.col("id") % dim).alias("pos"),
+        (
+            F.xxhash64(F.concat(F.lit("plane:"), F.col("id"))).cast("double")
+            / F.lit(float(2**63))
+        ).alias("coef"),
+    )
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vector, table) → sign-pattern bucket id: explode the vector,
+    join plane coefficients on position, sum per (vector, table,
+    plane), pack signs. Relational shape — scales out on the join
+    key, planes broadcast."""
+    flat = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "e"),
+    )
+    proj = (
+        flat.join(F.broadcast(planes), "pos")
+        .groupBy("vid", "tbl", "plane")
+        .agg(F.sum(F.col("e").cast("double") * F.col("coef")).alias("proj"))
+    )
+    # pack sign bits: distinct powers of two sum to the bucket id
+    bit = F.when(
+        F.col("proj") > 0,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return proj.groupBy("vid", "tbl").agg(F.sum(bit).alias("bucket"))
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH:
+    candidates match the query's bucket in ANY of ``n_tables`` tables
+    (OR-amplification — recall 1-(1-p^planes)^tables), then exact
+    rescore of the candidate set only. Approximate by construction;
+    recall vs brute force is asserted in tests."""
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplane_coefficients(spark, n_tables, n_planes, dim)
+    cb = lsh_buckets(emb, planes, id_col, vec_col).withColumnRenamed(
+        "vid", "neighbor_id"
+    )
+    qb = lsh_buckets(queries, planes, id_col, vec_col).withColumnRenamed(
+        "vid", "query_id"
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,131 @@
+"""Text-analysis operators over a document table.
+
+All pure Catalyst expressions (whole-stage codegen; no Python in the
+row path): normalization, tokenization, shingling, quality stats,
+n-gram language scoring, and canonical fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small marker-word sets for the language-id heuristic. Real
+# deployments plug in fastText/CLD3 via a pandas UDF; the heuristic
+# keeps the operator deterministic and dependency-free.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "fr": ["le", "la", "et", "des", "une"],
+    "de": ["der", "die", "und", "nicht", "ein"],
+    "es": ["el", "los", "y", "una", "que"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+
+
+def normalize(col: Column | str) -> Column:
+    """Canonical text form: lowercase, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (empty-safe)."""
+    return F.filter(F.split(normalize(col), " "), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the dedup unit for Jaccard /
+    MinHash. Built from sequence+transform+slice (no explode needed at
+    the caller; arrays stay columnar)."""
+    toks = tokens(col)
+    # sequence(1, 0) runs DESCENDING in Spark — guard short docs with
+    # an explicit empty list instead
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def char_count(col: Column | str, char_class: str) -> Column:
+    """Number of characters matching a regex class."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, char_class, ""))
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score, the
+    filter-stage signals of a pretraining data pipeline."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(text_col))
+    punct = char_count(text_col, r"[.,!?;:]")
+    digit = char_count(text_col, r"[0-9]")
+    upper = char_count(text_col, r"[A-Z]")
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    avg_tok_len = F.when(
+        n_tok > 0, F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x) / n_tok
+    ).otherwise(F.lit(0.0))
+    punct_ratio = punct / n_char
+    digit_ratio = digit / n_char
+    upper_ratio = upper / n_char
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    score = (
+        stop_ratio
+        + F.least(avg_tok_len / 10, F.lit(1.0))
+        - digit_ratio
+        - upper_ratio
+        - punct_ratio
+    )
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_char.alias("n_chars_measured"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_tok_len.alias("avg_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def _isin_pred(markers: list[str]):
+    # NB: a second lambda parameter would be interpreted by F.filter
+    # as the array index — keep the predicate unary via a closure
+    return lambda x: x.isin(markers)
+
+
+def language_scores(col: Column | str) -> dict[str, Column]:
+    toks = tokens(col)
+    return {
+        lang: F.size(F.filter(toks, _isin_pred(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def language_id(col: Column | str) -> Column:
+    """Argmax marker-hit language with deterministic tie order
+    (declaration order of LANG_MARKERS; 'und' when nothing hits)."""
+    scores = language_scores(col)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(list(scores)):
+        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of the sorted distinct
+    token set — whitespace/order/duplication-insensitive identity."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def normalized_hash(col: Column | str) -> Column:
+    """md5 of the normalized text — the exact-dedup key."""
+    return F.md5(normalize(col))

@@ -1476,3 +1476,301 @@ def stream_stateful(spark, sf_dir):
     """Running per-user counts as streaming state (complete mode) —
     final state equals the batch aggregate."""
     return run_to_memory(stateful_counts(events_stream(spark, sf_dir)), "complete")
+
+
+# ---------------------------------------------------------------------------
+# LLM-data pipeline operators (BASELINE.json north star): text
+# analysis, dedup, similarity search, multimodal plumbing
+# ---------------------------------------------------------------------------
+
+from php_etl_spark.llm import text as T  # noqa: E402
+from php_etl_spark.llm import dedup as D  # noqa: E402
+from php_etl_spark.llm import similarity as S  # noqa: E402
+from php_etl_spark.llm import multimodal as M  # noqa: E402
+
+# DuckDB rendition of text.normalize/tokens — keep in sync with llm/text.py
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id, CAST(len({_TOKS_SQL}) AS INT) AS n_tokens FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Whitespace+regex tokenization — the per-doc budget unit of
+    every training-data pipeline."""
+    d = _cat(spark, sf_dir).documents
+    return d.select("doc_id", T.token_count("text").alias("n_tokens"))
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_tokens, punct_ratio, digit_ratio, upper_ratio,
+           stopword_ratio, avg_token_len,
+           stopword_ratio + least(avg_token_len / 10, 1.0) - digit_ratio
+             - upper_ratio - punct_ratio AS quality_score
+    FROM (
+      SELECT doc_id,
+        CAST(len(toks) AS INT) AS n_tokens,
+        (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+          / length(text) AS punct_ratio,
+        (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+          / length(text) AS digit_ratio,
+        (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+          / length(text) AS upper_ratio,
+        CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, x -> list_contains(
+                    ['the','a','of','and','is','to','in'], x))) / len(toks)
+             ELSE 0.0 END AS stopword_ratio,
+        CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, x -> length(x))) / len(toks)
+             ELSE 0.0 END AS avg_token_len
+      FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    )
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality features (length/punct/digit/stopword
+    ratios) — the filtering stage of a pretraining corpus build."""
+    d = _cat(spark, sf_dir).documents
+    stats = T.quality_stats(d)
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "punct_ratio",
+        "digit_ratio",
+        "upper_ratio",
+        "stopword_ratio",
+        "avg_token_len",
+        "quality_score",
+    )
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+      CASE WHEN best > 0 AND s_en = best THEN 'en'
+           WHEN best > 0 AND s_fr = best THEN 'fr'
+           WHEN best > 0 AND s_de = best THEN 'de'
+           WHEN best > 0 AND s_es = best THEN 'es'
+           ELSE 'und' END AS detected_lang
+    FROM (
+      SELECT doc_id, lang, s_en, s_fr, s_de, s_es,
+             greatest(s_en, s_fr, s_de, s_es) AS best
+      FROM (
+        SELECT doc_id, lang,
+          len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+          len(list_filter(toks, x -> list_contains(['le','la','et','des','une'], x))) AS s_fr,
+          len(list_filter(toks, x -> list_contains(['der','die','und','nicht','ein'], x))) AS s_de,
+          len(list_filter(toks, x -> list_contains(['el','los','y','una','que'], x))) AS s_es
+        FROM (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
+      )
+    )
+    """,
+)
+def text_language_id(spark, sf_dir):
+    """Marker-word language id (deterministic heuristic; production
+    swaps in fastText via pandas UDF at the same operator slot)."""
+    d = _cat(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.language_id("text").alias("detected_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' '))
+             AS fingerprint,
+           md5({_NORM_SQL}) AS content_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Canonical fingerprints: sorted-distinct-token md5 (order/
+    duplication-insensitive) + normalized-content md5 (exact)."""
+    d = _cat(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        T.fingerprint("text").alias("fingerprint"),
+        T.normalized_hash("text").alias("content_hash"),
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS content_hash,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized content — one shuffle
+    on a 16-byte key at any scale."""
+    return D.exact_duplicates(_cat(spark, sf_dir).documents)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+    ), sizes AS (
+      SELECT doc, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.8) via
+    an inverted shingle index self-join."""
+    return D.jaccard_pairs(
+        _cat(spark, sf_dir).documents, n=3, threshold=0.8
+    )
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32) → LSH(8 bands × 4 rows) → candidate pairs → exact
+    Jaccard verification. The subquadratic near-dup path for 100 TB;
+    xxhash64-based so no SQL oracle — recall/precision vs exact
+    Jaccard is asserted in tests/test_llm.py."""
+    return D.minhash_lsh_pairs(
+        _cat(spark, sf_dir).documents, n=3, n_hashes=32, bands=8, threshold=0.8
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash near-dup pairs (hamming <= 3) via pigeonhole
+    band buckets + popcount verification; rows-only (hash-defined)."""
+    return D.simhash_pairs(_cat(spark, sf_dir).documents, max_distance=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, label, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    ), norms AS (
+      SELECT vec_id, SUM(q * q) AS n2 FROM flat GROUP BY 1
+    ), dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.q * b.q) AS dot
+      FROM flat a JOIN flat b
+        ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs (cosine >= 0.45) within label buckets
+    — exact decimal dot products make the result bit-stable across
+    engines and partitionings. At scale the bucket is an LSH cell."""
+    return S.near_duplicate_pairs(
+        _cat(spark, sf_dir).embeddings, threshold=0.45, bucket_col="label"
+    )
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    ), norms AS (
+      SELECT vec_id, SUM(q * q) AS n2 FROM flat GROUP BY 1
+    ), dots AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(qs.q * c.q) AS dot
+      FROM flat qs JOIN flat c ON qs.i = c.i
+        AND qs.vec_id < 10 AND c.vec_id <> qs.vec_id
+      GROUP BY 1, 2
+    ), cos AS (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM cos
+    ) WHERE rank <= 5
+    """,
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 neighbors for the query set (vec_id < 10):
+    broadcast queries × one linear candidate scan."""
+    emb = _cat(spark, sf_dir).embeddings
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("sim_ann_lsh")
+def sim_ann_lsh(spark, sf_dir):
+    """Approximate top-5 via multi-table random-hyperplane LSH (probe
+    bucket-matching candidates in any table, exact rescore).
+    Approximate → rows-only; recall vs brute force asserted in tests."""
+    emb = _cat(spark, sf_dir).embeddings
+    return S.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), n_planes=4, n_tables=8, k=5)
+
+
+@query(
+    "multimodal_bytes",
+    oracle="""
+    SELECT doc_id, 'application/octet-stream' AS mime,
+           CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+)
+def multimodal_bytes(spark, sf_dir):
+    """Opaque binary payload + typed metadata — the multimodal column
+    contract (media bytes ride as binary; metadata stays queryable)."""
+    d = _cat(spark, sf_dir).documents
+    return M.with_binary_payload(d).select(
+        "doc_id", "mime", "n_bytes", "payload_sha256"
+    )
+
+
+@query("multimodal_decode")
+def multimodal_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode (deterministic fake decoder —
+    media libs stubbed per environment; Spark-side schema/batching is
+    real). Rows-only."""
+    d = _cat(spark, sf_dir).documents
+    return M.decode_features(M.with_binary_payload(d), n_features=8, fake=True)

@@ -1,0 +1,131 @@
+"""LLM-data operator tests: hash-defined ops (MinHash-LSH, SimHash,
+ANN) are verified by property — recall against their exact
+counterparts — since they have no SQL oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from php_etl_spark.catalog import Catalog
+from php_etl_spark.llm import dedup as D
+from php_etl_spark.llm import similarity as S
+from php_etl_spark.llm import multimodal as M
+from php_etl_spark.llm import text as T
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return Catalog(spark, SF).documents
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    docs = _docs(spark)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert exact, "corpus should contain planted near-duplicates"
+    # verification step filters candidates by exact jaccard → no false
+    # positives; banding may lose a few true pairs (S-curve recall)
+    assert lsh <= exact
+    assert len(lsh) >= 0.8 * len(exact)
+
+
+def test_simhash_pairs_are_near_duplicates(spark):
+    docs = _docs(spark)
+    pairs = D.simhash_pairs(docs, max_distance=3)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got, "planted near-duplicates should land within hamming<=3"
+    # simhash measures token-multiset similarity, jaccard measures
+    # shingle-set similarity — correlated but not identical, so only
+    # a majority overlap is promised (tiny vocab widens the gap)
+    overlap = len(got & exact) / len(got)
+    assert overlap >= 0.5
+
+
+def test_exact_duplicates_partitions_corpus(spark):
+    docs = _docs(spark)
+    out = D.exact_duplicates(docs)
+    total = out.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == docs.count()
+
+
+def test_ann_lsh_recall(spark):
+    emb = Catalog(spark, SF).embeddings
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk_lsh(emb, queries, n_planes=4, n_tables=8, k=5).collect()
+    }
+    # multi-table OR-amplification: most true neighbors should land in
+    # at least one matching bucket, but recall < 1 by construction
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_cosine_quantized_accuracy(spark):
+    import math
+
+    emb = Catalog(spark, SF).embeddings.limit(2).collect()
+    a, b = emb[0].embedding, emb[1].embedding
+    expected = sum(x * y for x, y in zip(a, b)) / (
+        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+    )
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    got = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    assert abs(got - expected) < 1e-4  # quantization error bound
+
+
+def test_multimodal_payload_and_decode(spark):
+    docs = _docs(spark).limit(20)
+    payload = M.with_binary_payload(docs)
+    row = payload.first()
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.n_bytes == len(row.payload)
+
+    decoded = M.decode_features(payload, n_features=8, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    assert all(len(r.features) == 8 for r in rows)
+    # deterministic fake: same input → same features
+    again = M.decode_features(payload, n_features=8, fake=True).collect()
+    assert sorted(map(tuple, (r.features for r in rows))) == sorted(
+        map(tuple, (r.features for r in again))
+    )
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    import pytest
+
+    docs = _docs(spark).limit(2)
+    payload = M.with_binary_payload(docs)
+    with pytest.raises(Exception, match="NotImplementedError|PythonException|media"):
+        M.decode_features(payload, fake=False).collect()
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], ["text"])
+    out = df.select(T.word_shingles("text", 3).alias("s")).collect()
+    assert out[0].s == ["a b c", "b c d"]
+    assert out[1].s == []
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("le chat et la mer des une",), ("zzz qqq",)],
+        ["text"],
+    )
+    out = [r.l for r in df.select(T.language_id("text").alias("l")).collect()]
+    assert out == ["en", "fr", "und"]
