@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full
+computation, no driver collect overhead). The headline set covers the
+engine's workload shapes: scan+agg, selective multiway join, window,
+event-time windows, the config-pipeline transform, MinHash-LSH dedup
+and brute-force vector top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from php_etl_spark import queries as Q  # noqa: E402
+from php_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "agg_groupby_sum",      # TPC-H Q1 shape: scan + grouped exact agg
+    "join_multiway",        # Q3 shape: selective dim x fact joins
+    "join_lookup",          # broadcast lookup join over lineitem
+    "window_topk_per_group",  # window function over orders
+    "stream_tumbling",      # event-time windows (streaming state)
+    "pipeline_etl",         # config pipeline: map + first-wins dedup
+    "dedup_minhash_lsh",    # LLM: subquadratic near-dup
+    "sim_topk_bruteforce",  # LLM: vector top-k
+]
+
+
+def force(df) -> int:
+    """Execute the full plan; noop write avoids driver-side collect."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("php-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/code paths once on the smallest SF so per-query
+    # numbers measure the engine, not first-call JIT/codegen
+    warm = "/root/testdata/sf0.001"
+    if os.path.exists(warm):
+        for name in HEADLINE:
+            try:
+                force(Q.QUERIES[name](spark, warm))
+            except Exception:
+                pass
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        force(Q.QUERIES[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

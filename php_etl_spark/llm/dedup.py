@@ -36,7 +36,11 @@ def exact_duplicates(
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
+    # a small parquet file scans as ONE partition; the shingle
+    # transform is CPU-bound (interpreted higher-order functions), so
+    # spread rows across cores before computing it
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
@@ -81,6 +85,25 @@ def minhash_signature_cols(n_hashes: int) -> list[str]:
     return [f"mh_{i}" for i in range(n_hashes)]
 
 
+# Carter-Wegman hash family h_i(x) = (a_i*x + b_i) mod p over the
+# Mersenne prime 2^31-1: products stay under 2^62 (no ANSI-mode
+# overflow) and the mod makes each h_i non-monotone in x (an affine
+# map without the mod would give 32 perfectly-correlated minima).
+# Salts are a fixed deterministic sequence (LCG, seed 42).
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _salts(n: int) -> list[tuple[int, int]]:
+    state, out = 42, []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (_MERSENNE_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -92,10 +115,17 @@ def minhash_signatures(
     min over shingles of xxhash64(shingle, salt_i). One explode + one
     groupBy — shuffle ∝ total shingle count, independent of pair
     count."""
-    sh = _shingle_table(df, text_col, id_col, n)
+    # one string hash per shingle, then n_hashes cheap long ops —
+    # instead of n_hashes string hashes per shingle
+    sh = _shingle_table(df, text_col, id_col, n).withColumn(
+        "base", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P))
+    )
+    salts = _salts(n_hashes)
     hashes = [
-        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"\x00{i}")))).alias(f"mh_{i}")
-        for i in range(n_hashes)
+        F.min(
+            F.pmod(F.col("base") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(salts)
     ]
     return sh.groupBy("doc").agg(*hashes)
 
@@ -146,7 +176,10 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, id_col, n, n_hashes)
     cands = lsh_candidates(sigs, n_hashes, bands)
     # verify with exact Jaccard on the candidate set via array ops
-    sets_df = df.select(
+    # (repartitioned: shingling is CPU-bound and the source file may
+    # scan as a single partition)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sets_df = df.repartition(par, id_col).select(
         F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh")
     )
     sa = sets_df.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -171,7 +204,8 @@ def simhash_table(
     all JVM codegen, shuffle ∝ token count."""
     from php_etl_spark.llm.text import tokens
 
-    tok = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(par, id_col).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
     ).withColumn("h", F.xxhash64("t"))
     votes = [

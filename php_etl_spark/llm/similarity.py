@@ -56,6 +56,18 @@ def cosine(a: Column, b: Column) -> Column:
     return cosine_q(quantize(a), quantize(b))
 
 
+def _prepared(emb: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """Quantize + compute the norm ONCE per vector. Higher-order array
+    functions are interpreted (not codegen'd), so per-pair work must
+    be the single dot-product fold — everything per-vector hoists
+    here."""
+    q = quantize(F.col(vec_col))
+    return emb.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        q.alias(f"{prefix}_q"),
+    ).withColumn(f"{prefix}_norm", F.sqrt(dot_q(F.col(f"{prefix}_q"), F.col(f"{prefix}_q")).cast("double")))
+
+
 def near_duplicate_pairs(
     emb: DataFrame,
     threshold: float,
@@ -67,20 +79,28 @@ def near_duplicate_pairs(
     ``bucket_col`` restricts the quadratic join to within-bucket pairs
     — at scale that bucket is an LSH/IVF cell, here the label column
     plays that role."""
-    a = emb.select(
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("emb_a"),
-        *( [F.col(bucket_col).alias("bucket")] if bucket_col else [] ),
+    extra = [F.col(bucket_col).alias("bucket")] if bucket_col else []
+    q = quantize(F.col(vec_col))
+    prep = emb.select(F.col(id_col).alias("id"), q.alias("qv"), *extra).withColumn(
+        "norm", F.sqrt(dot_q(F.col("qv"), F.col("qv")).cast("double"))
     )
-    b = emb.select(
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("emb_b"),
-        *( [F.col(bucket_col).alias("bucket")] if bucket_col else [] ),
+    a = prep.select(
+        F.col("id").alias("vec_a"), F.col("qv").alias("q_a"), F.col("norm").alias("n_a"),
+        *( [F.col("bucket")] if bucket_col else [] ),
+    )
+    b = prep.select(
+        F.col("id").alias("vec_b"), F.col("qv").alias("q_b"), F.col("norm").alias("n_b"),
+        *( [F.col("bucket")] if bucket_col else [] ),
     )
     cond = F.col("vec_a") < F.col("vec_b")
-    joined = a.join(b, on=(["bucket"] if bucket_col else []), how="inner").filter(cond) \
-        if bucket_col else a.crossJoin(b).filter(cond)
-    cos = cosine(F.col("emb_a"), F.col("emb_b"))
+    joined = (
+        a.join(b, on=["bucket"], how="inner").filter(cond)
+        if bucket_col
+        else a.crossJoin(b).filter(cond)
+    )
+    cos = dot_q(F.col("q_a"), F.col("q_b")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    )
     return joined.select("vec_a", "vec_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
@@ -93,23 +113,21 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbors per query: broadcast queries, linear scan
-    of candidates, window top-k with deterministic tiebreak."""
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
-        )
-    )
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb")
-    )
+    """Exact top-k neighbors per query: broadcast the (quantized)
+    query set, one linear scan of candidates with a single dot-product
+    fold per pair, window top-k with deterministic tiebreak."""
+    q = F.broadcast(_prepared(queries, id_col, vec_col, "query"))
+    c = _prepared(candidates, id_col, vec_col, "neighbor")
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+            (
+                dot_q(F.col("query_q"), F.col("neighbor_q")).cast("double")
+                / (F.col("query_norm") * F.col("neighbor_norm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -197,15 +215,18 @@ def ann_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb"))
+    q = _prepared(queries, id_col, vec_col, "query")
+    c = _prepared(emb, id_col, vec_col, "neighbor")
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+            (
+                dot_q(F.col("query_q"), F.col("neighbor_q")).cast("double")
+                / (F.col("query_norm") * F.col("neighbor_norm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1774,3 +1774,43 @@ def multimodal_decode(spark, sf_dir):
     real). Rows-only."""
     d = _cat(spark, sf_dir).documents
     return M.decode_features(M.with_binary_payload(d), n_features=8, fake=True)
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+)
+def join_multiway(spark, sf_dir):
+    """TPC-H Q3-style shipping-priority join: selective dimension
+    filter → join fact → grouped exact-decimal revenue. Catalyst
+    broadcast-joins the filtered customer side; both date filters push
+    to the parquet scans."""
+    cat = _cat(spark, sf_dir)
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = cat.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = cat.orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = cat.lineitem.filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", RATE))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
