@@ -48,17 +48,24 @@ def build_table_frame(
         spark, conn, table.source, query=table.query, columns=sorted(needed) or None
     )
     if table.order_by:
-        order_cols = [F.col(c) for c in table.order_by]
+        # reserved aliases avoid collisions with mapped output names
+        order_exprs = [
+            F.col(c).alias(f"__ord_{i}") for i, c in enumerate(table.order_by)
+        ]
     else:
         # the reference's "first" is cursor order; without a declared
         # order we fall back to source row position, stable for a
         # given file layout
-        df = df.withColumn("__pos", F.monotonically_increasing_id())
-        order_cols = [F.col("__pos")]
-    projected = df.select(*compile_mapping(table.columns), *[c for c in order_cols])
+        df = df.withColumn("__ord_0", F.monotonically_increasing_id())
+        order_exprs = [F.col("__ord_0").alias("__ord_0")]
+    order_names = [f"__ord_{i}" for i in range(len(order_exprs))]
+    projected = df.select(*compile_mapping(table.columns), *order_exprs)
     if table.unique:
         projected = first_wins_dedup(
-            projected, keys=table.unique, order_by=order_cols, normalize=True
+            projected,
+            keys=table.unique,
+            order_by=[F.col(n) for n in order_names],
+            normalize=True,
         )
     out_cols = list(table.columns.keys())
     return projected.select(*out_cols)
@@ -103,10 +110,47 @@ def run_table(
     return TableResult(table.destination, n, dest_path)
 
 
-def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> list[TableResult]:
-    """Ordered sequential execution of the tables[] DAG
-    (/root/reference/sdk/etl.php:91-150; its parallel execution TODO
-    is Spark's scheduler here — independent writes could be submitted
-    concurrently, kept sequential for deterministic dependencies as in
-    import.sh's employeurs→assures ordering)."""
-    return [run_table(spark, spec, t) for t in spec.tables]
+def run_pipeline(
+    spark: SparkSession, spec: PipelineSpec, max_parallel: int = 1
+) -> list[TableResult]:
+    """Execute the tables[] DAG (/root/reference/sdk/etl.php:91-150).
+
+    ``max_parallel=1`` is the reference's sequential order (its
+    parallel execution is a TODO at sdk/etl.php:146). With
+    ``max_parallel>1``, tables whose *destinations and sources don't
+    overlap* run concurrently — Spark's scheduler interleaves the
+    jobs, which is the engine-native version of process.php's
+    spawn-a-worker-per-batch orchestration
+    (/root/reference/sdk/process.php:31-43). Tables that read a
+    destination written by an earlier table stay ordered (the
+    employeurs→assures dependency in import.sh:86-100).
+    """
+    if max_parallel <= 1:
+        return [run_table(spark, spec, t) for t in spec.tables]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    # stage the DAG: a table depends on every earlier table whose
+    # destination it reads from
+    stages: list[list[TableSpec]] = []
+    written: set[str] = set()
+    current: list[TableSpec] = []
+    for t in spec.tables:
+        pending = {c.destination for c in current}
+        if t.source in written or t.source in pending or t.destination in pending:
+            stages.append(current)
+            written.update(c.destination for c in current)
+            current = [t]
+        else:
+            current.append(t)
+    if current:
+        stages.append(current)
+
+    results: dict[str, TableResult] = {}
+    order: list[str] = [t.destination for t in spec.tables]
+    for stage in stages:
+        with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+            futs = {t.destination: pool.submit(run_table, spark, spec, t) for t in stage}
+            for dest, fut in futs.items():
+                results[dest] = fut.result()
+    return [results[d] for d in order]

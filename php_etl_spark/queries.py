@@ -1814,3 +1814,194 @@ def join_multiway(spark, sf_dir):
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
     )
+
+
+# ---------------------------------------------------------------------------
+# remaining SURVEY §2 keys + engine-completeness extensions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_documents",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents WHERE n_chars > 100",
+)
+def scan_documents(spark, sf_dir):
+    """S5: the text/line source analog (ReadWriter,
+    /root/reference/sdk/src/IO/ReadWriter.php:29-76) — scan of the
+    document corpus with pushdown."""
+    return (
+        _cat(spark, sf_dir)
+        .documents.select("doc_id", "lang", "source", "n_chars")
+        .filter(F.col("n_chars") > 100)
+    )
+
+
+@query("sink_append")
+def sink_append(spark, sf_dir):
+    """S8 batched append sink: write a projected frame to a fresh
+    parquet destination and return the read-back rows (rows-only:
+    involves filesystem state). Batched multi-VALUES INSERT parity
+    (/root/reference/sdk/lib/db.php:250-274)."""
+    import tempfile
+
+    from php_etl_spark.sources.writers import append
+
+    out_dir = tempfile.mkdtemp(prefix="sink_append_")
+    frame = _cat(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", F.lit("etl").alias("source_system")
+    )
+    append(frame, {"type": "parquet", "path": out_dir}, "nation_out")
+    return spark.read.parquet(f"{out_dir}/nation_out")
+
+
+@query(
+    "agg_min_max",
+    oracle="""
+    SELECT o_orderstatus,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_min_max(spark, sf_dir):
+    """MIN/MAX aggregates over numbers and timestamps (extension —
+    order statistics need no decimal trick, they select stored
+    values)."""
+    return (
+        _cat(spark, sf_dir)
+        .orders.groupBy("o_orderstatus")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "fn_string_extended",
+    oracle="""
+    SELECT p_partkey,
+           substr(p_name, 3, 8) AS sub,
+           strpos(p_name, 'a') AS first_a,
+           lpad(p_brand, 12, '*') AS padded,
+           reverse(p_brand) AS rev,
+           repeat(p_brand, 2) AS doubled,
+           left(p_name, 5) AS l5,
+           right(p_name, 5) AS r5,
+           length(p_name) AS len
+    FROM part
+    """,
+)
+def fn_string_extended(spark, sf_dir):
+    """Extended string surface: substr/instr/lpad/reverse/repeat/
+    left/right/length."""
+    p = _cat(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 3, 8).alias("sub"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.reverse(F.col("p_brand")).alias("rev"),
+        F.repeat(F.col("p_brand"), 2).alias("doubled"),
+        F.substring("p_name", 1, 5).alias("l5"),
+        F.col("p_name").substr(F.length("p_name") - 4, F.lit(5)).alias("r5"),
+        F.length("p_name").alias("len"),
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      FROM orders
+    )
+    """,
+)
+def subquery_scalar(spark, sf_dir):
+    """Scalar subquery (above-average filter) through the SQL surface
+    — exact decimal average keeps the threshold identical."""
+    cat = _cat(spark, sf_dir)
+    cat.orders.createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders_sq
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+          FROM orders_sq
+        )
+        """
+    )
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey = 1
+    )
+    """,
+)
+def subquery_in(spark, sf_dir):
+    """IN subquery (Catalyst rewrites to a left-semi join)."""
+    cat = _cat(spark, sf_dir)
+    cat.supplier.createOrReplaceTempView("supplier_sq")
+    cat.nation.createOrReplaceTempView("nation_sq")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier_sq
+        WHERE s_nationkey IN (
+          SELECT n_nationkey FROM nation_sq WHERE n_regionkey = 1
+        )
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+           COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
+           COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
+           COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot (long → wide): per-user event-type counts with an
+    explicit value list (required at scale — Spark would otherwise
+    scan once just to discover the pivot values)."""
+    ev = _cat(spark, sf_dir).events
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view", "error", "signup"])
+        .count()
+    )
+    # pivot leaves missing cells null; normalize to 0 like the oracle
+    for c in ["click", "purchase", "view", "error", "signup"]:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
+
+
+@query(
+    "sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) % 8 = 0
+    """,
+)
+def sample_hash(spark, sf_dir):
+    """Deterministic hash sampling — the reproducible way to sample at
+    scale (df.sample() depends on partitioning; a key-hash predicate
+    does not, and pushes down)."""
+    o = _cat(spark, sf_dir).orders
+    bucket = F.ascii(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)) % 8
+    return o.filter(bucket == 0).select("o_orderkey", "o_totalprice")

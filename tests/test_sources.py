@@ -1,0 +1,104 @@
+"""Reader round-trips for every connection type (S1/S5 parity) and
+parallel pipeline execution."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from php_etl_spark.sources.readers import read_source
+from php_etl_spark.plans.spec import PipelineSpec
+from php_etl_spark.plans.runner import run_pipeline
+
+
+def test_csv_reader_roundtrip(spark, tmp_path):
+    src = tmp_path / "t.csv"
+    src.write_text("id,name\n1,a\n2,b\n")
+    df = read_source(spark, {"type": "csv", "path": str(tmp_path)}, "t")
+    rows = sorted((r.id, r.name) for r in df.collect())
+    assert rows == [(1, "a"), (2, "b")]
+
+
+def test_json_reader_roundtrip(spark, tmp_path):
+    src = tmp_path / "t.json"
+    src.write_text("\n".join(json.dumps({"id": i, "v": i * 2.5}) for i in range(3)))
+    df = read_source(spark, {"type": "json", "path": str(tmp_path)}, "t")
+    assert df.count() == 3
+    assert {r.id for r in df.collect()} == {0, 1, 2}
+
+
+def test_text_reader_lines(spark, tmp_path):
+    src = tmp_path / "t.text"
+    src.write_text("line one\nline two\n")
+    df = read_source(spark, {"type": "text", "path": str(tmp_path)}, "t")
+    assert sorted(r.value for r in df.collect()) == ["line one", "line two"]
+
+
+def test_reader_query_and_columns_pushdown(spark, tmp_path):
+    src = tmp_path / "t.csv"
+    src.write_text("id,name,x\n1,a,9\n2,b,8\n3,c,7\n")
+    df = read_source(
+        spark,
+        {"type": "csv", "path": str(tmp_path)},
+        "t",
+        query="id >= 2",
+        columns=["id", "name"],
+    )
+    assert df.columns == ["id", "name"]
+    assert df.count() == 2
+
+
+def test_unknown_connection_type(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown connection type"):
+        read_source(spark, {"type": "nope"}, "t")
+
+
+def test_parallel_pipeline_matches_sequential(spark, tmp_path):
+    src = tmp_path / "src"
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    b = spark.createDataFrame([(3, 1.5), (4, 2.5)], ["k", "w"])
+    a.write.parquet(str(src / "ta"))
+    b.write.parquet(str(src / "tb"))
+    doc = {
+        "connections": {
+            "from": {"type": "parquet", "path": str(src)},
+            "to": {"type": "parquet", "path": str(tmp_path / "dst")},
+        },
+        "tables": [
+            {"flow": "ta -> out_a", "columns": {"id": "[id]", "v": "[v]"},
+             "unique": ["id"], "order_by": ["id"]},
+            {"flow": "tb -> out_b", "columns": {"k": "[k]", "w": "[w]"},
+             "unique": ["k"], "order_by": ["k"]},
+        ],
+    }
+    spec = PipelineSpec.from_dict(doc)
+    results = run_pipeline(spark, spec, max_parallel=2)
+    assert [r.rows_written for r in results] == [2, 2]
+    out_a = spark.read.parquet(str(tmp_path / "dst" / "out_a"))
+    assert out_a.count() == 2
+
+
+def test_pipeline_dependency_stays_ordered(spark, tmp_path):
+    """A table reading what a previous one wrote must see its output
+    (employeurs -> assures ordering, import.sh:86-100)."""
+    src = tmp_path / "src"
+    spark.createDataFrame([(1, "x")], ["id", "v"]).write.parquet(str(src / "t1"))
+    dst = tmp_path / "dst"
+    doc = {
+        "connections": {
+            "from": {"type": "parquet", "path": str(src)},
+            "to": {"type": "parquet", "path": str(dst)},
+        },
+        "tables": [
+            {"flow": "t1 -> mid", "columns": {"id": "[id]", "v": "[v]"}},
+            # second table reads 'mid' from the destination dir
+            {"flow": "mid -> final", "columns": {"id": "[id]"},
+             "connections": {"from": {"type": "parquet", "path": str(dst)}}},
+        ],
+    }
+    spec = PipelineSpec.from_dict(doc)
+    results = run_pipeline(spark, spec, max_parallel=4)
+    assert [r.rows_written for r in results] == [1, 1]
+    assert spark.read.parquet(str(dst / "final")).count() == 1
