@@ -2005,3 +2005,289 @@ def sample_hash(spark, sf_dir):
     o = _cat(spark, sf_dir).orders
     bucket = F.ascii(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)) % 8
     return o.filter(bucket == 0).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# engine-completeness batch 2: outer/cross/bucketed joins, skew-safe
+# two-phase aggregation, distribution window functions, percentiles,
+# regexp surface, grouped collection, text normalization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH a AS (SELECT n_nationkey AS k, n_name FROM nation WHERE n_regionkey <= 1),
+         b AS (SELECT s_nationkey AS k, COUNT(*) AS n_sup FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(a.k, b.k) AS k, a.n_name, b.n_sup
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER join (capability extension; SURVEY.md §2.4 'not
+    present in reference'). Both unmatched sides survive with nulls."""
+    cat = _cat(spark, sf_dir)
+    a = (
+        cat.nation.filter(F.col("n_regionkey") <= 1)
+        .select(F.col("n_nationkey").alias("k"), "n_name")
+    )
+    b = cat.supplier.groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count("*").alias("n_sup")
+    )
+    return a.join(b, on="k", how="full_outer").select(
+        F.coalesce(a["k"], b["k"]).alias("k"), "n_name", "n_sup"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark, sf_dir):
+    """Cartesian product (capability extension). Physical plan:
+    broadcast nested loop — only sane when one side is tiny; the
+    engine never emits a cross join implicitly."""
+    cat = _cat(spark, sf_dir)
+    return cat.region.select("r_name").crossJoin(cat.nation.select("n_name"))
+
+
+@query(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_twophase(spark, sf_dir):
+    """Skew-safe two-phase aggregation: low-cardinality keys (5 event
+    types over the whole corpus) would funnel each key through one
+    reducer. Phase 1 aggregates on (key, salt) spreading each hot key
+    over 16 partial buckets; phase 2 combines partials per key. Exact
+    decimal partials keep the result bit-equal to a direct GROUP BY.
+    At 100 TB this is the difference between 16 straggling reducers
+    and an even shuffle; AQE skew handling covers joins, this covers
+    aggregation."""
+    ev = _cat(spark, sf_dir).events
+    salted = ev.withColumn(
+        "__salt", F.pmod(F.xxhash64("event_id"), F.lit(16))
+    )
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count("*").alias("__n"),
+        F.sum(dec("value", MONEY)).alias("__sum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("__n").alias("n"),
+        F.sum("__sum").cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "window_ntile_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_dist(spark, sf_dir):
+    """Distribution window functions: ntile / percent_rank /
+    cume_dist (capability extension; reference has no OVER clause at
+    all, SURVEY.md §2.6). Deterministic tiebreak on o_orderkey makes
+    ntile's row numbering total."""
+    o = _cat(spark, sf_dir).orders
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderdate) OVER w AS first_order,
+           last_value(o_orderdate) OVER w AS last_order,
+           nth_value(o_orderdate, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark, sf_dir):
+    """first/last/nth_value over a full-partition frame — per-customer
+    order timeline fencing (capability extension)."""
+    o = _cat(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderdate").over(w).alias("first_order"),
+        F.last("o_orderdate").over(w).alias("last_order"),
+        F.nth_value("o_orderdate", 2).over(w).alias("second_order"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    """Discrete percentiles (capability extension). percentile_disc
+    selects stored values — deterministic and engine-exact, unlike
+    interpolating percentile_cont whose float arithmetic varies in
+    the last ulp. At scale, approx_percentile (t-digest, one pass, no
+    full sort) is the production variant — see
+    agg_approx_count_distinct for the sketch-accuracy pattern."""
+    o = _cat(spark, sf_dir).orders
+    o.createOrReplaceTempView("orders_pct")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price
+        FROM orders_pct GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           len(string_split(p_name, ' ')) AS n_words,
+           regexp_matches(p_name, 'red|blue') AS has_color
+    FROM part
+    """,
+)
+def fn_regexp(spark, sf_dir):
+    """Regexp surface: extract / replace-all / split / match
+    (capability extension beyond the reference's email filter F6)."""
+    p = _cat(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.col("p_name").rlike("red|blue").alias("has_color"),
+    )
+
+
+@query(
+    "fn_collect_list",
+    oracle="""
+    SELECT n_nationkey,
+           list_sort(list(s_name)) AS suppliers,
+           COUNT(*) AS n
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def fn_collect_list(spark, sf_dir):
+    """Grouped collection into a sorted array — the deterministic form
+    of collect_list (raw collect order is partitioning-dependent;
+    array_sort makes it stable at any parallelism)."""
+    cat = _cat(spark, sf_dir)
+    j = cat.nation.join(
+        cat.supplier, cat.nation.n_nationkey == cat.supplier.s_nationkey
+    )
+    return j.groupBy("n_nationkey").agg(
+        F.array_sort(F.collect_list("s_name")).alias("suppliers"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
+           len(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_len
+    FROM documents WHERE n_chars <= 400
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Text normalization for dedup/quality pipelines: lowercase +
+    whitespace collapse + trim, entirely JVM-side (no UDF). This is
+    the canonical pre-pass feeding exact dedup (dedup_normalized) and
+    shingle generation (dedup_minhash_lsh)."""
+    d = _cat(spark, sf_dir).documents.filter(F.col("n_chars") <= 400)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
+    )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_bucketed(spark, sf_dir):
+    """Co-located (bucketed) join: both sides written bucketed on the
+    join key, so the join runs shuffle-free — each task reads matching
+    buckets directly (SortMergeJoin with zero Exchange). At 100 TB
+    this converts every repeated fact-fact join on the same key into a
+    scan-side merge; the bucket write cost amortizes across all
+    downstream joins. (Capability extension — the reference re-probes
+    per row instead, /root/reference/sdk/migrate_assures.php:19-36.)"""
+    import tempfile
+
+    cat = _cat(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="bucketed_")
+    for name, frame, key in (
+        ("orders_b", cat.orders.select("o_orderkey", "o_custkey", "o_totalprice"), "o_custkey"),
+        ("customer_b", cat.customer.select("c_custkey", "c_name", "c_mktsegment"), "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            frame.write.mode("overwrite")
+            .option("path", f"{wh}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    o, c = spark.table("orders_b"), spark.table("customer_b")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name")
+    )
+
+
+@query("stream_stateful_custom")
+def stream_stateful_custom(spark, sf_dir):
+    """Custom per-key state machine (applyInPandasWithState) running
+    under an availableNow trigger — rows-only (stateful streaming
+    output is not SQL-expressible; tests assert it matches the batch
+    groupBy)."""
+    from php_etl_spark.streaming.events import (
+        events_stream,
+        run_to_memory,
+        stateful_session_stats,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    return run_to_memory(stateful_session_stats(stream), output_mode="update")

