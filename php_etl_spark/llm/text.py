@@ -41,15 +41,25 @@ def token_count(col: Column | str) -> Column:
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles — the dedup unit for Jaccard /
     MinHash. Built from sequence+transform+slice (no explode needed at
-    the caller; arrays stay columnar)."""
-    toks = tokens(col)
-    # sequence(1, 0) runs DESCENDING in Spark — guard short docs with
-    # an explicit empty list instead
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.expr("CAST(array() AS array<int>)"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(grams)
+    the caller; arrays stay columnar).
+
+    The token array is bound to a lambda variable (via the outer
+    single-element transform) so tokenization runs ONCE per row — a
+    subexpression referenced inside a higher-order-function lambda is
+    otherwise re-evaluated per element, turning shingling O(tokens²).
+    """
+
+    def grams_of(xs: Column) -> Column:
+        # sequence(1, 0) runs DESCENDING in Spark — guard short docs
+        # with an explicit empty list instead
+        idx = F.when(
+            F.size(xs) >= n, F.sequence(F.lit(1), F.size(xs) - (n - 1))
+        ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(xs, i, n)))
+        )
+
+    return F.element_at(F.transform(F.array(tokens(col)), grams_of), 1)
 
 
 def char_count(col: Column | str, char_class: str) -> Column:
