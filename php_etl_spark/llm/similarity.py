@@ -237,3 +237,108 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF codebook: the ``n_cells`` vectors with the
+    smallest xxhash64(id) serve as cell centroids — a hash-sample
+    'training' that is reproducible at any parallelism. Production
+    IVF k-means-refines the codebook; the assignment/probe machinery
+    below is unchanged by how centroids are chosen."""
+    ranked = (
+        _prepared(emb, id_col, vec_col, "c")
+        .withColumn("__h", F.xxhash64(F.col("c_id")))
+        .orderBy("__h")
+        .limit(n_cells)
+    )
+    w = Window.orderBy("__h")
+    return ranked.select(
+        F.row_number().over(w).alias("cell"),
+        F.col("c_q"),
+        F.col("c_norm"),
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest cells (by cosine
+    to the centroid). Centroids broadcast — assignment is one linear
+    scan, N × n_cells dot products, no shuffle of the vector side
+    until the final per-vector top-nprobe window."""
+    v = _prepared(emb, id_col, vec_col, "v")
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "v_id",
+        "cell",
+        (
+            dot_q(F.col("v_q"), F.col("c_q")).cast("double")
+            / (F.col("v_norm") * F.col("c_norm"))
+        ).alias("cos_c"),
+    )
+    w = Window.partitionBy("v_id").orderBy(F.col("cos_c").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= nprobe)
+        .select("v_id", "cell")
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus vectors live in their single
+    nearest cell; each query probes its ``nprobe`` nearest cells and
+    exact-rescores only those cells' members. Scan fraction ≈
+    nprobe/n_cells of brute force. The inverted-list shape is the
+    standard scale path when LSH bucket skew bites (cells are
+    near-equal-sized by construction of the codebook)."""
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    corpus_cells = ivf_assign(emb, cents, 1, id_col, vec_col).withColumnRenamed(
+        "v_id", "neighbor_id"
+    )
+    query_cells = ivf_assign(queries, cents, nprobe, id_col, vec_col).withColumnRenamed(
+        "v_id", "query_id"
+    )
+    cand = (
+        corpus_cells.join(F.broadcast(query_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = _prepared(queries, id_col, vec_col, "query")
+    c = _prepared(emb, id_col, vec_col, "neighbor")
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_q(F.col("query_q"), F.col("neighbor_q")).cast("double")
+                / (F.col("query_norm") * F.col("neighbor_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -139,3 +139,32 @@ def fingerprint(col: Column | str) -> Column:
 def normalized_hash(col: Column | str) -> Column:
     """md5 of the normalized text — the exact-dedup key."""
     return F.md5(normalize(col))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 300,
+    stride: int = 200,
+) -> DataFrame:
+    """Split documents into overlapping character windows (chunk i
+    covers [i*stride, i*stride+size)) — the chunking pre-pass for
+    embedding/RAG pipelines. Pure columnar explode: output rows ∝
+    total text volume / stride, no UDF. Token-budgeted chunking swaps
+    the length expression for token_count; the shape is identical."""
+    c = F.col(text_col)
+    last = F.greatest(
+        F.floor((F.length(c) - 1) / stride).cast("int"), F.lit(0)
+    )
+    starts = F.sequence(F.lit(0), last)
+    return (
+        df.select(F.col(id_col), c.alias("__t"), F.explode(starts).alias("chunk_idx"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("__t")
+            .substr(F.col("chunk_idx") * stride + 1, F.lit(size))
+            .alias("chunk"),
+        )
+    )

@@ -2291,3 +2291,88 @@ def stream_stateful_custom(spark, sf_dir):
 
     stream = events_stream(spark, sf_dir)
     return run_to_memory(stateful_session_stats(stream), output_mode="update")
+
+
+@query(
+    "docs_chunk",
+    oracle="""
+    SELECT doc_id, i AS chunk_idx,
+           substr(text, CAST(i*200+1 AS BIGINT), 300) AS chunk
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, CAST(greatest(floor((length(text)-1)/200), 0) AS BIGINT)+1)) AS i
+          FROM documents)
+    """,
+)
+def docs_chunk(spark, sf_dir):
+    """Document chunking (300-char windows, stride 200) — the
+    embedding/RAG pre-pass; pure columnar explode, rows ∝ text
+    volume / stride."""
+    return T.chunk_documents(
+        _cat(spark, sf_dir).documents, size=300, stride=200
+    )
+
+
+@query("sim_ann_ivf")
+def sim_ann_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbors: hash-picked centroids,
+    corpus in inverted cell lists, queries probe nprobe cells, exact
+    rescore of cell members only (~nprobe/n_cells of the brute-force
+    scan). Approximate → rows-only; recall vs brute force asserted in
+    tests/test_llm.py."""
+    emb = _cat(spark, sf_dir).embeddings
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.ann_topk_ivf(emb, queries_df, n_cells=16, nprobe=4, k=5)
+
+
+@query(
+    "pipeline_quarantine",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE NOT COALESCE(event_type <> 'error' AND value IS NOT NULL, FALSE)
+    """,
+)
+def pipeline_quarantine(spark, sf_dir):
+    """O4 failure quarantine: rows failing the validity predicate go
+    to a side output for a bounded retry pass
+    (/root/reference/sdk/migrate_employeur.php:191-228). Returns the
+    quarantined rows (the side output); the good rows flow to the
+    sink unchanged."""
+    from php_etl_spark.sources.writers import split_quarantine
+
+    ev = _cat(spark, sf_dir).events.select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    valid = (F.col("event_type") != "error") & F.col("value").isNotNull()
+    good, bad = split_quarantine(ev, valid)
+    return bad
+
+
+@query(
+    "pipeline_incremental",
+    oracle="""
+    SELECT event_id, user_id AS user, event_type AS etype, value AS val
+    FROM events WHERE event_type <> 'error'
+    """,
+)
+def pipeline_incremental(spark, sf_dir):
+    """The config pipeline executed incrementally (Structured
+    Streaming, availableNow): same mapping/filter spec as the batch
+    path; new source files are picked up per run, unique keys dedup
+    in the state store. Stateless spec here keeps the result
+    oracle-checkable; dedup parity is covered in tests."""
+    from php_etl_spark.plans.runner import run_table_incremental
+    from php_etl_spark.plans.spec import TableSpec
+
+    spec = TableSpec.from_dict(
+        {
+            "flow": "events -> events_clean",
+            "columns": [
+                "event_id <- [event_id]",
+                "user <- [user_id]",
+                "etype <- [event_type]",
+                "val <- [value]",
+            ],
+            "query": "event_type <> 'error'",
+        }
+    )
+    return run_table_incremental(spark, sf_dir, spec)

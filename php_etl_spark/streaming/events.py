@@ -23,16 +23,14 @@ from pyspark.sql import functions as F
 from php_etl_spark.functions.exact import dec
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming read of the events table. Schema comes from a batch
-    probe (file-stream sources require an explicit schema); the
-    nanosecond epoch column converts to a microsecond timestamp
-    exactly as in the batch catalog."""
+def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Streaming read of any catalog table. Schema comes from a batch
+    probe (file-stream sources require an explicit schema)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    path = f"{sf_dir}/events.parquet"
+    path = f"{sf_dir}/{table}.parquet"
     schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
         # the streaming file source needs a directory; expose the
@@ -40,14 +38,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # read-only)
         link_dir = os.path.join(
             tempfile.gettempdir(),
-            f"stream_events_{hashlib.sha1(path.encode()).hexdigest()[:10]}",
+            f"stream_{table}_{hashlib.sha1(path.encode()).hexdigest()[:10]}",
         )
         os.makedirs(link_dir, exist_ok=True)
-        link = os.path.join(link_dir, "events.parquet")
+        link = os.path.join(link_dir, f"{table}.parquet")
         if not os.path.exists(link):
             os.symlink(path, link)
         path = link_dir
-    sdf = spark.readStream.schema(schema).parquet(path)
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table; the nanosecond epoch column
+    converts to a microsecond timestamp exactly as in the batch
+    catalog."""
+    sdf = stream_table(spark, sf_dir, "events")
     if dict(sdf.dtypes)["ts"] == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return sdf

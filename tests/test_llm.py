@@ -129,3 +129,45 @@ def test_language_id_markers(spark):
     )
     out = [r.l for r in df.select(T.language_id("text").alias("l")).collect()]
     assert out == ["en", "fr", "und"]
+
+
+def test_ann_ivf_recall(spark):
+    emb = Catalog(spark, SF).embeddings
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk_ivf(emb, queries, n_cells=8, nprobe=4, k=5).collect()
+    }
+    # probing half the cells: most true neighbors live in a probed cell
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_ivf_assignment_covers_corpus(spark):
+    emb = Catalog(spark, SF).embeddings
+    cents = S.ivf_centroids(emb, n_cells=8)
+    assigned = S.ivf_assign(emb, cents, nprobe=1)
+    assert assigned.count() == emb.count()
+    assert assigned.select("v_id").distinct().count() == emb.count()
+
+
+def test_chunking_covers_text_with_overlap(spark):
+    from php_etl_spark.llm.text import chunk_documents
+
+    docs = _docs(spark).limit(50)
+    chunks = chunk_documents(docs, size=300, stride=200)
+    joined = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.length("chunk")).alias("chunk_chars"),
+        )
+        .join(docs.select("doc_id", F.length("text").alias("n")), "doc_id")
+    )
+    for r in joined.collect():
+        # chunk starts at every stride boundary below n
+        assert r.n_chunks == max(r.n - 1, 0) // 200 + 1
+        assert r.chunk_chars >= r.n  # full coverage

@@ -156,3 +156,30 @@ def test_spec_parsing_flow_and_column_forms():
 def test_spec_requires_tables():
     with pytest.raises(ValueError):
         PipelineSpec.from_dict({"connections": {}})
+
+
+def test_incremental_matches_batch_with_dedup(spark):
+    """Streaming (availableNow) execution of a dedup spec returns one
+    row per normalized unique key — same key set as the batch path."""
+    from php_etl_spark.plans.runner import run_table_incremental
+    from php_etl_spark.plans.spec import TableSpec
+
+    spec = TableSpec.from_dict(
+        {
+            "flow": "events -> by_user",
+            "columns": ["user <- [user_id]", "etype <- [event_type]"],
+            "unique": ["user", "etype"],
+        }
+    )
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    out = run_table_incremental(spark, sf, spec)
+    from php_etl_spark.catalog import Catalog
+
+    batch_keys = (
+        Catalog(spark, sf)
+        .events.select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert out.count() == batch_keys
+    assert out.select("user", "etype").distinct().count() == batch_keys
