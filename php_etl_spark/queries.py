@@ -2376,3 +2376,201 @@ def pipeline_incremental(spark, sf_dir):
         }
     )
     return run_table_incremental(spark, sf_dir, spec)
+
+
+# ---------------------------------------------------------------------------
+# engine-completeness batch 3: exact statistics, range frames, unpivot,
+# hashes, stratified sampling, PII scrubbing, partition-pruned sink
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT o_orderstatus, n,
+           (sum_x2 - sum_x * sum_x / n) / (n - 1) AS variance,
+           sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)) AS stddev
+    FROM (
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2
+      FROM orders GROUP BY o_orderstatus
+    )
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Variance/stddev from EXACT decimal sums of x and x², combined
+    in double by an identical formula on both engines — reproducible
+    to the last bit at any partitioning (native stddev_samp float
+    accumulation is partition-order-dependent). The 2-decimal money
+    domain makes x² exact in DECIMAL(36,4) ⊂ DECIMAL(18,2)², summed
+    without rounding."""
+    o = _cat(spark, sf_dir).orders
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sum_x"),
+        F.sum(x * x).cast("double").alias("sum_x2"),
+    )
+    var = (F.col("sum_x2") - F.col("sum_x") * F.col("sum_x") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return agg.select(
+        "o_orderstatus", "n", var.alias("variance"), F.sqrt(var).alias("stddev")
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_s
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+    FROM (SELECT event_id, user_id, CAST(epoch(ts) AS BIGINT) AS epoch_s FROM events)
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE window frame over event time: per-user trailing-1-hour
+    event count — a value-based frame (all rows within 3600 s),
+    distinct from ROWS frames (window_moving_avg). The streaming
+    equivalent is a sliding window; this is the batch/backfill form."""
+    ev = _cat(spark, sf_dir).events.withColumn(
+        "epoch_s", F.unix_timestamp("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.count("*").over(w).alias("n_last_hour")
+    )
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+    SELECT * FROM (
+      SELECT l_orderkey, l_linenumber, l_tax, l_discount FROM lineitem
+      WHERE l_orderkey <= 1000
+    ) UNPIVOT (rate FOR charge_type IN (l_tax, l_discount))
+    """,
+)
+def reshape_unpivot(spark, sf_dir):
+    """Wide→long unpivot (melt). The reference's 4-way metadata
+    fan-out builds several narrow rows from one wide row by hand
+    (/root/reference/sdk/migrate_assures.php:99-163); unpivot is that
+    reshape as one relational op. NULL measure values are dropped,
+    matching SQL UNPIVOT."""
+    li = (
+        _cat(spark, sf_dir)
+        .lineitem.filter(F.col("l_orderkey") <= 1000)
+        .select("l_orderkey", "l_linenumber", "l_tax", "l_discount")
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_tax", "l_discount"],
+        "charge_type",
+        "rate",
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256,
+           md5(c_name || '|' || c_mktsegment) AS row_md5
+    FROM customer WHERE c_custkey <= 500
+    """,
+)
+def fn_hash(spark, sf_dir):
+    """Cryptographic hash surface (md5/sha2) — content keys for exact
+    dedup and change detection; hex output matches across engines."""
+    c = _cat(spark, sf_dir).customer.filter(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+        F.md5(F.concat_ws("|", "c_name", "c_mktsegment")).alias("row_md5"),
+    )
+
+
+@query(
+    "limit_sample_stratified",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) %
+          (CASE o_orderstatus WHEN 'F' THEN 4 WHEN 'O' THEN 4 ELSE 2 END) = 0
+    """,
+)
+def limit_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: per-stratum rates (here the
+    rare 'P' status keeps 1/2, the common statuses 1/4) via a key-hash
+    predicate — reproducible at any parallelism, pushes down, and no
+    driver-side sampling state. The training-data-curation form of
+    df.sampleBy without its partitioning dependence."""
+    o = _cat(spark, sf_dir).orders
+    denom = (
+        F.when(F.col("o_orderstatus") == "F", 4)
+        .when(F.col("o_orderstatus") == "O", 4)
+        .otherwise(2)
+    )
+    bucket = F.ascii(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1))
+    return o.filter(bucket % denom == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails
+    FROM documents WHERE n_chars <= 300
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing pre-pass: email/phone redaction with counts,
+    entirely JVM-side regexp (the pretraining-pipeline compliance
+    stage; plug a real NER model in via mapInPandas for entity-level
+    scrubbing)."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+    d = _cat(spark, sf_dir).documents.filter(F.col("n_chars") <= 300)
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(email))).alias("n_emails"),
+    )
+
+
+@query(
+    "sink_partitioned",
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+    """,
+)
+def sink_partitioned(spark, sf_dir):
+    """Hive-partitioned sink + partition-pruned read-back: events
+    written partitionBy(event_type); the subsequent filtered scan
+    reads ONLY the matching directory (PartitionFilters in the plan —
+    asserted by tools/explain_audit.py). At 100 TB, partition layout
+    is the first-order scan optimization; this is the write side of
+    it."""
+    import tempfile
+
+    ev = _cat(spark, sf_dir).events.select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="sink_part_") + "/events_by_type"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )

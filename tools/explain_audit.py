@@ -103,6 +103,22 @@ AUDITS = {
         ("no full-row shuffle: hash-grouped on key columns",
          lambda p: "Exchange" in p),
     ],
+    "sink_partitioned": [
+        ("partition-pruned read-back (PartitionFilters at the scan)",
+         lambda p: bool(re.search(r"PartitionFilters: \[(?!\])", p))),
+    ],
+    "docs_chunk": [
+        ("chunking is a narrow op: no shuffle exchange",
+         lambda p: "Exchange" not in p),
+    ],
+    "agg_salted_twophase": [
+        ("two aggregation levels (salted partial + final)",
+         lambda p: p.count("HashAggregate") >= 3),
+    ],
+    "limit_sample_stratified": [
+        ("sampling predicate evaluated at scan side, no shuffle",
+         lambda p: "Exchange" not in p),
+    ],
 }
 
 
