@@ -2574,3 +2574,196 @@ def sink_partitioned(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# engine-completeness batch 4: decorrelated subqueries (TPC-H shapes)
+# and the Python UDF/UDAF surface
+# ---------------------------------------------------------------------------
+
+
+def _views(spark, sf_dir, *tables):
+    cat = _cat(spark, sf_dir)
+    for t in tables:
+        getattr(cat, t).createOrReplaceTempView(f"{t}_v")
+
+
+@query(
+    "subquery_correlated_min",
+    oracle="""
+    SELECT l_partkey, l_orderkey, l_extendedprice
+    FROM lineitem l1
+    WHERE l_extendedprice = (
+      SELECT MIN(l_extendedprice) FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey
+    ) AND l_partkey <= 200
+    """,
+)
+def subquery_correlated_min(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q2 shape): cheapest lineitem
+    per part. Catalyst decorrelates to an aggregate + join — one
+    shuffle, not a per-row subquery execution (the reference would
+    loop a probe per row, /root/reference/sdk/migrate_assures.php:19-36)."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_partkey, l_orderkey, l_extendedprice
+        FROM lineitem_v l1
+        WHERE l_extendedprice = (
+          SELECT MIN(l_extendedprice) FROM lineitem_v l2
+          WHERE l2.l_partkey = l1.l_partkey
+        ) AND l_partkey <= 200
+        """
+    )
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def subquery_exists(spark, sf_dir):
+    """EXISTS subquery (TPC-H Q4 shape) — decorrelates to a left-semi
+    join; the reference's registrant_exists probe
+    (/root/reference/sdk/migrate_employeur.php:27-40) at set scale."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_v
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem_v
+          WHERE l_orderkey = o_orderkey AND l_quantity > 45
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "join_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS n_customers FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def join_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left join preserving order-less customers,
+    per-customer counts, then the count-of-counts histogram — two
+    aggregation levels over one join."""
+    cat = _cat(spark, sf_dir)
+    per_cust = (
+        cat.customer.join(
+            cat.orders, cat.customer.c_custkey == cat.orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "subquery_having_in",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+    )
+    """,
+)
+def subquery_having_in(spark, sf_dir):
+    """TPC-H Q18 shape: IN over a grouped HAVING subquery — aggregate
+    feeds a semi join."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders_v WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem_v
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+        )
+        """
+    )
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT p_partkey,
+           upper(reverse(p_name)) AS rev_name,
+           length(p_name) * 2 AS double_len
+    FROM part WHERE p_partkey <= 300
+    """,
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Arrow-batched scalar pandas UDF — the sanctioned Python escape
+    hatch (vectorized batches over Arrow, ~10-100x row-at-a-time
+    Python UDFs; SURVEY.md §2.11: the reference's transform hook is a
+    TODO). Deliberately SQL-expressible here so the UDF machinery
+    itself is oracle-checked."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # real annotation objects: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf can't interpret
+    def _rev(s):
+        return s.str[::-1].str.upper()
+
+    def _dbl(s):
+        return s.str.len() * 2
+
+    _rev.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _dbl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    rev_upper = pandas_udf(_rev, "string")
+    dbl_len = pandas_udf(_dbl, "long")
+
+    p = _cat(spark, sf_dir).part.filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        rev_upper("p_name").alias("rev_name"),
+        dbl_len("p_name").alias("double_len"),
+    )
+
+
+@query(
+    "udaf_grouped_pandas",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                - CAST(MIN(o_totalprice) AS DECIMAL(18,2))
+                - CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE)
+             / (COUNT(*) - 2) AS trimmed_mean
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def udaf_grouped_pandas(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (UDAF surface): per-group trimmed
+    mean (drop one min + one max). Exact integer-cent arithmetic
+    inside the UDF keeps the result engine-identical; the group is
+    one Arrow batch."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _tm(v):
+        cents = (v * 100).round().astype("int64")
+        total = int(cents.sum()) - int(cents.min()) - int(cents.max())
+        return (total / 100.0) / (len(cents) - 2)
+
+    _tm.__annotations__ = {"v": pd.Series, "return": float}
+    trimmed_mean = pandas_udf(_tm, "double")
+
+    o = _cat(spark, sf_dir).orders
+    return o.groupBy("o_orderstatus").agg(
+        trimmed_mean("o_totalprice").alias("trimmed_mean")
+    )

@@ -119,6 +119,19 @@ AUDITS = {
         ("sampling predicate evaluated at scan side, no shuffle",
          lambda p: "Exchange" not in p),
     ],
+    "subquery_correlated_min": [
+        ("decorrelated to aggregate + join (no per-row subquery)",
+         lambda p: ("HashJoin" in p or "SortMergeJoin" in p)
+         and "HashAggregate" in p),
+    ],
+    "subquery_exists": [
+        ("EXISTS rewritten to a semi join",
+         lambda p: "LeftSemi" in p),
+    ],
+    "subquery_having_in": [
+        ("IN-over-aggregate rewritten to a semi join",
+         lambda p: "LeftSemi" in p),
+    ],
 }
 
 
