@@ -65,17 +65,32 @@ def run_to_memory(
     in-memory sink and return the result table. availableNow processes
     all currently-available files then stops — at-least-once batch
     semantics with streaming state machinery, the same pattern used
-    for incremental backfills at scale."""
-    name = f"stream_out_{uuid.uuid4().hex[:10]}"
-    q = (
-        transformed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return transformed.sparkSession.table(name)
+    for incremental backfills at scale.
+
+    The number of state-store instances equals
+    ``spark.sql.shuffle.partitions`` at query start and should track
+    the KEYSPACE size, not the core count (each store has fixed
+    per-batch overhead; AQE never coalesces streaming state).
+    ``SPARK_GRAFT_STREAM_PARTITIONS`` overrides it for the run."""
+    spark = transformed.sparkSession
+    override = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if override:
+        spark.conf.set("spark.sql.shuffle.partitions", override)
+    try:
+        name = f"stream_out_{uuid.uuid4().hex[:10]}"
+        q = (
+            transformed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if override:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 # --- transformations (batch- and stream-applicable) ---------------------------
