@@ -92,3 +92,51 @@ def decode_features(
 
     src = df.select("doc_id", "payload", "mime")
     return src.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", StringType()),  # hex; binary in production
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_size: int = 64,
+    every: int = 4,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling for video-like payloads: split the binary into
+    fixed-size frames, keep every ``every``-th — a one-to-many
+    mapInPandas (UDTF shape; each Arrow batch yields a frame table).
+    The splitter is the STUB; a real pipeline seeks keyframes with
+    ffmpeg/torchcodec per batch. Output rows ∝ payload bytes /
+    (frame_size * every) — the partition-size math a 100 TB video
+    corpus needs (frames explode row counts; keep frame batches
+    bounded)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame extraction requires ffmpeg/torchcodec; "
+                    "run with fake=True in this environment"
+                )
+            out = {"doc_id": [], "frame_idx": [], "frame": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for j, start in enumerate(range(0, len(raw), frame_size)):
+                    if j % every:
+                        continue
+                    chunk = raw[start : start + frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(j)
+                    out["frame"].append(chunk.hex())
+                    out["frame_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(frames, FRAME_SCHEMA)

@@ -2767,3 +2767,28 @@ def udaf_grouped_pandas(spark, sf_dir):
     return o.groupBy("o_orderstatus").agg(
         trimmed_mean("o_totalprice").alias("trimmed_mean")
     )
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    SELECT doc_id, i*4 AS frame_idx,
+           CASE WHEN (i*4+1)*64 <= length(text) THEN 64
+                ELSE length(text) - i*4*64 END AS frame_bytes
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, CAST(floor(greatest(length(text)-1, 0)/256) AS BIGINT)+1)) AS i
+          FROM documents WHERE n_chars <= 300)
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    """Frame sampling over binary payloads (every 4th 64-byte frame)
+    via one-to-many mapInPandas. The oracle checks the Spark-side
+    contract — frame indexing and byte accounting — against pure SQL;
+    frame content is covered by the deterministic hex in tests.
+    (Payloads are UTF-8 text bytes here, so byte length == char
+    length for the ASCII corpus.)"""
+    docs = _cat(spark, sf_dir).documents.filter(F.col("n_chars") <= 300)
+    payloads = M.with_binary_payload(docs)
+    return M.sample_frames(payloads, frame_size=64, every=4).select(
+        "doc_id", "frame_idx", "frame_bytes"
+    )
