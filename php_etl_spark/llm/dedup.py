@@ -270,3 +270,57 @@ def simhash_pairs(
     return cands.select("doc_a", "doc_b", dist.alias("hamming")).filter(
         F.col("hamming") <= max_distance
     )
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over the duplicate-pair graph — the step
+    that turns pairwise near-dup hits into keep/drop decisions (one
+    representative per component). Iterative min-label propagation:
+    each round every node adopts the smallest label in its
+    neighborhood; rounds ∝ component diameter (near-dup components
+    are shallow — a handful of rounds in practice). Each round is one
+    join + one aggregate, shuffling ∝ edges; localCheckpoint truncates
+    the growing lineage so round N doesn't replay rounds 1..N-1.
+
+    Input: (doc_a, doc_b) pairs. Output: (doc, cluster) where cluster
+    is the component's minimum doc id (so ``doc == cluster`` marks the
+    canonical keeper).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster"))

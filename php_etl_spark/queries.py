@@ -2792,3 +2792,84 @@ def multimodal_frames(spark, sf_dir):
     return M.sample_frames(payloads, frame_size=64, every=4).select(
         "doc_id", "frame_idx", "frame_bytes"
     )
+
+
+@query(
+    "window_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(LAG(ts) OVER w) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM g
+    """,
+)
+def window_sessionize(spark, sf_dir):
+    """Batch sessionization: lag-gap detection + running sum assigns
+    per-user session ids (30-minute gap) — the batch/backfill twin of
+    the streaming session_window (stream_session), same session
+    boundaries, pure window functions."""
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 1800), 1
+    ).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess).over(running).alias("session_id"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Per-group mode (most frequent value, deterministic tiebreak) —
+    count + rank, two shuffles, no driver-side state."""
+    o = _cat(spark, sf_dir).orders
+    counted = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
+
+
+@query("dedup_clusters")
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: MinHash-LSH pairs → connected components
+    (iterative min-label propagation) → (doc, cluster) with the
+    component minimum as canonical keeper. Iterative → rows-only;
+    component correctness is asserted on known graphs in
+    tests/test_llm.py."""
+    docs = _cat(spark, sf_dir).documents
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    return D.duplicate_clusters(pairs)

@@ -171,3 +171,25 @@ def test_chunking_covers_text_with_overlap(spark):
         # chunk starts at every stride boundary below n
         assert r.n_chunks == max(r.n - 1, 0) // 200 + 1
         assert r.chunk_chars >= r.n  # full coverage
+
+
+def test_duplicate_clusters_connected_components(spark):
+    """Known graph: {1-2, 2-3} one component, {10-11} another, 20-20
+    none (no pairs) — labels are component minima."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (7, 8), (8, 9), (9, 2)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r.doc: r.cluster for r in D.duplicate_clusters(pairs).collect()}
+    # 1-2-3-9-8-7 all connect through 9-2; 10-11 separate
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 8: 1, 9: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_chain_diameter(spark):
+    """A long chain exercises multi-round propagation."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc: r.cluster for r in D.duplicate_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}

@@ -183,3 +183,37 @@ def test_incremental_matches_batch_with_dedup(spark):
     )
     assert out.count() == batch_keys
     assert out.select("user", "etype").distinct().count() == batch_keys
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    """CLI parity with etl.php: --config + path overrides runs the
+    pipeline and reports per-table rows written."""
+    import json
+
+    from php_etl_spark.cli import main
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    spec = {
+        "tables": [
+            {
+                "flow": "nation -> nation_out",
+                "columns": ["key <- [n_nationkey]", "name <- [n_name]"],
+                "unique": ["name"],
+            }
+        ]
+    }
+    cfg = tmp_path / "spec.json"
+    cfg.write_text(json.dumps(spec))
+    rc = main(
+        [
+            "--config", str(cfg),
+            "--from-path", sf,
+            "--to-path", str(tmp_path / "out"),
+            "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert rec["table"] == "nation_out" and rec["rows_written"] == 25
+    assert spark.read.parquet(rec["path"]).count() == 25
