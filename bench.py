@@ -26,6 +26,7 @@ from php_etl_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "agg_groupby_sum",      # TPC-H Q1 shape: scan + grouped exact agg
     "join_multiway",        # Q3 shape: selective dim x fact joins
+    "join_star_q5",         # Q5 shape: 6-table star join
     "join_lookup",          # broadcast lookup join over lineitem
     "window_topk_per_group",  # window function over orders
     "stream_tumbling",      # event-time windows (streaming state)

@@ -2873,3 +2873,175 @@ def dedup_clusters(spark, sf_dir):
     docs = _cat(spark, sf_dir).documents
     pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
     return D.duplicate_clusters(pairs)
+
+
+@query(
+    "join_star_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def join_star_q5(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join with a cross-dimension
+    predicate (customer and supplier in the same nation) + grouped
+    exact revenue. The planner broadcasts every dim; only
+    orders⋈lineitem shuffles."""
+    cat = _cat(spark, sf_dir)
+    revenue = dec("l_extendedprice", "decimal(14,2)") * (
+        F.lit(1) - dec("l_discount", "decimal(4,2)")
+    )
+    return (
+        cat.customer.join(cat.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cat.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(cat.nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(cat.region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter((F.col("r_name") == "ASIA") & (F.col("o_orderdate") < "1997-01-01"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "join_agg_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    """,
+)
+def join_agg_q10(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer over one
+    quarter — selective fact filters land in the scan, dims
+    broadcast."""
+    cat = _cat(spark, sf_dir)
+    revenue = dec("l_extendedprice", "decimal(14,2)") * (
+        F.lit(1) - dec("l_discount", "decimal(4,2)")
+    )
+    return (
+        cat.customer.join(cat.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            (F.col("o_orderdate") >= "1996-10-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 21845) AS xored,
+           o_orderkey << 2 AS shl,
+           o_orderkey >> 3 AS shr
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise surface: and/or/xor/shifts (key-packing, flag fields,
+    bloom/bitmap building blocks)."""
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_orderkey") <= 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+    )
+
+
+@query(
+    "join_nullsafe",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, NULLIF(event_type, 'error') AS etype FROM events)
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND a.etype IS NOT DISTINCT FROM b.etype
+     AND a.event_id < b.event_id
+    """,
+)
+def join_nullsafe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of dropping — required when a
+    legitimate 'unknown' category must co-group (plain equality
+    silently drops every NULL-keyed row)."""
+    ev = _cat(spark, sf_dir).events.select(
+        "event_id",
+        "user_id",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("etype"),
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & F.col("a.etype").eqNullSafe(F.col("b.etype"))
+        & (F.col("a.event_id") < F.col("b.event_id")),
+    ).select(F.col("a.event_id").alias("id_a"), F.col("b.event_id").alias("id_b"))
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT user_id,
+           bool_and(value IS NOT NULL) AS all_valued,
+           bool_or(event_type = 'purchase') AS ever_purchased,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_bool(spark, sf_dir):
+    """Boolean aggregates (every/any per group)."""
+    ev = _cat(spark, sf_dir).events
+    return ev.groupBy("user_id").agg(
+        F.bool_and(F.col("value").isNotNull()).alias("all_valued"),
+        F.bool_or(F.col("event_type") == "purchase").alias("ever_purchased"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_collect_set(spark, sf_dir):
+    """Grouped distinct collection into a sorted array (deterministic
+    collect_set)."""
+    ev = _cat(spark, sf_dir).events
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

@@ -132,6 +132,11 @@ AUDITS = {
         ("IN-over-aggregate rewritten to a semi join",
          lambda p: "LeftSemi" in p),
     ],
+    "join_star_q5": [
+        ("every dimension broadcast (≥3 broadcast joins)",
+         lambda p: p.count("BroadcastHashJoin") >= 3),
+        ("date + region filters pushed to scans", has_pushed_filter),
+    ],
 }
 
 
