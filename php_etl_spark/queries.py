@@ -2392,8 +2392,8 @@ def pipeline_incremental(spark, sf_dir):
            sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)) AS stddev
     FROM (
       SELECT o_orderstatus, COUNT(*) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_x,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_x2
       FROM orders GROUP BY o_orderstatus
     )
     """,
@@ -2426,7 +2426,7 @@ def agg_stats(spark, sf_dir):
     SELECT event_id, user_id,
            COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_s
                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
-    FROM (SELECT event_id, user_id, CAST(epoch(ts) AS BIGINT) AS epoch_s FROM events)
+    FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
     """,
 )
 def window_range_frame(spark, sf_dir):
