@@ -3045,3 +3045,54 @@ def agg_collect_set(spark, sf_dir):
         F.array_sort(F.collect_set("event_type")).alias("types"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@query(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark, sf_dir):
+    """BPE-style pre-tokenization count: the GPT-2-family splitter
+    shape (letter runs / digit runs / punctuation runs, each with an
+    optional leading space) — the cheap token-budget estimator for
+    chunking and cost accounting. Pure regexp (RE2-safe subset: no
+    lookarounds, identical semantics in both engines); a real BPE
+    merge table plugs in via mapInPandas when exact counts matter."""
+    pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+    d = _cat(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), 0)).alias("n_words"),
+    )
+
+
+@query("dedup_corpus_end_to_end")
+def dedup_corpus_end_to_end(spark, sf_dir):
+    """The flagship LLM-dedup pipeline, end to end: exact dedup
+    (normalized-hash groupBy) → MinHash-LSH near-dup pairs over the
+    exact-unique survivors → connected components → keep the minimum
+    doc id per component. Returns the deduplicated corpus (doc_id +
+    which stage retired its duplicates). Every stage is subquadratic;
+    this composition is what runs over a 100 TB crawl."""
+    docs = _cat(spark, sf_dir).documents
+    exact = D.exact_duplicates(docs)  # content_hash -> keep_id, n_copies
+    survivors = docs.join(
+        exact.select(F.col("keep_id").alias("doc_id")), "doc_id", "inner"
+    )
+    pairs = D.minhash_lsh_pairs(survivors, threshold=0.8)
+    clusters = D.duplicate_clusters(pairs)
+    near_dropped = clusters.filter(F.col("doc") != F.col("cluster")).select(
+        F.col("doc").alias("doc_id")
+    )
+    kept = survivors.join(near_dropped, "doc_id", "left_anti")
+    return kept.select(
+        "doc_id",
+        "n_chars",
+        F.lit("kept").alias("status"),
+    )

@@ -193,3 +193,19 @@ def test_duplicate_clusters_chain_diameter(spark):
     )
     got = {r.doc: r.cluster for r in D.duplicate_clusters(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_dedup_corpus_end_to_end_is_dry(spark):
+    """After the full dedup pipeline, re-running near-dup detection on
+    the kept corpus finds nothing — the corpus is duplicate-free at
+    the operating threshold."""
+    from php_etl_spark.queries import QUERIES
+
+    kept = QUERIES["dedup_corpus_end_to_end"](spark, SF)
+    docs = _docs(spark)
+    kept_docs = docs.join(kept.select("doc_id"), "doc_id")
+    assert kept.count() < docs.count()  # corpus has planted duplicates
+    assert D.minhash_lsh_pairs(kept_docs, threshold=0.8).count() == 0
+    assert (
+        D.exact_duplicates(kept_docs).filter(F.col("n_copies") > 1).count() == 0
+    )
