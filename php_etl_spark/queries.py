@@ -3096,3 +3096,26 @@ def dedup_corpus_end_to_end(spark, sf_dir):
         "n_chars",
         F.lit("kept").alias("status"),
     )
+
+
+@query(
+    "sort_global_rank",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+    FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def sort_global_rank(spark, sf_dir):
+    """Global ordering made hash-verifiable: the order-insensitive
+    value hash can't see row order, so the global position rides along
+    as a column — the oracle mismatches if Spark's total order differs
+    anywhere. (sort_orderby verifies content; this verifies ORDER.)
+    Single-partition window is the verification shape only; production
+    global ranks use zipWithIndex-style partition offsets or stay
+    per-partition."""
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_totalprice") > 400000)
+    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("pos")
+    )

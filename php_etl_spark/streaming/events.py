@@ -238,3 +238,25 @@ def stateful_session_stats(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_to_parquet(
+    transformed: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Checkpointed file sink: availableNow run writing parquet with
+    exactly-once file-commit semantics. The checkpoint records which
+    source files each batch consumed — re-running against unchanged
+    sources writes NOTHING new (idempotent re-runs, the property the
+    reference builds by hand from per-key existence probes,
+    /root/reference/sdk/migrate_employeur.php:60-68, here provided by
+    the engine's write-ahead log). New files landing in the source dir
+    are picked up incrementally by the next run."""
+    q = (
+        transformed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

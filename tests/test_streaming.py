@@ -78,3 +78,19 @@ def test_stateful_custom_matches_batch_groupby(spark):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_checkpointed_sink_exactly_once(spark, tmp_path):
+    """Re-running the checkpointed stream against unchanged sources
+    appends nothing — engine-level idempotent re-runs."""
+    from php_etl_spark.streaming.events import stream_to_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src = events_stream(spark, SF).select("event_id", "user_id", "value")
+    stream_to_parquet(src, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == Catalog(spark, SF).events.count()
+    # second run: checkpoint says everything is already consumed
+    src2 = events_stream(spark, SF).select("event_id", "user_id", "value")
+    stream_to_parquet(src2, out, ckpt)
+    assert spark.read.parquet(out).count() == n1
