@@ -173,15 +173,30 @@ def minhash_lsh_pairs(
     candidate pairs → exact Jaccard verification on candidates only.
     This is the shape that survives 100 TB; the exact all-pairs join
     does not."""
-    sigs = minhash_signatures(df, text_col, id_col, n, n_hashes)
-    cands = lsh_candidates(sigs, n_hashes, bands)
-    # verify with exact Jaccard on the candidate set via array ops
-    # (repartitioned: shingling is CPU-bound and the source file may
-    # scan as a single partition)
+    # shingle ONCE: the materialized (doc, shingle-array) table feeds
+    # both the signature branch and the verification branch (without
+    # it, each branch re-tokenizes the corpus). localCheckpoint keeps
+    # it on the executors; at cluster scale this is a persist() or a
+    # checkpoint to reliable storage.
     par = df.sparkSession.sparkContext.defaultParallelism
-    sets_df = df.repartition(par, id_col).select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh")
+    sets_df = (
+        df.repartition(par, id_col)
+        .select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh"))
+        .localCheckpoint(eager=True)
     )
+    sh = sets_df.select("doc", F.explode("sh").alias("shingle")).withColumn(
+        "base", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P))
+    )
+    salts = _salts(n_hashes)
+    sigs = sh.groupBy("doc").agg(
+        *[
+            F.min(
+                F.pmod(F.col("base") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(salts)
+        ]
+    )
+    cands = lsh_candidates(sigs, n_hashes, bands)
     sa = sets_df.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets_df.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
