@@ -61,7 +61,7 @@ def jaccard_pairs(
     At large N, feed this only LSH candidates (minhash_lsh_pairs) —
     the inverted index alone blows up on common shingles.
     """
-    sh = _shingle_table(df, text_col, id_col, n)
+    sh = _shingle_table(df, text_col, id_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -3119,3 +3119,34 @@ def sort_global_rank(spark, sf_dir):
     return o.select(
         "o_orderkey", "o_totalprice", F.row_number().over(w).alias("pos")
     )
+
+
+@query(
+    "fn_array_hof",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           list_aggregate(list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)), 'sum') AS qsum,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def fn_array_hof(spark, sf_dir):
+    """Higher-order array functions (filter/transform/aggregate over
+    array columns) with engine-exact semantics: comparisons and
+    integer-quantized sums only — the float paths live in
+    llm/similarity.py with the same quantization rule."""
+    e = _cat(spark, sf_dir).embeddings
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+        F.aggregate(
+            quant, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("qsum"),
+        F.size(F.col("embedding")).alias("dim"),
+    )
