@@ -3150,3 +3150,74 @@ def fn_array_hof(spark, sf_dir):
         ).alias("qsum"),
         F.size(F.col("embedding")).alias("dim"),
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static join: the event stream enriched against a static
+    dimension (re-read per micro-batch, so dim updates are picked up
+    between batches; the dim side broadcasts). Stateless → the result
+    equals the batch join, which is the oracle."""
+    from php_etl_spark.streaming.events import events_stream, run_to_memory
+
+    ev = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    dim = _cat(spark, sf_dir).customer.select("c_custkey", "c_name")
+    joined = ev.join(dim, ev.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "c_name", "value"
+    )
+    return run_to_memory(joined, "append")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join: purchases matched to same-user
+    clicks in the preceding hour. Both sides are watermarked; the
+    interval condition bounds the state each side must retain (the
+    engine drops click state older than the watermark + interval).
+    Under one availableNow batch nothing is late, so the result
+    equals the batch interval join — the oracle."""
+    from php_etl_spark.streaming.events import events_stream, run_to_memory
+
+    ev1 = events_stream(spark, sf_dir)
+    ev2 = events_stream(spark, sf_dir)
+    purchases = (
+        ev1.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    return run_to_memory(joined, "append")
