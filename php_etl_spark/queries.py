@@ -3221,3 +3221,109 @@ def stream_stream_join(spark, sf_dir):
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
     return run_to_memory(joined, "append")
+
+
+@query(
+    "agg_conditional_q12",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def agg_conditional_q12(spark, sf_dir):
+    """TPC-H Q12 shape: conditional counting (CASE inside SUM) over a
+    join — the when/otherwise branch the reference writes per row in
+    PHP (/root/reference/sdk/migrate_assures.php:259) at aggregate
+    scale."""
+    cat = _cat(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        cat.orders.join(
+            cat.lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "agg_ratio_q14",
+    oracle="""
+    SELECT CAST(100.0 * promo / total AS DOUBLE) AS promo_revenue_pct FROM (
+      SELECT
+        CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+              THEN CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+              ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) AS promo,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+    )
+    """,
+)
+def agg_ratio_q14(spark, sf_dir):
+    """TPC-H Q14 shape: ratio of two exact decimal sums (promo revenue
+    share) — both numerator and denominator exact, one double division
+    at the end keeps the ratio engine-identical."""
+    cat = _cat(spark, sf_dir)
+    rev = dec("l_extendedprice", "decimal(14,2)") * (
+        F.lit(1) - dec("l_discount", "decimal(4,2)")
+    )
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), rev
+    ).otherwise(F.lit(0).cast("decimal(16,4)"))
+    agg = (
+        cat.lineitem.join(cat.part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            (F.col("l_shipdate") >= "1996-03-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .agg(
+            F.sum(promo).cast("double").alias("promo"),
+            F.sum(rev).cast("double").alias("total"),
+        )
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo") / F.col("total")).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "join_disjunctive_q19",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 25)
+    """,
+)
+def join_disjunctive_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-clause predicate spanning
+    both join sides. The equi-key still drives the join; the OR tree
+    evaluates post-join (per-side conjuncts get pushed where
+    possible)."""
+    cat = _cat(spark, sf_dir)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    cond = (
+        ((b == "Brand#1") & sz.between(1, 15) & (q >= 10))
+        | ((b == "Brand#3") & sz.between(10, 30) & (q >= 20))
+        | ((b == "Brand#5") & sz.between(20, 50) & (q >= 25))
+    )
+    return (
+        cat.lineitem.join(cat.part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .select("l_orderkey", "l_partkey", "l_quantity", "p_brand")
+    )
