@@ -63,12 +63,54 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Ship the engine package to Python workers (``addPyFile`` — the
+    runtime form of ``spark-submit --py-files``). Executors unpickle
+    UDF closures that reference module-level helpers by module path;
+    without this, a driver running from another directory hits
+    ``ModuleNotFoundError: php_etl_spark`` inside mapInPandas."""
+    import zipfile
+
+    import php_etl_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(php_etl_spark.__file__))
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "php_etl_spark_pyfiles.zip"
+    )
+    newest_src = max(
+        (
+            os.path.getmtime(os.path.join(root, fn))
+            for root, _dirs, files in os.walk(pkg_dir)
+            for fn in files
+            if fn.endswith(".py")
+        ),
+        default=0.0,
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        arc = os.path.join(
+                            "php_etl_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, arc)
+        os.replace(tmp, zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this session
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply engine runtime confs to an externally-created session.
 
     The verification driver hands us its own SparkSession; settable
     runtime confs are applied here so catalog reads behave the same.
     """
+    _ship_package(spark)
     for k, v in [
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
