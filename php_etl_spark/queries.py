@@ -3327,3 +3327,67 @@ def join_disjunctive_q19(spark, sf_dir):
         .filter(cond)
         .select("l_orderkey", "l_partkey", "l_quantity", "p_brand")
     )
+
+
+@query(
+    "fn_datetime_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS mo,
+           CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+           CAST(minute(ts) AS INT) AS mi, CAST(quarter(ts) AS INT) AS q,
+           CAST(dayofyear(ts) AS INT) AS doy,
+           strftime(ts, '%Y-%m') AS month_key
+    FROM events
+    """,
+)
+def fn_datetime_extract(spark, sf_dir):
+    """Datetime field extraction (year..minute, quarter, day-of-year,
+    and the year-month partition key) — the time-dimension derivations
+    every partition layout and rollup needs."""
+    ev = _cat(spark, sf_dir).events
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.quarter("ts").alias("q"),
+        F.dayofyear("ts").alias("doy"),
+        F.date_format("ts", "yyyy-MM").alias("month_key"),
+    )
+
+
+@query(
+    "fn_case_chain",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                WHEN o_totalprice < 300000 THEN 'large'
+                ELSE 'jumbo' END AS bucket,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'partial' END AS status_name
+    FROM orders
+    """,
+)
+def fn_case_chain(spark, sf_dir):
+    """Multi-branch conditionals: searched CASE (when-chains) and
+    simple CASE (value dispatch) — the set form of the reference's
+    per-row if/else mapping (/root/reference/sdk/migrate_assures.php:259)."""
+    o = _cat(spark, sf_dir).orders
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(p < 50000, "small")
+        .when(p < 150000, "mid")
+        .when(p < 300000, "large")
+        .otherwise("jumbo")
+        .alias("bucket"),
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("status_name"),
+    )
