@@ -71,6 +71,34 @@ def build_table_frame(
     return projected.select(*out_cols)
 
 
+def _read_destination(
+    spark: SparkSession, conn: dict[str, Any], table: str
+) -> DataFrame | None:
+    """Read the sink's current rows for the idempotency anti-join, or
+    ``None`` when the destination doesn't exist yet. A directory left
+    behind by an interrupted write (exists but holds no parquet parts)
+    counts as absent instead of failing schema inference, so re-runs
+    stay idempotent."""
+    if conn.get("type") == "jdbc":
+        from php_etl_spark.sources.jdbc import read_jdbc_table
+
+        try:
+            return read_jdbc_table(spark, conn, table)
+        except Exception:  # noqa: BLE001 — table not created yet
+            return None
+    path = _sink_path(conn, table)
+    if not os.path.exists(path):
+        return None
+    has_parts = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(path)
+        for f in files
+    )
+    if not has_parts:
+        return None
+    return spark.read.parquet(path)
+
+
 def run_table(
     spark: SparkSession, spec: PipelineSpec, table: TableSpec
 ) -> TableResult:
@@ -91,8 +119,8 @@ def run_table(
     # keys (ETLTask's exists() probe per row → one left-anti join,
     # /root/reference/sdk/src/ETLTask.php:43-53)
     dest_path = _sink_path(to_conn, table.destination)
-    if table.unique and os.path.exists(dest_path):
-        existing = spark.read.parquet(dest_path)
+    existing = _read_destination(spark, to_conn, table.destination)
+    if table.unique and existing is not None:
         norm = lambda c: dedup_key(c)  # noqa: E731
         on = [
             norm(F.col(k)).eqNullSafe(norm(F.col(f"__e_{k}"))) for k in table.unique
@@ -137,7 +165,16 @@ def run_pipeline(
     current: list[TableSpec] = []
     for t in spec.tables:
         pending = {c.destination for c in current}
-        if t.source in written or t.source in pending or t.destination in pending:
+        reading = {c.source for c in current}
+        # flush on read-after-write, write-after-write, AND
+        # write-after-read (t overwriting a path a same-stage table
+        # is still scanning would race that scan)
+        if (
+            t.source in written
+            or t.source in pending
+            or t.destination in pending
+            or t.destination in reading
+        ):
             stages.append(current)
             written.update(c.destination for c in current)
             current = [t]

@@ -1855,6 +1855,64 @@ def sink_append(spark, sf_dir):
 
 
 @query(
+    "sink_jdbc",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def sink_jdbc(spark, sf_dir):
+    """S7/S8 JDBC batched-insert sink (db_insert_many parity,
+    /root/reference/sdk/lib/db.php:250-274): write through the
+    partition-parallel prepared-statement writer into embedded Derby
+    (the test stand-in for the reference's MySQL), read the table back
+    through JDBC, and verify the round trip against the source rows."""
+    from php_etl_spark.sources import jdbc as J
+
+    conn = J.derby_conn("q_sink_jdbc")
+    frame = (
+        _cat(spark, sf_dir)
+        .lineitem.filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    )
+    J.jdbc_overwrite(frame, conn, "li_sink")
+    return J.read_jdbc_table(spark, conn, "li_sink")
+
+
+@query(
+    "sink_jdbc_upsert",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    WHERE o_orderkey <= 1000
+      AND o_orderkey NOT IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderkey BETWEEN 500 AND 1500)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus FROM orders
+    WHERE o_orderkey BETWEEN 500 AND 1500
+    """,
+)
+def sink_jdbc_upsert(spark, sf_dir):
+    """S9 JDBC upsert (db_update parity,
+    /root/reference/sdk/lib/db.php:285-296): seed Derby with a key
+    range, upsert an overlapping range with mutated values via the
+    staging-table + transactional DELETE/INSERT plan, read back. The
+    oracle recomputes merge = (existing ⟕ anti keys) ∪ updates in SQL."""
+    from php_etl_spark.sources import jdbc as J
+
+    conn = J.derby_conn("q_sink_jdbc_upsert")
+    orders = _cat(spark, sf_dir).orders
+    seed = orders.filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    updates = orders.filter(F.col("o_orderkey").between(500, 1500)).select(
+        "o_orderkey", "o_custkey", F.lit("X").alias("o_orderstatus")
+    )
+    J.jdbc_overwrite(seed, conn, "orders_dst")
+    J.jdbc_upsert(spark, updates, conn, "orders_dst", ["o_orderkey"])
+    return J.read_jdbc_table(spark, conn, "orders_dst")
+
+
+@query(
     "agg_min_max",
     oracle="""
     SELECT o_orderstatus,
@@ -3422,7 +3480,8 @@ DRIVER_GREEN = [
 # Never-driver-checked keys, most-critical first (sinks/pipelines, streaming,
 # LLM ops, UDF surface — the operators the round-1 verdict called out).
 _PRIORITY = [
-    "scan_documents", "sink_append", "sink_partitioned", "upsert_merge",
+    "scan_documents", "sink_append", "sink_jdbc", "sink_jdbc_upsert",
+    "sink_partitioned", "upsert_merge",
     "delete_reinsert", "pipeline_etl", "pipeline_quarantine",
     "pipeline_incremental", "fn_concat",
     "stream_tumbling", "stream_sliding", "stream_session",

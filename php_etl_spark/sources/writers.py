@@ -31,13 +31,25 @@ def _sink_path(conn: dict[str, Any], table: str) -> str:
 
 def append(df: DataFrame, conn: dict[str, Any], table: str) -> str:
     """S8 batched append. One partition-parallel write — the multi-
-    VALUES INSERT batching is Spark's native write granularity."""
+    VALUES INSERT batching is Spark's native write granularity. A
+    ``{"type": "jdbc"}`` connection routes to the batched JDBC insert
+    (db_insert_many parity, /root/reference/sdk/lib/db.php:250-274)."""
+    if conn.get("type") == "jdbc":
+        from php_etl_spark.sources import jdbc as _jdbc
+
+        _jdbc.jdbc_append(df, conn, table)
+        return table
     path = _sink_path(conn, table)
     df.write.mode("append").parquet(path)
     return path
 
 
 def overwrite(df: DataFrame, conn: dict[str, Any], table: str) -> str:
+    if conn.get("type") == "jdbc":
+        from php_etl_spark.sources import jdbc as _jdbc
+
+        _jdbc.jdbc_overwrite(df, conn, table)
+        return table
     path = _sink_path(conn, table)
     df.write.mode("overwrite").parquet(path)
     return path
@@ -86,6 +98,11 @@ def upsert(
     table: str,
     keys: Sequence[str],
 ) -> str:
+    if conn.get("type") == "jdbc":
+        from php_etl_spark.sources import jdbc as _jdbc
+
+        _jdbc.jdbc_upsert(spark, updates, conn, table, keys)
+        return table
     path = _sink_path(conn, table)
     if not os.path.exists(path):
         updates.write.mode("overwrite").parquet(path)
@@ -103,6 +120,11 @@ def delete_reinsert(
     table: str,
     keys: Sequence[str],
 ) -> str:
+    if conn.get("type") == "jdbc":
+        from php_etl_spark.sources import jdbc as _jdbc
+
+        _jdbc.jdbc_delete_reinsert(spark, replacement, conn, table, keys)
+        return table
     path = _sink_path(conn, table)
     if not os.path.exists(path):
         replacement.write.mode("overwrite").parquet(path)

@@ -1,0 +1,136 @@
+"""JDBC sink tests (SURVEY.md §2.1 S7/S8/S9/S11) against embedded
+Derby — the single-JVM stand-in for the reference's MySQL destination
+(/root/reference/sdk/lib/db.php:250-296, 327-346).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from php_etl_spark.plans.runner import run_pipeline
+from php_etl_spark.plans.spec import PipelineSpec
+from php_etl_spark.sources import jdbc as J
+
+
+def _conn(name):
+    return J.derby_conn(name)
+
+
+def test_jdbc_append_roundtrip(spark):
+    conn = _conn("t_append")
+    df = spark.range(50).selectExpr("id", "concat('row', id) as label")
+    J.jdbc_overwrite(df, conn, "t1")
+    J.jdbc_append(df.filter("id < 10"), conn, "t1")
+    back = J.read_jdbc_table(spark, conn, "t1")
+    assert back.count() == 60
+    assert sorted(back.columns) == ["id", "label"]
+
+
+def test_jdbc_upsert_merge_semantics(spark):
+    conn = _conn("t_upsert")
+    seed = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "name", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], ["k", "name", "v"]
+    )
+    J.jdbc_overwrite(seed, conn, "dst")
+    J.jdbc_upsert(spark, updates, conn, "dst", ["k"])
+    back = {
+        r["k"]: (r["name"], r["v"])
+        for r in J.read_jdbc_table(spark, conn, "dst").collect()
+    }
+    # matched key 2 takes the update, 1/3 survive, 4 inserts
+    assert back == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)}
+    # staging table is dropped after the merge
+    with pytest.raises(Exception):
+        J.read_jdbc_table(spark, conn, "dst_staging").collect()
+
+
+def test_jdbc_delete_reinsert(spark):
+    conn = _conn("t_refresh")
+    seed = spark.createDataFrame(
+        [(1, "old"), (1, "old2"), (2, "keep")], ["k", "tag"]
+    )
+    replacement = spark.createDataFrame([(1, "new")], ["k", "tag"])
+    J.jdbc_overwrite(seed, conn, "dst")
+    J.jdbc_delete_reinsert(spark, replacement, conn, "dst", ["k"])
+    rows = sorted(
+        (r["k"], r["tag"])
+        for r in J.read_jdbc_table(spark, conn, "dst").collect()
+    )
+    # BOTH rows with k=1 deleted, single replacement inserted
+    assert rows == [(1, "new"), (2, "keep")]
+
+
+def test_pipeline_spec_with_jdbc_destination(spark, tmp_path):
+    """A pipeline spec whose 'to' connection is JDBC runs end-to-end:
+    scan parquet → mapping → dedup → batched JDBC insert; the re-run
+    anti-joins against the JDBC destination so it stays idempotent."""
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, "Alice "), (2, "Alice"), (3, "Bob")], ["id", "name"]
+    ).write.parquet(str(src / "people"))
+    conn = _conn("t_pipeline")
+    spec = PipelineSpec.from_dict(
+        {
+            "connections": {
+                "from": {"type": "parquet", "path": str(src)},
+                "to": conn,
+            },
+            "tables": [
+                {
+                    "flow": "people -> persons",
+                    "columns": {"person_id": "[id]", "full_name": "[name]"},
+                    "unique": ["full_name"],
+                    "order_by": ["id"],
+                }
+            ],
+        }
+    )
+    res = run_pipeline(spark, spec)
+    # trim-normalized dedup: 'Alice ' and 'Alice' collapse first-wins
+    assert res[0].rows_written == 2
+    back = J.read_jdbc_table(spark, conn, "persons")
+    assert sorted(r["person_id"] for r in back.collect()) == [1, 3]
+    # idempotent re-run: anti-join against the JDBC destination
+    res2 = run_pipeline(spark, spec)
+    assert res2[0].rows_written == 0
+    assert back.count() == 2
+
+
+def test_retry_recovers_after_failures():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("connection refused")
+        return "ok"
+
+    assert J.with_retry(flaky, attempts=5, backoff_s=0, sleep=lambda _: None) == "ok"
+    assert calls["n"] == 3
+
+
+def test_retry_exhausts_and_raises():
+    def always_down():
+        raise OSError("connection refused")
+
+    with pytest.raises(RuntimeError, match="exhausted 3 attempts"):
+        J.with_retry(always_down, attempts=3, backoff_s=0, sleep=lambda _: None)
+
+
+def test_retry_backoff_schedule():
+    """db_connect parity: bounded attempts with a fixed wait between
+    them (/root/reference/sdk/lib/db.php:336-345)."""
+    waits = []
+
+    def never():
+        raise OSError("down")
+
+    with pytest.raises(RuntimeError):
+        J.with_retry(
+            never, attempts=4, backoff_s=1.0, multiplier=2.0, sleep=waits.append
+        )
+    assert waits == [1.0, 2.0, 4.0]
