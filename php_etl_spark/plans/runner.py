@@ -107,7 +107,14 @@ def run_table(
 
     if table.mode == "upsert":
         n = frame.count()
-        upsert(spark, frame, to_conn, table.destination, keys=table.unique)
+        upsert(
+            spark,
+            frame,
+            to_conn,
+            table.destination,
+            keys=table.unique,
+            partition_by=table.partition_by or None,
+        )
         return TableResult(table.destination, n, _sink_path(to_conn, table.destination))
 
     if table.mode == "overwrite":

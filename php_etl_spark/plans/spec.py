@@ -37,6 +37,7 @@ class TableSpec:
     query: str | None = None
     order_by: list[str] = field(default_factory=list)
     mode: str = "append"
+    partition_by: list[str] = field(default_factory=list)
     connections: dict[str, Any] | None = None
 
     @classmethod
@@ -59,6 +60,7 @@ class TableSpec:
             query=d.get("query"),
             order_by=list(d.get("order_by", [])),
             mode=d.get("mode", "append"),
+            partition_by=list(d.get("partition_by", [])),
             connections=d.get("connections"),
         )
 

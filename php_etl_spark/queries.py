@@ -1330,6 +1330,53 @@ def delete_reinsert(spark, sf_dir):
 
 
 @query(
+    "upsert_partitioned",
+    oracle="""
+    WITH existing AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price
+      FROM orders WHERE o_orderkey <= 2000
+    ), updates AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             o_totalprice + 1000 AS price
+      FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+    )
+    SELECT e.k, e.st, e.price FROM existing e
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.k = e.k)
+    UNION ALL
+    SELECT k, st, price FROM updates
+    """,
+)
+def upsert_partitioned(spark, sf_dir):
+    """J7 at scale: partition-scoped upsert through the REAL sink — a
+    hive-partitioned parquet destination where only partitions holding
+    touched keys rewrite (dynamic partition overwrite), so a small
+    upsert never rewrites the whole table. Untouched-partition
+    byte-identity is asserted in tests/test_pipeline.py; here the
+    round-tripped table is oracle-checked against the relational merge
+    definition (/root/reference/sdk/migrate_assures.php:165-203)."""
+    import tempfile
+
+    from php_etl_spark.sources.writers import upsert
+
+    o = _cat(spark, sf_dir).orders
+    existing = o.filter(F.col("o_orderkey") <= 2000).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("price"),
+    )
+    updates = o.filter(F.col("o_orderkey").between(1000, 3000)).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_totalprice") + 1000).alias("price"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="upsert_part_")
+    conn = {"type": "parquet", "path": out_dir}
+    upsert(spark, existing, conn, "orders_dst", keys=["k"], partition_by=["st"])
+    upsert(spark, updates, conn, "orders_dst", keys=["k"], partition_by=["st"])
+    return spark.read.parquet(f"{out_dir}/orders_dst").select("k", "st", "price")
+
+
+@query(
     "pipeline_etl",
     oracle="""
     SELECT item_id, line_no, qty, part_ref FROM (
@@ -3481,7 +3528,7 @@ DRIVER_GREEN = [
 # LLM ops, UDF surface — the operators the round-1 verdict called out).
 _PRIORITY = [
     "scan_documents", "sink_append", "sink_jdbc", "sink_jdbc_upsert",
-    "sink_partitioned", "upsert_merge",
+    "sink_partitioned", "upsert_merge", "upsert_partitioned",
     "delete_reinsert", "pipeline_etl", "pipeline_quarantine",
     "pipeline_incremental", "fn_concat",
     "stream_tumbling", "stream_sliding", "stream_session",

@@ -76,19 +76,154 @@ def refresh_frames(
     return kept.unionByName(replacement)
 
 
-def _staged_rewrite(result: DataFrame, path: str) -> str:
+def _staged_rewrite(result: DataFrame, path: str, keep_backup: bool = False) -> str:
     """Write to a staging dir then atomically swap — the plain-parquet
     stand-in for a transactional commit (O5; the reference wraps each
-    record in BEGIN/COMMIT, /root/reference/sdk/migrate_employeur.php:196-219)."""
+    record in BEGIN/COMMIT, /root/reference/sdk/migrate_employeur.php:196-219).
+
+    Crash-safe: if the forward swap fails after the old directory was
+    moved aside, the backup is restored so the table never vanishes.
+    ``keep_backup=True`` (O8, pre-run backup parity with
+    /root/reference/sdk/import.sh:74-80) leaves the previous contents
+    at ``<path>.backup`` for manual restore."""
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
     result.write.mode("overwrite").parquet(staging)
-    backup = f"{path}.old-{uuid.uuid4().hex[:8]}"
-    if os.path.exists(path):
+    backup = f"{path}.backup" if keep_backup else f"{path}.old-{uuid.uuid4().hex[:8]}"
+    had_previous = os.path.exists(path)
+    if had_previous:
+        if keep_backup and os.path.exists(backup):
+            shutil.rmtree(backup)  # only ever our own prior backup dir
         os.rename(path, backup)
-    os.rename(staging, path)
-    if os.path.exists(backup):
+    try:
+        os.rename(staging, path)
+    except OSError:
+        if had_previous:
+            os.rename(backup, path)  # restore — table must not vanish
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    if had_previous and not keep_backup:
         shutil.rmtree(backup)
     return path
+
+
+def restore_backup(path: str) -> str:
+    """Swap ``<path>.backup`` (from ``keep_backup=True``) back into
+    place, discarding the current contents."""
+    backup = f"{path}.backup"
+    if not os.path.exists(backup):
+        raise FileNotFoundError(f"no backup directory at {backup}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(backup, path)
+    return path
+
+
+def _touched_partitions(
+    spark: SparkSession,
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+) -> list[tuple]:
+    """Distinct partition tuples an upsert must rewrite: partitions
+    the update rows land in, plus partitions currently holding a
+    matched key (a key whose partition value changes must have its OLD
+    partition rewritten too). Both scans are column-pruned to
+    key+partition columns; the result is bounded by the partition
+    count, so collecting it to the driver is O(partitions), not
+    O(rows)."""
+    pcols = list(partition_by)
+    from_updates = updates.select(*pcols).distinct()
+    from_matched = (
+        existing.join(updates.select(*keys).distinct(), on=list(keys), how="left_semi")
+        .select(*pcols)
+        .distinct()
+    )
+    rows = from_updates.unionByName(from_matched).distinct().collect()
+    return [tuple(r[c] for c in pcols) for r in rows]
+
+
+def _partition_filter(partition_by: Sequence[str], touched: list[tuple]) -> Column:
+    cond = F.lit(False)
+    for values in touched:
+        match = F.lit(True)
+        for col, v in zip(partition_by, values):
+            match = match & (F.col(col).eqNullSafe(F.lit(v)))
+        cond = cond | match
+    return cond
+
+
+def _partition_scoped_rewrite(
+    spark: SparkSession,
+    combine,
+    incoming: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+) -> str:
+    """Rewrite ONLY partitions containing touched keys via dynamic
+    partition overwrite — the plain-parquet answer to "a 1-row upsert
+    must not rewrite a 100 TB table". Untouched partition directories
+    are left byte-identical (asserted in tests/test_pipeline.py). On
+    Delta/Iceberg the same call maps to MERGE INTO / replaceWhere."""
+    existing = spark.read.parquet(path)
+    touched = _touched_partitions(spark, existing, incoming, keys, partition_by)
+    if not touched:
+        result = incoming.localCheckpoint(eager=True)
+    else:
+        flt = _partition_filter(partition_by, touched)
+        # static isin-style pruning: the filter is on partition columns
+        # only, so the scan reads just the touched directories
+        scoped = existing.filter(flt)
+        result = combine(scoped, incoming, keys).localCheckpoint(eager=True)
+    with _conf_override(
+        spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    ):
+        result.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    # dynamic overwrite only replaces partitions PRESENT in the result;
+    # a touched partition left with zero rows (its only row moved
+    # partitions) must be dropped explicitly or its stale file survives
+    present = {
+        tuple(r[c] for c in partition_by)
+        for r in result.select(*partition_by).distinct().collect()
+    }
+    for values in touched:
+        if tuple(values) not in present:
+            segs = [
+                f"{c}={_hive_part_value(v)}"
+                for c, v in zip(partition_by, values)
+            ]
+            shutil.rmtree(os.path.join(path, *segs), ignore_errors=True)
+    return path
+
+
+def _hive_part_value(v: Any) -> str:
+    """Partition-directory value formatting matching Spark's writer
+    (hive layout): NULL sentinel, ISO dates, plain str otherwise."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+class _conf_override:
+    def __init__(self, spark: SparkSession, key: str, value: str):
+        self.spark, self.key, self.value = spark, key, value
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(self.key)
+        except Exception:  # noqa: BLE001 — unset conf
+            self.prev = None
+        self.spark.conf.set(self.key, self.value)
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prev)
+        return False
 
 
 def upsert(
@@ -97,7 +232,13 @@ def upsert(
     conn: dict[str, Any],
     table: str,
     keys: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    keep_backup: bool = False,
 ) -> str:
+    """J7/S9 upsert. With ``partition_by`` the sink is a partitioned
+    layout and ONLY partitions containing touched keys rewrite
+    (dynamic partition overwrite); without it, full staged rewrite —
+    correct but the documented scale-weak path."""
     if conn.get("type") == "jdbc":
         from php_etl_spark.sources import jdbc as _jdbc
 
@@ -105,12 +246,19 @@ def upsert(
         return table
     path = _sink_path(conn, table)
     if not os.path.exists(path):
-        updates.write.mode("overwrite").parquet(path)
+        w = updates.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         return path
+    if partition_by:
+        return _partition_scoped_rewrite(
+            spark, merge_frames, updates, path, keys, partition_by
+        )
     existing = spark.read.parquet(path)
     # materialize inputs before the swap invalidates the scan path
     result = merge_frames(existing, updates, keys).localCheckpoint(eager=True)
-    return _staged_rewrite(result, path)
+    return _staged_rewrite(result, path, keep_backup=keep_backup)
 
 
 def delete_reinsert(
@@ -119,6 +267,8 @@ def delete_reinsert(
     conn: dict[str, Any],
     table: str,
     keys: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    keep_backup: bool = False,
 ) -> str:
     if conn.get("type") == "jdbc":
         from php_etl_spark.sources import jdbc as _jdbc
@@ -127,11 +277,18 @@ def delete_reinsert(
         return table
     path = _sink_path(conn, table)
     if not os.path.exists(path):
-        replacement.write.mode("overwrite").parquet(path)
+        w = replacement.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         return path
+    if partition_by:
+        return _partition_scoped_rewrite(
+            spark, refresh_frames, replacement, path, keys, partition_by
+        )
     existing = spark.read.parquet(path)
     result = refresh_frames(existing, replacement, keys).localCheckpoint(eager=True)
-    return _staged_rewrite(result, path)
+    return _staged_rewrite(result, path, keep_backup=keep_backup)
 
 
 def split_quarantine(

@@ -217,3 +217,130 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     rec = json.loads(out[-1])
     assert rec["table"] == "nation_out" and rec["rows_written"] == 25
     assert spark.read.parquet(rec["path"]).count() == 25
+
+
+# ---------------------------------------------------------------------------
+# Partition-scoped upsert (J7 at scale) + staged-rewrite safety
+# ---------------------------------------------------------------------------
+
+
+def _file_digests(root):
+    import hashlib
+
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = hashlib.md5(
+                    open(p, "rb").read()
+                ).hexdigest()
+    return out
+
+
+def test_partition_scoped_upsert_leaves_untouched_partitions_byte_identical(
+    spark, tmp_path
+):
+    """Delete-scope parity with the reference's partition-bounded
+    refresh (/root/reference/sdk/migrate_assures.php:205-236): an
+    upsert touching only partition 'b' must not rewrite a single byte
+    of partitions 'a' and 'c'."""
+    conn = {"type": "parquet", "path": str(tmp_path)}
+    seed = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "b", 40)],
+        ["k", "part", "v"],
+    )
+    upsert(spark, seed, conn, "t", keys=["k"], partition_by=["part"])
+    root = str(tmp_path / "t")
+    before = _file_digests(root)
+    updates = spark.createDataFrame([(2, "b", 999), (9, "b", 90)], ["k", "part", "v"])
+    upsert(spark, updates, conn, "t", keys=["k"], partition_by=["part"])
+    after = _file_digests(root)
+    untouched_before = {p: h for p, h in before.items() if "part=b" not in p}
+    untouched_after = {p: h for p, h in after.items() if "part=b" not in p}
+    assert untouched_before == untouched_after  # byte-identical files
+    rows = {r["k"]: (r["part"], r["v"]) for r in spark.read.parquet(root).collect()}
+    assert rows == {1: ("a", 10), 2: ("b", 999), 3: ("c", 30), 4: ("b", 40), 9: ("b", 90)}
+
+
+def test_partition_scoped_upsert_key_moves_partition(spark, tmp_path):
+    """A matched key whose partition value changes must vanish from
+    its OLD partition (even when that empties the partition dir)."""
+    conn = {"type": "parquet", "path": str(tmp_path)}
+    seed = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ["k", "part", "v"])
+    upsert(spark, seed, conn, "t", keys=["k"], partition_by=["part"])
+    moved = spark.createDataFrame([(1, "b", 11)], ["k", "part", "v"])
+    upsert(spark, moved, conn, "t", keys=["k"], partition_by=["part"])
+    rows = sorted(
+        (r["k"], r["part"], r["v"])
+        for r in spark.read.parquet(str(tmp_path / "t")).collect()
+    )
+    assert rows == [(1, "b", 11), (2, "b", 20)]
+
+
+def test_partition_scoped_delete_reinsert(spark, tmp_path):
+    conn = {"type": "parquet", "path": str(tmp_path)}
+    seed = spark.createDataFrame(
+        [(1, "a", "old"), (1, "a", "old2"), (2, "b", "keep")],
+        ["k", "part", "tag"],
+    )
+    delete_reinsert(spark, seed, conn, "t", keys=["k"], partition_by=["part"])
+    repl = spark.createDataFrame([(1, "a", "new")], ["k", "part", "tag"])
+    before = _file_digests(str(tmp_path / "t"))
+    delete_reinsert(spark, repl, conn, "t", keys=["k"], partition_by=["part"])
+    after = _file_digests(str(tmp_path / "t"))
+    assert {p: h for p, h in before.items() if "part=b" in p} == {
+        p: h for p, h in after.items() if "part=b" in p
+    }
+    rows = sorted(
+        (r["k"], r["tag"]) for r in spark.read.parquet(str(tmp_path / "t")).collect()
+    )
+    assert rows == [(1, "new"), (2, "keep")]
+
+
+def test_staged_rewrite_keep_backup_restores(spark, tmp_path):
+    """O8 pre-run backup (/root/reference/sdk/import.sh:74-80): with
+    keep_backup the previous table contents survive the rewrite and
+    restore_backup swaps them back."""
+    from php_etl_spark.sources.writers import restore_backup
+
+    conn = {"type": "parquet", "path": str(tmp_path)}
+    seed = spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"])
+    upsert(spark, seed, conn, "t", keys=["k"])
+    updates = spark.createDataFrame([(2, 999)], ["k", "v"])
+    upsert(spark, updates, conn, "t", keys=["k"], keep_backup=True)
+    path = str(tmp_path / "t")
+    assert {r["k"]: r["v"] for r in spark.read.parquet(path).collect()} == {1: 10, 2: 999}
+    assert os.path.isdir(path + ".backup")
+    restore_backup(path)
+    assert {r["k"]: r["v"] for r in spark.read.parquet(path).collect()} == {1: 10, 2: 20}
+    assert not os.path.exists(path + ".backup")
+
+
+def test_append_run_survives_partial_destination_dir(spark, tmp_path):
+    """An empty/partial destination directory (interrupted earlier
+    write) must read as 'no destination yet', not break the anti-join."""
+    src = tmp_path / "src"
+    spark.createDataFrame([(1, "A"), (2, "B")], ["id", "name"]).write.parquet(
+        str(src / "people")
+    )
+    out = tmp_path / "out"
+    (out / "persons").mkdir(parents=True)  # exists, but no parquet parts
+    spec = PipelineSpec.from_dict(
+        {
+            "connections": {
+                "from": {"type": "parquet", "path": str(src)},
+                "to": {"type": "parquet", "path": str(out)},
+            },
+            "tables": [
+                {
+                    "flow": "people -> persons",
+                    "columns": {"person_id": "[id]", "full_name": "[name]"},
+                    "unique": ["full_name"],
+                    "order_by": ["id"],
+                }
+            ],
+        }
+    )
+    res = run_pipeline(spark, spec)
+    assert res[0].rows_written == 2
