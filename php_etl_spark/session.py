@@ -100,8 +100,15 @@ def _ship_package(spark: SparkSession) -> None:
         os.replace(tmp, zip_path)
     try:
         spark.sparkContext.addPyFile(zip_path)
-    except Exception:
-        pass  # already added in this session
+    except Exception as exc:  # noqa: BLE001 — inspect, don't swallow
+        # re-adding the same zip in one session is benign; anything
+        # else (stopped context, unreadable zip) silently disabling
+        # worker shipping would resurface ModuleNotFoundError in
+        # executors — surface it
+        msg = str(exc).lower()
+        if "already" in msg and ("registered" in msg or "added" in msg or "exists" in msg):
+            return
+        raise
 
 
 def tune_session(spark: SparkSession) -> SparkSession:

@@ -24,6 +24,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from php_etl_spark.materialize import materialize
+
 
 def _sink_path(conn: dict[str, Any], table: str) -> str:
     return os.path.join(conn.get("path", "."), table)
@@ -169,13 +171,13 @@ def _partition_scoped_rewrite(
     existing = spark.read.parquet(path)
     touched = _touched_partitions(spark, existing, incoming, keys, partition_by)
     if not touched:
-        result = incoming.localCheckpoint(eager=True)
+        result = materialize(incoming)
     else:
         flt = _partition_filter(partition_by, touched)
         # static isin-style pruning: the filter is on partition columns
         # only, so the scan reads just the touched directories
         scoped = existing.filter(flt)
-        result = combine(scoped, incoming, keys).localCheckpoint(eager=True)
+        result = materialize(combine(scoped, incoming, keys))
     with _conf_override(
         spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
     ):
@@ -257,7 +259,7 @@ def upsert(
         )
     existing = spark.read.parquet(path)
     # materialize inputs before the swap invalidates the scan path
-    result = merge_frames(existing, updates, keys).localCheckpoint(eager=True)
+    result = materialize(merge_frames(existing, updates, keys))
     return _staged_rewrite(result, path, keep_backup=keep_backup)
 
 
@@ -287,7 +289,7 @@ def delete_reinsert(
             spark, refresh_frames, replacement, path, keys, partition_by
         )
     existing = spark.read.parquet(path)
-    result = refresh_frames(existing, replacement, keys).localCheckpoint(eager=True)
+    result = materialize(refresh_frames(existing, replacement, keys))
     return _staged_rewrite(result, path, keep_backup=keep_backup)
 
 

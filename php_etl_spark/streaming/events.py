@@ -198,7 +198,7 @@ def stateful_session_stats(events: DataFrame) -> DataFrame:
     state_schema = StructType(
         [
             StructField("n", LongType()),
-            StructField("total", DoubleType()),
+            StructField("total_cents", LongType()),
             StructField("first_ts", StringType()),
             StructField("last_ts", StringType()),
         ]
@@ -207,24 +207,29 @@ def stateful_session_stats(events: DataFrame) -> DataFrame:
     def update(key, pdf_iter, state):
         (user_id,) = key
         if state.exists:
-            n, total, first_ts, last_ts = state.get
+            n, total_cents, first_ts, last_ts = state.get
         else:
-            n, total, first_ts, last_ts = 0, 0.0, None, None
+            n, total_cents, first_ts, last_ts = 0, 0, None, None
         for pdf in pdf_iter:
+            if not len(pdf):
+                # empty Arrow batch: ts.min() would be NaT and poison
+                # first_ts with the literal string 'NaT'
+                continue
             n += len(pdf)
-            # cents-exact accumulation (value is 2-decimal money)
-            total += int(round(pdf["value"].sum() * 100))  / 100 if len(pdf) else 0.0
+            # cents-exact accumulation: integer cents in state, float
+            # only on emit — no drift across many micro-batches
+            total_cents += int(round(pdf["value"].sum() * 100))
             lo = pdf["ts"].min().isoformat()
             hi = pdf["ts"].max().isoformat()
             first_ts = lo if first_ts is None or lo < first_ts else first_ts
             last_ts = hi if last_ts is None or hi > last_ts else last_ts
-        state.update((n, total, first_ts, last_ts))
+        state.update((n, total_cents, first_ts, last_ts))
         yield pd.DataFrame(
             [
                 {
                     "user_id": user_id,
                     "n_events": n,
-                    "total_value": round(total, 2),
+                    "total_value": total_cents / 100.0,
                     "first_ts": first_ts,
                     "last_ts": last_ts,
                 }

@@ -36,6 +36,36 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert len(lsh) >= 0.8 * len(exact)
 
 
+def test_jaccard_gating_matches_unbounded(spark):
+    """Candidate gating is a candidate-generation knob only — the
+    df-cutoff and explicit-candidates paths report the same pairs and
+    the same exact jaccard values as the unbounded inverted index."""
+    docs = _docs(spark)
+    unbounded = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in D.jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert unbounded
+    cutoff = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in D.jaccard_pairs(
+            docs, n=3, threshold=0.8, max_doc_freq=1000
+        ).collect()
+    }
+    assert cutoff == unbounded
+    # explicit candidates: score exactly the pairs handed in
+    cands = spark.createDataFrame(
+        [(a, b) for a, b, _ in unbounded], ["doc_a", "doc_b"]
+    )
+    scored = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in D.jaccard_pairs(
+            docs, n=3, threshold=0.8, candidates=cands
+        ).collect()
+    }
+    assert scored == unbounded
+
+
 def test_simhash_pairs_are_near_duplicates(spark):
     docs = _docs(spark)
     pairs = D.simhash_pairs(docs, max_distance=3)

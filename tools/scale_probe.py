@@ -38,6 +38,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--dim-rows", type=int, default=100_000)
+    ap.add_argument("--jaccard-docs", type=int, default=100_000)
     args = ap.parse_args()
 
     from php_etl_spark.operators.agg import first_wins_dedup
@@ -127,6 +128,52 @@ def main() -> int:
     sj = fact.join(firsts.withColumnRenamed("v", "v0").select("k", "v0"), "k")
     n_sj = timed("skew self-join (AQE skew split)", sj.count)
     assert n_sj == args.rows
+
+    # 5. bounded n-gram Jaccard on a skewed corpus: every doc shares a
+    # hot boilerplate prefix (shingle df = N_docs — the raw inverted
+    # index would emit ~N²/2 candidate pairs from it); planted exact
+    # dup pairs share rare shingles. With the df cutoff the candidate
+    # count stays ∝ planted pairs, and every planted pair is found.
+    from php_etl_spark.llm.dedup import jaccard_pairs
+
+    n_docs = args.jaccard_docs
+    n_dup_pairs = 500
+    # ids < 2*n_dup_pairs pair up (2k, 2k+1 identical); rest unique
+    base = F.when(
+        F.col("id") < 2 * n_dup_pairs, (F.col("id") / 2).cast("long") * 2
+    ).otherwise(F.col("id"))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox jumps over the lazy dog "),
+            F.concat_ws(
+                " ",
+                *[F.concat(F.lit(f"w{j}_"), base.cast("string")) for j in range(8)],
+            ),
+        ).alias("text"),
+    )
+    shingle_df = (
+        docs.select(F.explode(F.expr(
+            "transform(sequence(1, size(split(text,' '))-2),"
+            " i -> concat_ws(' ', slice(split(text,' '), i, 3)))"
+        )).alias("s"))
+        .groupBy("s").count()
+    )
+    raw_pairs_bound = shingle_df.select(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p")
+    ).first()["p"]
+    found = timed(
+        "bounded jaccard (df cutoff) on skewed corpus",
+        lambda: jaccard_pairs(docs, n=3, threshold=0.8, max_doc_freq=100).collect(),
+    )
+    planted = {(2 * k, 2 * k + 1) for k in range(n_dup_pairs)}
+    got = {(r["doc_a"], r["doc_b"]) for r in found}
+    assert planted <= got, "df cutoff must not lose planted exact-dup pairs"
+    print(
+        f"jaccard skew: raw index would score ~{raw_pairs_bound:,.0f} pairs; "
+        f"cutoff scored {len(got):,} (planted {n_dup_pairs})"
+    )
+    assert raw_pairs_bound > 1e8 and len(got) < 100 * n_dup_pairs
 
     print("scale probe OK")
     return 0
