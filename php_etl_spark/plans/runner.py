@@ -215,7 +215,7 @@ def run_table_incremental(
     next availableNow run, already-seen keys are dropped by the state
     store instead of a per-row destination probe."""
     from php_etl_spark.functions.strings import dedup_key
-    from php_etl_spark.streaming.events import run_to_memory, stream_table
+    from php_etl_spark.streaming.events import run_to_files, stream_table
 
     sdf = stream_table(spark, sf_dir, table.source)
     if table.query:
@@ -231,4 +231,4 @@ def run_table_incremental(
             .dropDuplicates([f"__key_{i}" for i in range(len(table.unique))])
             .select(*table.columns.keys())
         )
-    return run_to_memory(out, "append")
+    return run_to_files(out, "append")

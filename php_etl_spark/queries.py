@@ -1429,7 +1429,7 @@ def pipeline_etl(spark, sf_dir):
 
 from php_etl_spark.streaming.events import (  # noqa: E402
     events_stream,
-    run_to_memory,
+    run_to_files,
     tumbling_agg,
     sliding_agg,
     session_agg,
@@ -1450,8 +1450,9 @@ from php_etl_spark.streaming.events import (  # noqa: E402
 )
 def stream_tumbling(spark, sf_dir):
     """Tumbling event-time windows, executed as a REAL streaming query
-    (readStream → state-store agg → availableNow → memory sink)."""
-    return run_to_memory(tumbling_agg(events_stream(spark, sf_dir)), "complete")
+    (readStream → state-store agg → availableNow → file sink; results
+    never pass through driver memory)."""
+    return run_to_files(tumbling_agg(events_stream(spark, sf_dir)), "complete")
 
 
 @query(
@@ -1469,7 +1470,7 @@ def stream_tumbling(spark, sf_dir):
 def stream_sliding(spark, sf_dir):
     """Sliding windows (1h every 15min) as a streaming query; each
     event contributes to 4 windows."""
-    return run_to_memory(sliding_agg(events_stream(spark, sf_dir)), "complete")
+    return run_to_files(sliding_agg(events_stream(spark, sf_dir)), "complete")
 
 
 @query(
@@ -1508,7 +1509,7 @@ def stream_watermark(spark, sf_dir):
     """Watermarked streaming dedup (dropDuplicatesWithinWatermark) —
     the exactly-once-by-key ingestion trait the reference gets from
     per-key existence probes (/root/reference/sdk/migrate_employeur.php:60-68)."""
-    return run_to_memory(dedup_keys(events_stream(spark, sf_dir)), "append")
+    return run_to_files(dedup_keys(events_stream(spark, sf_dir)), "append")
 
 
 @query(
@@ -1522,7 +1523,7 @@ def stream_watermark(spark, sf_dir):
 def stream_stateful(spark, sf_dir):
     """Running per-user counts as streaming state (complete mode) —
     final state equals the batch aggregate."""
-    return run_to_memory(stateful_counts(events_stream(spark, sf_dir)), "complete")
+    return run_to_files(stateful_counts(events_stream(spark, sf_dir)), "complete")
 
 
 # ---------------------------------------------------------------------------
@@ -2396,12 +2397,12 @@ def stream_stateful_custom(spark, sf_dir):
     groupBy)."""
     from php_etl_spark.streaming.events import (
         events_stream,
-        run_to_memory,
+        run_to_files,
         stateful_session_stats,
     )
 
     stream = events_stream(spark, sf_dir)
-    return run_to_memory(stateful_session_stats(stream), output_mode="update")
+    return run_to_files(stateful_session_stats(stream), output_mode="update")
 
 
 @query(
@@ -3276,14 +3277,14 @@ def stream_static_join(spark, sf_dir):
     dimension (re-read per micro-batch, so dim updates are picked up
     between batches; the dim side broadcasts). Stateless → the result
     equals the batch join, which is the oracle."""
-    from php_etl_spark.streaming.events import events_stream, run_to_memory
+    from php_etl_spark.streaming.events import events_stream, run_to_files
 
     ev = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
     dim = _cat(spark, sf_dir).customer.select("c_custkey", "c_name")
     joined = ev.join(dim, ev.user_id == dim.c_custkey).select(
         "event_id", "user_id", "c_name", "value"
     )
-    return run_to_memory(joined, "append")
+    return run_to_files(joined, "append")
 
 
 @query(
@@ -3303,7 +3304,7 @@ def stream_stream_join(spark, sf_dir):
     engine drops click state older than the watermark + interval).
     Under one availableNow batch nothing is late, so the result
     equals the batch interval join — the oracle."""
-    from php_etl_spark.streaming.events import events_stream, run_to_memory
+    from php_etl_spark.streaming.events import events_stream, run_to_files
 
     ev1 = events_stream(spark, sf_dir)
     ev2 = events_stream(spark, sf_dir)
@@ -3331,7 +3332,7 @@ def stream_stream_join(spark, sf_dir):
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
-    return run_to_memory(joined, "append")
+    return run_to_files(joined, "append")
 
 
 @query(

@@ -67,6 +67,11 @@ def run_to_memory(
     semantics with streaming state machinery, the same pattern used
     for incremental backfills at scale.
 
+    TEST/ORACLE USE ONLY: the memory sink materializes the whole
+    result on the driver. Production paths (and the registered
+    queries) go through ``run_to_files``, which keeps results on
+    executor-written parquet.
+
     The number of state-store instances equals
     ``spark.sql.shuffle.partitions`` at query start and should track
     the KEYSPACE size, not the core count (each store has fixed
@@ -91,6 +96,70 @@ def run_to_memory(
         if override:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def run_to_files(
+    transformed: DataFrame, output_mode: str = "append", out_dir: str | None = None
+) -> DataFrame:
+    """Execute a streaming plan to completion (availableNow) with a
+    FILE sink and read the result back — the scale-safe execution
+    path: results go executor → parquet, never through driver memory
+    (a 100 TB stream into the memory sink is a driver OOM; into
+    parquet it's just files).
+
+    - ``append`` → the native checkpointed parquet sink
+      (exactly-once file commits via the write-ahead metadata log).
+    - ``complete`` → ``foreachBatch`` overwriting the output dir with
+      each batch's full result (the engine re-emits complete state
+      every batch, so the last batch IS the answer; the plain file
+      sink refuses aggregations without watermark in append mode —
+      emitting finalized-only windows would drop every window still
+      open at end-of-stream and break exactness).
+    - ``update`` → ``foreachBatch`` appending each batch's changed
+      rows; with a single availableNow batch (the oracle/backfill
+      shape) this is exactly the final state. Multi-batch callers get
+      a delta log and dedup to latest downstream.
+
+    Returns a batch DataFrame over the written files (explicit schema,
+    so a zero-row result still reads)."""
+    spark = transformed.sparkSession
+    base = out_dir or tempfile.mkdtemp(prefix="php_etl_stream_")
+    data_dir = os.path.join(base, "out")
+    ck_dir = os.path.join(base, "checkpoint")
+    override = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if override:
+        spark.conf.set("spark.sql.shuffle.partitions", override)
+    try:
+        if output_mode == "append":
+            q = (
+                transformed.writeStream.format("parquet")
+                .option("path", data_dir)
+                .option("checkpointLocation", ck_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        else:
+            mode = "overwrite" if output_mode == "complete" else "append"
+
+            def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+                batch_df.write.mode(mode).parquet(data_dir)
+
+            q = (
+                transformed.writeStream.foreachBatch(_write_batch)
+                .option("checkpointLocation", ck_dir)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+        q.awaitTermination()
+    finally:
+        if override:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not os.path.exists(data_dir):  # zero-row stream wrote nothing
+        return spark.createDataFrame([], transformed.schema)
+    return spark.read.schema(transformed.schema).parquet(data_dir)
 
 
 # --- transformations (batch- and stream-applicable) ---------------------------
