@@ -10,8 +10,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
+from php_etl_spark import observability
 from php_etl_spark.plans.spec import PipelineSpec
 from php_etl_spark.plans.runner import run_pipeline
 from php_etl_spark.session import get_spark
@@ -23,6 +25,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--from-path", help="override source connection path")
     ap.add_argument("--to-path", help="override destination connection path")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--metrics",
+        help="JSONL path for per-table run metrics (rows, bytes, wall "
+        "seconds, rows/sec); also honors SPARK_GRAFT_METRICS",
+    )
     args = ap.parse_args(argv)
 
     with open(args.config) as f:
@@ -37,11 +44,16 @@ def main(argv: list[str] | None = None) -> int:
         ] = args.to_path
 
     spec = PipelineSpec.from_dict(doc)
+    if args.metrics:
+        os.environ[observability.ENV_KEY] = args.metrics
     spark = get_spark("php-etl-spark-cli", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
     results = run_pipeline(spark, spec)
     for r in results:
         print(json.dumps({"table": r.table, "rows_written": r.rows_written, "path": r.path}))
+    if observability.metrics_path():
+        for rec in observability.read_metrics():
+            print(json.dumps(rec, sort_keys=True))
     return 0
 
 

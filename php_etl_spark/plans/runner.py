@@ -103,6 +103,23 @@ def _read_destination(
 def run_table(
     spark: SparkSession, spec: PipelineSpec, table: TableSpec
 ) -> TableResult:
+    """One table end-to-end, with per-table metrics (rows, bytes,
+    wall seconds, rows/sec) appended to the ``SPARK_GRAFT_METRICS``
+    JSONL — the engine-native form of the reference's progress surface
+    (/root/reference/sdk/lib/progress.php:102-446)."""
+    from php_etl_spark.observability import table_metrics
+
+    with table_metrics(table.destination) as rec:
+        result = _run_table(spark, spec, table)
+        rec["mode"] = table.mode
+        rec["rows_written"] = result.rows_written
+        rec["dest_path"] = result.path
+    return result
+
+
+def _run_table(
+    spark: SparkSession, spec: PipelineSpec, table: TableSpec
+) -> TableResult:
     frame = build_table_frame(spark, spec, table)
     to_conn = spec.conn_for(table, "to")
 
@@ -141,8 +158,13 @@ def run_table(
             cond = cond & c
         frame = frame.join(ekeys, on=cond, how="left_anti")
     frame = materialize(frame)
-    n = frame.count()
+    # in-plan observation: the write job itself counts the rows — no
+    # second action over the frame
+    from php_etl_spark.observability import observed_count
+
+    frame, obs = observed_count(frame)
     append(frame, to_conn, table.destination)
+    n = obs.get["rows"]
     return TableResult(table.destination, n, dest_path)
 
 

@@ -60,7 +60,18 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if os.environ.get("SPARK_GRAFT_METRICS") and not getattr(
+        spark, "_php_etl_stream_metrics", False
+    ):
+        # O6 observability: stream progress (per-batch rows/sec) into
+        # the metrics JSONL alongside the runner's per-table records.
+        # getOrCreate reuses sessions — attach once, not per call.
+        from php_etl_spark.observability import attach_streaming_metrics
+
+        attach_streaming_metrics(spark)
+        spark._php_etl_stream_metrics = True
+    return spark
 
 
 def _ship_package(spark: SparkSession) -> None:

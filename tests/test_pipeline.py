@@ -344,3 +344,59 @@ def test_append_run_survives_partial_destination_dir(spark, tmp_path):
     )
     res = run_pipeline(spark, spec)
     assert res[0].rows_written == 2
+
+
+def test_metrics_jsonl_shape(spark, src_dir, tmp_path, monkeypatch):
+    """O6 observability: a pipeline run appends one table_done record
+    per table with rows/bytes/wall-time/rate, and the streaming
+    listener records per-batch progress."""
+    from php_etl_spark import observability as O
+
+    metrics = str(tmp_path / "metrics.jsonl")
+    monkeypatch.setenv(O.ENV_KEY, metrics)
+    dst = str(tmp_path / "dst")
+    run_pipeline(spark, _spec(src_dir, dst))
+    recs = O.read_metrics(metrics)
+    done = [r for r in recs if r["event"] == "table_done"]
+    assert len(done) == 1
+    rec = done[0]
+    assert rec["table"] == "persons"
+    assert rec["rows_written"] == 3
+    assert rec["mode"] == "append"
+    assert rec["bytes_written"] > 0
+    assert rec["wall_s"] >= 0
+    assert rec["rows_per_s"] > 0
+    assert "ts" in rec
+
+
+def test_metrics_streaming_listener(spark, tmp_path):
+    from php_etl_spark import observability as O
+    from php_etl_spark.streaming.events import events_stream, run_to_files
+
+    metrics = str(tmp_path / "stream_metrics.jsonl")
+    listener = O.attach_streaming_metrics(spark, metrics)
+    try:
+        out = run_to_files(
+            events_stream(spark, "/root/testdata/sf0.001").select(
+                "event_id", "user_id"
+            ),
+            "append",
+        )
+        n = out.count()
+        # listener events are delivered on the async listener bus —
+        # give them a bounded window to land before reading
+        import time
+
+        for _ in range(40):
+            if any(
+                r["event"] == "stream_progress" for r in O.read_metrics(metrics)
+            ):
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+    recs = O.read_metrics(metrics)
+    progress = [r for r in recs if r["event"] == "stream_progress"]
+    assert progress, "listener should record at least one batch"
+    assert sum(p["num_input_rows"] for p in progress) == n
+    assert {r["event"] for r in recs} >= {"stream_started", "stream_progress"}
