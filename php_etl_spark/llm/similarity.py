@@ -142,48 +142,90 @@ def brute_force_topk(
 
 def hyperplane_coefficients(
     spark, n_tables: int, n_planes: int, dim: int
-) -> DataFrame:
+) -> list[list[list[float]]]:
     """Deterministic pseudo-random hyperplanes for ``n_tables``
     independent hash tables of ``n_planes`` bits each, derived from
     xxhash64 — reproducible across runs/cluster sizes with no RNG
-    state. Coefficients ~uniform in [-1, 1]."""
+    state. Coefficients ~uniform in [-1, 1].
+
+    Returns nested Python lists ``[tbl][plane] -> dim floats`` — this
+    is *configuration*, a few KiB regardless of data size, so it lives
+    driver-side and is embedded into the plan as literals (the fold in
+    ``lsh_buckets`` then needs no coefficient join at all)."""
     per_table = n_planes * dim
-    return spark.range(n_tables * per_table).select(
-        (F.col("id") / per_table).cast("long").alias("tbl"),
-        ((F.col("id") % per_table) / dim).cast("long").alias("plane"),
-        (F.col("id") % dim).alias("pos"),
-        (
-            F.xxhash64(F.concat(F.lit("plane:"), F.col("id"))).cast("double")
-            / F.lit(float(2**63))
-        ).alias("coef"),
+    rows = (
+        spark.range(n_tables * per_table)
+        .select(
+            (
+                F.xxhash64(F.concat(F.lit("plane:"), F.col("id"))).cast("double")
+                / F.lit(float(2**63))
+            ).alias("coef")
+        )
+        .collect()
     )
+    flat = [r["coef"] for r in rows]
+    return [
+        [
+            flat[t * per_table + p * dim : t * per_table + (p + 1) * dim]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
 
 
 def lsh_buckets(
     emb: DataFrame,
-    planes: DataFrame,
+    coefs: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vector, table) → sign-pattern bucket id: explode the vector,
-    join plane coefficients on position, sum per (vector, table,
-    plane), pack signs. Relational shape — scales out on the join
-    key, planes broadcast."""
-    flat = emb.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(F.col(vec_col)).alias("pos", "e"),
+    """(vector, table) → sign-pattern bucket id, fully NARROW: the
+    coefficient tensor rides along as ONE broadcast row (a
+    BroadcastNestedLoopJoin against a 1-row frame — no shuffle), each
+    projection is a ``zip_with``+``aggregate`` fold of the vector
+    against a coefficient slice, signs pack per table via an indexed
+    ``transform``, and one explode emits a row per (vector, table).
+
+    The previous shape posexploded N×dim rows and shuffled them twice
+    — dim× the corpus through the exchange for what is a per-row
+    computation. Keeping the coefficients in a column (not as literal
+    expression nodes) also keeps the plan tree small: 8×4×64 floats as
+    literals made Catalyst spend seconds folding constants."""
+    spark = emb.sparkSession
+    one = spark.createDataFrame(
+        [(coefs,)], "cf: array<array<array<double>>>"
     )
-    proj = (
-        flat.join(F.broadcast(planes), "pos")
-        .groupBy("vid", "tbl", "plane")
-        .agg(F.sum(F.col("e").cast("double") * F.col("coef")).alias("proj"))
+    vec = F.col(vec_col)
+    # bucket per table t: Σ_p [proj_p > 0] << p, proj_p = vec · cf[t][p]
+    buckets = F.transform(
+        F.col("cf"),
+        lambda tbl_arr, t: F.struct(
+            t.cast("long").alias("tbl"),
+            F.aggregate(
+                F.transform(
+                    tbl_arr,
+                    lambda plane_arr, p: F.when(
+                        F.aggregate(
+                            F.zip_with(
+                                vec, plane_arr, lambda x, c: x.cast("double") * c
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        > 0,
+                        F.pow(F.lit(2.0), p).cast("long"),
+                    ).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("bucket"),
+        ),
     )
-    # pack sign bits: distinct powers of two sum to the bucket id
-    bit = F.when(
-        F.col("proj") > 0,
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))"),
-    ).otherwise(F.lit(0).cast("long"))
-    return proj.groupBy("vid", "tbl").agg(F.sum(bit).alias("bucket"))
+    return (
+        emb.join(F.broadcast(one))
+        .select(F.col(id_col).alias("vid"), F.explode(buckets).alias("tb"))
+        .select("vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    )
 
 
 def ann_topk_lsh(
@@ -194,19 +236,25 @@ def ann_topk_lsh(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH:
     candidates match the query's bucket in ANY of ``n_tables`` tables
     (OR-amplification — recall 1-(1-p^planes)^tables), then exact
     rescore of the candidate set only. Approximate by construction;
-    recall vs brute force is asserted in tests."""
+    recall vs brute force is asserted in tests.
+
+    Pass ``dim`` (the embedding dimensionality — schema knowledge the
+    caller has) to keep the plan fully lazy; omitting it probes one
+    row driver-side."""
     spark = emb.sparkSession
-    dim = len(emb.select(vec_col).first()[0])
-    planes = hyperplane_coefficients(spark, n_tables, n_planes, dim)
-    cb = lsh_buckets(emb, planes, id_col, vec_col).withColumnRenamed(
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    coefs = hyperplane_coefficients(spark, n_tables, n_planes, dim)
+    cb = lsh_buckets(emb, coefs, id_col, vec_col).withColumnRenamed(
         "vid", "neighbor_id"
     )
-    qb = lsh_buckets(queries, planes, id_col, vec_col).withColumnRenamed(
+    qb = lsh_buckets(queries, coefs, id_col, vec_col).withColumnRenamed(
         "vid", "query_id"
     )
     cand = (

@@ -1422,7 +1422,7 @@ def pipeline_etl(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# §2.10 streaming (availableNow runs —真 Structured Streaming where the
+# §2.10 streaming (availableNow runs — real Structured Streaming where the
 # sink mode stays deterministic; session windows run the same plan in
 # batch mode so the oracle can check them)
 # ---------------------------------------------------------------------------
@@ -1800,7 +1800,9 @@ def sim_ann_lsh(spark, sf_dir):
     bucket-matching candidates in any table, exact rescore).
     Approximate → rows-only; recall vs brute force asserted in tests."""
     emb = _cat(spark, sf_dir).embeddings
-    return S.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), n_planes=4, n_tables=8, k=5)
+    return S.ann_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), n_planes=4, n_tables=8, k=5, dim=64
+    )
 
 
 @query(
