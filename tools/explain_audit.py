@@ -136,7 +136,97 @@ AUDITS = {
         ("every dimension broadcast (≥3 broadcast joins)",
          lambda p: p.count("BroadcastHashJoin") >= 3),
         ("date + region filters pushed to scans", has_pushed_filter),
+        ("AQE re-planned to the final adaptive plan",
+         lambda p: "AdaptiveSparkPlan isFinalPlan=true" in p),
     ],
+    "dedup_minhash_lsh": [
+        ("no all-pairs blowup: banded bucket join, never cartesian",
+         lambda p: "CartesianProduct" not in p),
+        ("candidate join is a hash join on (band, bucket)",
+         lambda p: "HashJoin" in p or "SortMergeJoin" in p),
+    ],
+    "stream_stream_join": [
+        ("both stream sides watermarked (state is bounded)",
+         lambda p: p.count("EventTimeWatermark") >= 2),
+        ("interval condition present in the stream-stream join",
+         lambda p: "StreamingSymmetricHashJoin" in p),
+    ],
+    "lsh_buckets_narrow": [
+        ("bucketing is narrow: only the 1-row coefficient broadcast, "
+         "no data shuffle",
+         lambda p: "Exchange hashpartitioning" not in p),
+        ("coefficients ride a broadcast join",
+         lambda p: "BroadcastNestedLoopJoin" in p),
+    ],
+}
+
+
+def _lsh_buckets_plan(spark, sf_dir: str) -> str:
+    from php_etl_spark.catalog import Catalog
+    from php_etl_spark.llm import similarity as S
+
+    emb = Catalog(spark, sf_dir).embeddings
+    coefs = S.hyperplane_coefficients(spark, 8, 4, 64)
+    df = S.lsh_buckets(emb, coefs)
+    df.collect()
+    return plan_of(df)
+
+
+def _stream_plan_via_capture(spark, sf_dir: str) -> str:
+    """Run the streaming interval join under availableNow and capture
+    the executed micro-batch plan from the query's lastProgress/
+    explain output."""
+    import contextlib
+    import io
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from php_etl_spark.streaming.events import events_stream
+
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="audit_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(extended=True)
+    return buf.getvalue()
+
+
+PLAN_BUILDERS = {
+    "stream_stream_join": _stream_plan_via_capture,
+    "lsh_buckets_narrow": _lsh_buckets_plan,
 }
 
 
@@ -159,9 +249,12 @@ def main() -> int:
         if not checks:
             print(f"skip  {name}: no audit entries")
             continue
-        df = QUERIES[name](spark, args.sf)
-        df.collect()  # force AQE final plan
-        plan = plan_of(df)
+        if name in PLAN_BUILDERS:
+            plan = PLAN_BUILDERS[name](spark, args.sf)
+        else:
+            df = QUERIES[name](spark, args.sf)
+            df.collect()  # force AQE final plan
+            plan = plan_of(df)
         for desc, pred in checks:
             try:
                 ok = pred(plan)
