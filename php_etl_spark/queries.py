@@ -1936,6 +1936,37 @@ def sink_jdbc(spark, sf_dir):
 
 
 @query(
+    "bulk_extract_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    """,
+)
+def bulk_extract_roundtrip(spark, sf_dir):
+    """S6 bulk extract (/root/reference/sdk/shell/import.sh:33-56
+    re-expressed): seed an embedded database with the supplier table,
+    extract it back with the range-partitioned parallel JDBC reader
+    into parquet staging (the engine-native mysqldump: N concurrent
+    key-range slices instead of one dump pipe), and return the staged
+    rows — byte-equal to the source is the oracle."""
+    import tempfile
+
+    from php_etl_spark.sources import bulk as B
+    from php_etl_spark.sources import jdbc as J
+
+    conn = J.derby_conn("q_bulk_extract")
+    src = _cat(spark, sf_dir).supplier.select(
+        "s_suppkey", "s_nationkey", F.col("s_acctbal").cast("double").alias("s_acctbal")
+    )
+    J.jdbc_overwrite(src, conn, "supplier_src")
+    staging = tempfile.mkdtemp(prefix="bulk_staging_")
+    staged = B.bulk_extract(
+        spark, conn, {"supplier_src": "s_suppkey"}, staging, num_partitions=4
+    )
+    return spark.read.parquet(staged["supplier_src"])
+
+
+@query(
     "sink_jdbc_upsert",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
@@ -3537,6 +3568,7 @@ DRIVER_GREEN = [
 # LLM ops, UDF surface — the operators the round-1 verdict called out).
 _PRIORITY = [
     "scan_documents", "sink_append", "sink_jdbc", "sink_jdbc_upsert",
+    "bulk_extract_roundtrip",
     "sink_partitioned", "upsert_merge", "upsert_partitioned",
     "delete_reinsert", "pipeline_etl", "pipeline_quarantine",
     "pipeline_incremental", "fn_concat",

@@ -42,6 +42,10 @@ def append(df: DataFrame, conn: dict[str, Any], table: str) -> str:
         _jdbc.jdbc_append(df, conn, table)
         return table
     path = _sink_path(conn, table)
+    if conn.get("format") == "delta":
+        from php_etl_spark.sources import delta_sink
+
+        return delta_sink.append(df, path)
     df.write.mode("append").parquet(path)
     return path
 
@@ -53,6 +57,10 @@ def overwrite(df: DataFrame, conn: dict[str, Any], table: str) -> str:
         _jdbc.jdbc_overwrite(df, conn, table)
         return table
     path = _sink_path(conn, table)
+    if conn.get("format") == "delta":
+        from php_etl_spark.sources import delta_sink
+
+        return delta_sink.overwrite(df, path)
     df.write.mode("overwrite").parquet(path)
     return path
 
@@ -247,6 +255,12 @@ def upsert(
         _jdbc.jdbc_upsert(spark, updates, conn, table, keys)
         return table
     path = _sink_path(conn, table)
+    if conn.get("format") == "delta":
+        # transactional MERGE INTO: only files holding matched keys
+        # rewrite — the real fix for "1-row upsert rewrites the table"
+        from php_etl_spark.sources import delta_sink
+
+        return delta_sink.upsert(spark, updates, path, keys)
     if not os.path.exists(path):
         w = updates.write.mode("overwrite")
         if partition_by:
@@ -278,6 +292,10 @@ def delete_reinsert(
         _jdbc.jdbc_delete_reinsert(spark, replacement, conn, table, keys)
         return table
     path = _sink_path(conn, table)
+    if conn.get("format") == "delta":
+        from php_etl_spark.sources import delta_sink
+
+        return delta_sink.delete_reinsert(spark, replacement, path, keys)
     if not os.path.exists(path):
         w = replacement.write.mode("overwrite")
         if partition_by:

@@ -134,3 +134,62 @@ def test_retry_backoff_schedule():
             never, attempts=4, backoff_s=1.0, multiplier=2.0, sleep=waits.append
         )
     assert waits == [1.0, 2.0, 4.0]
+
+
+def test_bulk_extract_partitioned_roundtrip(spark, tmp_path):
+    """S6: partitioned JDBC extract → parquet staging → batched
+    import into a second database; contents survive both legs."""
+    from php_etl_spark.sources import bulk as B
+
+    src = _conn("bulk_src")
+    rows = [(i, f"name_{i}", float(i) * 1.5) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["id", "name", "amount"])
+    J.jdbc_append(df, src, "people")
+
+    staged = B.bulk_extract(
+        spark, src, {"people": "id"}, str(tmp_path / "staging"), num_partitions=4
+    )
+    staged_df = spark.read.parquet(staged["people"])
+    # range-partitioned read: multiple input partitions, same rows
+    assert staged_df.count() == 100
+    assert staged_df.rdd.getNumPartitions() > 1
+    assert {r["id"] for r in staged_df.collect()} == set(range(1, 101))
+
+    dst = _conn("bulk_dst")
+    loaded = B.bulk_import(spark, str(tmp_path / "staging"), dst, ["people"])
+    assert loaded == {"people": 100}
+    back = J.read_jdbc_table(spark, dst, "people")
+    assert back.count() == 100
+
+
+def test_bulk_extract_unpartitioned_small_dim(spark, tmp_path):
+    from php_etl_spark.sources import bulk as B
+
+    src = _conn("bulk_dim")
+    df = spark.createDataFrame([(1, "eu"), (2, "us")], ["k", "zone"])
+    J.jdbc_append(df, src, "zones")
+    staged = B.bulk_extract(spark, src, {"zones": None}, str(tmp_path / "st"))
+    assert spark.read.parquet(staged["zones"]).count() == 2
+
+
+def test_backup_and_restore_destination(spark, tmp_path):
+    """O8: pre-run snapshot of destination tables; restore brings the
+    pre-migration contents back after a bad write."""
+    from php_etl_spark.sources import bulk as B
+
+    dest = _conn("bulk_backup")
+    df = spark.createDataFrame([(1, "keep"), (2, "keep2")], ["id", "v"])
+    J.jdbc_append(df, dest, "t1")
+
+    bdir = B.backup_destination(
+        spark, dest, ["t1"], str(tmp_path / "backups"), stamp=1234
+    )
+    assert bdir.endswith("1234")
+    # destructive migration writes garbage
+    J.jdbc_overwrite(
+        spark.createDataFrame([(9, "bad")], ["id", "v"]), dest, "t1"
+    )
+    assert J.read_jdbc_table(spark, dest, "t1").count() == 1
+    B.restore_destination(spark, dest, bdir, ["t1"])
+    restored = {(r["id"], r["v"]) for r in J.read_jdbc_table(spark, dest, "t1").collect()}
+    assert restored == {(1, "keep"), (2, "keep2")}

@@ -134,3 +134,46 @@ def test_bucketed_join_is_shuffle_free(spark, catalog):
         assert j.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestDeltaSink:
+    """Transactional-format routing: real MERGE INTO when delta-spark
+    is on the classpath; a clear, actionable error (never silent
+    parquet fallback) when the connection asks for delta without it."""
+
+    def test_routing_errors_clearly_without_delta(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from php_etl_spark.sources import delta_sink, writers
+
+        if delta_sink.delta_available():
+            _pytest.skip("delta installed; covered by the merge test")
+        conn = {"type": "parquet", "format": "delta", "path": str(tmp_path)}
+        df = spark.range(3).withColumnRenamed("id", "k")
+        with _pytest.raises(RuntimeError, match="delta-spark"):
+            writers.upsert(spark, df, conn, "t", keys=["k"])
+        with _pytest.raises(RuntimeError, match="delta-spark"):
+            writers.append(df, conn, "t")
+
+    def test_delta_merge_upsert(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from php_etl_spark.sources import delta_sink, writers
+
+        if not delta_sink.delta_available():
+            _pytest.skip("delta-spark not installed in this container")
+        conn = {"type": "parquet", "format": "delta", "path": str(tmp_path)}
+        base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+        writers.overwrite(base, conn, "t")
+        writers.upsert(
+            spark,
+            spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]),
+            conn,
+            "t",
+            keys=["k"],
+        )
+        got = {
+            (r["k"], r["v"])
+            for r in delta_sink.read(spark, str(tmp_path / "t")).collect()
+        }
+        assert got == {(1, "a"), (2, "B"), (3, "c")}
