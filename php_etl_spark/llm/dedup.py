@@ -371,3 +371,48 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster"))
+
+
+def cross_corpus_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Contamination detection: n-gram overlap between a training
+    corpus and an evaluation set. Output: (train_doc, eval_doc,
+    n_shared) for pairs sharing >= min_overlap distinct shingles —
+    the drop list for decontaminating pretraining data against
+    benchmarks.
+
+    Shape: inverted shingle index JOIN between the two corpora (never
+    a self-join) — cost ∝ Σ_shingle df_train(s)·df_eval(s), and the
+    eval side is benchmarks (tiny), so the join is effectively
+    broadcast-size at any training-corpus scale. ``max_doc_freq``
+    drops boilerplate shingles from the TRAIN index only (same
+    bounding argument as ``jaccard_pairs``)."""
+    tr = (
+        _shingle_sets(train, text_col, id_col, n)
+        .select(F.col("doc").alias("train_doc"), F.explode("sh").alias("shingle"))
+    )
+    if max_doc_freq is not None:
+        rare = (
+            tr.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        tr = tr.join(rare, "shingle")
+    ev = (
+        _shingle_sets(eval_df, text_col, id_col, n)
+        .select(F.col("doc").alias("eval_doc"), F.explode("sh").alias("shingle"))
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )

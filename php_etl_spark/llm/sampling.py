@@ -1,0 +1,66 @@
+"""Corpus composition for training-data pipelines: deterministic
+stratified mixing and context-window budget packing.
+
+No counterpart in the reference (batch row migration); these are the
+operations a 100 TB pretraining corpus needs between dedup and
+tokenization. Both are pure JVM column expressions — deterministic
+across runs, partitionings and cluster sizes (hash-gated sampling,
+not RNG), so a mix is reproducible from its config alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Down-sample each stratum to its target rate, deterministically:
+    a document is kept iff ``(id * PRIME) mod 10000 < rate * 10000``.
+    Hash-gated (no RNG, no state): the same config always selects the
+    same documents, any subset of the corpus can be mixed
+    independently, and re-runs are idempotent — the property the
+    reference engineers by hand with key probes. One narrow filter, no
+    shuffle, no sampleBy() RNG-seed dependence on partition layout."""
+    gate = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(10_000))
+    rate = F.lit(default_rate)
+    for stratum, r in rates.items():
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.filter(gate < rate * 10_000)
+
+
+def pack_by_budget(
+    df: DataFrame,
+    budget: int,
+    cost_col: str = "n_chars",
+    order_col: str = "doc_id",
+    group_col: str | None = "source",
+) -> DataFrame:
+    """Assign documents to context-window bins: within each group (in
+    a stable declared order) a document's bin is
+    ``floor(running_cost_before_it / budget)`` — the streaming
+    first-fit packing a sequence-builder uses to fill training
+    contexts. One window aggregate per group; at scale the window
+    partitions by ``group_col`` so no global sort is needed. Documents
+    costing more than ``budget`` still land alone in their own bin
+    (their predecessor-sum jumps by more than one budget)."""
+    part = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(cost_col).over(w), F.lit(0))
+    out_cols: list[Column | str] = [
+        F.col(c) for c in df.columns
+    ]
+    return df.select(
+        *out_cols,
+        F.floor(cum_before / F.lit(budget)).cast("long").alias("bin"),
+    )

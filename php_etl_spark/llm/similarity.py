@@ -390,3 +390,28 @@ def ann_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5) (explicit half-up — identical in
+    every engine, unlike round()'s dialect-dependent ties). The
+    compression step before shipping embeddings to an ANN index: 4x
+    smaller, one narrow map, no shuffle. Zero vectors quantize to
+    zeros with scale 0."""
+    x = F.col(vec_col)
+    maxabs = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = maxabs / F.lit(127.0)
+    q = F.when(maxabs == 0, F.transform(x, lambda v: F.lit(0))).otherwise(
+        F.transform(
+            x,
+            lambda v: F.floor(v.cast("double") / scale + F.lit(0.5)).cast("int"),
+        )
+    )
+    return emb.select(
+        F.col(id_col),
+        q.alias("q_embedding"),
+        scale.alias("scale"),
+    )

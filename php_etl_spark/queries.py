@@ -3539,6 +3539,124 @@ def fn_case_chain(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-corpus composition: contamination, mixing, packing,
+# embedding quantization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "contamination_ngram",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS doc, source,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM (SELECT doc_id, source, {_TOKS_SQL} AS ws FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+    )
+    SELECT t.doc AS train_doc, e.doc AS eval_doc,
+           COUNT(*) AS n_shared
+    FROM (SELECT * FROM sh WHERE source <> 'src0') t
+    JOIN (SELECT * FROM sh WHERE source = 'src0') e ON t.s = e.s
+    GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    """,
+)
+def contamination_ngram(spark, sf_dir):
+    """Contamination detection: word-3-gram overlap between the
+    training split (source != src0) and the held-out split (src0) —
+    the decontamination drop-list a pretraining pipeline runs against
+    every benchmark. Inverted-index JOIN between corpora with the eval
+    side broadcast (benchmarks are tiny at any training scale)."""
+    docs = _cat(spark, sf_dir).documents
+    return D.cross_corpus_overlap(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+        min_overlap=5,
+    )
+
+
+@query(
+    "corpus_mix_stratified",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE (doc_id * 2654435761) % 10000 <
+          CASE lang WHEN 'en' THEN 7500 WHEN 'de' THEN 5000
+                    WHEN 'zh' THEN 2500 ELSE 1250 END
+    """,
+)
+def corpus_mix_stratified(spark, sf_dir):
+    """Corpus mixing: down-sample each language to its target weight
+    (en 75%, de 50%, zh 25%, rest 12.5%) with a deterministic hash
+    gate — reproducible from config alone, no RNG, no shuffle. Rates
+    are picked binary-exact so the threshold arithmetic is identical
+    in every engine."""
+    from php_etl_spark.llm.sampling import stratified_mix
+
+    docs = _cat(spark, sf_dir).documents.select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return stratified_mix(
+        docs,
+        rates={"en": 0.75, "de": 0.5, "zh": 0.25},
+        stratum_col="lang",
+        default_rate=0.125,
+    )
+
+
+@query(
+    "docs_pack_budget",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           CAST(floor(COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 4000) AS BIGINT) AS bin
+    FROM documents
+    """,
+)
+def docs_pack_budget(spark, sf_dir):
+    """Context-window packing: assign each document to a training-
+    context bin by running cost within its source, budget 4000 chars —
+    the sequence-builder step between dedup and tokenization. One
+    window aggregate partitioned by source; no global sort."""
+    from php_etl_spark.llm.sampling import pack_by_budget
+
+    docs = _cat(spark, sf_dir).documents.select("doc_id", "source", "n_chars")
+    return pack_by_budget(
+        docs, budget=4000, cost_col="n_chars", order_col="doc_id",
+        group_col="source",
+    )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           CASE WHEN maxabs = 0
+                THEN list_transform(emb, x -> 0)
+                ELSE list_transform(
+                    emb, x -> CAST(floor(x / (maxabs / 127.0) + 0.5) AS INT))
+           END AS q_embedding,
+           maxabs / 127.0 AS scale
+    FROM (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings
+    )
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (scale = max|x|/127,
+    explicit half-up rounding so ties break identically in every
+    engine) — 4x compression before shipping vectors to an ANN index.
+    Narrow map, no shuffle."""
+    from php_etl_spark.llm.similarity import quantize_int8
+
+    return quantize_int8(_cat(spark, sf_dir).embeddings)
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
 # The external correctness gate verifies a bounded window of queries in
@@ -3581,6 +3699,8 @@ _PRIORITY = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_cosine", "dedup_clusters",
     "dedup_corpus_end_to_end",
+    "contamination_ngram", "corpus_mix_stratified", "docs_pack_budget",
+    "emb_quantize_int8",
     "sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
     "multimodal_bytes", "multimodal_decode", "multimodal_frames",
     "udf_pandas_scalar", "udaf_grouped_pandas", "docs_chunk",

@@ -239,3 +239,93 @@ def test_dedup_corpus_end_to_end_is_dry(spark):
     assert (
         D.exact_duplicates(kept_docs).filter(F.col("n_copies") > 1).count() == 0
     )
+
+
+def test_cross_corpus_overlap_finds_planted_contamination(spark):
+    """A train doc sharing a long span with an eval doc must appear on
+    the drop list; disjoint docs must not."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "totally different words nothing shared here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta iota kappa")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.train_doc, r.eval_doc): r.n_shared
+        for r in D.cross_corpus_overlap(train, ev, n=3, min_overlap=3).collect()
+    }
+    assert (1, 100) in got and got[(1, 100)] >= 3
+    assert all(t != 2 for t, _ in got)
+
+
+def test_stratified_mix_deterministic_and_rate_shaped(spark):
+    from php_etl_spark.llm.sampling import stratified_mix
+
+    docs = Catalog(spark, SF).documents
+    rates = {"en": 0.75, "de": 0.25}
+    a = {r.doc_id for r in stratified_mix(docs, rates, default_rate=0.0).collect()}
+    b = {r.doc_id for r in stratified_mix(docs, rates, default_rate=0.0).collect()}
+    assert a == b, "hash gate must be deterministic across runs"
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept = (
+        stratified_mix(docs, rates, default_rate=0.0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    kept_by_lang = {r["lang"]: r["n"] for r in kept}
+    assert set(kept_by_lang) <= {"en", "de"}  # default 0 drops the rest
+    for lang, rate in rates.items():
+        if by_lang.get(lang, 0) >= 20:
+            frac = kept_by_lang.get(lang, 0) / by_lang[lang]
+            assert abs(frac - rate) < 0.25, (lang, frac, rate)
+
+
+def test_pack_by_budget_invariants(spark):
+    from php_etl_spark.llm.sampling import pack_by_budget
+
+    docs = Catalog(spark, SF).documents.select("doc_id", "source", "n_chars")
+    packed = pack_by_budget(docs, budget=4000).collect()
+    by_group: dict = {}
+    for r in sorted(packed, key=lambda r: (r["source"], r["doc_id"])):
+        by_group.setdefault(r["source"], []).append(r)
+    for rows in by_group.values():
+        bins = [r["bin"] for r in rows]
+        assert bins == sorted(bins), "bin ids are monotone in pack order"
+        assert bins[0] == 0
+        # each bin's cost stays under budget + one doc overhang
+        cost: dict = {}
+        for r in rows:
+            cost[r["bin"]] = cost.get(r["bin"], 0) + r["n_chars"]
+        for b, c in cost.items():
+            # a bin only exceeds the budget by at most its last doc
+            assert c < 4000 + max(r["n_chars"] for r in rows)
+
+
+def test_quantize_int8_roundtrip_error(spark):
+    from php_etl_spark.llm.similarity import quantize_int8
+
+    emb = Catalog(spark, SF).embeddings
+    q = quantize_int8(emb)
+    joined = emb.join(q, "vec_id").select(
+        F.zip_with(
+            "embedding",
+            "q_embedding",
+            lambda x, qv: F.abs(x.cast("double") - qv * F.col("scale")),
+        ).alias("err"),
+        "scale",
+    )
+    worst = joined.select(
+        F.max(F.array_max("err")).alias("m"),
+        F.max("scale").alias("s"),
+    ).collect()[0]
+    # quantization error is at most scale/2 per component
+    assert worst["m"] <= worst["s"] / 2 + 1e-12
