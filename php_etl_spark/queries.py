@@ -3539,6 +3539,226 @@ def fn_case_chain(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H breadth: the remaining distinctive query shapes expressible on
+# the driver's tables (Q4 exists-agg, Q7 volume, Q15 window-max over
+# aggregate, Q18 IN-over-having, Q22 anti-join vs scalar-subquery avg)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subquery_exists_agg_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def subquery_exists_agg_q4(spark, sf_dir):
+    """TPC-H Q4 shape: per-priority count of orders having at least
+    one late-shipping line — correlated EXISTS decorrelated to a
+    left-semi join before the aggregate (one pass over lineitem, no
+    per-row probe)."""
+    cat = _cat(spark, sf_dir)
+    o = cat.orders.filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = cat.lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@query(
+    "join_volume_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(o_orderdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_volume_q7(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations by year —
+    the fact joins two rebranded copies of the same broadcast dim
+    (supplier-side and customer-side nation), disjunctive nation-pair
+    filter, exact decimal volume."""
+    cat = _cat(spark, sf_dir)
+    n1 = cat.nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = cat.nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = dec("l_extendedprice", "decimal(14,2)") * (
+        F.lit(1) - dec("l_discount", "decimal(4,2)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("o_orderdate").alias("l_year"),
+        )
+        .agg(F.sum(vol).cast("double").alias("volume"))
+    )
+
+
+@query(
+    "window_top_supplier_q15",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-07-01' AND l_shipdate < DATE '1996-10-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def window_top_supplier_q15(spark, sf_dir):
+    """TPC-H Q15 shape: the top supplier(s) by quarterly revenue — the
+    scalar MAX subquery becomes an unpartitioned window max over the
+    aggregate (one extra exchange of the agg result, never of the
+    fact)."""
+    from pyspark.sql import Window
+
+    cat = _cat(spark, sf_dir)
+    vol = dec("l_extendedprice", "decimal(14,2)") * (
+        F.lit(1) - dec("l_discount", "decimal(4,2)")
+    )
+    rev = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= "1996-07-01")
+            & (F.col("l_shipdate") < "1996-10-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(vol).cast("double").alias("total_revenue"))
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("mx", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    return top.join(
+        cat.supplier, F.col("s_suppkey") == F.col("l_suppkey")
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@query(
+    "subquery_in_groupby_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 120)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def subquery_in_groupby_q18(spark, sf_dir):
+    """TPC-H Q18 shape: large-quantity orders — IN over a grouped
+    HAVING becomes a semi join against the aggregated key set (the
+    aggregate runs once; no correlated re-evaluation)."""
+    cat = _cat(spark, sf_dir)
+    big = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("q"))
+        .filter(F.col("q") > 120)
+        .select("l_orderkey")
+    )
+    return (
+        cat.customer.join(cat.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            big.withColumnRenamed("l_orderkey", "big_key"),
+            F.col("o_orderkey") == F.col("big_key"),
+            "left_semi",
+        )
+        .join(cat.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").cast("double").alias("total_qty"))
+    )
+
+
+@query(
+    "subquery_anti_avg_q22",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DOUBLE)) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def subquery_anti_avg_q22(spark, sf_dir):
+    """TPC-H Q22 shape: well-funded customers with no urgent orders —
+    a scalar-subquery average threshold (computed once, broadcast as a
+    1-row cross join) plus NOT EXISTS as a left-anti join (every
+    customer in this dataset has SOME order, so the anti leg filters
+    on the urgent subset to stay non-trivial)."""
+    cat = _cat(spark, sf_dir)
+    avg_bal = (
+        cat.customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(F.col("c_acctbal").cast("double")).alias("avg_bal"))
+    )
+    return (
+        cat.customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            cat.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                "o_custkey"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-corpus composition: contamination, mixing, packing,
 # embedding quantization
 # ---------------------------------------------------------------------------
@@ -3701,6 +3921,8 @@ _PRIORITY = [
     "dedup_corpus_end_to_end",
     "contamination_ngram", "corpus_mix_stratified", "docs_pack_budget",
     "emb_quantize_int8",
+    "subquery_exists_agg_q4", "join_volume_q7", "window_top_supplier_q15",
+    "subquery_in_groupby_q18", "subquery_anti_avg_q22",
     "sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
     "multimodal_bytes", "multimodal_decode", "multimodal_frames",
     "udf_pandas_scalar", "udaf_grouped_pandas", "docs_chunk",
