@@ -1967,6 +1967,33 @@ def bulk_extract_roundtrip(spark, sf_dir):
 
 
 @query(
+    "sink_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def sink_csv_roundtrip(spark, sf_dir):
+    """S5/S8 text-format sink (ReadWriter write parity,
+    /root/reference/sdk/src/IO/ReadWriter.php:78-88): write the nation
+    table through the csv sink connection, read it back through the
+    csv source connection — the full file-format round trip the
+    reference does with fopen/fgets, partition-parallel here."""
+    import tempfile
+
+    from php_etl_spark.sources.readers import read_source
+    from php_etl_spark.sources.writers import overwrite
+
+    conn = {"type": "csv", "path": tempfile.mkdtemp(prefix="sink_csv_")}
+    frame = _cat(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    overwrite(frame, conn, "nation_out")
+    return read_source(spark, conn, "nation_out").select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+    )
+
+
+@query(
     "sink_jdbc_upsert",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
@@ -3906,7 +3933,7 @@ DRIVER_GREEN = [
 # LLM ops, UDF surface — the operators the round-1 verdict called out).
 _PRIORITY = [
     "scan_documents", "sink_append", "sink_jdbc", "sink_jdbc_upsert",
-    "bulk_extract_roundtrip",
+    "bulk_extract_roundtrip", "sink_csv_roundtrip",
     "sink_partitioned", "upsert_merge", "upsert_partitioned",
     "delete_reinsert", "pipeline_etl", "pipeline_quarantine",
     "pipeline_incremental", "fn_concat",

@@ -31,11 +31,30 @@ def _sink_path(conn: dict[str, Any], table: str) -> str:
     return os.path.join(conn.get("path", "."), table)
 
 
+def _file_write(df: DataFrame, conn: dict[str, Any], path: str, mode: str) -> str:
+    """Dispatch a file-format write: parquet (default), csv/json/text
+    (ReadWriter write parity — the reference's line-oriented file sink,
+    /root/reference/sdk/src/IO/ReadWriter.php:78-88 — but partition-
+    parallel and atomic per task)."""
+    kind = conn.get("type", "parquet")
+    w = df.write.mode(mode).options(**conn.get("options", {}))
+    if kind == "csv":
+        w.options(header="true").csv(path)
+    elif kind == "json":
+        w.json(path)
+    elif kind == "text":
+        w.text(path)
+    else:
+        w.parquet(path)
+    return path
+
+
 def append(df: DataFrame, conn: dict[str, Any], table: str) -> str:
     """S8 batched append. One partition-parallel write — the multi-
     VALUES INSERT batching is Spark's native write granularity. A
     ``{"type": "jdbc"}`` connection routes to the batched JDBC insert
-    (db_insert_many parity, /root/reference/sdk/lib/db.php:250-274)."""
+    (db_insert_many parity, /root/reference/sdk/lib/db.php:250-274);
+    csv/json/text types write those formats (ReadWriter parity)."""
     if conn.get("type") == "jdbc":
         from php_etl_spark.sources import jdbc as _jdbc
 
@@ -46,8 +65,7 @@ def append(df: DataFrame, conn: dict[str, Any], table: str) -> str:
         from php_etl_spark.sources import delta_sink
 
         return delta_sink.append(df, path)
-    df.write.mode("append").parquet(path)
-    return path
+    return _file_write(df, conn, path, "append")
 
 
 def overwrite(df: DataFrame, conn: dict[str, Any], table: str) -> str:
@@ -61,8 +79,7 @@ def overwrite(df: DataFrame, conn: dict[str, Any], table: str) -> str:
         from php_etl_spark.sources import delta_sink
 
         return delta_sink.overwrite(df, path)
-    df.write.mode("overwrite").parquet(path)
-    return path
+    return _file_write(df, conn, path, "overwrite")
 
 
 def merge_frames(

@@ -400,3 +400,33 @@ def test_metrics_streaming_listener(spark, tmp_path):
     assert progress, "listener should record at least one batch"
     assert sum(p["num_input_rows"] for p in progress) == n
     assert {r["event"] for r in recs} >= {"stream_started", "stream_progress"}
+
+
+def test_pipeline_csv_destination(spark, src_dir, tmp_path):
+    """A pipeline spec whose `to` connection is csv runs end-to-end;
+    the csv source connection reads the result back."""
+    from php_etl_spark.plans.spec import PipelineSpec
+    from php_etl_spark.sources.readers import read_source
+
+    dst = str(tmp_path / "dst_csv")
+    spec = PipelineSpec.from_dict(
+        {
+            "connections": {
+                "from": {"type": "parquet", "path": src_dir},
+                "to": {"type": "csv", "path": dst},
+            },
+            "tables": [
+                {
+                    "flow": "people -> persons",
+                    "columns": {"person_id": "[id]", "full_name": "[name]"},
+                    "unique": ["full_name"],
+                    "order_by": ["id"],
+                }
+            ],
+        }
+    )
+    results = run_pipeline(spark, spec)
+    assert results[0].rows_written == 3
+    back = read_source(spark, {"type": "csv", "path": dst}, "persons")
+    assert back.count() == 3
+    assert {r["person_id"] for r in back.collect()} == {1, 3, 4}

@@ -151,6 +151,28 @@ AUDITS = {
         ("interval condition present in the stream-stream join",
          lambda p: "StreamingSymmetricHashJoin" in p),
     ],
+    "join_volume_q7": [
+        ("both nation dims broadcast",
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("no cartesian from the disjunctive pair filter",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "subquery_exists_agg_q4": [
+        ("EXISTS decorrelated to a semi join",
+         lambda p: "LeftSemi" in p),
+        ("aggregation after the semi join, partial+final",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "subquery_in_groupby_q18": [
+        ("IN-over-HAVING executed as a semi join",
+         lambda p: "LeftSemi" in p),
+    ],
+    "subquery_anti_avg_q22": [
+        ("NOT EXISTS executed as an anti join",
+         lambda p: "LeftAnti" in p),
+        ("scalar avg broadcast (single-row side), no fact shuffle for it",
+         lambda p: "Broadcast" in p),
+    ],
     "lsh_buckets_narrow": [
         ("bucketing is narrow: only the 1-row coefficient broadcast, "
          "no data shuffle",
