@@ -3786,6 +3786,52 @@ def subquery_anti_avg_q22(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sketch aggregations: mergeable partial aggregates (the only shape
+# that distinct-counts 100 TB without holding the key set)
+# ---------------------------------------------------------------------------
+
+
+@query("agg_hll_sketch")
+def agg_hll_sketch(spark, sf_dir):
+    """Per-type distinct users via a HyperLogLog sketch (Datasketches
+    HLL, lgConfigK=14 → ~0.5% typical error). The sketch is an
+    algebraic partial aggregate: map-side sketches merge on the
+    reduce side, so the exchange carries kilobytes per group instead
+    of the key set. Rows-only (estimate is algorithm-defined — no
+    cross-engine oracle); accuracy + merge-invariance asserted in
+    tests/test_operators.py."""
+    ev = _cat(spark, sf_dir).events
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(14))
+            ).alias("approx_users")
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("agg_hll_partial_union")
+def agg_hll_partial_union(spark, sf_dir):
+    """Sketch MERGEABILITY, the property that matters at scale: build
+    per-(type, day) partial sketches, union them up to per-type with
+    ``hll_union_agg`` — a re-aggregation that never revisits the raw
+    rows (incremental rollup / cross-partition combine). Rows-only;
+    the test asserts the unioned estimate equals the direct sketch
+    bit-for-bit."""
+    ev = _cat(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-corpus composition: contamination, mixing, packing,
 # embedding quantization
 # ---------------------------------------------------------------------------

@@ -95,3 +95,33 @@ def test_asof_join(spark):
     )
     got = {(r.sym, r.t): r.px_asof for r in out.collect()}
     assert got == {("a", 2): 10.0, ("a", 5): 11.0, ("a", 0): None, ("b", 9): 20.0}
+
+
+def test_hll_sketch_accuracy_and_merge_invariance(spark):
+    """HLL sketches: estimate within 5% of exact, and the per-day
+    partial-sketch union equals the direct whole-scope sketch exactly
+    (merge invariance — what makes the sketch a safe partial
+    aggregate)."""
+    from php_etl_spark.catalog import Catalog
+    from php_etl_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["event_type"]: r["n"]
+        for r in Catalog(spark, sf)
+        .events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    direct = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_hll_sketch"](spark, sf).collect()
+    }
+    unioned = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_hll_partial_union"](spark, sf).collect()
+    }
+    assert set(direct) == set(exact)
+    for et, n in exact.items():
+        assert abs(direct[et] - n) / n < 0.05, (et, direct[et], n)
+    assert unioned == direct, "sketch union must be merge-invariant"
