@@ -3785,6 +3785,104 @@ def subquery_anti_avg_q22(spark, sf_dir):
     )
 
 
+@query(
+    "sql_passthrough",
+    oracle="""
+    SELECT n_name,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def sql_passthrough(spark, sf_dir):
+    """Raw-SQL surface: every catalog table registered as a temp view,
+    the query text handed to ``spark.sql`` verbatim — the interface a
+    reference user's SQL fragments upgrade to wholesale (same Catalyst
+    plan as the DataFrame form; pushdown/broadcast identical)."""
+    _cat(spark, sf_dir).register_views()
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(DISTINCT c_custkey) AS n_customers,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= DATE '1996-01-01'
+        GROUP BY n_name
+        """
+    )
+
+
+@query(
+    "rollup_incremental",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_incremental(spark, sf_dir):
+    """Incrementally-maintained rollup (continuous aggregate): the
+    event stream runs under availableNow, each micro-batch's windowed
+    partials are UPSERTED into a persistent rollup table keyed on
+    (window_start, event_type) — the hypertable/materialized-view
+    pattern. New files landing later fold into the same rollup without
+    recomputing history; the checkpoint makes re-runs no-ops. Result
+    equals the batch aggregate (the oracle)."""
+    import os
+    import tempfile
+
+    from php_etl_spark.sources.writers import upsert
+    from php_etl_spark.streaming.events import events_stream
+
+    base = tempfile.mkdtemp(prefix="rollup_")
+    conn = {"type": "parquet", "path": base}
+    sdf = events_stream(spark, sf_dir)
+    w = F.window("ts", "1 hour")
+    partials = (
+        sdf.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+    def _merge_batch(batch_df, _bid):
+        upsert(
+            spark,
+            batch_df,
+            conn,
+            "rollup",
+            keys=["window_start", "event_type"],
+        )
+
+    # update mode: each batch emits only windows that CHANGED, and the
+    # upsert folds exactly those into the rollup — history is never
+    # recomputed or rewritten wholesale
+    q = (
+        partials.writeStream.foreachBatch(_merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(base, "rollup"))
+
+
 # ---------------------------------------------------------------------------
 # Sketch aggregations: mergeable partial aggregates (the only shape
 # that distinct-counts 100 TB without holding the key set)
@@ -3993,7 +4091,8 @@ _PRIORITY = [
     "dedup_simhash", "dedup_embedding_cosine", "dedup_clusters",
     "dedup_corpus_end_to_end",
     "contamination_ngram", "corpus_mix_stratified", "docs_pack_budget",
-    "emb_quantize_int8",
+    "emb_quantize_int8", "sql_passthrough", "rollup_incremental",
+    "agg_hll_sketch", "agg_hll_partial_union",
     "subquery_exists_agg_q4", "join_volume_q7", "window_top_supplier_q15",
     "subquery_in_groupby_q18", "subquery_anti_avg_q22",
     "sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",

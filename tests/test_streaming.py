@@ -94,3 +94,87 @@ def test_checkpointed_sink_exactly_once(spark, tmp_path):
     src2 = events_stream(spark, SF).select("event_id", "user_id", "value")
     stream_to_parquet(src2, out, ckpt)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_incremental_rollup_folds_new_files_without_recompute(spark, tmp_path):
+    """The continuous-aggregate pattern: run the rollup, land new
+    source files, run again — the second run processes ONLY the new
+    files (checkpoint) and upserts only affected windows; the final
+    rollup equals the batch aggregate over everything."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from php_etl_spark.sources.writers import upsert
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows1 = [(1, "2024-01-01 10:05:00", 2.0), (2, "2024-01-01 10:40:00", 3.0)]
+    rows2 = [(3, "2024-01-01 10:50:00", 5.0), (4, "2024-01-01 12:10:00", 7.0)]
+    schema = "event_id long, ts string, value double"
+
+    def land(rows, name):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.parquet(os.path.join(src, name))
+
+    land(rows1, "batch1")
+    base = str(tmp_path / "rollup")
+    conn = {"type": "parquet", "path": base}
+
+    def run_rollup():
+        probe = spark.read.parquet(src + "/*")
+        sdf = spark.readStream.schema(probe.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        partials = (
+            sdf.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .select(F.col("w.start").alias("ws"), "n", "s")
+        )
+        merged_windows = []
+
+        def mb(bdf, _bid):
+            rows = bdf.collect()
+            merged_windows.append([r["ws"] for r in rows])
+            if rows:
+                upsert(
+                    spark,
+                    spark.createDataFrame(rows, bdf.schema),
+                    conn,
+                    "agg",
+                    keys=["ws"],
+                )
+
+        q = (
+            partials.writeStream.foreachBatch(mb)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return merged_windows
+
+    run_rollup()
+    first = {
+        (r["ws"].isoformat(), r["n"], r["s"])
+        for r in spark.read.parquet(os.path.join(base, "agg")).collect()
+    }
+    assert {(w, n) for w, n, _ in first} == {
+        ("2024-01-01T10:00:00", 2)
+    }
+
+    land(rows2, "batch2")
+    merged = run_rollup()
+    # second run: only the two affected windows flow through the merge
+    flat = [w for batch in merged for w in batch]
+    assert len(flat) <= 2
+    final = {
+        (r["ws"].isoformat(), r["n"], r["s"])
+        for r in spark.read.parquet(os.path.join(base, "agg")).collect()
+    }
+    assert final == {
+        ("2024-01-01T10:00:00", 3, 10.0),
+        ("2024-01-01T12:00:00", 1, 7.0),
+    }
