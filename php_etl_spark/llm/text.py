@@ -168,3 +168,48 @@ def chunk_documents(
             .alias("chunk"),
         )
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style repetition diagnostics per document — the signals a
+    quality filter thresholds to drop boilerplate/spam:
+
+    - ``n_lines`` / ``n_unique_lines``: duplicate-line fraction (pages
+      full of repeated nav/footer lines score high)
+    - ``top_word_ratio``: frequency of the most common token over all
+      tokens (keyword-stuffed spam scores high)
+
+    All JVM array ops (split + aggregate folds), narrow, no shuffle.
+    """
+    toks = tokens(text_col)
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    # mode frequency via sort + linear scan fold: sort the token array,
+    # count the longest run. aggregate state: (prev, run, best)
+    sorted_toks = F.array_sort(toks)
+    top_run = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_toks = F.size(toks)
+    return df.select(
+        F.col("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_unique_lines"),
+        F.when(n_toks > 0, top_run / n_toks).otherwise(F.lit(0.0)).alias("top_word_ratio"),
+    )

@@ -3244,6 +3244,39 @@ def text_token_count_bpe(spark, sf_dir):
     )
 
 
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    ), counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM t, UNNEST(toks) AS u(tok) GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, MAX(c) AS top_c FROM counts GROUP BY 1
+    )
+    SELECT t.doc_id,
+           len(list_filter(list_transform(string_split(text, chr(10)),
+                                          s -> trim(s)), s -> s <> ''))
+             AS n_lines,
+           len(list_distinct(list_filter(
+               list_transform(string_split(text, chr(10)), s -> trim(s)),
+               s -> s <> ''))) AS n_unique_lines,
+           CASE WHEN len(toks) > 0
+                THEN CAST(top.top_c AS DOUBLE) / len(toks) ELSE 0.0 END
+             AS top_word_ratio
+    FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """C4-style repetition quality signals: duplicate-line counts and
+    most-common-token frequency per document — the thresholds that
+    drop boilerplate and keyword spam. Narrow array folds, no
+    shuffle (the mode frequency is a sort+longest-run fold, not a
+    groupBy)."""
+    return T.repetition_stats(_cat(spark, sf_dir).documents)
+
+
 @query("dedup_corpus_end_to_end")
 def dedup_corpus_end_to_end(spark, sf_dir):
     """The flagship LLM-dedup pipeline, end to end: exact dedup
@@ -3786,6 +3819,58 @@ def subquery_anti_avg_q22(spark, sf_dir):
 
 
 @query(
+    "join_hinted_shuffle_hash",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 200000
+    """,
+)
+def join_hinted_shuffle_hash(spark, sf_dir):
+    """Join-strategy hint surface: force a shuffled hash join (build
+    the smaller side per partition, skip the sort) — the right call
+    when both sides are large but one fits per-partition memory, and
+    Catalyst's statistics would otherwise pick sort-merge. Results are
+    strategy-independent; the plan choice is asserted in
+    tools/explain_audit.py."""
+    cat = _cat(spark, sf_dir)
+    return (
+        cat.orders.filter(F.col("o_totalprice") > 200000)
+        .join(cat.customer.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_name")
+    )
+
+
+@query(
+    "sink_range_clustered",
+    oracle="""
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+    """,
+)
+def sink_range_clustered(spark, sf_dir):
+    """Range-clustered layout: events written via repartitionByRange +
+    sortWithinPartitions on ts, so each output file covers a tight
+    time slice and parquet row-group min/max stats prune time-range
+    scans to a handful of files — the clustering discipline (z-order-
+    lite) that makes time-travel queries on a 100 TB event store read
+    megabytes instead of everything."""
+    import tempfile
+
+    ev = _cat(spark, sf_dir).events.select("event_id", "user_id", "ts", "value")
+    out = tempfile.mkdtemp(prefix="range_clustered_") + "/events"
+    (
+        ev.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).filter(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-12")
+    )
+
+
+@query(
     "sql_passthrough",
     oracle="""
     SELECT n_name,
@@ -4092,7 +4177,8 @@ _PRIORITY = [
     "dedup_corpus_end_to_end",
     "contamination_ngram", "corpus_mix_stratified", "docs_pack_budget",
     "emb_quantize_int8", "sql_passthrough", "rollup_incremental",
-    "agg_hll_sketch", "agg_hll_partial_union",
+    "agg_hll_sketch", "agg_hll_partial_union", "text_repetition_stats",
+    "join_hinted_shuffle_hash", "sink_range_clustered",
     "subquery_exists_agg_q4", "join_volume_q7", "window_top_supplier_q15",
     "subquery_in_groupby_q18", "subquery_anti_avg_q22",
     "sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",

@@ -329,3 +329,18 @@ def test_quantize_int8_roundtrip_error(spark):
     ).collect()[0]
     # quantization error is at most scale/2 per component
     assert worst["m"] <= worst["s"] / 2 + 1e-12
+
+
+def test_repetition_stats_known_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar\nContent here\nnav bar\nnav bar"),
+            (2, "spam spam spam spam unique"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in T.repetition_stats(docs).collect()}
+    assert got[1].n_lines == 4 and got[1].n_unique_lines == 2
+    assert abs(got[2].top_word_ratio - 4 / 5) < 1e-12
+    assert got[3].n_lines == 0 and got[3].top_word_ratio == 0.0

@@ -173,6 +173,14 @@ AUDITS = {
         ("scalar avg broadcast (single-row side), no fact shuffle for it",
          lambda p: "Broadcast" in p),
     ],
+    "join_hinted_shuffle_hash": [
+        ("hint honored: shuffled hash join, not sort-merge",
+         lambda p: "ShuffledHashJoin" in p and "SortMergeJoin" not in p),
+    ],
+    "sink_range_clustered": [
+        ("time filter pushed to the clustered scan (row-group pruning)",
+         lambda p: has_pushed_filter(p)),
+    ],
     "lsh_buckets_narrow": [
         ("bucketing is narrow: only the 1-row coefficient broadcast, "
          "no data shuffle",
