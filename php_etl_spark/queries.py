@@ -4142,7 +4142,40 @@ def emb_quantize_int8(spark, sf_dir):
 # already have a driver-green row to the BACK and order the never-checked
 # keys so the most §2-critical ones land inside the window.
 
-# Keys with a green row in CORRECTNESS_r01.json (round 1 driver run).
+def _driver_green_from_files() -> list[str]:
+    """Union of keys already verified by ANY prior driver round: scan
+    the repo root for CORRECTNESS_r*.json and collect keys whose row
+    matched (or ran rows-only without error). Makes the rotation
+    self-maintaining — each round's newly-verified keys move behind
+    the window automatically next round. Falls back to the static
+    round-1 list when no files are present (e.g. package installed
+    standalone)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    green: list[str] = []
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except Exception:  # noqa: BLE001 — unreadable file, ignore
+            continue
+        for key, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if ok and key not in green:
+                green.append(key)
+    return green
+
+
+# Keys with a green row in CORRECTNESS_r01.json (round 1 driver run) —
+# the static fallback seed; _driver_green_from_files() supersedes it
+# whenever driver files are present.
 DRIVER_GREEN = [
     "scan_lineitem", "project_columns", "project_rename", "project_literal",
     "project_now", "gen_uuid", "reshape_person", "filter_where", "filter_eq",
@@ -4190,10 +4223,13 @@ _PRIORITY = [
 
 
 def _reorder_for_driver() -> None:
-    green = set(DRIVER_GREEN)
-    prioritized = [k for k in _PRIORITY if k in QUERIES]
+    file_green = _driver_green_from_files()
+    green_list = file_green or DRIVER_GREEN
+    green = set(green_list)
+    # prioritize only keys the driver has NOT yet verified
+    prioritized = [k for k in _PRIORITY if k in QUERIES and k not in green]
     rest = [k for k in QUERIES if k not in green and k not in set(prioritized)]
-    order = prioritized + rest + [k for k in DRIVER_GREEN if k in QUERIES]
+    order = prioritized + rest + [k for k in green_list if k in QUERIES]
     reordered = {k: QUERIES[k] for k in order}
     QUERIES.clear()
     QUERIES.update(reordered)
