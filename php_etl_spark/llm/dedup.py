@@ -180,12 +180,23 @@ def minhash_signatures(
 
 
 def lsh_candidates(
-    signatures: DataFrame, n_hashes: int = 32, bands: int = 8
+    signatures: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature (rows per (doc, band) = docs × bands) and
     self-join per band bucket: two docs are candidates iff they agree
     on EVERY row of at least one band — the classic S-curve knob
-    (bands=8, rows=4 → ~(j^4) per-band match prob)."""
+    (bands=8, rows=4 → ~(j^4) per-band match prob).
+
+    ``max_bucket_size`` caps the per-(band, bucket) membership joined:
+    a bucket of k docs emits k²/2 pairs, so one boilerplate-heavy hot
+    bucket (empty pages, template text) can dominate the whole join at
+    crawl scale. Docs in an oversized bucket almost always share their
+    OTHER bands' buckets too (they are near-identical by construction)
+    or are caught by exact dedup first, so capping costs little recall
+    while bounding pairs by bands × Σ min(bucket, cap)²."""
     rows_per_band = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -196,6 +207,20 @@ def lsh_candidates(
     banded = signatures.select(
         "doc", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        # rank within bucket (deterministic by doc id) and keep the
+        # first `cap` members — same one shuffle as the join key, so
+        # the cap costs no extra exchange
+        from pyspark.sql import Window as _W
+
+        rn = F.row_number().over(
+            _W.partitionBy("band", "bucket").orderBy(F.col("doc"))
+        )
+        banded = (
+            banded.withColumn("__rn", rn)
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

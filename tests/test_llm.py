@@ -344,3 +344,28 @@ def test_repetition_stats_known_docs(spark):
     assert got[1].n_lines == 4 and got[1].n_unique_lines == 2
     assert abs(got[2].top_word_ratio - 4 / 5) < 1e-12
     assert got[3].n_lines == 0 and got[3].top_word_ratio == 0.0
+
+
+def test_lsh_bucket_cap_bounds_hot_buckets(spark):
+    """A corpus of identical docs puts everything in one bucket per
+    band; the cap bounds candidate pairs at ~cap²/2 per band while an
+    uncapped join is quadratic. Near-dup recall on the normal corpus
+    is unaffected (buckets there are small)."""
+    same = spark.createDataFrame(
+        [(i, "exactly the same text repeated again and again here") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    sigs = D.minhash_signatures(same, n=3, n_hashes=32)
+    uncapped = D.lsh_candidates(sigs, 32, 8).count()
+    capped = D.lsh_candidates(sigs, 32, 8, max_bucket_size=10).count()
+    assert uncapped == 200 * 199 // 2
+    assert capped == 10 * 9 // 2  # same 10 survivors in every band
+    # normal corpus: cap far above real bucket sizes changes nothing
+    docs = _docs(spark)
+    sigs2 = D.minhash_signatures(docs, n=3, n_hashes=32)
+    a = {(r.doc_a, r.doc_b) for r in D.lsh_candidates(sigs2, 32, 8).collect()}
+    b = {
+        (r.doc_a, r.doc_b)
+        for r in D.lsh_candidates(sigs2, 32, 8, max_bucket_size=50).collect()
+    }
+    assert a == b
