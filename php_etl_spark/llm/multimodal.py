@@ -140,3 +140,90 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(frames, FRAME_SCHEMA)
+
+
+def audio_windows(
+    df: DataFrame,
+    sample_rate: int = 100,
+    bytes_per_sample: int = 1,
+    window_samples: int = 64,
+    hop_samples: int = 32,
+) -> DataFrame:
+    """Audio windowing as PURE shape math — no UDF at all: from the
+    payload byte count and the (sample_rate, bytes_per_sample)
+    metadata, compute each analysis window's sample/byte offsets and
+    explode one row per window. The expensive part of audio
+    featurization (the FFT/mel transform) consumes these (start_byte,
+    end_byte) slices inside an Arrow-batched decode; the window
+    *plan* itself stays columnar and shuffle-free, which is what you
+    want when a 100 TB audio corpus fans out to billions of windows."""
+    n_samples = F.floor(F.col("n_bytes") / bytes_per_sample).cast("long")
+    n_windows = F.greatest(
+        F.floor((n_samples - window_samples) / hop_samples).cast("long") + 1,
+        F.lit(0).cast("long"),
+    )
+    idx = F.when(
+        n_windows > 0, F.sequence(F.lit(0).cast("long"), n_windows - 1)
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    start_sample = F.col("window_idx") * hop_samples
+    return (
+        df.select("doc_id", "n_bytes", F.explode(idx).alias("window_idx"))
+        .select(
+            "doc_id",
+            "window_idx",
+            start_sample.alias("start_sample"),
+            (start_sample * bytes_per_sample).alias("start_byte"),
+            ((start_sample + window_samples) * bytes_per_sample).alias("end_byte"),
+            (F.lit(float(window_samples) / sample_rate)).alias("window_sec"),
+        )
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("height", LongType()),
+        StructField("width", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("pixels_sha", StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, height: int = 16, width: int = 16, channels: int = 3,
+    fake: bool = True,
+) -> DataFrame:
+    """Image-resize plumbing: every payload becomes a fixed
+    (height, width, channels) pixel buffer — tile/truncate as the
+    deterministic STUB where PIL's resample would run (Arrow-batched;
+    the batch loop, output shape contract, and hash-stable output are
+    the real, tested parts)."""
+    import hashlib
+
+    target = height * width * channels
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resampling requires PIL; "
+                    "run with fake=True in this environment"
+                )
+            out = {
+                "doc_id": [], "height": [], "width": [], "channels": [],
+                "n_pixels": [], "pixels_sha": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload) or b"\0"
+                buf = (raw * (target // len(raw) + 1))[:target]
+                out["doc_id"].append(doc_id)
+                out["height"].append(height)
+                out["width"].append(width)
+                out["channels"].append(channels)
+                out["n_pixels"].append(height * width)
+                out["pixels_sha"].append(hashlib.sha256(buf).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(resize, RESIZED_SCHEMA)

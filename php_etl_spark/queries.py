@@ -2967,6 +2967,42 @@ def multimodal_frames(spark, sf_dir):
 
 
 @query(
+    "multimodal_audio_windows",
+    oracle="""
+    SELECT doc_id, i AS window_idx,
+           i*32 AS start_sample, i*32 AS start_byte,
+           i*32 + 64 AS end_byte, CAST(0.64 AS DOUBLE) AS window_sec
+    FROM (SELECT doc_id,
+                 unnest(range(0, greatest(
+                     CAST(floor((octet_length(CAST(text AS BLOB)) - 64) / 32)
+                          AS BIGINT) + 1, 0))) AS i
+          FROM documents)
+    """,
+)
+def multimodal_audio_windows(spark, sf_dir):
+    """Audio analysis-window planning as pure shape math (NO UDF):
+    window/hop offsets in samples and bytes computed columnar from
+    payload length + sample-rate metadata, one explode per window.
+    The FFT/mel decode consumes these slices Arrow-batched; the plan
+    itself never leaves the JVM."""
+    payloads = M.with_binary_payload(_cat(spark, sf_dir).documents)
+    return M.audio_windows(
+        payloads, sample_rate=100, bytes_per_sample=1,
+        window_samples=64, hop_samples=32,
+    )
+
+
+@query("multimodal_resize")
+def multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing: every payload mapped to a fixed
+    16x16x3 pixel buffer through Arrow-batched mapInPandas (resample
+    stubbed deterministically; shape contract + hash-stable output are
+    the tested surface). Rows-only — content hash is stub-defined."""
+    docs = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 100)
+    return M.resize_images(M.with_binary_payload(docs), 16, 16, 3)
+
+
+@query(
     "window_sessionize",
     oracle="""
     WITH g AS (

@@ -369,3 +369,35 @@ def test_lsh_bucket_cap_bounds_hot_buckets(spark):
         for r in D.lsh_candidates(sigs2, 32, 8, max_bucket_size=50).collect()
     }
     assert a == b
+
+
+def test_audio_windows_shape_math(spark):
+    payloads = M.with_binary_payload(
+        spark.createDataFrame([(1, "x" * 128), (2, "y" * 10)], ["doc_id", "text"])
+    )
+    rows = sorted(
+        (r.doc_id, r.window_idx, r.start_byte, r.end_byte)
+        for r in M.audio_windows(
+            payloads, sample_rate=100, bytes_per_sample=1,
+            window_samples=64, hop_samples=32,
+        ).collect()
+    )
+    # 128 bytes → windows at samples 0, 32, 64 (64-sample windows)
+    assert rows == [(1, 0, 0, 64), (1, 1, 32, 96), (1, 2, 64, 128)]
+
+
+def test_resize_images_contract(spark):
+    payloads = M.with_binary_payload(_docs(spark).limit(10))
+    out = M.resize_images(payloads, 8, 8, 3).collect()
+    assert len(out) == 10
+    assert all(r.height == 8 and r.width == 8 and r.channels == 3 for r in out)
+    again = {r.doc_id: r.pixels_sha for r in M.resize_images(payloads, 8, 8, 3).collect()}
+    assert {r.doc_id: r.pixels_sha for r in out} == again  # deterministic
+
+
+def test_resize_real_decoder_is_stubbed(spark):
+    import pytest
+
+    payloads = M.with_binary_payload(_docs(spark).limit(2))
+    with pytest.raises(Exception, match="NotImplementedError|PIL|PythonException"):
+        M.resize_images(payloads, 8, 8, 3, fake=False).collect()
