@@ -3855,6 +3855,91 @@ def subquery_anti_avg_q22(spark, sf_dir):
 
 
 @query(
+    "join_market_share_q8",
+    oracle="""
+    WITH sales AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(14,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+             p_brand
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN p_brand = 'Brand#1' THEN volume
+                              ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM sales GROUP BY o_year
+    """,
+)
+def join_market_share_q8(spark, sf_dir):
+    """TPC-H Q8 shape: one brand's share of a region's (EUROPE) yearly order
+    volume — a 6-table star with the region filter pruning through
+    nation to customer, conditional aggregation for the share ratio
+    (exact decimal sums; the division happens once per group in
+    double on both engines)."""
+    cat = _cat(spark, sf_dir)
+    vol = dec("l_extendedprice", "decimal(14,2)") * (
+        F.lit(1) - dec("l_discount", "decimal(4,2)")
+    )
+    sales = (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "p_brand",
+        )
+    )
+    brand_vol = F.when(F.col("p_brand") == "Brand#1", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(14,2)")
+    )
+    return sales.groupBy("o_year").agg(
+        (
+            F.sum(brand_vol).cast("double") / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "fn_string_pad",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS padded_l,
+           rpad(p_brand, 12, '.') AS padded_r,
+           reverse(p_name) AS rev_name,
+           repeat(p_brand, 2) AS doubled,
+           left(p_name, 5) AS head5,
+           right(p_name, 5) AS tail5
+    FROM part
+    """,
+)
+def fn_string_pad(spark, sf_dir):
+    """String shaping breadth: pad/reverse/repeat/substr-ends — the
+    fixed-width formatting and key-building helpers every export
+    pipeline ends up needing."""
+    p = _cat(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("padded_l"),
+        F.rpad("p_brand", 12, ".").alias("padded_r"),
+        F.reverse("p_name").alias("rev_name"),
+        F.repeat("p_brand", 2).alias("doubled"),
+        F.substring("p_name", 1, 5).alias("head5"),
+        F.substring(F.col("p_name"), -5, 5).alias("tail5"),
+    )
+
+
+@query(
     "join_hinted_shuffle_hash",
     oracle="""
     SELECT o_orderkey, o_custkey, c_name

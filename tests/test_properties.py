@@ -97,3 +97,55 @@ def test_dedup_key_trim_rule(spark, vals):
             assert g == v  # numeric: raw
         except ValueError:
             assert g == v.strip()  # string: trimmed
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000),
+                  st.sampled_from(["en", "de", "zh", "fr"])),
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([0.0, 0.125, 0.25, 0.5, 0.75, 1.0]),
+)
+def test_stratified_mix_properties(spark, rows, rate):
+    """For any corpus and binary-exact rate: the kept set is a subset,
+    rate 0 keeps nothing, rate 1 keeps the whole stratum, and the gate
+    is deterministic (same input → same keep set)."""
+    from php_etl_spark.llm.sampling import stratified_mix
+
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = stratified_mix(df, {"en": rate}, default_rate=0.0)
+    ids = {r.doc_id for r in kept.collect()}
+    en_ids = {d for d, l in rows if l == "en"}
+    assert ids <= en_ids
+    if rate == 0.0:
+        assert ids == set()
+    if rate == 1.0:
+        assert ids == en_ids
+    assert ids == {r.doc_id for r in stratified_mix(df, {"en": rate}, default_rate=0.0).collect()}
+
+
+@PROP
+@given(
+    st.lists(st.integers(min_value=1, max_value=5_000), min_size=1, max_size=25),
+    st.sampled_from([100, 1000, 4000]),
+)
+def test_pack_by_budget_properties(spark, costs, budget):
+    """For any cost sequence: bins are monotone non-decreasing in pack
+    order, bin of doc i equals floor(prefix_sum_before_i / budget),
+    and every document is assigned exactly once."""
+    from php_etl_spark.llm.sampling import pack_by_budget
+
+    rows = [(i, c) for i, c in enumerate(costs)]
+    df = spark.createDataFrame(rows, ["doc_id", "cost"])
+    out = sorted(
+        ((r.doc_id, r.bin) for r in pack_by_budget(
+            df, budget=budget, cost_col="cost", order_col="doc_id", group_col=None
+        ).collect())
+    )
+    assert len(out) == len(costs)
+    prefix = 0
+    for (doc_id, b), c in zip(out, costs):
+        assert b == prefix // budget, (doc_id, b, prefix, budget)
+        prefix += c
