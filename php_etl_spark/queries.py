@@ -2909,6 +2909,63 @@ def udf_pandas_scalar(spark, sf_dir):
 
 
 @query(
+    "udtf_python",
+    oracle="""
+    SELECT p_partkey, tok AS word, length(tok) AS word_len
+    FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok
+          FROM part WHERE p_partkey <= 200)
+    WHERE tok <> ''
+    """,
+)
+def udtf_python(spark, sf_dir):
+    """Python UDTF (one row in, N rows out — the table-function shape;
+    SURVEY.md §2.11): split part names into words with per-word
+    stats. Deliberately SQL-expressible so the UDTF machinery itself
+    is oracle-checked; real uses are parsers/tokenizers that SQL
+    can't express."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, word_len: int")
+    class SplitWords:
+        def eval(self, name: str):
+            for w in (name or "").split(" "):
+                if w:
+                    yield w, len(w)
+
+    p = _cat(spark, sf_dir).part.filter(F.col("p_partkey") <= 200)
+    p.createOrReplaceTempView("__udtf_part")
+    spark.udtf.register("split_words", SplitWords)
+    return spark.sql(
+        """
+        SELECT p.p_partkey, s.word, s.word_len
+        FROM __udtf_part p, LATERAL split_words(p.p_name) s
+        """
+    )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT s_suppkey, concat(s_name, ':', CAST(s_nationkey AS VARCHAR)) AS tag
+    FROM supplier
+    """,
+)
+def udf_arrow_scalar(spark, sf_dir):
+    """Arrow-optimized row UDF (``useArrow=True``): row-at-a-time
+    Python semantics with Arrow-batch transfer — the migration path
+    for legacy per-row UDFs that can't be vectorized but shouldn't pay
+    pickle serialization. Oracle-checked like the pandas variant."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="string", useArrow=True)
+    def tag(name, nk):
+        return f"{name}:{nk}"
+
+    s = _cat(spark, sf_dir).supplier
+    return s.select("s_suppkey", tag("s_name", "s_nationkey").alias("tag"))
+
+
+@query(
     "udaf_grouped_pandas",
     oracle="""
     SELECT o_orderstatus,
