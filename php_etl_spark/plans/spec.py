@@ -87,9 +87,17 @@ class PipelineSpec:
 
     def conn_for(self, table: TableSpec, side: str) -> dict[str, Any]:
         """Per-table connection override falling back to the global
-        one (/root/reference/sdk/etl.php:129,136)."""
+        one (/root/reference/sdk/etl.php:129,136). Reference-style
+        database configs (driver/host/port/dbname, S12) normalize to
+        the engine's JDBC connection dict."""
         if table.connections and side in table.connections:
-            return table.connections[side]
-        if side not in self.connections:
+            conn = table.connections[side]
+        elif side in self.connections:
+            conn = self.connections[side]
+        else:
             raise ValueError(f"no '{side}' connection configured")
-        return self.connections[side]
+        if "type" not in conn and ("host" in conn or conn.get("driver")):
+            from php_etl_spark.sources.jdbc import connection_from_config
+
+            return connection_from_config(conn)
+        return conn

@@ -241,3 +241,59 @@ def derby_conn(name: str, home: str = "/tmp/php_etl_spark_derby") -> dict[str, A
         "options": {"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
         "batchsize": 500,
     }
+
+
+# PDO-driver → JDBC scheme + default port (create_dsn parity,
+# /root/reference/sdk/lib/db.php:106-112: "$driver:host=$host;
+# port=$port;dbname=$db;charset=$charset")
+_JDBC_SCHEMES = {
+    "mysql": ("mysql", 3306),
+    "mariadb": ("mariadb", 3306),
+    "pgsql": ("postgresql", 5432),
+    "postgresql": ("postgresql", 5432),
+    "sqlsrv": ("sqlserver", 1433),
+    "derby": ("derby", None),
+}
+
+
+def create_dsn(
+    host: str,
+    db: str,
+    driver: str = "mysql",
+    port: int | None = None,
+    charset: str | None = None,
+) -> str:
+    """S12: the reference's PDO DSN builder re-expressed as a JDBC
+    URL. ``create_dsn('h', 'd', 'mysql', 3306)`` →
+    ``jdbc:mysql://h:3306/d`` (+ charset as a query param where the
+    driver takes one)."""
+    scheme, default_port = _JDBC_SCHEMES.get(driver, (driver, None))
+    p = port or default_port
+    netloc = f"{host}:{p}" if p else host
+    url = f"jdbc:{scheme}://{netloc}/{db}"
+    if charset:
+        url += f"?characterEncoding={charset}"
+    return url
+
+
+def connection_from_config(cfg: dict[str, Any]) -> dict[str, Any]:
+    """S12: reference-style connection config (driver/host/port/dbname/
+    user/password, sdk/src/SQLConnectionFactory.php:43-53) → this
+    engine's JDBC connection dict. A pre-built ``url`` passes through
+    (the reference likewise accepts a ready DSN,
+    db.php:129 ``$dsn_or_host``)."""
+    url = cfg.get("url") or create_dsn(
+        cfg["host"],
+        cfg.get("dbname", cfg.get("db", "")),
+        cfg.get("driver", "mysql"),
+        cfg.get("port"),
+        cfg.get("charset"),
+    )
+    options = dict(cfg.get("options", {}))
+    for k in ("user", "password"):
+        if cfg.get(k) is not None:
+            options[k] = cfg[k]
+    out = {"type": "jdbc", "url": url, "options": options}
+    if "batchsize" in cfg:
+        out["batchsize"] = cfg["batchsize"]
+    return out

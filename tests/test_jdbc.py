@@ -193,3 +193,54 @@ def test_backup_and_restore_destination(spark, tmp_path):
     B.restore_destination(spark, dest, bdir, ["t1"])
     restored = {(r["id"], r["v"]) for r in J.read_jdbc_table(spark, dest, "t1").collect()}
     assert restored == {(1, "keep"), (2, "keep2")}
+
+
+def test_create_dsn_and_config_mapping():
+    """S12 parity with create_dsn/SQLConnectionFactory
+    (/root/reference/sdk/lib/db.php:106-134)."""
+    assert J.create_dsn("h", "d") == "jdbc:mysql://h:3306/d"
+    assert (
+        J.create_dsn("box", "app", "pgsql", 5433, "UTF8")
+        == "jdbc:postgresql://box:5433/app?characterEncoding=UTF8"
+    )
+    conn = J.connection_from_config(
+        {"driver": "mysql", "host": "db1", "dbname": "etl",
+         "user": "u", "password": "p", "batchsize": 250}
+    )
+    assert conn["url"] == "jdbc:mysql://db1:3306/etl"
+    assert conn["options"] == {"user": "u", "password": "p"}
+    assert conn["batchsize"] == 250
+    # ready-made DSN passes through untouched
+    ready = J.connection_from_config({"url": "jdbc:derby:memory:x", "user": "a"})
+    assert ready["url"] == "jdbc:derby:memory:x"
+    assert ready["options"]["user"] == "a"
+
+
+def test_pipeline_spec_reference_style_db_config(spark, tmp_path):
+    """A spec whose 'to' connection uses the reference's db fields
+    (driver/host/dbname) normalizes to a JDBC connection; with a
+    ready-made Derby url it runs end-to-end."""
+    spec = PipelineSpec.from_dict(
+        {
+            "connections": {
+                "from": {"type": "parquet", "path": "/root/testdata/sf0.001"},
+                "to": {
+                    "url": "jdbc:derby:memory:spec_cfg;create=true",
+                    "driver": "derby",
+                    "options": {"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+                },
+            },
+            "tables": [
+                {
+                    "flow": "region -> region_out",
+                    "columns": ["rk <- [r_regionkey]", "rn <- [r_name]"],
+                    "unique": ["rk"],
+                }
+            ],
+        }
+    )
+    conn = spec.conn_for(spec.tables[0], "to")
+    assert conn["type"] == "jdbc" and conn["url"].startswith("jdbc:derby")
+    results = run_pipeline(spark, spec)
+    assert results[0].rows_written == 5
+    assert J.read_jdbc_table(spark, conn, "region_out").count() == 5
