@@ -3968,6 +3968,81 @@ def join_market_share_q8(spark, sf_dir):
 
 
 @query(
+    "agg_corr_exact",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                     * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE))
+                / (sqrt(COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                        - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                          * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE))
+                   * sqrt(COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                          * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                        - CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                          * CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)))
+                AS DOUBLE) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_exact(spark, sf_dir):
+    """Pearson correlation from EXACT decimal moments: accumulate
+    (n, Σx, Σy, Σx², Σy², Σxy) as decimals — associative, partition-
+    order-independent, engine-identical — then one double formula per
+    group. Built-in ``corr()`` sums doubles in partition order and is
+    NOT reproducible across engines or shuffles; moment sketches in
+    exact arithmetic are (the same trick that makes every money
+    aggregate here hash-stable)."""
+    li = _cat(spark, sf_dir).lineitem
+    x = dec("l_quantity", "decimal(12,2)")
+    y = dec("l_extendedprice", "decimal(14,2)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    corr = (n * d("sxy") - d("sx") * d("sy")) / (
+        F.sqrt(n * d("sxx") - d("sx") * d("sx"))
+        * F.sqrt(n * d("syy") - d("sy") * d("sy"))
+    )
+    return g.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@query(
+    "fn_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+           ifnull(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_defaulted,
+           CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+                THEN 'present' ELSE 'absent' END AS presence
+    FROM customer
+    """,
+)
+def fn_null_handling(spark, sf_dir):
+    """NULL-dispatch functions: nullif / ifnull / nvl2 — the
+    sentinel-to-NULL and NULL-to-default conversions every cleansing
+    mapping needs (the reference does these with `?? null` chains,
+    /root/reference/sdk/migrate_assures.php:108)."""
+    c = _cat(spark, sf_dir).customer
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg.alias("seg_or_null"),
+        F.ifnull(seg, F.lit("DEFAULT")).alias("seg_defaulted"),
+        F.nvl2(seg, F.lit("present"), F.lit("absent")).alias("presence"),
+    )
+
+
+@query(
     "fn_string_pad",
     oracle="""
     SELECT p_partkey,
