@@ -4386,6 +4386,314 @@ def emb_quantize_int8(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H breadth, second batch: Q3/Q6/Q9/Q11/Q16/Q17/Q21 shapes adapted
+# to the driver's schema (no partsupp / l_commitdate columns)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_priority_q3",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1997-01-01'
+      AND l_shipdate  > DATE '1997-01-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def join_priority_q3(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 highest-revenue orders not yet shipped
+    for one market segment. Customer filter prunes before the join;
+    the ORDER BY ... LIMIT compiles to TakeOrderedAndProject (per-
+    partition top-10 heaps, only 10 rows per partition reach the
+    driver-side merge — no global sort). Orderkey tiebreak makes the
+    cut deterministic across engines."""
+    cat = _cat(spark, sf_dir)
+    rev = dec("l_extendedprice", "decimal(14,2)") * (
+        F.lit(1) - dec("l_discount", "decimal(4,2)")
+    )
+    return (
+        cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(
+            cat.orders.filter(F.col("o_orderdate") < "1997-01-01"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            cat.lineitem.filter(F.col("l_shipdate") > "1997-01-01"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "agg_forecast_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def agg_forecast_q6(spark, sf_dir):
+    """TPC-H Q6 shape: revenue-increase forecast — a pure scan-filter-
+    sum with every predicate pushed to the parquet reader (year range,
+    discount band, quantity cap) and a single exact-decimal global
+    aggregate. The discount band compares in DECIMAL(4,2) on both
+    engines so the 0.05/0.07 boundary can't straddle a double ulp."""
+    li = _cat(spark, sf_dir).lineitem
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & dec("l_discount", "decimal(4,2)").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                dec("l_extendedprice", "decimal(14,2)")
+                * dec("l_discount", "decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "join_profit_q9",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def join_profit_q9(spark, sf_dir):
+    """TPC-H Q9 shape (no partsupp table, so profit = discounted price
+    rather than price minus supplycost): per-nation per-year profit on
+    parts whose name contains a token. The part-name filter prunes the
+    part dim before it joins the fact; nation broadcasts; one shuffle
+    for the final (nation, year) aggregate."""
+    cat = _cat(spark, sf_dir)
+    profit = dec("l_extendedprice", "decimal(14,2)") * (
+        F.lit(1) - dec("l_discount", "decimal(4,2)")
+    )
+    red_parts = cat.part.filter(F.col("p_name").contains("red")).select("p_partkey")
+    return (
+        cat.lineitem.join(red_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "agg_share_threshold_q11",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS val
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(CAST(val AS VARCHAR) AS DOUBLE) AS value
+    FROM v
+    WHERE CAST(CAST(val AS VARCHAR) AS DOUBLE) >
+          (SELECT CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) / COUNT(*) * 1.2
+           FROM v)
+    """,
+)
+def agg_share_threshold_q11(spark, sf_dir):
+    """TPC-H Q11 shape (value share over a global threshold): per-part
+    value kept only when it exceeds 1.2x the MEAN part value (the
+    original's fixed fraction of total goes empty as the part count
+    grows — a mean-relative cut stays non-trivial at every SF).
+    The scalar total re-aggregates the per-part aggregate (kilobytes,
+    never the fact) and broadcasts as a 1-row cross join — the fact
+    table is scanned and shuffled exactly once. Oracle routes the
+    total through VARCHAR→DOUBLE because DuckDB's direct decimal→
+    double cast is one ulp off past 2^53 (see functions/exact.py)."""
+    li = _cat(spark, sf_dir).lineitem
+    v = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice", "decimal(14,2)")).alias("val")
+    )
+    total = v.agg(
+        (F.sum("val").cast("double") / F.count("*") * F.lit(1.2)).alias("threshold")
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("val").cast("double").alias("value"))
+    )
+
+
+@query(
+    "agg_supplier_cnt_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (5, 11, 17, 23)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def agg_supplier_cnt_q16(spark, sf_dir):
+    """TPC-H Q16 shape: how many suppliers can serve each surviving
+    (brand, type, size) bucket — part-side negative filters, a NOT IN
+    supplier exclusion list (left-anti against the filtered dim; safe
+    because s_suppkey is never NULL), then COUNT(DISTINCT). The
+    distinct runs as a two-phase partial-dedup aggregate, not a
+    driver-side set."""
+    cat = _cat(spark, sf_dir)
+    parts = cat.part.filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 11, 17, 23)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = cat.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        cat.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "subquery_avg_gate_q17",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR)
+                AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity <
+          (SELECT 0.2 * (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2)))
+                                   AS VARCHAR) AS DOUBLE) / COUNT(*))
+           FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def subquery_avg_gate_q17(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — a
+    correlated per-part average threshold, decorrelated to one
+    groupBy over the fact joined back on partkey (Spark never probes
+    per row). The average is exact-decimal sum / count evaluated in
+    double IDENTICALLY on both engines, so the 0.2*avg gate admits
+    the same rows everywhere."""
+    cat = _cat(spark, sf_dir)
+    li = cat.lineitem
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.sum(dec("l_quantity", "decimal(12,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    brand = cat.part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    return (
+        li.join(brand, F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(dec("l_extendedprice", "decimal(14,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "subquery_waiting_q21",
+    oracle="""
+    SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def subquery_waiting_q21(spark, sf_dir):
+    """TPC-H Q21 shape (l_commitdate absent, so 'late' = returnflag
+    'R'): suppliers who were the SOLE returned-flag supplier on multi-
+    supplier orders — the classic EXISTS + NOT EXISTS pair over the
+    same fact, compiled to a left-semi then left-anti join on
+    (orderkey, suppkey<>) equi+residual conditions. Both probes join
+    on l_orderkey (equi), with the supplier inequality as a residual
+    filter — no cartesian. Deterministic top-20 via (numwait, name)
+    ordering."""
+    cat = _cat(spark, sf_dir)
+    li = cat.lineitem.select("l_orderkey", "l_suppkey", "l_returnflag")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    other = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    other_r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key"))
+    )
+    sole_late = (
+        l1.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2_key"))
+            & (F.col("l_suppkey") != F.col("s2_key")),
+            "left_semi",
+        )
+        .join(
+            other_r,
+            (F.col("l_orderkey") == F.col("o3_key"))
+            & (F.col("l_suppkey") != F.col("s3_key")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
 # The external correctness gate verifies a bounded window of queries in
