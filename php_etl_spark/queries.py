@@ -4536,20 +4536,23 @@ def agg_share_threshold_q11(spark, sf_dir):
     value kept only when it exceeds 1.2x the MEAN part value (the
     original's fixed fraction of total goes empty as the part count
     grows — a mean-relative cut stays non-trivial at every SF).
-    The scalar total re-aggregates the per-part aggregate (kilobytes,
-    never the fact) and broadcasts as a 1-row cross join — the fact
-    table is scanned and shuffled exactly once. Oracle routes the
-    total through VARCHAR→DOUBLE because DuckDB's direct decimal→
-    double cast is one ulp off past 2^53 (see functions/exact.py)."""
+    The global mean is an UNPARTITIONED window over the per-part
+    aggregate (kilobytes — one single-partition exchange of the agg
+    result, never of the fact; same shape as window_top_supplier_q15),
+    so the fact table is scanned and shuffled exactly once. Oracle
+    routes the total through VARCHAR→DOUBLE because DuckDB's direct
+    decimal→double cast is one ulp off past 2^53 (see
+    functions/exact.py)."""
     li = _cat(spark, sf_dir).lineitem
     v = li.groupBy("l_partkey").agg(
         F.sum(dec("l_extendedprice", "decimal(14,2)")).alias("val")
     )
-    total = v.agg(
-        (F.sum("val").cast("double") / F.count("*") * F.lit(1.2)).alias("threshold")
+    w = Window.partitionBy()
+    threshold = (
+        F.sum("val").over(w).cast("double") / F.count("*").over(w) * F.lit(1.2)
     )
     return (
-        v.crossJoin(F.broadcast(total))
+        v.withColumn("threshold", threshold)
         .filter(F.col("val").cast("double") > F.col("threshold"))
         .select("l_partkey", F.col("val").cast("double").alias("value"))
     )

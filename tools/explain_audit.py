@@ -181,6 +181,41 @@ AUDITS = {
         ("time filter pushed to the clustered scan (row-group pruning)",
          lambda p: has_pushed_filter(p)),
     ],
+    "join_priority_q3": [
+        ("segment + date filters pushed to scans", has_pushed_filter),
+        ("top-10 executed as TakeOrderedAndProject (no global sort)",
+         lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "agg_forecast_q6": [
+        ("date/quantity predicates pushed to the parquet scan",
+         has_pushed_filter),
+        ("scan reads only the 4 referenced lineitem columns",
+         lambda p: all(n <= 4 for n in read_schema_cols(p))),
+    ],
+    "join_profit_q9": [
+        ("nation dim broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("part-name filter pushed to the part scan", has_pushed_filter),
+    ],
+    "agg_share_threshold_q11": [
+        ("global mean computed as a window over the agg result",
+         lambda p: "Window" in p and "Exchange SinglePartition" in p),
+        ("fact shuffled exactly once (threshold rides a single-partition "
+         "exchange of the agg result)",
+         lambda p: p.split("== Initial Plan ==")[0]
+         .count("Exchange hashpartitioning") == 1),
+    ],
+    "agg_supplier_cnt_q16": [
+        ("supplier exclusion is a broadcast anti join",
+         lambda p: "BroadcastHashJoin" in p and "LeftAnti" in p),
+        ("two-phase distinct aggregate (no driver-side set)",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "subquery_waiting_q21": [
+        ("EXISTS leg is a semi join on the order key",
+         lambda p: "LeftSemi" in p),
+        ("NOT EXISTS leg is an anti join, never cartesian",
+         lambda p: "LeftAnti" in p and "CartesianProduct" not in p),
+    ],
     "lsh_buckets_narrow": [
         ("bucketing is narrow: only the 1-row coefficient broadcast, "
          "no data shuffle",
