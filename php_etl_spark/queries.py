@@ -4696,6 +4696,113 @@ def subquery_waiting_q21(spark, sf_dir):
     )
 
 
+@query(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN (SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT') o
+      ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_pruned(spark, sf_dir):
+    """Runtime bloom-filter join pruning — the 100 TB shape for a
+    selective fact/fact join too big to broadcast: Spark builds a
+    bloom filter from the filtered build side (``bloom_filter_agg``)
+    and injects a ``might_contain`` pre-filter on the probe side, so
+    most probe rows die at the SCAN instead of riding the shuffle.
+    Conf is scoped to a ``newSession()`` clone (shared SparkContext,
+    independent SQLConf) so the thresholds that make the rule fire at
+    test scale never leak into sibling queries. Audited in
+    tools/explain_audit.py (might_contain present, SMJ not broadcast)."""
+    s2 = spark.newSession()
+    # rule only fires when the probe scan exceeds this size — at test
+    # SF the scan is KBs, so drop the floor to demonstrate the plan
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    # force the shuffle join: bloom pruning is pointless (and skipped)
+    # under a broadcast join, which already filters at the probe scan
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    cat = Catalog(s2, sf_dir)
+    urgent = cat.orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    return (
+        cat.lineitem.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("l_extendedprice", "decimal(14,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang
+    FROM documents WHERE source = 'src0'
+    UNION ALL
+    SELECT doc_id, text, lang FROM documents WHERE source <> 'src0'
+    """,
+)
+def scan_schema_evolution(spark, sf_dir):
+    """Schema drift across ingest batches — the normal state of a
+    long-lived ETL destination (the reference handles it by ALTERing
+    the MySQL table between runs; migrate_assures.php regenerates DDL
+    per run). Batch 1 lands without the ``lang`` column, batch 2 adds
+    it; a ``mergeSchema`` read unions the footers so old files surface
+    NULL for the new column. Schema merge is footer-only (no data
+    rewrite) — at 100 TB the evolved read costs the same as a plain
+    scan."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    docs = _cat(spark, sf_dir).documents
+    docs.filter(F.col("source") == "src0").select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(root + "/batch1")
+    docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text", "lang"
+    ).write.mode("overwrite").parquet(root + "/batch2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(root + "/batch1", root + "/batch2")
+        .select("doc_id", "text", "lang")
+    )
+
+
+@query("agg_approx_percentile_sketch")
+def agg_approx_percentile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch: per-type p50/p95/p99 of event values
+    via ``approx_percentile`` — like the HLL pair above, the sketch is
+    an algebraic partial aggregate (map-side sketches merge on the
+    reduce side), the only quantile shape that survives 100 TB without
+    a global sort. Rows-only (estimate is algorithm-defined); merge
+    invariance — repartitioned input yields the identical sketch
+    result — is asserted in tests/test_operators.py."""
+    ev = _cat(spark, sf_dir).events
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000)
+            .alias("p50_p95_p99")
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------

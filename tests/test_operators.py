@@ -125,3 +125,62 @@ def test_hll_sketch_accuracy_and_merge_invariance(spark):
     for et, n in exact.items():
         assert abs(direct[et] - n) / n < 0.05, (et, direct[et], n)
     assert unioned == direct, "sketch union must be merge-invariant"
+
+
+def test_approx_percentile_sketch_error_bound(spark):
+    """Quantile sketch guarantee is on RANK, not value: the rank of
+    each approximate percentile within its group must sit within 1%
+    of the target rank (accuracy=10000 → 1e-4 worst-case; 1% leaves
+    headroom for interpolation differences)."""
+    from collections import defaultdict
+
+    from php_etl_spark.catalog import Catalog
+    from php_etl_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r["p50_p95_p99"]
+        for r in QUERIES["agg_approx_percentile_sketch"](spark, sf).collect()
+    }
+    by_type = defaultdict(list)
+    for r in Catalog(spark, sf).events.select("event_type", "value").collect():
+        by_type[r["event_type"]].append(r["value"])
+    assert set(got) == set(by_type)
+    for et, approx in got.items():
+        vals = sorted(by_type[et])
+        n = len(vals)
+        for a, q in zip(approx, (0.5, 0.95, 0.99)):
+            rank = sum(1 for v in vals if v <= a) / n
+            assert abs(rank - q) <= 0.01 + 1.0 / n, (et, q, a, rank)
+
+
+def test_bloom_pruned_join_matches_plain_join(spark):
+    """The bloom-filter runtime optimization must not change results:
+    compare against the same join/agg run without the injected filter."""
+    from php_etl_spark.catalog import Catalog
+    from php_etl_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["l_returnflag"]: (r["n"], round(r["revenue"], 2))
+        for r in QUERIES["join_bloom_pruned"](spark, sf).collect()
+    }
+    cat = Catalog(spark, sf)
+    urgent = cat.orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    plain = {
+        r["l_returnflag"]: (r["n"], round(r["revenue"], 2))
+        for r in cat.lineitem.join(
+            urgent, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == plain

@@ -216,6 +216,14 @@ AUDITS = {
         ("NOT EXISTS leg is an anti join, never cartesian",
          lambda p: "LeftAnti" in p and "CartesianProduct" not in p),
     ],
+    "join_bloom_pruned": [
+        ("runtime bloom filter injected on the probe side",
+         lambda p: "might_contain" in p),
+        ("bloom built from the filtered build side (bloom_filter_agg)",
+         lambda p: "bloom_filter_agg" in p),
+        ("shuffle join (bloom matters: probe side not broadcast-filtered)",
+         lambda p: "SortMergeJoin" in p or "ShuffledHashJoin" in p),
+    ],
     "lsh_buckets_narrow": [
         ("bucketing is narrow: only the 1-row coefficient broadcast, "
          "no data shuffle",
