@@ -197,16 +197,7 @@ def lsh_candidates(
     OTHER bands' buckets too (they are near-identical by construction)
     or are caught by exact dedup first, so capping costs little recall
     while bounding pairs by bands × Σ min(bucket, cap)²."""
-    rows_per_band = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
-        )
-    banded = signatures.select(
-        "doc", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _band_table(signatures, n_hashes, bands)
     if max_bucket_size is not None:
         # rank within bucket (deterministic by doc id) and keep the
         # first `cap` members — same one shuffle as the join key, so
@@ -253,11 +244,22 @@ def minhash_lsh_pairs(
     # localCheckpoint locally, persist/reliable checkpoint on a
     # cluster (spark.php_etl.materialize).
     sets_df = materialize(_shingle_sets(df, text_col, id_col, n))
+    sigs = _signatures_from_sets(sets_df, n_hashes)
+    cands = lsh_candidates(sigs, n_hashes, bands)
+    return _exact_jaccard_on_candidates(cands, sets_df, threshold)
+
+
+def _signatures_from_sets(sets_df: DataFrame, n_hashes: int) -> DataFrame:
+    """MinHash signatures from a (doc, sh) shingle-set table: one
+    string hash per shingle, then n_hashes cheap long ops, min-folded
+    by explode + groupBy (map-side combine collapses the shuffle to
+    ~1 row/doc/partition — measured faster than per-row HOF folds,
+    which are interpreted, not codegen'd)."""
     sh = sets_df.select("doc", F.explode("sh").alias("shingle")).withColumn(
         "base", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P))
     )
     salts = _salts(n_hashes)
-    sigs = sh.groupBy("doc").agg(
+    return sh.groupBy("doc").agg(
         *[
             F.min(
                 F.pmod(F.col("base") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
@@ -265,8 +267,76 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(salts)
         ]
     )
-    cands = lsh_candidates(sigs, n_hashes, bands)
-    return _exact_jaccard_on_candidates(cands, sets_df, threshold)
+
+
+def _band_table(signatures: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, bucket) LSH band table: bucket = hash of the band's
+    signature rows. docs × bands rows — the join key for candidate
+    generation."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh_{i}")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+        )
+    return signatures.select(
+        "doc", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def incremental_near_dup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Continuous-ingestion dedup: which NEW documents are near-dups
+    of something ALREADY in the corpus — (new_doc, dup_of, jaccard)
+    for exact Jaccard >= threshold among LSH band-bucket candidates.
+
+    The join is batch-bands × corpus-bands on (band, bucket) — never a
+    corpus self-join, so per-increment cost scales with the BATCH (the
+    corpus side is touched only where buckets collide). At production
+    scale the corpus band table is the artifact you persist between
+    runs (bucketed/partitioned by (band, bucket), appended per
+    increment) so each new batch joins against it without recomputing
+    corpus signatures; here both sides derive from the input frames so
+    the operator is self-contained."""
+    corpus_sets = materialize(_shingle_sets(corpus, text_col, id_col, n))
+    batch_sets = materialize(_shingle_sets(batch, text_col, id_col, n))
+    corpus_bands = _band_table(
+        _signatures_from_sets(corpus_sets, n_hashes), n_hashes, bands
+    ).select(
+        F.col("doc").alias("dup_of"), "band", "bucket"
+    )
+    batch_bands = _band_table(
+        _signatures_from_sets(batch_sets, n_hashes), n_hashes, bands
+    ).select(F.col("doc").alias("new_doc"), "band", "bucket")
+    cands = (
+        batch_bands.join(corpus_bands, ["band", "bucket"])
+        .filter(F.col("new_doc") != F.col("dup_of"))
+        .select("new_doc", "dup_of")
+        .distinct()
+    )
+    sa = batch_sets.select(F.col("doc").alias("new_doc"), F.col("sh").alias("sh_a"))
+    sb = corpus_sets.select(F.col("doc").alias("dup_of"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cands.join(sa, "new_doc")
+        .join(sb, "dup_of")
+        .select("new_doc", "dup_of", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash_table(

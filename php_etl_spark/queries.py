@@ -4783,6 +4783,30 @@ def scan_schema_evolution(spark, sf_dir):
     )
 
 
+@query("dedup_incremental_batch")
+def dedup_incremental_batch(spark, sf_dir):
+    """Continuous-ingestion near-dup: a re-crawled 10% of the corpus
+    (deterministic hash sample, re-ingested under new ids) checked
+    against the existing corpus — LSH band join between BATCH and
+    CORPUS band tables (cost ∝ batch, never a corpus self-join), exact
+    Jaccard verification on candidates. The production shape for "does
+    tonight's crawl add anything new": llm/dedup.py
+    incremental_near_dup. Rows-only (LSH recall is probabilistic for
+    non-identical pairs); identical-doc recall — every re-ingested doc
+    must rediscover its original at jaccard 1.0 — is deterministic and
+    asserted in tests/test_llm.py."""
+    docs = _cat(spark, sf_dir).documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    batch = (
+        docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0)
+        .select(
+            F.concat(F.lit("re_"), F.col("doc_id")).alias("doc_id"), "text"
+        )
+    )
+    return D.incremental_near_dup(docs, batch).orderBy("new_doc", "dup_of")
+
+
 @query("agg_approx_percentile_sketch")
 def agg_approx_percentile_sketch(spark, sf_dir):
     """Mergeable quantile sketch: per-type p50/p95/p99 of event values

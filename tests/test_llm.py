@@ -401,3 +401,29 @@ def test_resize_real_decoder_is_stubbed(spark):
     payloads = M.with_binary_payload(_docs(spark).limit(2))
     with pytest.raises(Exception, match="NotImplementedError|PIL|PythonException"):
         M.resize_images(payloads, 8, 8, 3, fake=False).collect()
+
+
+def test_incremental_near_dup_identical_recall(spark):
+    """Re-ingested identical documents MUST rediscover their original:
+    identical text → identical shingle set → identical signature →
+    same bucket in every band, so candidacy is deterministic (no LSH
+    luck involved), and exact verification scores jaccard 1.0. Also:
+    every reported pair must clear the threshold (precision is exact
+    by construction)."""
+    from php_etl_spark.catalog import Catalog
+    from php_etl_spark.llm.dedup import incremental_near_dup
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    sample = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0)
+    batch = sample.select(
+        F.concat(F.lit("re_"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    out = incremental_near_dup(docs, batch, threshold=0.8).collect()
+    found = {(r["new_doc"], r["dup_of"]): r["jaccard"] for r in out}
+    for r in sample.select("doc_id").collect():
+        key = ("re_" + r["doc_id"], r["doc_id"])
+        assert key in found, f"identical re-ingest missed: {key}"
+        assert found[key] == 1.0
+    assert all(j >= 0.8 for j in found.values())
