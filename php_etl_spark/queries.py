@@ -4807,6 +4807,34 @@ def dedup_incremental_batch(spark, sf_dir):
     return D.incremental_near_dup(docs, batch).orderBy("new_doc", "dup_of")
 
 
+@query(
+    "text_top_tokens",
+    oracle=f"""
+    SELECT t AS token, COUNT(*) AS n
+    FROM (SELECT unnest({_TOKS_SQL}) AS t FROM documents)
+    GROUP BY t
+    ORDER BY n DESC, t
+    LIMIT 50
+    """,
+)
+def text_top_tokens(spark, sf_dir):
+    """Corpus vocabulary heavy-hitters: the 50 most frequent
+    normalized tokens — the boilerplate/stopword profile that drives
+    quality filters and shingle df-cutoffs. explode + count is ONE
+    shuffle of the distinct vocabulary (map-side combine collapses
+    repeats), and the top-50 is TakeOrderedAndProject with a token
+    tiebreak — per-partition heaps, no global sort, exact counts (no
+    sketch needed: the combine already bounds the shuffle by |vocab|)."""
+    docs = _cat(spark, sf_dir).documents
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
 @query("agg_approx_percentile_sketch")
 def agg_approx_percentile_sketch(spark, sf_dir):
     """Mergeable quantile sketch: per-type p50/p95/p99 of event values
