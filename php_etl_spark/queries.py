@@ -1430,6 +1430,7 @@ def pipeline_etl(spark, sf_dir):
 from php_etl_spark.streaming.events import (  # noqa: E402
     events_stream,
     run_to_files,
+    run_to_jdbc,
     tumbling_agg,
     sliding_agg,
     session_agg,
@@ -4805,6 +4806,43 @@ def dedup_incremental_batch(spark, sf_dir):
         )
     )
     return D.incremental_near_dup(docs, batch).orderBy("new_doc", "dup_of")
+
+
+@query(
+    "stream_jdbc_upsert",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_jdbc_upsert(spark, sf_dir):
+    """Streaming materialization INTO A DATABASE: the tumbling-window
+    aggregate runs as a real streaming query whose micro-batches
+    upsert (keyed on window_start + event_type) into a Derby table via
+    foreachBatch — the streaming continuation of the reference's MySQL
+    destination. Update mode ships only changed aggregate rows per
+    batch; the keyed upsert makes batch replay idempotent, so the
+    table converges to the same final state the batch query computes
+    (which is exactly what the oracle checks)."""
+    from php_etl_spark.sources import jdbc as J
+
+    conn = J.derby_conn("q_stream_jdbc_upsert")
+    # Derby maps Spark StringType to CLOB, which it refuses to compare
+    # in the upsert's keyed DELETE — create string key columns as
+    # VARCHAR instead (applies to the destination AND the staging
+    # table, which share this conn)
+    conn["options"]["createTableColumnTypes"] = "event_type VARCHAR(64)"
+    agg = tumbling_agg(events_stream(spark, sf_dir))
+    out = run_to_jdbc(
+        agg, conn, "hourly_stats", ["window_start", "event_type"]
+    )
+    return out.select(
+        "window_start", "window_end", "event_type",
+        F.col("n").cast("long").alias("n"), "sum_value",
+    )
 
 
 @query(

@@ -178,3 +178,29 @@ def test_incremental_rollup_folds_new_files_without_recompute(spark, tmp_path):
         ("2024-01-01T10:00:00", 3, 10.0),
         ("2024-01-01T12:00:00", 1, 7.0),
     }
+
+
+def test_stream_jdbc_upsert_idempotent_replay(spark):
+    """The keyed-upsert JDBC sink must be replay-idempotent: running
+    the whole stream again (fresh checkpoint, same destination table)
+    rewrites the same keys instead of duplicating them, so the final
+    table state is identical — this is the property that makes
+    foreachBatch + keyed upsert effectively exactly-once."""
+    from php_etl_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        return sorted(
+            (
+                r["window_start"],
+                r["event_type"],
+                r["n"],
+                round(r["sum_value"], 2),
+            )
+            for r in QUERIES["stream_jdbc_upsert"](spark, sf).collect()
+        )
+
+    first = run()
+    second = run()
+    assert first and first == second
