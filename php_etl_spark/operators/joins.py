@@ -124,3 +124,32 @@ def asof_join(
     for c in right_values:
         out = out.withColumn(c + suffix, F.col(c + "__carried")).drop(c + "__carried")
     return out.drop("__side", "__ts")
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_cols: Sequence[str],
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join by explicit key salting: the hot keys of
+    ``skewed`` are split across ``buckets`` sub-keys via a
+    DETERMINISTIC per-row salt (hash of ``salt_cols`` — never a
+    random(), which breaks retry/replay determinism), and the small
+    side is replicated once per bucket, so one pathological key fans
+    across ``buckets`` tasks instead of melting a single reducer.
+
+    This is the manual fallback for engines/joins where AQE skew
+    splitting can't help: aggregation-free pipelines with a hard
+    downstream partitioner, or a skewed SHUFFLE side too large for
+    broadcast. Replication cost is |small| × buckets rows — keep the
+    salted side the big one. Same result set as a plain inner join
+    (oracle-checked by join_salted_skew)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(buckets))
+    lhs = skewed.withColumn("__salt", salt.cast("int"))
+    rhs = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(buckets)])),
+    )
+    return lhs.join(rhs, [key, "__salt"]).drop("__salt")

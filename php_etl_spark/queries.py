@@ -4809,6 +4809,41 @@ def dedup_incremental_batch(spark, sf_dir):
 
 
 @query(
+    "join_salted_skew",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Explicitly salted skew join (operators/joins.py salted_join):
+    lineitem's supplier key split across 16 deterministic salt buckets
+    (hash of the row's own (l_orderkey, l_linenumber) — replayable),
+    supplier replicated per bucket — the manual skew tool for when AQE
+    can't split (hard partitioner downstream, or non-AQE engines).
+    Result is oracle-identical to the plain join; the salt only
+    changes the partitioning."""
+    from php_etl_spark.operators.joins import salted_join
+
+    cat = _cat(spark, sf_dir)
+    li = cat.lineitem.select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        "l_orderkey", "l_linenumber", "l_quantity",
+    )
+    sup = cat.supplier.select("s_suppkey", "s_nationkey")
+    joined = salted_join(
+        li, sup, "s_suppkey", ["l_orderkey", "l_linenumber"], buckets=16
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").cast("double").alias("total_qty"),
+    )
+
+
+@query(
     "stream_jdbc_upsert",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start,

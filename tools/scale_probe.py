@@ -175,6 +175,55 @@ def main() -> int:
     )
     assert raw_pairs_bound > 1e8 and len(got) < 100 * n_dup_pairs
 
+    # 6. explicit salted join on the skewed key: same result set as the
+    # plain shuffle join, hot key spread across 64 buckets
+    from php_etl_spark.operators.joins import salted_join
+
+    small = dim.filter(F.col("k") <= 1000)  # covers the hot keys
+    plain = timed(
+        "plain shuffle join on skewed key",
+        fact.join(small.hint("shuffle_hash"), "k").count,
+    )
+    salted_n = timed(
+        "salted join (64 buckets) on skewed key",
+        lambda: salted_join(fact, small, "k", ["id"], buckets=64).count(),
+    )
+    assert plain == salted_n, "salting must not change the result set"
+
+    # 7. runtime bloom-filter pruning at 10M: the selective dim side
+    # builds a bloom that kills probe rows AT THE SCAN, before the
+    # shuffle. Frames are session-bound, so the thresholds live in a
+    # newSession clone and the fact goes through parquet (bloom prunes
+    # a file scan; a localCheckpoint scan has nothing to push into).
+    import tempfile
+
+    fact_dir = tempfile.mkdtemp(prefix="probe_bloom_") + "/fact"
+    fact.write.mode("overwrite").parquet(fact_dir)
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    fact_p = s2.read.parquet(fact_dir)
+    sel2 = s2.range(args.dim_rows).select(
+        (F.col("id") * 1000).alias("k")
+    ).filter(F.col("k") <= 50_000)
+    bloom_join = fact_p.join(sel2, "k")
+    n_bloom = timed("selective join with runtime bloom pruning", bloom_join.count)
+    bplan = bloom_join._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in bplan, "bloom filter must inject on the probe side"
+    fact_nb = spark.read.parquet(fact_dir)
+    sel_nb = spark.range(args.dim_rows).select(
+        (F.col("id") * 1000).alias("k")
+    ).filter(F.col("k") <= 50_000)
+    n_nobloom = timed(
+        "same join without bloom (broadcast baseline)",
+        fact_nb.join(sel_nb.hint("broadcast"), "k").count,
+    )
+    assert n_bloom == n_nobloom, "bloom pruning must not change the result"
+
     print("scale probe OK")
     return 0
 
