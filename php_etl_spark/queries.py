@@ -4809,6 +4809,84 @@ def dedup_incremental_batch(spark, sf_dir):
 
 
 @query(
+    "agg_gapfill_timeseries",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT MIN(h) FROM hourly),
+                                    (SELECT MAX(h) FROM hourly),
+                                    INTERVAL 1 HOUR)) AS h
+    )
+    SELECT s.h AS hour, COALESCE(n, 0) AS n
+    FROM spine s LEFT JOIN hourly USING (h)
+    """,
+)
+def agg_gapfill_timeseries(spark, sf_dir):
+    """Dense time-series gap fill: hourly purchase counts with missing
+    hours zero-filled from a generated date spine (``sequence`` over
+    the observed min/max + explode, left join). The spine derives from
+    the AGGREGATE's bounds (a 1-row cross join of kilobytes), so the
+    fact is scanned once; the spine join is spine-sized, not
+    fact-sized — the standard reporting shape for 'no data ≠ no
+    row'."""
+    ev = _cat(spark, sf_dir).events
+    hourly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = hourly.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    return (
+        spine.join(hourly, "h", "left")
+        .select(F.col("h").alias("hour"), F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_name AS name,
+           c_acctbal AS acctbal, c_mktsegment AS segment
+    FROM customer
+    UNION ALL BY NAME
+    SELECT s_suppkey AS entity_key, s_name AS name,
+           s_acctbal AS acctbal, CAST(NULL AS VARCHAR) AS segment
+    FROM supplier
+    """,
+)
+def set_union_by_name(spark, sf_dir):
+    """Schema-drift-tolerant union: two entity feeds with different
+    column sets merge BY NAME (missing columns null-filled) instead of
+    by position — ``unionByName(allowMissingColumns=True)``, the
+    ETL-merge companion to the mergeSchema scan. Positional UNION
+    silently mis-aligns when one side gains a column; by-name union is
+    the only safe default for long-lived pipelines."""
+    cat = _cat(spark, sf_dir)
+    cust = cat.customer.select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    supp = cat.supplier.select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
+
+
+@query(
     "join_salted_skew",
     oracle="""
     SELECT s_nationkey,
