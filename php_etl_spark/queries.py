@@ -4809,6 +4809,61 @@ def dedup_incremental_batch(spark, sf_dir):
 
 
 @query(
+    "dim_scd2_merge",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_mktsegment AS segment,
+           DATE '1995-01-01' AS valid_from,
+           CASE WHEN c_custkey % 20 = 0 THEN DATE '1997-06-01' END AS valid_to
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'PROMOTED', DATE '1997-06-01', NULL
+    FROM customer WHERE c_custkey % 20 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, 'NEW', DATE '1997-06-01', NULL
+    FROM customer WHERE c_custkey % 10 = 5
+    """,
+)
+def dim_scd2_merge(spark, sf_dir):
+    """SCD Type 2 dimension merge (operators/scd.py): an update batch
+    against a customer-segment dimension — equal updates are no-ops,
+    differing updates close the current row and open a new version,
+    unseen keys insert. One key-join of current-vs-batch plus unions
+    (cost ∝ dimension + batch; history rows pass through untouched) —
+    the version-keeping upgrade of the reference's in-place db_update
+    (SCD Type 1, /root/reference/sdk/lib/db.php:285-296)."""
+    from php_etl_spark.operators.scd import scd2_merge
+
+    cust = _cat(spark, sf_dir).customer
+    existing = cust.select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    ts = F.lit("1997-06-01").cast("date")
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("entity_key"),
+            F.when(F.col("c_custkey") % 20 == 0, "PROMOTED")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            ts.alias("ts"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 5).select(
+                (F.col("c_custkey") + 1000000).alias("entity_key"),
+                F.lit("NEW").alias("segment"),
+                ts.alias("ts"),
+            )
+        )
+    )
+    return scd2_merge(
+        existing, updates, keys=["entity_key"], tracked=["segment"]
+    )
+
+
+@query(
     "agg_gapfill_timeseries",
     oracle="""
     WITH hourly AS (

@@ -184,3 +184,48 @@ def test_bloom_pruned_join_matches_plain_join(spark):
         .collect()
     }
     assert got == plain
+
+
+def test_scd2_merge_edge_cases(spark):
+    """SCD2 edges: equal update is a no-op, NULL-safe equality on the
+    tracked column is a no-op (NULL == NULL), a key whose versions are
+    all closed re-activates with a fresh current row, unseen keys
+    insert, differing updates close + reopen."""
+    import datetime
+
+    from php_etl_spark.operators.scd import scd2_merge
+
+    d = datetime.date
+    existing = spark.createDataFrame(
+        [
+            (1, "a", d(2020, 1, 1), None),          # current, update equal
+            (2, "b", d(2020, 1, 1), d(2021, 1, 1)),  # closed only → re-activate
+            (3, None, d(2020, 1, 1), None),          # current, NULL tracked
+            (5, "e", d(2020, 1, 1), None),           # current, update differs
+        ],
+        "k int, v string, valid_from date, valid_to date",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "a", d(2022, 6, 1)),
+            (2, "b2", d(2022, 6, 1)),
+            (3, None, d(2022, 6, 1)),
+            (4, "new", d(2022, 6, 1)),
+            (5, "e2", d(2022, 6, 1)),
+        ],
+        "k int, v string, ts date",
+    )
+    out = scd2_merge(existing, updates, keys=["k"], tracked=["v"])
+    got = {
+        (r["k"], r["v"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "a", "2020-01-01", "None"),
+        (2, "b", "2020-01-01", "2021-01-01"),
+        (2, "b2", "2022-06-01", "None"),
+        (3, None, "2020-01-01", "None"),
+        (4, "new", "2022-06-01", "None"),
+        (5, "e", "2020-01-01", "2022-06-01"),
+        (5, "e2", "2022-06-01", "None"),
+    }
