@@ -4864,6 +4864,69 @@ def dim_scd2_merge(spark, sf_dir):
 
 
 @query(
+    "join_point_in_time",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey AS entity_key, c_mktsegment AS segment,
+             DATE '1995-01-01' AS valid_from,
+             CASE WHEN c_custkey % 20 = 0 THEN DATE '1997-06-01' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'PROMOTED', DATE '1997-06-01', NULL
+      FROM customer WHERE c_custkey % 20 = 0
+    )
+    SELECT segment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS volume
+    FROM orders
+    JOIN dim ON o_custkey = entity_key
+            AND o_orderdate >= valid_from
+            AND (valid_to IS NULL OR o_orderdate < valid_to)
+    GROUP BY segment
+    """,
+)
+def join_point_in_time(spark, sf_dir):
+    """Point-in-time enrichment against the SCD2 dimension: each order
+    joins the customer-segment VERSION valid at its order date (a 1996
+    order sees the original segment, a 1998 order sees the promoted
+    one). The business key carries the hash join; the validity
+    interval is a residual filter on the matched pairs — never a
+    range-only join, so no nested-loop blowup. This is the query shape
+    SCD2 exists to serve."""
+    from php_etl_spark.operators.scd import scd2_merge
+
+    cust = _cat(spark, sf_dir).customer
+    existing = cust.select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey",
+        F.lit("PROMOTED").alias("segment"),
+        F.lit("1997-06-01").cast("date").alias("ts"),
+    ).withColumnRenamed("c_custkey", "entity_key")
+    dim = scd2_merge(existing, updates, keys=["entity_key"], tracked=["segment"])
+    orders = _cat(spark, sf_dir).orders
+    return (
+        orders.join(
+            dim,
+            (F.col("o_custkey") == F.col("entity_key"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("o_orderdate") < F.col("valid_to"))
+            ),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").cast("double").alias("volume"),
+        )
+    )
+
+
+@query(
     "agg_gapfill_timeseries",
     oracle="""
     WITH hourly AS (
