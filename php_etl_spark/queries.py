@@ -4698,6 +4698,117 @@ def subquery_waiting_q21(spark, sf_dir):
 
 
 @query(
+    "subquery_min_cost_q2",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+    )
+    SELECT p_partkey, p_brand, s_name, n_name, unit_cost
+    FROM ps
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size <= 5
+      AND unit_cost = (SELECT MIN(unit_cost) FROM ps p2
+                       WHERE p2.l_partkey = ps.l_partkey)
+    """,
+)
+def subquery_min_cost_q2(spark, sf_dir):
+    """TPC-H Q2 shape (no partsupp table — supply cost derives from
+    observed lineitem unit prices): for each small part, the
+    supplier(s) offering the minimum unit cost. The correlated MIN
+    subquery decorrelates to a window min over the per-(part,supplier)
+    aggregate — the fact is aggregated once and the minimum never
+    re-scans it. Unit cost is an IEEE double division of the same
+    stored values on both engines, so the min-equality filter admits
+    identical rows."""
+    cat = _cat(spark, sf_dir)
+    ps = (
+        cat.lineitem.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = ps.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(
+            cat.part.filter(F.col("p_size") <= 5), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_brand", "s_name", "n_name", "unit_cost")
+    )
+
+
+@query(
+    "subquery_dominant_supplier_q20",
+    oracle="""
+    WITH q AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_partkey, SUM(qty) AS total FROM q GROUP BY 1)
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM q
+      JOIN tot USING (l_partkey)
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND CAST(qty AS DOUBLE) > 0.5 * CAST(total AS DOUBLE))
+    """,
+)
+def subquery_dominant_supplier_q20(spark, sf_dir):
+    """TPC-H Q20 shape (availqty derives from shipped quantities):
+    suppliers who shipped the DOMINANT share (>50%) of some PROMO
+    part's yearly volume — a nested aggregate (per-(part,supplier)
+    then per-part totals, re-aggregating kilobytes not the fact)
+    feeding an IN that compiles to a left-semi join on the supplier
+    dim. Exact decimal sums; the share compare happens in double
+    identically on both engines."""
+    cat = _cat(spark, sf_dir)
+    q = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity", "decimal(12,2)")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        q.withColumn("total", F.sum("qty").over(w))
+        .filter(
+            F.col("qty").cast("double")
+            > F.lit(0.5) * F.col("total").cast("double")
+        )
+        .join(
+            cat.part.filter(F.col("p_type") == "PROMO"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_suppkey")
+    )
+    return (
+        cat.supplier.join(
+            dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+@query(
     "join_bloom_pruned",
     oracle="""
     SELECT l_returnflag, COUNT(*) AS n,
