@@ -4920,6 +4920,68 @@ def dedup_incremental_batch(spark, sf_dir):
 
 
 @query(
+    "validate_constraints_report",
+    oracle="""
+    SELECT 'not_null:c_name' AS rule,
+           (SELECT COUNT(*) FROM customer WHERE c_name IS NULL) AS violations
+    UNION ALL
+    SELECT 'range:c_acctbal',
+           (SELECT COUNT(*) FROM customer
+            WHERE c_acctbal IS NOT NULL
+              AND NOT (c_acctbal >= -1000 AND c_acctbal <= 10000))
+    UNION ALL
+    SELECT 'in_set:c_mktsegment',
+           (SELECT COUNT(*) FROM customer
+            WHERE c_mktsegment IS NOT NULL
+              AND c_mktsegment NOT IN
+                  ('BUILDING','AUTOMOBILE','MACHINERY','HOUSEHOLD'))
+    UNION ALL
+    SELECT 'unique:c_custkey',
+           (SELECT COALESCE(SUM(n - 1), 0) FROM
+            (SELECT COUNT(*) AS n FROM customer GROUP BY c_custkey
+             HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'ref:o_custkey->customer',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+    """,
+)
+def validate_constraints_report(spark, sf_dir):
+    """Declarative data-quality audit (operators/validate.py): the
+    reference's per-row PHP guards become constraint DATA — not-null,
+    range, membership, uniqueness, referential integrity — checked
+    set-oriented. All row-local rules ride ONE aggregate pass over the
+    frame (conditional sums, however many rules); unique adds one
+    key-shuffle; the FK check is an anti-join against the parent
+    keys. Output = the audit report a pipeline gates on."""
+    from php_etl_spark.operators.validate import check_constraints
+
+    cat = _cat(spark, sf_dir)
+    rules = [
+        {"type": "not_null", "column": "c_name"},
+        {"type": "range", "column": "c_acctbal", "min": -1000, "max": 10000},
+        {
+            "type": "in_set",
+            "column": "c_mktsegment",
+            "values": ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD"],
+        },
+        {"type": "unique", "column": "c_custkey"},
+        {
+            "name": "ref:o_custkey->customer",
+            "type": "ref",
+            "column": "o_custkey",
+            "ref_df": cat.customer,
+            "ref_column": "c_custkey",
+        },
+    ]
+    # run the row-local + unique rules on customer, the FK rule on orders
+    cust_report = check_constraints(cat.customer, rules[:4])
+    fk_report = check_constraints(cat.orders, rules[4:])
+    return cust_report.unionByName(fk_report)
+
+
+@query(
     "dim_scd2_merge",
     oracle="""
     SELECT c_custkey AS entity_key, c_mktsegment AS segment,

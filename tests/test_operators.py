@@ -229,3 +229,39 @@ def test_scd2_merge_edge_cases(spark):
         (5, "e", "2020-01-01", "2022-06-01"),
         (5, "e2", "2022-06-01", "None"),
     }
+
+
+def test_split_valid_complement(spark):
+    """split_valid must partition the frame exactly: valid + quarantine
+    = input, no row in both, and quarantine rows each violate at least
+    one row-local rule."""
+    from php_etl_spark.operators.validate import check_constraints, split_valid
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.com", 50.0),
+            (2, None, 20.0),          # null email
+            (3, "bad-email", 30.0),   # regex violation
+            (4, "c@x.com", -5.0),     # range violation
+            (5, "d@x.com", None),     # null balance passes range (guarded)
+        ],
+        "id int, email string, bal double",
+    )
+    rules = [
+        {"type": "not_null", "column": "email"},
+        {"type": "regex", "column": "email", "pattern": r"^[^@]+@[^@]+\.[^@]+$"},
+        {"type": "range", "column": "bal", "min": 0.0},
+    ]
+    valid, quarantine = split_valid(df, rules)
+    v_ids = {r["id"] for r in valid.collect()}
+    q_ids = {r["id"] for r in quarantine.collect()}
+    assert v_ids == {1, 5} and q_ids == {2, 3, 4}
+    report = {
+        r["rule"]: r["violations"]
+        for r in check_constraints(df, rules).collect()
+    }
+    assert report == {
+        "not_null:email": 1,
+        "regex:email": 1,
+        "range:bal": 1,
+    }
