@@ -123,6 +123,25 @@ def _run_table(
     frame = build_table_frame(spark, spec, table)
     to_conn = spec.conn_for(table, "to")
 
+    if table.constraints:
+        # declarative guards (the reference's per-row validity checks,
+        # e.g. /root/reference/sdk/migrate_assures.php:136-170, as one
+        # set-oriented split): violators either quarantine next to the
+        # destination or fail the table run before anything is written
+        from php_etl_spark.operators.validate import split_valid
+
+        frame, bad = split_valid(frame, table.constraints)
+        if table.on_violation == "fail":
+            n_bad = bad.count()
+            if n_bad:
+                raise ValueError(
+                    f"{table.destination}: {n_bad} constraint violations"
+                )
+        elif "path" in to_conn:
+            qpath = _sink_path(to_conn, table.destination) + "_quarantine"
+            if not bad.isEmpty():
+                bad.write.mode("append").parquet(qpath)
+
     if table.mode == "upsert":
         n = frame.count()
         upsert(

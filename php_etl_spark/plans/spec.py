@@ -39,6 +39,11 @@ class TableSpec:
     mode: str = "append"
     partition_by: list[str] = field(default_factory=list)
     connections: dict[str, Any] | None = None
+    # declarative data-quality contract (operators/validate.py):
+    # row-local rules checked in one pass post-mapping; violators are
+    # quarantined (default) or fail the table run
+    constraints: list[dict[str, Any]] = field(default_factory=list)
+    on_violation: str = "quarantine"
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "TableSpec":
@@ -62,6 +67,8 @@ class TableSpec:
             mode=d.get("mode", "append"),
             partition_by=list(d.get("partition_by", [])),
             connections=d.get("connections"),
+            constraints=list(d.get("constraints", [])),
+            on_violation=d.get("on_violation", "quarantine"),
         )
 
 

@@ -430,3 +430,37 @@ def test_pipeline_csv_destination(spark, src_dir, tmp_path):
     back = read_source(spark, {"type": "csv", "path": dst}, "persons")
     assert back.count() == 3
     assert {r["person_id"] for r in back.collect()} == {1, 3, 4}
+
+
+def test_pipeline_constraints_quarantine_and_fail(spark, src_dir, tmp_path):
+    """Declarative constraints in the table spec: violators (amount
+    range) leave the main flow and land in <dest>_quarantine;
+    on_violation='fail' aborts before writing."""
+    dst = str(tmp_path / "dstc")
+    spec = _spec(
+        src_dir,
+        dst,
+        columns={
+            "person_id": "[id]",
+            "full_name": "[name]",
+            "amount": "[amount]",
+        },
+        unique=["person_id"],
+        constraints=[{"type": "range", "column": "amount", "max": 25.0}],
+    )
+    results = run_pipeline(spark, spec)
+    assert results[0].rows_written == 2  # ids 1,2 pass; 3,4 quarantined
+    q = spark.read.parquet(os.path.join(dst, "persons_quarantine"))
+    assert {r.person_id for r in q.collect()} == {3, 4}
+
+    spec_fail = _spec(
+        src_dir,
+        str(tmp_path / "dstf"),
+        columns={"person_id": "[id]", "amount": "[amount]"},
+        unique=["person_id"],
+        constraints=[{"type": "range", "column": "amount", "max": 25.0}],
+        on_violation="fail",
+    )
+    with pytest.raises(ValueError, match="constraint violations"):
+        run_pipeline(spark, spec_fail)
+    assert not os.path.exists(os.path.join(str(tmp_path / "dstf"), "persons"))
