@@ -86,44 +86,96 @@ def asof_join(
     right_ts: str,
     right_values: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` within the same key group.
+    """As-of join: for each left row, the temporally matching right
+    row within the same key group —
 
-    Implemented as union + sort + last-value carry-forward inside a
-    window — one shuffle on the key, no per-row probes, no range
-    explosion. This is the scalable pattern for "most recent prior
-    event" joins (the naive formulation is a non-equi join that
-    Catalyst would execute as a broadcast nested loop).
+    - ``backward`` (default): latest right with ``right_ts <= left_ts``
+    - ``forward``: earliest right with ``right_ts >= left_ts``
+    - ``nearest``: whichever of the two is closer (tie → backward)
+
+    Implemented as union + sort + value carry inside a window — one
+    shuffle on the key, no per-row probes, no range explosion. This is
+    the scalable pattern for "most recent prior event" joins (the
+    naive formulation is a non-equi join that Catalyst would execute
+    as a broadcast nested loop).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction}")
     on_cols = [on] if isinstance(on, str) else list(on)
-    lt, rt = F.col(left_ts), F.col(right_ts)
 
-    l_tag = left.withColumn("__side", F.lit(1)).withColumn("__ts", lt)
-    r_proj = right.select(
-        *on_cols,
-        F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(c + suffix) for c in right_values],
-    ).withColumn("__side", F.lit(0))
-
+    l_tag = left.withColumn("__side", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    r_proj = (
+        right.select(
+            *on_cols,
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c).alias(c + suffix) for c in right_values],
+        )
+        .withColumn("__side", F.lit(0))
+        .withColumn("__rts", F.col("__ts"))
+    )
     merged = l_tag.unionByName(r_proj, allowMissingColumns=True)
-    # right rows sort before left rows at equal timestamps so a tie
-    # (right_ts == left_ts) is matched, per asof "<=" semantics
-    w = (
+
+    # backward: right rows sort BEFORE left at equal ts (ties match, per
+    # "<="); forward: right rows sort AFTER left at equal ts (per ">=")
+    wb = (
         Window.partitionBy(*on_cols)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = merged.select(
-        "*",
-        *[
-            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + "__carried")
-            for c in right_values
-        ],
-    ).filter(F.col("__side") == 1)
-    for c in right_values:
-        out = out.withColumn(c + suffix, F.col(c + "__carried")).drop(c + "__carried")
-    return out.drop("__side", "__ts")
+    wf = (
+        Window.partitionBy(*on_cols)
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = merged
+    if direction in ("backward", "nearest"):
+        carried = carried.select(
+            "*",
+            F.last("__rts", ignorenulls=True).over(wb).alias("__bts"),
+            *[
+                F.last(F.col(c + suffix), ignorenulls=True)
+                .over(wb)
+                .alias(c + "__b")
+                for c in right_values
+            ],
+        )
+    if direction in ("forward", "nearest"):
+        carried = carried.select(
+            "*",
+            F.first("__rts", ignorenulls=True).over(wf).alias("__fts"),
+            *[
+                F.first(F.col(c + suffix), ignorenulls=True)
+                .over(wf)
+                .alias(c + "__f")
+                for c in right_values
+            ],
+        )
+    out = carried.filter(F.col("__side") == 1)
+    if direction == "nearest":
+        # prefer the side that exists; on both, the closer ts, tie →
+        # backward (matches pandas.merge_asof)
+        take_b = F.col("__fts").isNull() | (
+            F.col("__bts").isNotNull()
+            & (
+                F.col("__ts").cast("double") - F.col("__bts").cast("double")
+                <= F.col("__fts").cast("double") - F.col("__ts").cast("double")
+            )
+        )
+        picks = [(c, F.when(take_b, F.col(c + "__b")).otherwise(F.col(c + "__f"))) for c in right_values]
+    elif direction == "backward":
+        picks = [(c, F.col(c + "__b")) for c in right_values]
+    else:
+        picks = [(c, F.col(c + "__f")) for c in right_values]
+    for c, expr in picks:
+        out = out.withColumn(c + suffix, expr)
+    drop = ["__side", "__ts", "__rts", "__bts", "__fts"] + [
+        c + s for c in right_values for s in ("__b", "__f")
+    ]
+    return out.drop(*[d for d in drop if d in out.columns])
 
 
 def salted_join(

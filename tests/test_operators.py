@@ -265,3 +265,36 @@ def test_split_valid_complement(spark):
         "regex:email": 1,
         "range:bal": 1,
     }
+
+
+def test_asof_join_directions(spark):
+    """forward finds the earliest quote at-or-after the trade; nearest
+    picks the closer side with backward winning ties."""
+    quotes = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 5, 11.0), ("b", 3, 20.0)], ["sym", "t", "px"]
+    )
+    trades = spark.createDataFrame(
+        [("a", 2), ("a", 5), ("a", 7), ("b", 1)], ["sym", "t"]
+    )
+    fwd = asof_join(
+        trades, quotes, on="sym", left_ts="t", right_ts="t",
+        right_values=["px"], direction="forward",
+    )
+    got_f = {(r.sym, r.t): r.px_asof for r in fwd.collect()}
+    assert got_f == {
+        ("a", 2): 11.0,   # next at t=5
+        ("a", 5): 11.0,   # tie matches (>=)
+        ("a", 7): None,   # nothing after
+        ("b", 1): 20.0,
+    }
+    near = asof_join(
+        trades, quotes, on="sym", left_ts="t", right_ts="t",
+        right_values=["px"], direction="nearest",
+    )
+    got_n = {(r.sym, r.t): r.px_asof for r in near.collect()}
+    assert got_n == {
+        ("a", 2): 10.0,   # dist 1 back vs 3 fwd
+        ("a", 5): 11.0,   # exact
+        ("a", 7): 11.0,   # only backward exists
+        ("b", 1): 20.0,   # only forward exists
+    }
