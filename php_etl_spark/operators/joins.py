@@ -205,3 +205,65 @@ def salted_join(
         F.explode(F.array(*[F.lit(i) for i in range(buckets)])),
     )
     return lhs.join(rhs, [key, "__salt"]).drop("__salt")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_str: str,
+    right_id: str,
+    right_str: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Record-linkage fuzzy join: (left_id, right_id, dist) for every
+    cross pair within Levenshtein ``max_dist`` — WITHOUT the cross
+    join. Blocking is by deletion signatures (SymSpell): a string's
+    signature set is itself plus every single-character deletion; two
+    strings within edit distance 1 provably share a signature
+    (substitution → delete the differing position from both;
+    insert/delete → the longer one's deletion IS the shorter), so
+    recall is exact, and the candidate join is an equi-join on
+    signature — cost ∝ Σ bucket², bounded because signatures are
+    near-unique, never |L|×|R|.
+
+    ``max_dist`` must be 1: the single-deletion neighborhood only
+    guarantees completeness at distance 1 (greater distances need the
+    k-deletion neighborhood — size ∝ len^k — or PassJoin segment
+    blocking; levenshtein verification below stays exact either way).
+    """
+    if max_dist != 1:
+        raise ValueError("deletion-signature blocking is exact only for max_dist=1")
+
+    def sigs(col: Column) -> Column:
+        drop_i = lambda i: F.concat(  # noqa: E731
+            F.substr(col, F.lit(1), i - F.lit(1)),
+            F.substr(col, i + F.lit(1), F.length(col) - i),
+        )
+        return F.array_union(
+            F.array(col),
+            F.transform(F.sequence(F.lit(1), F.length(col)), drop_i),
+        )
+
+    lsig = left.select(
+        F.col(left_id).alias("__lid"), F.col(left_str).alias("__ls")
+    ).select("__lid", "__ls", F.explode(sigs(F.col("__ls"))).alias("__sig"))
+    rsig = right.select(
+        F.col(right_id).alias("__rid"), F.col(right_str).alias("__rs")
+    ).select("__rid", "__rs", F.explode(sigs(F.col("__rs"))).alias("__sig"))
+    cands = (
+        lsig.join(rsig, "__sig")
+        .select("__lid", "__ls", "__rid", "__rs")
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("__ls", "__rs"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            F.col("__ls").alias(left_str),
+            F.col("__rs").alias(right_str),
+            "dist",
+        )
+    )

@@ -4920,6 +4920,54 @@ def dedup_incremental_batch(spark, sf_dir):
 
 
 @query(
+    "join_fuzzy_match",
+    oracle="""
+    WITH typos AS (
+      SELECT c_custkey AS typo_id,
+             substr(c_name, 1, 9) || substr(c_name, 11) AS typo_name
+      FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT typo_id, c_custkey AS match_id, typo_name,
+           c_name AS match_name,
+           CAST(levenshtein(typo_name, c_name) AS INT) AS dist
+    FROM typos, customer
+    WHERE levenshtein(typo_name, c_name) <= 1
+    """,
+)
+def join_fuzzy_match(spark, sf_dir):
+    """Record linkage without the cross join (operators/joins.py
+    fuzzy_join): dirty keys — customer names with a character deleted
+    — re-linked to the master list within Levenshtein distance 1 via
+    deletion-signature (SymSpell) blocking: candidates come from an
+    equi-join on single-deletion signatures (provably complete at
+    k=1), then exact levenshtein verification. The oracle IS the
+    naive cross join — same rows, quadratic cost the operator
+    avoids. The reference's person-matching migrations do this with
+    per-row probes on exact keys only; fuzzy blocking is the scale
+    path for real-world dirty identifiers."""
+    from php_etl_spark.operators.joins import fuzzy_join
+
+    cust = _cat(spark, sf_dir).customer
+    typos = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("typo_id"),
+        F.concat(
+            F.substring("c_name", 1, 9), F.substring("c_name", 11, 1000)
+        ).alias("typo_name"),
+    )
+    names = cust.select("c_custkey", "c_name")
+    out = fuzzy_join(
+        typos, names, "typo_id", "typo_name", "c_custkey", "c_name"
+    )
+    return out.select(
+        "typo_id",
+        F.col("c_custkey").alias("match_id"),
+        "typo_name",
+        F.col("c_name").alias("match_name"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+@query(
     "validate_constraints_report",
     oracle="""
     SELECT 'not_null:c_name' AS rule,

@@ -298,3 +298,24 @@ def test_asof_join_directions(spark):
         ("a", 7): 11.0,   # only backward exists
         ("b", 1): 20.0,   # only forward exists
     }
+
+
+def test_fuzzy_join_exact_recall_at_distance_one(spark):
+    """Deletion-signature blocking must find EVERY pair within
+    distance 1 (substitution, insertion, deletion, identity) and
+    nothing beyond it."""
+    from php_etl_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "martin"), (2, "mrtin"), (3, "martinX"), (4, "hartin"), (5, "zzz")],
+        ["lid", "s"],
+    )
+    right = spark.createDataFrame([(10, "martin"), (11, "abc")], ["rid", "t"])
+    out = fuzzy_join(left, right, "lid", "s", "rid", "t")
+    got = {(r["lid"], r["rid"]): r["dist"] for r in out.collect()}
+    assert got == {
+        (1, 10): 0,  # identical
+        (2, 10): 1,  # deletion
+        (3, 10): 1,  # insertion
+        (4, 10): 1,  # substitution
+    }
