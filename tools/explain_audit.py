@@ -216,6 +216,36 @@ AUDITS = {
         ("NOT EXISTS leg is an anti join, never cartesian",
          lambda p: "LeftAnti" in p and "CartesianProduct" not in p),
     ],
+    "join_fuzzy_match": [
+        ("no cross join: signature blocking is an equi-join",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("candidate join is hash/sort-merge on the signature",
+         lambda p: "HashJoin" in p or "SortMergeJoin" in p),
+    ],
+    "join_point_in_time": [
+        ("versioned-dim join carries on the business key (hash join), "
+         "validity interval is residual",
+         lambda p: "HashJoin" in p or "SortMergeJoin" in p),
+        ("no nested-loop range join",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "dim_scd2_merge": [
+        # Catalyst specializes the filtered full-outer into typed hash
+        # joins (LeftOuter kept / Inner closed / RightOuter opened)
+        ("change detection is key-equi hash joins, never a window over history",
+         lambda p: "HashJoin" in p and "Window" not in p),
+    ],
+    "join_salted_skew": [
+        ("join key includes the salt (composite hashpartitioning)",
+         lambda p: "__salt" in p),
+        ("no cartesian from the replication",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "agg_gapfill_timeseries": [
+        ("spine derives from a 1-row bound aggregate (no second fact scan)",
+         lambda p: p.split("== Initial Plan ==")[0].count("FileScan parquet") <= 2),
+    ],
     "join_bloom_pruned": [
         ("runtime bloom filter injected on the probe side",
          lambda p: "might_contain" in p),
