@@ -4920,6 +4920,104 @@ def dedup_incremental_batch(spark, sf_dir):
 
 
 @query(
+    "agg_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(LEAST(floor(value / 25.0), 12) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type (width 25, last
+    bucket open-ended) — the data-profiling shape: bucket index is a
+    pure projection (floor of an IEEE division, identical in every
+    engine), so the histogram is ONE aggregate pass with map-side
+    combine; no sort, no per-bucket scans."""
+    ev = _cat(spark, sf_dir).events
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(12)).cast("long")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'c_custkey' AS column_name,
+           COUNT(*) - COUNT(c_custkey) AS n_nulls,
+           COUNT(DISTINCT c_custkey) AS n_distinct,
+           CAST(MIN(c_custkey) AS DOUBLE) AS min_num,
+           CAST(MAX(c_custkey) AS DOUBLE) AS max_num
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', COUNT(*) - COUNT(c_acctbal),
+           COUNT(DISTINCT c_acctbal),
+           MIN(c_acctbal), MAX(c_acctbal)
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', COUNT(*) - COUNT(c_mktsegment),
+           COUNT(DISTINCT c_mktsegment), NULL, NULL
+    FROM customer
+    """,
+)
+def profile_table(spark, sf_dir):
+    """Column profiling — the look-before-you-load step of any
+    migration (the reference eyeballs source tables by hand;
+    migrate_*.php hardcode the findings): null counts, distinct
+    cardinalities, numeric ranges for a column set, computed in ONE
+    aggregate pass over the table (conditional aggregates per column,
+    restacked to rows) — table count × column count never multiplies
+    the scan."""
+    cust = _cat(spark, sf_dir).customer
+    agg = cust.agg(
+        F.count("*").alias("__total"),
+        F.count("c_custkey").alias("k_nn"),
+        F.count_distinct("c_custkey").alias("k_nd"),
+        F.min("c_custkey").cast("double").alias("k_min"),
+        F.max("c_custkey").cast("double").alias("k_max"),
+        F.count("c_acctbal").alias("b_nn"),
+        F.count_distinct("c_acctbal").alias("b_nd"),
+        F.min("c_acctbal").alias("b_min"),
+        F.max("c_acctbal").alias("b_max"),
+        F.count("c_mktsegment").alias("s_nn"),
+        F.count_distinct("c_mktsegment").alias("s_nd"),
+    )
+    null_d = F.lit(None).cast("double")
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("c_custkey").alias("column_name"),
+                    (F.col("__total") - F.col("k_nn")).alias("n_nulls"),
+                    F.col("k_nd").alias("n_distinct"),
+                    F.col("k_min").alias("min_num"),
+                    F.col("k_max").alias("max_num"),
+                ),
+                F.struct(
+                    F.lit("c_acctbal").alias("column_name"),
+                    (F.col("__total") - F.col("b_nn")).alias("n_nulls"),
+                    F.col("b_nd").alias("n_distinct"),
+                    F.col("b_min").alias("min_num"),
+                    F.col("b_max").alias("max_num"),
+                ),
+                F.struct(
+                    F.lit("c_mktsegment").alias("column_name"),
+                    (F.col("__total") - F.col("s_nn")).alias("n_nulls"),
+                    F.col("s_nd").alias("n_distinct"),
+                    null_d.alias("min_num"),
+                    null_d.alias("max_num"),
+                ),
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")
+
+
+@query(
     "join_fuzzy_match",
     oracle="""
     WITH typos AS (
