@@ -4920,6 +4920,48 @@ def dedup_incremental_batch(spark, sf_dir):
 
 
 @query(
+    "window_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    tagged AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS island
+      FROM days
+    )
+    SELECT user_id, MIN(d) AS streak_start, MAX(d) AS streak_end,
+           COUNT(*) AS streak_days
+    FROM tagged GROUP BY user_id, island
+    HAVING COUNT(*) >= 3
+    """,
+)
+def window_islands(spark, sf_dir):
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days
+    (streaks >= 3) — the date-minus-row_number trick: within a user,
+    consecutive days share (d - row_number) so the island id falls out
+    of one window pass + one aggregate; no self-joins, no iteration.
+    Engagement-streak / outage-window analysis shape."""
+    ev = _cat(spark, sf_dir).events
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    tagged = days.withColumn(
+        "island", F.date_sub("d", F.row_number().over(w))
+    )
+    return (
+        tagged.groupBy("user_id", "island")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count("*").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 3)
+        .drop("island")
+    )
+
+
+@query(
     "agg_histogram",
     oracle="""
     SELECT event_type,
