@@ -4920,6 +4920,106 @@ def dedup_incremental_batch(spark, sf_dir):
 
 
 @query(
+    "window_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_view_click,
+           (SELECT COUNT(*) FROM s3) AS n_view_click_purchase
+    """,
+)
+def window_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click-after-view →
+    purchase-after-click): each stage is a per-user conditional MIN
+    over the PREVIOUS stage's survivors — three aggregate passes over
+    progressively smaller slices, joined on user (no window over the
+    whole event history, no per-user collect_list). The product-
+    analytics shape the reference's SQL surface cannot express without
+    N correlated subqueries."""
+    ev = _cat(spark, sf_dir).events.select("user_id", "event_type", "ts")
+
+    def stage(prev, etype, tcol_prev, tcol):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(tcol_prev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s1 = stage(None, "view", None, "t1")
+    s2 = stage(s1, "click", "t1", "t2")
+    s3 = stage(s2, "purchase", "t2", "t3")
+    return (
+        s1.agg(F.count("*").alias("n_view"))
+        .crossJoin(F.broadcast(s2.agg(F.count("*").alias("n_view_click"))))
+        .crossJoin(
+            F.broadcast(s3.agg(F.count("*").alias("n_view_click_purchase")))
+        )
+    )
+
+
+@query(
+    "agg_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST(floor(date_diff('day', cohort_week, active_week) / 7)
+                AS BIGINT) AS week_offset,
+           COUNT(*) AS active_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def agg_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted per weeks-since-cohort offset — first-touch is one
+    per-user aggregate (kilobytes), re-joined to the distinct
+    (user, week) activity set; the triangle the retention curve reads
+    off. Both sides shuffle once on user_id and the join key is
+    co-partitioned — no re-shuffle for the join."""
+    ev = _cat(spark, sf_dir).events
+    # to_date: DuckDB's week-trunc yields DATE, Spark's TIMESTAMP —
+    # align the type or the value hash diverges on identical weeks
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff("active_week", "cohort_week") / 7
+            ).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+@query(
     "window_islands",
     oracle="""
     WITH days AS (
