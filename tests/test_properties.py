@@ -149,3 +149,52 @@ def test_pack_by_budget_properties(spark, costs, budget):
     for (doc_id, b), c in zip(out, costs):
         assert b == prefix // budget, (doc_id, b, prefix, budget)
         prefix += c
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@PROP
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+)
+def test_fuzzy_join_matches_brute_force(spark, lefts, rights):
+    """Deletion-signature blocking must return EXACTLY the distance<=1
+    pairs the brute-force cross join finds — no lost recall from
+    blocking, no extra pairs past verification. Tiny alphabet forces
+    dense near-collisions (the adversarial case for signatures)."""
+    from php_etl_spark.operators.joins import fuzzy_join
+
+    ldf = spark.createDataFrame(list(enumerate(lefts)), ["lid", "s"])
+    rdf = spark.createDataFrame(list(enumerate(rights)), ["rid", "t"])
+    got = {
+        (r["lid"], r["rid"], r["dist"])
+        for r in fuzzy_join(ldf, rdf, "lid", "s", "rid", "t").collect()
+    }
+    want = {
+        (li, ri, _lev(s, t))
+        for li, s in enumerate(lefts)
+        for ri, t in enumerate(rights)
+        if _lev(s, t) <= 1
+    }
+    assert got == want
