@@ -5585,6 +5585,422 @@ def agg_approx_percentile_sketch(spark, sf_dir):
     )
 
 
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({{toks}}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             tf * n * 1000000.0 / df AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf * n * 1000000.0 / df DESC, term
+             ) AS rk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(round(score) AS BIGINT) AS tfidf_micro
+    FROM scored WHERE rk <= 3
+    """.replace("{toks}", _TOKS_SQL),
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the keyword-extraction /
+    relevance-weighting primitive. Linear idf (N/df, no logarithm) so
+    the score is one correctly-rounded IEEE division on exact
+    integers — bit-identical in every engine; tf and df are two
+    aggregates over the exploded token stream (both shuffle on term-
+    sized keys with map-side combine), the corpus size N is a 1-row
+    broadcast, and the per-doc top-3 is a row_number window with a
+    term tiebreak. At 100 TB the df table is |vocab| rows — the only
+    state that matters."""
+    docs = _cat(spark, sf_dir).documents
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    score = F.col("tf") * F.col("n") * F.lit(1000000.0) / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", "term", F.round("score").cast("long").alias("tfidf_micro")
+        )
+    )
+
+
+@query(
+    "text_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({{toks}}) AS term FROM documents
+    ),
+    td AS (SELECT DISTINCT doc_id, term FROM toks)
+    SELECT term, COUNT(*) AS df,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM td GROUP BY term
+    ORDER BY df DESC, term
+    LIMIT 20
+    """.replace("{toks}", _TOKS_SQL),
+)
+def text_inverted_index(spark, sf_dir):
+    """Inverted index build (term → sorted posting list) for the 20
+    highest-df terms — the search-index materialization shape. One
+    distinct pass (term, doc) then collect_set per term; postings are
+    sort_array'd so the list is deterministic under any shuffle order.
+    At scale the posting list of a stopword is the skew risk — the
+    df-ranked LIMIT here is TakeOrderedAndProject, and a production
+    index would shard postings by doc-range (as sink_range_clustered
+    demonstrates) rather than collect them into one array."""
+    docs = _cat(spark, sf_dir).documents
+    td = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    ).distinct()
+    return (
+        td.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "text_bigram_lift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {{toks}} AS ts FROM documents
+    ),
+    bi AS (
+      SELECT b[1] AS w1, b[2] AS w2 FROM (
+        SELECT unnest(list_zip(
+          list_slice(ts, 1, greatest(len(ts) - 1, 0)),
+          list_slice(ts, 2, len(ts))
+        )) AS b FROM toks
+      )
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+    uni AS (
+      SELECT u.term, COUNT(*) AS c
+      FROM (SELECT unnest(ts) AS term FROM toks) u GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_tok FROM (SELECT unnest(ts) FROM toks))
+    SELECT w1, w2, c_xy,
+           CAST(round(
+             (c_xy / CAST(u1.c AS DOUBLE))
+             * (n_tok / CAST(u2.c AS DOUBLE)) * 1000000
+           ) AS BIGINT) AS lift_micro
+    FROM big
+    JOIN uni u1 ON big.w1 = u1.term
+    JOIN uni u2 ON big.w2 = u2.term
+    CROSS JOIN n
+    WHERE c_xy >= 5
+    ORDER BY c_xy DESC, w1, w2
+    LIMIT 40
+    """.replace("{toks}", _TOKS_SQL),
+)
+def text_bigram_lift(spark, sf_dir):
+    """Collocation mining: adjacent-token bigram counts scored by lift
+    (e^PMI — p(y|x)/p(y)), the association measure behind phrase
+    detection and tokenizer-merge candidates. Bigrams come from a
+    NARROW zip of each doc's token array with its own tail (no
+    posexplode + self-join on position — that's a shuffle the array
+    already answers); unigram counts and the token total are vocab-
+    sized aggregates joined back on the bigram's two terms. Score is
+    two correctly-rounded divisions + one multiply on exact integer
+    counts — engine-reproducible without logarithms."""
+    docs = _cat(spark, sf_dir).documents
+    toks = docs.select(T.tokens("text").alias("ts"))
+    nts = F.size("ts")
+    bi = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ts", 1, F.greatest(nts - 1, F.lit(0))),
+                F.slice("ts", 2, F.greatest(nts - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    uni = toks.select(F.explode("ts").alias("term")).groupBy("term").agg(
+        F.count("*").alias("c")
+    )
+    n = toks.select(F.explode("ts").alias("t")).agg(
+        F.count("*").alias("n_tok")
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    lift = (
+        (F.col("c_xy") / F.col("c1").cast("double"))
+        * (F.col("n_tok") / F.col("c2").cast("double"))
+        * F.lit(1000000)
+    )
+    return (
+        big.filter(F.col("c_xy") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2", "c_xy",
+            F.round(lift).cast("long").alias("lift_micro"),
+        )
+        .orderBy(F.col("c_xy").desc(), "w1", "w2")
+        .limit(40)
+    )
+
+
+@query(
+    "text_lexical_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({{toks}}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_types, MAX(c) AS cmax
+      FROM tf GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, n_types,
+           CAST(round(n_types * 1000000.0 / n_tok) AS BIGINT) AS ttr_micro,
+           CAST(round(cmax * 1000000.0 / n_tok) AS BIGINT) AS top_share_micro
+    FROM d WHERE n_tok > 0
+    """.replace("{toks}", _TOKS_SQL),
+)
+def text_lexical_diversity(spark, sf_dir):
+    """Per-document lexical-diversity profile: type-token ratio and
+    top-token share — the repetition/quality signals a training-data
+    filter thresholds on (boilerplate and spam have low TTR, high top
+    share). Both ratios are one exact-integer division micro-rounded,
+    so scores hash identically across engines; the whole profile is
+    two aggregate passes (doc+term, then doc) with map-side combine
+    and NO window — each doc's stats never leave its reducer."""
+    docs = _cat(spark, sf_dir).documents
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    d = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.count("*").alias("n_types"),
+        F.max("c").alias("cmax"),
+    )
+    return d.filter(F.col("n_tok") > 0).select(
+        "doc_id", "n_tok", "n_types",
+        F.round(F.col("n_types") * F.lit(1000000.0) / F.col("n_tok"))
+        .cast("long").alias("ttr_micro"),
+        F.round(F.col("cmax") * F.lit(1000000.0) / F.col("n_tok"))
+        .cast("long").alias("top_share_micro"),
+    )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition counts over each user's event
+    stream (clickstream "what happens after X" analysis): one lead()
+    window pass per user — a single shuffle on user_id — then a
+    vocabulary-sized count aggregate with map-side combine. The
+    (ts, event_id) sort key makes the successor deterministic under
+    duplicate timestamps. At 100 TB the window state is one row and
+    the output is |event_types|^2 rows."""
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "agg_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS d, COUNT(*) AS new_users FROM firsts GROUP BY 1
+    )
+    SELECT d, new_users,
+           SUM(new_users) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM daily
+    """,
+)
+def agg_cumulative_distinct(spark, sf_dir):
+    """Cumulative distinct users over time WITHOUT a running
+    COUNT(DISTINCT) window (which no engine does scalably): reduce to
+    one first-seen row per user (the big shuffle, map-side combined),
+    roll up to per-day new-user counts (|dates| rows), then a running
+    sum over that tiny frame. The unbounded window runs on one
+    partition by construction — but over |dates| rows, not |events|,
+    which is what makes the shape 100 TB-safe."""
+    ev = _cat(spark, sf_dir).events
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    daily = firsts.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "d", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+@query(
+    "agg_outliers_iqr",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    q AS (
+      SELECT event_type,
+             quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+      FROM cents GROUP BY event_type
+    ),
+    b AS (
+      SELECT event_type,
+             q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+      FROM q
+    )
+    SELECT c.event_type,
+           CAST(round(lo * 4) AS BIGINT) AS lo_quarter_cents,
+           CAST(round(hi * 4) AS BIGINT) AS hi_quarter_cents,
+           COUNT(*) FILTER (WHERE v < lo OR v > hi) AS n_outliers,
+           COUNT(*) AS n
+    FROM cents c JOIN b USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def agg_outliers_iqr(spark, sf_dir):
+    """Tukey-fence outlier profile per event type, engineered to be
+    bit-identical across engines: values are quantized to integer
+    cents FIRST, so the exact q1/q3 (linear interpolation on integers
+    lands on exact .25 steps — representable doubles) and the 1.5*IQR
+    fences are reproducible regardless of aggregation order; no
+    mean/stddev float summation anywhere. Two passes over the cents
+    column (exact percentile, then fence count) with the tiny fence
+    table broadcast back — the robust-outlier shape z-scores can't
+    deliver deterministically. Fences are reported in quarter-cents
+    (x4 — exact integers) to keep the hash float-free."""
+    ev = _cat(spark, sf_dir).events
+    cents = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    q = cents.groupBy("event_type").agg(
+        F.percentile("v", F.lit(0.25)).alias("q1"),
+        F.percentile("v", F.lit(0.75)).alias("q3"),
+    )
+    b = q.select(
+        "event_type",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    out = F.col("v") < F.col("lo")
+    out = out | (F.col("v") > F.col("hi"))
+    return (
+        cents.join(F.broadcast(b), "event_type")
+        .groupBy(
+            "event_type",
+            F.round(F.col("lo") * 4).cast("long").alias("lo_quarter_cents"),
+            F.round(F.col("hi") * 4).cast("long").alias("hi_quarter_cents"),
+        )
+        .agg(
+            F.count_if(out).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_max_concurrent",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 10000 AS e
+      FROM events WHERE value IS NOT NULL
+    ),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS delta, s AS tie FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS delta, s AS tie FROM iv
+    ),
+    run AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type
+               ORDER BY t, delta, tie
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      FROM pts
+    )
+    SELECT event_type, MAX(live) AS max_concurrent
+    FROM run GROUP BY event_type
+    """,
+)
+def agg_max_concurrent(spark, sf_dir):
+    """Peak concurrency per event type (resource-contention profiling):
+    each event is an interval [ts, ts + value-as-duration); the classic
+    +1/-1 boundary sweep turns "max overlapping intervals" into a
+    running sum + max — one window pass over 2N boundary points, no
+    interval self-join (which would be O(N²) at 100 TB). All arithmetic
+    is integer microseconds; the (t, delta, tie) order is total, so
+    end-at-t closes before start-at-t opens and the running sum is
+    engine-reproducible."""
+    ev = _cat(spark, sf_dir).events
+    iv = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * 100).cast("long") * 10000
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta"),
+        F.col("s").alias("tie"),
+    ).unionAll(
+        iv.select(
+            "event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"),
+            F.col("s").alias("tie"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.select("event_type", F.sum("delta").over(w).alias("live"))
+        .groupBy("event_type")
+        .agg(F.max("live").alias("max_concurrent"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
