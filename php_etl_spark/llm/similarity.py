@@ -348,14 +348,22 @@ def ann_topk_ivf(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: corpus vectors live in their single
     nearest cell; each query probes its ``nprobe`` nearest cells and
     exact-rescores only those cells' members. Scan fraction ≈
     nprobe/n_cells of brute force. The inverted-list shape is the
     standard scale path when LSH bucket skew bites (cells are
-    near-equal-sized by construction of the codebook)."""
-    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    near-equal-sized by construction of the codebook). Pass a trained
+    (cell, c_q, c_norm) table via ``centroids`` (e.g.
+    ``codebook_as_centroids(kmeans_codebook(...))``) to search a
+    k-means-refined codebook instead of the hash-picked one."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, n_cells, id_col, vec_col)
+    )
     corpus_cells = ivf_assign(emb, cents, 1, id_col, vec_col).withColumnRenamed(
         "v_id", "neighbor_id"
     )
@@ -414,4 +422,121 @@ def quantize_int8(
         F.col(id_col),
         q.alias("q_embedding"),
         scale.alias("scale"),
+    )
+
+
+def kmeans_codebook(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    inertia_out: list | None = None,
+) -> DataFrame:
+    """Lloyd's k-means codebook trained with DataFrame ops only — the
+    'production IVF' refinement ``ivf_centroids`` points at (the
+    reference engine has no iterative-ML surface at all; this is the
+    Spark-native equivalent of its closest batch loop,
+    /root/reference/sdk/migrate_assures.php:49-88, applied to vectors).
+
+    Per iteration: the k×d codebook (kilobytes) rides to executors as
+    a ONE-ROW broadcast DataFrame — never as k·d literal expression
+    nodes, which stall Catalyst's constant folding — each vector
+    scores all k cells with an indexed-lambda fold (narrow, no
+    shuffle), and new centroids are per-dimension means via
+    posexplode + (cell, pos) aggregate: the only shuffle, k·d rows
+    out. Empty cells keep their previous centroid. Driver traffic is
+    the codebook itself — never vectors — so the loop runs unchanged
+    on a 1000-executor cluster; rounds are bounded by ``iters``, and
+    the input is materialized once so each pass re-reads a pinned
+    result, not the source scan.
+
+    Appends per-iteration inertia (sum of squared distance to the
+    assigned centroid) to ``inertia_out`` when given; tests assert it
+    is non-increasing. Returns (cell, centroid array<double>,
+    n_members)."""
+    from php_etl_spark.materialize import materialize
+
+    spark = emb.sparkSession
+    vecs = emb.select(
+        F.col(id_col).alias("kid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).filter(F.size("v") > 0)
+    vecs = materialize(vecs)
+
+    seeds = vecs.withColumn("__h", F.xxhash64("kid")).orderBy("__h").limit(k)
+    cents = [list(r["v"]) for r in seeds.select("v").collect()]
+    k = len(cents)  # corpus smaller than k → shrink honestly
+    sizes: dict[int, int] = {}
+
+    def d2s():
+        return F.transform(
+            F.col("cf"),
+            lambda c: F.aggregate(
+                F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    for _ in range(iters):
+        one = spark.createDataFrame(
+            [(cents,)], schema="cf array<array<double>>"
+        )
+        assigned = (
+            vecs.crossJoin(F.broadcast(one))
+            .withColumn("__d2s", d2s())
+            .select(
+                "kid",
+                "v",
+                F.array_position(F.col("__d2s"), F.array_min("__d2s"))
+                .cast("int")
+                .alias("cell"),
+                F.array_min("__d2s").alias("d2"),
+            )
+        )
+        stats = assigned.select(
+            "cell", "d2", F.posexplode("v").alias("pos", "x")
+        ).groupBy("cell", "pos").agg(
+            F.avg("x").alias("m"),
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("pos") == 0, F.col("d2"))).alias("d2sum"),
+        )
+        rows = (
+            stats.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c"),
+                F.max("n").alias("n_members"),
+                F.sum("d2sum").alias("inertia"),
+            )
+            .collect()
+        )
+        new = {r["cell"]: list(r["c"]) for r in rows}
+        sizes = {r["cell"]: r["n_members"] for r in rows}
+        if inertia_out is not None:
+            inertia_out.append(sum(r["inertia"] or 0.0 for r in rows))
+        cents = [new.get(i + 1, cents[i]) for i in range(k)]
+
+    return spark.createDataFrame(
+        [(i + 1, cents[i], int(sizes.get(i + 1, 0))) for i in range(k)],
+        schema="cell int, centroid array<double>, n_members bigint",
+    )
+
+
+def codebook_as_centroids(codebook: DataFrame) -> DataFrame:
+    """Adapt a trained double codebook to the quantized (cell, c_q,
+    c_norm) layout ``ivf_assign``/``ann_topk_ivf`` consume — train
+    with ``kmeans_codebook``, search with the existing IVF machinery."""
+    q = quantize(F.col("centroid"))
+    return codebook.select(
+        "cell",
+        q.alias("c_q"),
+        F.sqrt(
+            F.aggregate(
+                q, F.lit(0).cast("double"), lambda a, x: a + x.cast("double") * x.cast("double")
+            )
+        ).alias("c_norm"),
     )

@@ -6001,6 +6001,42 @@ def agg_max_concurrent(spark, sf_dir):
     )
 
 
+@query("emb_kmeans_codebook")
+def emb_kmeans_codebook(spark, sf_dir):
+    """Train an 8-cell k-means codebook over the embedding corpus
+    (3 Lloyd iterations, DataFrame ops only — see
+    llm/similarity.kmeans_codebook for the scale story). Rows-only:
+    per-dimension means are float sums whose low bits depend on
+    reduction order, so cell populations are algorithm-defined, not
+    SQL-expressible; convergence (non-increasing inertia) and
+    size-conservation are asserted in tests/test_llm.py."""
+    emb = _cat(spark, sf_dir).embeddings
+    cb = S.kmeans_codebook(emb, k=8, iters=3)
+    return cb.select(
+        "cell",
+        "n_members",
+        F.round(
+            F.aggregate("centroid", F.lit(0.0), lambda a, x: a + x * x), 3
+        ).alias("norm2_round"),
+    ).orderBy("cell")
+
+
+@query("sim_ann_ivf_trained")
+def sim_ann_ivf_trained(spark, sf_dir):
+    """IVF search on a TRAINED codebook: k-means centroids adapted to
+    the quantized (cell, c_q, c_norm) layout the IVF machinery
+    consumes — train once, assign corpus to cells, probe + exact-
+    rescore. The production refinement of sim_ann_ivf's hash-picked
+    codebook (tighter cells → better recall at the same nprobe);
+    recall vs brute force asserted in tests/test_llm.py."""
+    emb = _cat(spark, sf_dir).embeddings
+    cents = S.codebook_as_centroids(S.kmeans_codebook(emb, k=8, iters=2))
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.ann_topk_ivf(
+        emb, queries_df, nprobe=3, k=5, centroids=cents
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------

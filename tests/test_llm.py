@@ -427,3 +427,34 @@ def test_incremental_near_dup_identical_recall(spark):
         assert key in found, f"identical re-ingest missed: {key}"
         assert found[key] == 1.0
     assert all(j >= 0.8 for j in found.values())
+
+
+def test_kmeans_codebook_converges_and_conserves(spark):
+    emb = Catalog(spark, SF).embeddings
+    inertia: list[float] = []
+    cb = S.kmeans_codebook(emb, k=8, iters=3, inertia_out=inertia).collect()
+    n = emb.count()
+    assert len(cb) == 8
+    assert sum(r["n_members"] for r in cb) == n
+    assert all(len(r["centroid"]) == 64 for r in cb)
+    assert len(inertia) == 3
+    # Lloyd's is non-increasing (tiny float slack at convergence)
+    for a, b in zip(inertia, inertia[1:]):
+        assert b <= a * (1 + 1e-9), inertia
+
+
+def test_ann_ivf_trained_recall_beats_floor(spark):
+    emb = Catalog(spark, SF).embeddings
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    cents = S.codebook_as_centroids(S.kmeans_codebook(emb, k=8, iters=2))
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk_ivf(
+            emb, queries, nprobe=4, k=5, centroids=cents
+        ).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5
