@@ -261,6 +261,39 @@ AUDITS = {
         ("coefficients ride a broadcast join",
          lambda p: "BroadcastNestedLoopJoin" in p),
     ],
+    "event_transitions": [
+        ("one shuffle total: window and count share the user_id "
+         "partitioning or combine map-side",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 2),
+        ("events scan pruned to the 4 referenced columns",
+         lambda p: all(n <= 4 for n in read_schema_cols(p))),
+        ("whole-stage codegen", has_codegen),
+    ],
+    "text_tfidf_topk": [
+        ("corpus size N rides a broadcast, not a shuffle",
+         lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p),
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+        ("tf/df aggregates combine map-side before their shuffles",
+         lambda p: "partial_count" in p or "HashAggregate" in p),
+    ],
+    "agg_max_concurrent": [
+        ("boundary sweep is ONE window pass: a single shuffle on "
+         "event_type feeds running sum and max",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 2),
+        ("no interval self-join (the O(N²) trap)",
+         lambda p: "Join" not in p or "CartesianProduct" not in p),
+        ("events scan pruned to ts/type/value",
+         lambda p: all(n <= 3 for n in read_schema_cols(p))),
+    ],
+    "agg_cumulative_distinct": [
+        ("running sum windows over per-day rows, AFTER the per-user "
+         "reduction (single-partition window is |dates|-sized)",
+         lambda p: "SinglePartition" in p),
+        ("first-seen reduction combines map-side",
+         lambda p: "partial_min" in p or "HashAggregate" in p),
+    ],
 }
 
 
