@@ -6001,6 +6001,165 @@ def agg_max_concurrent(spark, sf_dir):
     )
 
 
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS w,
+             CAST(round(l_discount * 100) AS BIGINT) AS v
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(round(SUM(w * v) / CAST(SUM(w) AS DOUBLE) * 10000)
+                AS BIGINT) AS wavg_bp
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark, sf_dir):
+    """Revenue-weighted average discount per return flag — the
+    weighted mean every finance rollup needs, engineered exact:
+    weights and values quantize to integer cents first, so both sums
+    are exact integers under any partitioning, and the result is ONE
+    correctly-rounded division reported in basis points. One
+    aggregate pass, map-side combined; never a row-level division
+    (sum-of-ratios is both wrong and nondeterministic)."""
+    li = _cat(spark, sf_dir).lineitem
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("v"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.sum("w").alias("sum_w"),
+        F.round(
+            F.sum(F.col("w") * F.col("v")) / F.sum("w").cast("double") * 10000
+        ).cast("long").alias("wavg_bp"),
+    )
+
+
+@query(
+    "agg_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             epoch_us(ts) AS t,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS t_next
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(SUM(t_next - t) AS BIGINT) AS total_us,
+           CAST(round(
+             SUM(v * (t_next - t))
+             / CAST(SUM(t_next - t) AS DOUBLE) * 100
+           ) AS BIGINT) AS twap_micro
+    FROM seq WHERE t_next IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def agg_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average value per event type (TWAP — each
+    reading holds until the next one): hold durations come from ONE
+    lead() window pass (single shuffle on event_type), then exact
+    integer sums of value-cents × duration-ms and one final division.
+    The (ts, event_id) sort key pins duplicate timestamps; integer-ms
+    durations keep Σ(v·dur) far inside 2^53 even at 100× scale, so
+    the TWAP hashes identically in every engine."""
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    )
+    dur = F.col("t_next") - F.col("t")
+    return (
+        seq.filter(F.col("t_next").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(dur).alias("total_us"),
+            F.round(
+                F.sum(F.col("v") * dur) / F.sum(dur).cast("double") * 100
+            ).cast("long").alias("twap_micro"),
+        )
+    )
+
+
+@query(
+    "window_pct_change",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT d, rev, LAG(rev) OVER (ORDER BY d) AS prev FROM daily
+    )
+    SELECT d, rev,
+           CAST(round((rev - prev) * 10000.0 / prev) AS BIGINT) AS chg_bp
+    FROM seq WHERE prev IS NOT NULL AND prev > 0
+    """,
+)
+def window_pct_change(spark, sf_dir):
+    """Day-over-day revenue change in basis points — the
+    period-over-period KPI: aggregate to per-day cents FIRST (map-side
+    combined; the only event-volume shuffle), then lag + one division
+    over the |dates|-sized frame. The single-partition window is over
+    days, not orders — the same 100 TB-safe layering as
+    agg_cumulative_distinct."""
+    od = _cat(spark, sf_dir).orders
+    daily = od.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w = Window.orderBy("d")
+    seq = daily.withColumn("prev", F.lag("rev").over(w))
+    return (
+        seq.filter(F.col("prev").isNotNull() & (F.col("prev") > 0))
+        .select(
+            "d", "rev",
+            F.round((F.col("rev") - F.col("prev")) * 10000.0 / F.col("prev"))
+            .cast("long").alias("chg_bp"),
+        )
+    )
+
+
+@query(
+    "profile_benford",
+    oracle="""
+    SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS digit,
+           COUNT(*) AS n
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY 1
+    """,
+)
+def profile_benford(spark, sf_dir):
+    """Benford first-digit profile of order totals — the fraud/data-
+    quality screen: leading digit extracted through exact integer
+    cents and a string head, NOT floor(log10(x)) (libm log10 is only
+    1-ulp accurate and disagrees across engines at decade
+    boundaries). One projection + one 9-row aggregate."""
+    od = _cat(spark, sf_dir).orders
+    return (
+        od.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+                .cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @query("emb_kmeans_codebook")
 def emb_kmeans_codebook(spark, sf_dir):
     """Train an 8-cell k-means codebook over the embedding corpus
