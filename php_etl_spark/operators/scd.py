@@ -106,3 +106,42 @@ def scd2_merge(
         ],
     )
     return hist.unionByName(kept).unionByName(closed).unionByName(opened)
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture feed to a snapshot: latest change
+    per key wins (ordered by ``seq_cols`` — make them a total order:
+    LSN, or commit-ts + change-id), ``D`` deletes the key, anything
+    else (insert/update) upserts the change's payload. The Spark-
+    native equivalent of replaying the reference's per-record
+    insert/update/delete loop (db_insert_many + db_update + delete,
+    /root/reference/sdk/lib/db.php:250-296) as ONE set operation.
+
+    ``changes`` must carry the base schema plus ``op_col`` and
+    ``seq_cols``; the result has exactly the base schema. Scale shape:
+    the latest-wins window shuffles only the CHANGE FEED (a day's
+    changes, not the 100 TB snapshot); the snapshot is touched by one
+    left-anti join on the key — partition-scoped rewrite downstream
+    (see writers.upsert) keeps the sink cost ∝ touched partitions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    payload = [c for c in base.columns]
+    survivors = base.join(
+        latest.select(*[F.col(k) for k in keys]), on=list(keys), how="left_anti"
+    )
+    upserts = latest.filter(F.col(op_col) != "D").select(*payload)
+    return survivors.unionByName(upserts)

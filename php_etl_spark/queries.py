@@ -6160,6 +6160,98 @@ def profile_benford(spark, sf_dir):
     )
 
 
+@query(
+    "cdc_apply_snapshot",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, v_cents, t AS last_ts FROM (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_cents,
+               epoch_us(ts) AS t,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    latest AS (
+      SELECT user_id, v_cents, t AS last_ts, op FROM (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_cents,
+               epoch_us(ts) AS t,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL
+      ) WHERE rn = 1
+    )
+    SELECT user_id, v_cents, last_ts FROM base
+    WHERE user_id NOT IN (SELECT user_id FROM latest)
+    UNION ALL
+    SELECT user_id, v_cents, last_ts FROM latest WHERE op <> 'D'
+    """,
+)
+def cdc_apply_snapshot(spark, sf_dir):
+    """Change-data-capture replay: a per-user snapshot (state as of
+    Jan 15) plus a change feed derived from later events (errors →
+    deletes, everything else → upserts), applied latest-wins in ONE
+    set operation — operators/scd.cdc_apply. The window shuffles only
+    the change feed; the snapshot sees one anti-join. This is the
+    reference's row-at-a-time insert/update/delete loop
+    (/root/reference/sdk/lib/db.php:250-296) re-expressed as a merge
+    that a 1000-executor cluster can run per-partition."""
+    from php_etl_spark.operators.scd import cdc_apply
+
+    ev = _cat(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    payload = lambda df: df.select(  # noqa: E731
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        F.unix_micros("ts").alias("last_ts"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    base = (
+        payload(ev.filter(F.col("ts") < "2024-01-15"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "v_cents", "last_ts")
+    )
+    changes = payload(ev.filter(F.col("ts") >= "2024-01-15"))
+    return cdc_apply(
+        base, changes, keys=["user_id"], seq_cols=["ts", "event_id"]
+    )
+
+
+@query("sketch_countmin_topk")
+def sketch_countmin_topk(spark, sf_dir):
+    """Count-min sketch over the token stream, probed for the exact
+    top-20 vocabulary: constant-size (4×1024 counters) frequency
+    state for key spaces too large to shuffle — see
+    functions/sketches.py for the merge algebra. Estimates are
+    deterministic (seeded xxhash64) but not SQL-expressible (DuckDB
+    lacks the hash family): rows-only here; the one-sided error bound
+    and merge invariance are property-tested in
+    tests/test_functions.py."""
+    from php_etl_spark.functions import sketches as SK
+
+    docs = _cat(spark, sf_dir).documents
+    toks = docs.select(F.explode(T.tokens("text")).alias("token"))
+    sketch = SK.cms_build(toks, "token")
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.col("exact").desc(), "token")
+        .limit(20)
+    )
+    return (
+        SK.cms_estimate(sketch, top, "token")
+        .join(top, F.col("item") == F.col("token"))
+        .select("token", "exact", "est", (F.col("est") - F.col("exact")).alias("overcount"))
+        .orderBy(F.col("exact").desc(), "token")
+    )
+
+
 @query("emb_kmeans_codebook")
 def emb_kmeans_codebook(spark, sf_dir):
     """Train an 8-cell k-means codebook over the embedding corpus
