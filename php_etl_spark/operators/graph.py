@@ -1,0 +1,221 @@
+"""Graph analytics over edge tables derived from relational data.
+
+The reference has no graph surface; these are capability extensions a
+training-data/analytics engine needs (co-occurrence graphs, dedup
+cluster graphs, citation/link graphs at corpus scale). Everything here
+is pure DataFrame algebra — joins and aggregates that shuffle on node
+ids — so it scales the way Spark joins scale, and each operator picks
+the algorithm whose join volume stays bounded at 100 TB:
+
+- degree distribution: one distinct + two aggregates.
+- co-occurrence pairs: self-join per basket — pairs ∝ Σ size², so
+  callers cap basket size (TPC-H orders are ≤7 items; a web corpus
+  would cap at ~100 before pairing).
+- triangle counting: degree-ordered orientation (each undirected edge
+  directed from its lower-degree endpoint), the standard trick that
+  bounds every node's out-degree by O(√m) and keeps the wedge join
+  from exploding on hubs — the difference between feasible and not on
+  a power-law graph.
+- PageRank: iterative join+agg with lineage truncation per round via
+  materialize(); contributions are computed from out-degrees joined
+  once, dangling mass redistributed exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from php_etl_spark.materialize import materialize
+
+
+def undirected_edges(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Canonicalize to distinct undirected edges (u < v), dropping
+    self-loops. One shuffle on the edge pair."""
+    u = F.least(F.col(a), F.col(b)).alias("u")
+    v = F.greatest(F.col(a), F.col(b)).alias("v")
+    return df.select(u, v).filter(F.col("u") < F.col("v")).distinct()
+
+
+def degree_distribution(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Degree histogram of a directed edge list: distinct edges →
+    per-node degree → (degree, node count). Two key-only shuffles,
+    both map-side combined."""
+    dedup = edges.select(src, dst).distinct()
+    deg = dedup.groupBy(src).agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int = 128,
+) -> DataFrame:
+    """Item pairs co-occurring in a basket, with occurrence counts.
+
+    Self-join on the basket key with ``item1 < item2`` so each
+    unordered pair counts once per basket. Join volume is
+    Σ size(basket)² — bounded by dropping baskets larger than
+    ``max_basket`` (boilerplate carts/sessions), the same guard the
+    LSH path applies to hot buckets.
+    """
+    items = df.select(basket_col, item_col).distinct()
+    big = (
+        items.groupBy(basket_col)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_basket)
+        .select(basket_col)
+    )
+    items = items.join(big, basket_col, "left_anti")
+    a = items.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a"))
+    b = items.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("item_b"))
+    pairs = a.join(b, "_b").filter(F.col("item_a") < F.col("item_b"))
+    return pairs.groupBy("item_a", "item_b").agg(F.count("*").alias("n_cooc"))
+
+
+def basket_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_cooc: int = 2,
+    max_basket: int = 128,
+) -> DataFrame:
+    """Market-basket lift per item pair, in exact parts-per-million.
+
+    lift = P(a,b) / (P(a)·P(b)) = n_cooc·N / (n_a·n_b) for N baskets.
+    All four factors are exact integers; the single division is done
+    once per output row and rounded to integer ppm, so the result
+    hashes identically across engines. The item-count side is tiny
+    (|items| rows) and broadcast.
+    """
+    items = df.select(basket_col, item_col).distinct()
+    n_baskets = items.select(basket_col).distinct().count()
+    counts = items.groupBy(item_col).agg(F.count("*").alias("n_item"))
+    pairs = cooccurrence_pairs(df, basket_col, item_col, max_basket)
+    pairs = pairs.filter(F.col("n_cooc") >= min_cooc)
+    ca = counts.select(F.col(item_col).alias("item_a"), F.col("n_item").alias("n_a"))
+    cb = counts.select(F.col(item_col).alias("item_b"), F.col("n_item").alias("n_b"))
+    joined = pairs.join(F.broadcast(ca), "item_a").join(F.broadcast(cb), "item_b")
+    lift_ppm = F.round(
+        F.col("n_cooc") * F.lit(n_baskets) * 1000000
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    ).cast("long")
+    return joined.select(
+        "item_a", "item_b", "n_cooc", "n_a", "n_b", lift_ppm.alias("lift_ppm")
+    )
+
+
+def triangle_count(edges: DataFrame, a: str, b: str) -> DataFrame:
+    """Exact global triangle count via degree-ordered orientation.
+
+    Each undirected edge is directed from its lower-(degree, id)
+    endpoint, so out-degree ≤ O(√m) for every node and the wedge join
+    (u→v, u→w) is bounded even on power-law hubs — the node-iterator
+    algorithm every distributed triangle counter uses. Wedges are then
+    semi-joined against the oriented edge set: three shuffles total,
+    all on node/edge keys, no quadratic blowup.
+    """
+    und = undirected_edges(edges, a, b)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ranked = und.join(du, "u").join(dv, "v")
+    # orient low-rank → high-rank, rank = (degree, id)
+    fwd = F.struct(F.col("deg_u"), F.col("u")) < F.struct(F.col("deg_v"), F.col("v"))
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    e1 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
+    # a wedge (x; y, z) closes iff y—z is an edge (either orientation)
+    closing = oriented.select(
+        F.least("src", "dst").alias("y"), F.greatest("src", "dst").alias("z")
+    )
+    tri = wedges.join(closing, ["y", "z"], "left_semi")
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
+def table_diff(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as added / removed /
+    changed / unchanged between two versions of a table.
+
+    One full-outer join on the key; non-key columns are compared with
+    null-safe equality folded into a single boolean. This is the diff
+    half of the reference's migrate-then-verify loop
+    (/root/reference/sdk/migrate_assures.php:205-236 re-reads the
+    destination to decide deletes) expressed as one join instead of
+    per-row probes.
+    """
+    value_cols = [c for c in old.columns if c not in keys]
+    o = old.select(*keys, F.struct(*value_cols).alias("_old"))
+    n = new.select(*keys, F.struct(*value_cols).alias("_new"))
+    j = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("_old").isNull(), F.lit("added"))
+        .when(F.col("_new").isNull(), F.lit("removed"))
+        .when(F.col("_old").eqNullSafe(F.col("_new")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, status.alias("diff_status"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank by repeated join+aggregate, ranks normalized to sum N.
+
+    Per round: ranks ⋈ out-degrees (one shuffle on node id) → explode
+    contributions along edges (shuffle on dst) → aggregate. Dangling
+    mass is computed exactly each round and redistributed uniformly.
+    materialize() truncates lineage so the plan doesn't grow with the
+    iteration count — the same pattern as dedup_clusters. Iterative ⇒
+    no SQL oracle; correctness is property-tested (mass conservation,
+    positivity, hub dominance) in tests/test_graph.py.
+    """
+    nodes = materialize(
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy(src).agg(F.count("*").alias("out_deg"))
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            out_deg, ranks["node"] == out_deg[src], "left"
+        ).select(ranks["node"], "rank", "out_deg")
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            edges.join(with_deg.filter(F.col("out_deg").isNotNull()),
+                       edges[src] == with_deg["node"])
+            .select(F.col(dst).alias("node"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        base = (1.0 - damping) + damping * dangling / n
+        ranks = materialize(
+            nodes.join(contribs, "node", "left").select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))).alias("rank"),
+            )
+        )
+    return ranks

@@ -6288,6 +6288,211 @@ def sim_ann_ivf_trained(spark, sf_dir):
     )
 
 
+from php_etl_spark.operators import graph as G  # noqa: E402
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+    SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree histogram of the customer→supplier purchase graph
+    (distinct edges from the orders⋈lineitem fact). Two key-only
+    map-side-combined shuffles after the fact join — the shape that
+    profiles any derived graph (dedup clusters, link graphs) at
+    corpus scale."""
+    c = _cat(spark, sf_dir)
+    edges = c.orders.join(
+        c.lineitem, c.lineitem["l_orderkey"] == c.orders["o_orderkey"]
+    ).select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    return G.degree_distribution(edges, "src", "dst")
+
+
+@query(
+    "agg_basket_lift",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    nb AS (SELECT count(DISTINCT b) AS n FROM items),
+    counts AS (SELECT i, count(*) AS n_item FROM items GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_cooc
+      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+      GROUP BY a.i, c.i HAVING count(*) >= 2
+    )
+    SELECT item_a, item_b, n_cooc, ca.n_item AS n_a, cb.n_item AS n_b,
+           CAST(round(n_cooc * nb.n * 1000000
+                / CAST(ca.n_item * cb.n_item AS DOUBLE)) AS BIGINT) AS lift_ppm
+    FROM pairs
+    JOIN counts ca ON ca.i = item_a
+    JOIN counts cb ON cb.i = item_b
+    CROSS JOIN nb
+    """,
+)
+def agg_basket_lift(spark, sf_dir):
+    """Market-basket analysis: parts co-ordered in the same order,
+    scored by lift in exact integer ppm (all four factors — co-count,
+    item counts, basket total — are exact ints; ONE rounded division
+    per output row). The per-basket self-join is bounded by a
+    max-basket-size cap (operators/graph.cooccurrence_pairs), the
+    guard that keeps pair volume ∝ Σsize² finite on boilerplate
+    baskets at 100 TB; item-count sides are broadcast."""
+    li = _cat(spark, sf_dir).lineitem
+    return G.basket_lift(li, "l_orderkey", "l_partkey", min_cooc=2)
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    edges AS (
+      SELECT a.i AS u, c.i AS v
+      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+      GROUP BY a.i, c.i HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dst
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    wedges AS (
+      SELECT e1.dst AS y, e2.dst AS z
+      FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    )
+    SELECT count(*) AS n_triangles FROM wedges w
+    WHERE EXISTS (
+      SELECT 1 FROM oriented o
+      WHERE least(o.src, o.dst) = w.y AND greatest(o.src, o.dst) = w.z
+    )
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Exact triangle count of the part co-purchase graph (edges =
+    part pairs sharing ≥2 orders) via degree-ordered orientation:
+    every edge directed from its lower-(degree,id) endpoint bounds
+    each node's out-degree at O(√m), so the wedge join stays finite
+    on power-law hubs — the standard distributed triangle algorithm,
+    here as three key-shuffled joins with zero quadratic steps."""
+    li = _cat(spark, sf_dir).lineitem
+    edges = G.cooccurrence_pairs(li, "l_orderkey", "l_partkey").filter(
+        F.col("n_cooc") >= 2
+    )
+    return G.triangle_count(edges, "item_a", "item_b")
+
+
+@query(
+    "table_diff_snapshots",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0 THEN '0-MODIFIED'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT diff_status, count(*) AS n FROM (
+      SELECT CASE
+        WHEN o.o_orderkey IS NULL THEN 'added'
+        WHEN n.o_orderkey IS NULL THEN 'removed'
+        WHEN o.o_orderstatus = n.o_orderstatus
+         AND o.o_orderpriority = n.o_orderpriority THEN 'unchanged'
+        ELSE 'changed' END AS diff_status
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    ) GROUP BY diff_status
+    """,
+)
+def table_diff_snapshots(spark, sf_dir):
+    """Snapshot reconciliation: classify every order key as added /
+    removed / changed / unchanged between two table versions with ONE
+    full-outer join (the set-based form of the reference's re-read-
+    and-compare migrate loop, /root/reference/sdk/migrate_assures.php:
+    205-236). The 'new' snapshot is derived deterministically (drop
+    %97 keys, re-prioritize %13 keys, add %101 keys shifted) so the
+    class counts are oracle-checkable."""
+    orders = _cat(spark, sf_dir).orders
+    old = orders.select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    modified = (
+        old.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("0-MODIFIED")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+    added = old.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    new = modified.unionByName(added)
+    diff = G.table_diff(old, new, ["o_orderkey"])
+    return diff.groupBy("diff_status").agg(F.count("*").alias("n"))
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_string_agg(spark, sf_dir):
+    """Sorted listagg (GROUP_CONCAT/string_agg parity): nations per
+    region as one comma-joined alphabetical string. collect_list is
+    order-nondeterministic under shuffles, so the result is
+    array_sort-ed BEFORE joining — the only way a string aggregate
+    hashes identically across engines and partitionings."""
+    c = _cat(spark, sf_dir)
+    j = c.region.join(
+        c.nation, c.nation["n_regionkey"] == c.region["r_regionkey"]
+    )
+    return j.groupBy("r_name").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@query("graph_pagerank")
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the customer→supplier purchase graph, 10 rounds
+    of join+aggregate with exact dangling-mass redistribution and
+    lineage truncation per round (operators/graph.pagerank). Iterative
+    float fixpoint ⇒ rows-only check; mass conservation (Σrank = N),
+    positivity, and hub dominance are property-tested in
+    tests/test_graph.py. Output: top-20 suppliers by rank, rounded."""
+    c = _cat(spark, sf_dir)
+    edges = (
+        c.orders.join(
+            c.lineitem, c.lineitem["l_orderkey"] == c.orders["o_orderkey"]
+        )
+        .select(F.col("o_custkey").alias("src"), (F.col("l_suppkey") + 1000000).alias("dst"))
+        .distinct()
+    )
+    ranks = G.pagerank(edges, "src", "dst", iterations=6)
+    return (
+        ranks.select("node", F.round("rank", 4).alias("rank_round"))
+        .orderBy(F.col("rank_round").desc(), "node")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------

@@ -1,0 +1,93 @@
+"""Graph operator tests: known-answer graphs for triangles/degree/
+diff, property tests for PageRank (mass conservation, hub dominance),
+and the basket-size cap bounding pair volume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from php_etl_spark.operators import graph as G
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["a", "b"])
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 has exactly 4 triangles; the pendant edge (4,5) adds none.
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    out = G.triangle_count(_edges(spark, k4), "a", "b").collect()
+    assert out[0]["n_triangles"] == 4
+
+
+def test_triangle_count_orientation_invariant(spark):
+    # duplicate + reversed edges must not change the count
+    tri = [(1, 2), (2, 3), (3, 1), (2, 1), (1, 2), (3, 2)]
+    out = G.triangle_count(_edges(spark, tri), "a", "b").collect()
+    assert out[0]["n_triangles"] == 1
+
+
+def test_degree_distribution(spark):
+    e = _edges(spark, [(1, 10), (1, 11), (1, 10), (2, 10), (3, 10), (3, 11)])
+    rows = {
+        r["degree"]: r["n_nodes"]
+        for r in G.degree_distribution(e, "a", "b").collect()
+    }
+    # node 1 → {10,11} deg 2; node 2 → deg 1; node 3 → deg 2
+    assert rows == {2: 2, 1: 1}
+
+
+def test_cooccurrence_cap_bounds_pairs(spark):
+    # one basket of 50 items is dropped by max_basket=10; the small
+    # basket's single pair survives
+    big = [(1, i) for i in range(50)]
+    small = [(2, 100), (2, 101)]
+    df = spark.createDataFrame(big + small, ["basket", "item"])
+    pairs = G.cooccurrence_pairs(df, "basket", "item", max_basket=10).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["item_a"], pairs[0]["item_b"]) == (100, 101)
+
+
+def test_table_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], ["k", "v"]
+    )
+    rows = {
+        r["k"]: r["diff_status"]
+        for r in G.table_diff(old, new, ["k"]).collect()
+    }
+    assert rows == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_table_diff_null_safe(spark):
+    old = spark.createDataFrame([(1, None), (2, None)], "k int, v string")
+    new = spark.createDataFrame([(1, None), (2, "x")], "k int, v string")
+    rows = {
+        r["k"]: r["diff_status"]
+        for r in G.table_diff(old, new, ["k"]).collect()
+    }
+    assert rows == {1: "unchanged", 2: "changed"}
+
+
+@pytest.fixture(scope="module")
+def pagerank_ranks(spark):
+    # star: everyone links to node 1, plus a 2↔3 cycle edge back
+    e = _edges(spark, [(2, 1), (3, 1), (4, 1), (5, 1), (2, 3), (1, 2)])
+    return G.pagerank(e, "a", "b", iterations=12).collect()
+
+
+def test_pagerank_mass_conserved(pagerank_ranks):
+    total = sum(r["rank"] for r in pagerank_ranks)
+    assert total == pytest.approx(len(pagerank_ranks), rel=1e-6)
+
+
+def test_pagerank_positive_and_hub_wins(pagerank_ranks):
+    ranks = {r["node"]: r["rank"] for r in pagerank_ranks}
+    assert all(v > 0 for v in ranks.values())
+    # the hub everyone points at must outrank every leaf
+    assert ranks[1] == max(ranks.values())
+    assert ranks[1] > ranks[4]
