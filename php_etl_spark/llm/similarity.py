@@ -540,3 +540,274 @@ def codebook_as_centroids(codebook: DataFrame) -> DataFrame:
             )
         ).alias("c_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory path to billion-vector ANN
+# ---------------------------------------------------------------------------
+
+
+def _unit(v: Column) -> Column:
+    """L2-normalize an array<double> column; on the unit sphere L2
+    ordering is exactly cosine ordering, which is what lets an
+    L2-space PQ index answer cosine queries."""
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(v, lambda x: x / F.nullif(n, F.lit(0.0)))
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train an m-subspace × k-centroid product-quantization codebook.
+
+    PQ is what makes 100 TB of embeddings searchable: a d-dim float
+    vector (d·4 bytes) compresses to m single-byte codes, so a
+    billion-vector index fits in executor memory and ADC scoring is
+    m table lookups instead of d multiplies per candidate.
+
+    All m sub-codebooks train JOINTLY in one Lloyd's loop: vectors are
+    sliced into (id, sub, subvector) rows once (narrow — slice() is
+    per-row), every iteration broadcasts the full m×k×(d/m) codebook
+    (kilobytes) as a one-row DataFrame, assignment is an indexed-
+    lambda fold (narrow, no shuffle), and the only shuffle is the
+    (sub, cell, pos) mean aggregation — m·k·(d/m) = m·k rows of
+    output per pass. Driver traffic is codebooks only, never vectors,
+    so the loop is unchanged on a 1000-executor cluster.
+
+    Returns (sub, cell, centroid: array<double>) with cells 1..k.
+    """
+    from php_etl_spark.materialize import materialize
+
+    spark = emb.sparkSession
+    d = emb.select(F.size(vec_col)).first()[0]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub_d = d // m
+    unit = _unit(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    slices = emb.select(
+        F.col(id_col).alias("kid"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("sub"),
+                    F.slice(unit, s * sub_d + 1, sub_d).alias("sv"),
+                ),
+            )
+        ).alias("e"),
+    ).select("kid", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+    slices = materialize(slices)
+
+    # k deterministic seeds per subspace via hash-order row_number
+    w = Window.partitionBy("sub").orderBy(F.xxhash64("kid", "sub"))
+    seeds = (
+        slices.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("sub", "__r", "sv")
+        .collect()
+    )
+    cb: list[list[list[float]]] = [[None] * k for _ in range(m)]
+    for r in seeds:
+        cb[r["sub"]][r["__r"] - 1] = list(r["sv"])
+    for s in range(m):  # corpus smaller than k → pad with first seed
+        first = next(c for c in cb[s] if c is not None)
+        cb[s] = [c if c is not None else first for c in cb[s]]
+
+    for _ in range(iters):
+        one = spark.createDataFrame([(cb,)], schema="cb array<array<array<double>>>")
+        assigned = (
+            slices.join(F.broadcast(one))
+            .withColumn(
+                "__d2s",
+                F.transform(
+                    F.element_at(F.col("cb"), F.col("sub") + 1),
+                    lambda c: F.aggregate(
+                        F.zip_with(F.col("sv"), c, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                ),
+            )
+            .select(
+                "sub",
+                "sv",
+                F.array_position(F.col("__d2s"), F.array_min("__d2s"))
+                .cast("int")
+                .alias("cell"),
+            )
+        )
+        rows = (
+            assigned.select("sub", "cell", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cell", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .groupBy("sub", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                    lambda st: st["mval"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        new = {(r["sub"], r["cell"]): list(r["c"]) for r in rows}
+        cb = [
+            [new.get((s, c + 1), cb[s][c]) for c in range(k)]
+            for s in range(m)
+        ]
+
+    flat = [(s, c + 1, cb[s][c]) for s in range(m) for c in range(k)]
+    return spark.createDataFrame(
+        flat, schema="sub int, cell int, centroid array<double>"
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to (id, codes: array<int>) — m bytes per vector.
+
+    The codebook is folded into one broadcast row; per vector, each
+    subspace picks its nearest centroid with an indexed fold. Fully
+    narrow: no shuffle, no Python — the encode of a 100 TB corpus is
+    a single map stage."""
+    spark = emb.sparkSession
+    rows = codebook.orderBy("sub", "cell").collect()
+    m = 1 + max(r["sub"] for r in rows)
+    k = max(r["cell"] for r in rows)
+    cb = [[None] * k for _ in range(m)]
+    for r in rows:
+        cb[r["sub"]][r["cell"] - 1] = list(r["centroid"])
+    sub_d = len(cb[0][0])
+    one = spark.createDataFrame([(cb,)], schema="cb array<array<array<double>>>")
+    v = _unit(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_position(
+            F.transform(
+                F.element_at(F.col("cb"), s + 1),
+                lambda c: F.aggregate(
+                    F.zip_with(F.slice(v, s * sub_d + 1, sub_d), c,
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+            F.array_min(
+                F.transform(
+                    F.element_at(F.col("cb"), s + 1),
+                    lambda c: F.aggregate(
+                        F.zip_with(F.slice(v, s * sub_d + 1, sub_d), c,
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                )
+            ),
+        ).cast("int"),
+    )
+    return emb.join(F.broadcast(one)).select(
+        F.col(id_col), codes.alias("codes")
+    )
+
+
+def ann_topk_pq_adc(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    oversample: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: corpus lives as PQ codes,
+    queries stay full-precision. Per (query, sub) the distance from
+    the query's subvector to ALL k centroids is computed ONCE into a
+    lookup table; scoring a candidate is then m array lookups — the
+    O(N·Q·m) scan that replaces O(N·Q·d) float math and lets the
+    whole index ride in memory. Query × distance-table rows broadcast
+    (Q·m rows, kilobytes); the corpus side never shuffles. Approximate
+    by construction → recall-vs-brute-force is property-tested, no
+    SQL oracle."""
+    spark = emb.sparkSession
+    codes = pq_encode(emb, codebook, id_col, vec_col)
+    rows = codebook.orderBy("sub", "cell").collect()
+    m = 1 + max(r["sub"] for r in rows)
+    kc = max(r["cell"] for r in rows)
+    cb = [[None] * kc for _ in range(m)]
+    for r in rows:
+        cb[r["sub"]][r["cell"] - 1] = list(r["centroid"])
+    sub_d = len(cb[0][0])
+    one = spark.createDataFrame([(cb,)], schema="cb array<array<array<double>>>")
+    qv = _unit(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    # per query: m × k distance table
+    dtab = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.element_at(F.col("cb"), s + 1),
+            lambda c: F.aggregate(
+                F.zip_with(F.slice(qv, s * sub_d + 1, sub_d), c,
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    qt = queries.join(F.broadcast(one)).select(
+        F.col(id_col).alias("query_id"), dtab.alias("dtab")
+    )
+    # score = Σ_sub dtab[sub][code[sub]] — m lookups per candidate
+    paired = codes.join(F.broadcast(qt)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("dtab"),
+            F.col("codes"),
+            lambda tab, code: F.element_at(tab, code),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = paired.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), score.alias("adc_d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k * oversample)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescore of the ADC shortlist: joins move only Q·k·oversample
+    # rows, never the corpus — compressed scan picks candidates, full
+    # precision orders them (the standard IVF-PQ + rescore pipeline).
+    cand = shortlist.join(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            quantize(F.col(vec_col)).alias("__nq"),
+        ),
+        "neighbor_id",
+    )
+    qside = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("__qq")
+    )
+    rescored = cand.join(F.broadcast(qside), "query_id").select(
+        "query_id", "neighbor_id", cosine_q(F.col("__qq"), F.col("__nq")).alias("cos")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_round"), "rk")
+    )

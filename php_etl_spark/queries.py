@@ -6469,6 +6469,42 @@ def agg_string_agg(spark, sf_dir):
     )
 
 
+@query("emb_pq_train")
+def emb_pq_train(spark, sf_dir):
+    """Product-quantization codebook training: m=8 subspaces × k=16
+    centroids, all trained JOINTLY in one DataFrame Lloyd's loop
+    (llm/similarity.pq_train) — slices are narrow, the codebook rides
+    as a one-row broadcast, and the only shuffle emits m·k rows per
+    pass. PQ is the memory path to billion-vector ANN: 64 floats →
+    8 bytes. Float means ⇒ rows-only; coverage/shape property-tested
+    in tests/test_llm.py. Output: per-(sub,cell) centroid norms."""
+    emb = _cat(spark, sf_dir).embeddings
+    cb = S.pq_train(emb, m=8, k=16, iters=2)
+    return cb.select(
+        "sub",
+        "cell",
+        F.round(
+            F.aggregate("centroid", F.lit(0.0), lambda a, x: a + x * x), 3
+        ).alias("norm2_round"),
+    ).orderBy("sub", "cell")
+
+
+@query("sim_ann_pq_adc")
+def sim_ann_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-k with exact rescore: the corpus is
+    scanned as m-byte codes (m lookups per candidate, never d float
+    multiplies), the ADC shortlist (k×oversample rows per query) is
+    the ONLY thing joined back to full vectors, and exact integer-
+    quantized cosine orders the final k. The compressed-scan +
+    rescore pipeline is what ANN looks like at 100 TB, where full
+    vectors cannot ride through a shuffle. Approximate ⇒ rows-only;
+    recall vs brute force asserted in tests/test_llm.py."""
+    emb = _cat(spark, sf_dir).embeddings
+    cb = S.pq_train(emb, m=8, k=16, iters=2)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.ann_topk_pq_adc(emb, queries_df, cb, k=5, oversample=10)
+
+
 @query("graph_pagerank")
 def graph_pagerank(spark, sf_dir):
     """PageRank over the customer→supplier purchase graph, 10 rounds

@@ -458,3 +458,35 @@ def test_ann_ivf_trained_recall_beats_floor(spark):
         ).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_pq_encode_shape_and_coverage(spark):
+    emb = Catalog(spark, SF).embeddings
+    cb = S.pq_train(emb, m=8, k=4, iters=2)
+    assert cb.count() == 8 * 4
+    codes = S.pq_encode(emb, cb)
+    assert codes.count() == emb.count()
+    rows = codes.select(F.size("codes").alias("m")).distinct().collect()
+    assert [r["m"] for r in rows] == [8]
+    # every code within 1..k
+    bad = codes.filter(
+        F.exists("codes", lambda c: (c < 1) | (c > 4))
+    ).count()
+    assert bad == 0
+
+
+def test_pq_adc_recall_vs_brute_force(spark):
+    emb = Catalog(spark, SF).embeddings
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    cb = S.pq_train(emb, m=8, k=16, iters=2)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk_pq_adc(emb, queries, cb, k=5, oversample=10).collect()
+    }
+    # 32-bit codes pick a 10% shortlist, exact rescore orders it; on
+    # near-random synthetic vectors (worst case for PQ) recall@5 ≥ 0.5
+    assert len(approx & exact) / len(exact) >= 0.5
