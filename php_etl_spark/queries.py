@@ -6469,6 +6469,92 @@ def agg_string_agg(spark, sf_dir):
     )
 
 
+@query(
+    "agg_ohlc_bars",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_hour,
+             CAST(round(value * 100) AS BIGINT) AS v, ts, event_id
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, bar_hour,
+           first(v ORDER BY ts, event_id) AS open_c,
+           CAST(max(v) AS BIGINT) AS high_c,
+           CAST(min(v) AS BIGINT) AS low_c,
+           last(v ORDER BY ts, event_id) AS close_c,
+           count(*) AS n_ticks,
+           CAST(sum(v) AS BIGINT) AS vol_c
+    FROM t GROUP BY event_type, bar_hour
+    """,
+)
+def agg_ohlc_bars(spark, sf_dir):
+    """Time-bar resampling (OHLC candles): one aggregate pass per
+    (series, hour) bucket. Open/close are min_by/max_by over the
+    (ts, event_id) struct — a deterministic ordered-aggregate that
+    needs NO window pass or self-join, so the whole query is one
+    map-side-combined shuffle. Values quantize to integer cents
+    first: every output column is exact under any partitioning."""
+    ev = _cat(spark, sf_dir).events
+    t = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar_hour"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.struct("ts", "event_id").alias("ord"),
+    )
+    return t.groupBy("event_type", "bar_hour").agg(
+        F.min_by("v", "ord").alias("open_c"),
+        F.max("v").alias("high_c"),
+        F.min("v").alias("low_c"),
+        F.max_by("v", "ord").alias("close_c"),
+        F.count("*").alias("n_ticks"),
+        F.sum("v").alias("vol_c"),
+    )
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+)
+def sink_orc_roundtrip(spark, sf_dir):
+    """Columnar-format interop: write supplier through the ORC sink
+    connection, read it back through the ORC source. Same predicate-
+    pushdown/column-pruning story as parquet (ORC carries min/max
+    stripes), so a reference user's file-based pipeline can keep
+    either format."""
+    import tempfile
+
+    from php_etl_spark.sources.readers import read_source
+    from php_etl_spark.sources.writers import overwrite
+
+    conn = {"type": "orc", "path": tempfile.mkdtemp(prefix="sink_orc_")}
+    frame = _cat(spark, sf_dir).supplier.select("s_suppkey", "s_name", "s_nationkey")
+    overwrite(frame, conn, "supplier_out")
+    return read_source(spark, conn, "supplier_out")
+
+
+@query(
+    "sink_json_roundtrip",
+    oracle="SELECT p_partkey, p_name, p_retailprice FROM part",
+)
+def sink_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink/source round trip (the reference's ReadWriter
+    is line-oriented text IO, /root/reference/sdk/src/IO/ReadWriter.php:
+    78-102 — JSONL is its schema-carrying successor). Doubles survive
+    exactly: Spark prints shortest-roundtrip decimals and reads them
+    back to the same bits."""
+    import tempfile
+
+    from php_etl_spark.sources.readers import read_source
+    from php_etl_spark.sources.writers import overwrite
+
+    conn = {"type": "json", "path": tempfile.mkdtemp(prefix="sink_json_")}
+    frame = _cat(spark, sf_dir).part.select("p_partkey", "p_name", "p_retailprice")
+    overwrite(frame, conn, "part_out")
+    return read_source(spark, conn, "part_out").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
 @query("emb_pq_train")
 def emb_pq_train(spark, sf_dir):
     """Product-quantization codebook training: m=8 subspaces × k=16

@@ -56,6 +56,8 @@ def read_source(
         )
     elif kind == "json":
         df = spark.read.options(**conn.get("options", {})).json(_table_path(conn, table))
+    elif kind == "orc":
+        df = spark.read.options(**conn.get("options", {})).orc(_table_path(conn, table))
     elif kind == "text":
         # line-oriented source (ReadWriter::getIterator parity,
         # /root/reference/sdk/src/IO/ReadWriter.php:90-102)

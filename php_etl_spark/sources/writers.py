@@ -44,6 +44,8 @@ def _file_write(df: DataFrame, conn: dict[str, Any], path: str, mode: str) -> st
         w.json(path)
     elif kind == "text":
         w.text(path)
+    elif kind == "orc":
+        w.orc(path)
     else:
         w.parquet(path)
     return path

@@ -47,6 +47,32 @@ def read_schema_cols(plan: str) -> list[int]:
 
 # name -> list of (description, predicate(plan_string))
 AUDITS = {
+    "graph_triangle_count": [
+        ("no cartesian/nested-loop anywhere (wedge join is keyed)",
+         lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("closing-edge check is a semi join, not a full join",
+         lambda p: "LeftSemi" in p),
+    ],
+    "agg_basket_lift": [
+        ("item-count sides broadcast", lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("no cartesian product",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "agg_ohlc_bars": [
+        ("single aggregate pass, no window exchange beyond the groupBy",
+         lambda p: "Window" not in p),
+        ("partial aggregation before shuffle (map-side combine)",
+         lambda p: "partial_" in p or "HashAggregate" in p.split("Exchange")[-1]),
+    ],
+    "sim_ann_pq_adc": [
+        ("query/dtable side broadcast, corpus never shuffled pre-score",
+         lambda p: "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "table_diff_snapshots": [
+        ("single full-outer join (SortMergeJoin FullOuter)",
+         lambda p: "FullOuter" in p),
+    ],
     "scan_lineitem": [
         ("filter pushed to parquet scan", has_pushed_filter),
         ("column-pruned scan (<=6 of 16 lineitem cols)",
