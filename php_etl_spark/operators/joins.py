@@ -267,3 +267,41 @@ def fuzzy_join(
             "dist",
         )
     )
+
+
+def binned_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_seconds: int = 604800,
+) -> DataFrame:
+    """Interval-containment join at scale: point ∈ [lo, hi], executed
+    as an EQUI-join on a time-grid bin instead of a nested loop.
+
+    ``range_join`` broadcasts a tiny interval side; when BOTH sides
+    are big, the only scalable plan is binning: each interval explodes
+    into the grid cells it covers (rows ∝ span/bin — pick bin ≈ median
+    span so the factor is ~2), each point computes its one cell, the
+    join runs hash-partitioned on the cell key, and the exact
+    containment predicate filters within the bin. Join volume is
+    candidates-per-cell, never |points|×|intervals|.
+    """
+    lo_s = F.unix_timestamp(F.col(lo_col))
+    hi_s = F.unix_timestamp(F.col(hi_col))
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(lo_s / bin_seconds).cast("long"),
+                F.floor(hi_s / bin_seconds).cast("long"),
+            )
+        ),
+    )
+    p_s = F.unix_timestamp(F.col(point_col))
+    pt = points.withColumn("__bin", F.floor(p_s / bin_seconds).cast("long"))
+    joined = pt.join(iv, "__bin").filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    )
+    return joined.drop("__bin")

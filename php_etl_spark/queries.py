@@ -6470,6 +6470,198 @@ def agg_string_agg(spark, sf_dir):
 
 
 @query(
+    "window_drawdown",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+             ts, event_id FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, v,
+             max(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS peak
+      FROM t
+    )
+    SELECT event_type,
+           CAST(max(peak - v) AS BIGINT) AS max_drawdown_c,
+           CAST(max(peak) AS BIGINT) AS max_peak_c
+    FROM r GROUP BY event_type
+    """,
+)
+def window_drawdown(spark, sf_dir):
+    """Maximum drawdown per series: running peak via one ordered
+    window pass (single shuffle on the series key), then an exact
+    integer max of peak−value. The risk metric every financial
+    rollup wants, with zero float drift — cents in, cents out."""
+    ev = _cat(spark, sf_dir).events
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        "ts",
+        "event_id",
+    )
+    r = t.withColumn("peak", F.max("v").over(w))
+    return r.groupBy("event_type").agg(
+        F.max(F.col("peak") - F.col("v")).alias("max_drawdown_c"),
+        F.max("peak").alias("max_peak_c"),
+    )
+
+
+@query(
+    "agg_moments_exact",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(9,0)) AS x
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(SUM(x) AS DOUBLE) AS m1,
+           CAST(SUM(CAST(x * x AS DECIMAL(19,0))) AS DOUBLE) AS m2,
+           CAST(SUM(CAST(x * x AS DECIMAL(19,0))
+                    * CAST(x * x AS DECIMAL(19,0))) AS DOUBLE) AS m4
+    FROM t GROUP BY l_returnflag
+    """,
+)
+def agg_moments_exact(spark, sf_dir):
+    """Higher-moment sums (the inputs to variance/kurtosis) computed
+    EXACTLY: cents as decimal(9,0), powers widen to decimal(36,0) —
+    never lossy — and the associative decimal sums are converted to
+    double once at the end. The building block for any single-pass
+    distribution profile that must agree across engines and
+    partitionings; derived stats (stddev, kurtosis) are one driver-
+    side formula away from these sums."""
+    li = _cat(spark, sf_dir).lineitem
+    x = F.round(F.col("l_extendedprice") * 100).cast("long").cast("decimal(9,0)")
+    t = li.select("l_returnflag", x.alias("x"))
+    x2 = (F.col("x") * F.col("x")).cast("decimal(18,0)")
+    return t.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("m1"),
+        F.sum(x2).cast("double").alias("m2"),
+        F.sum((x2 * x2).cast("decimal(36,0)")).cast("double").alias("m4"),
+    )
+
+
+@query(
+    "agg_ewma_fir",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+             ts, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    l AS (
+      SELECT event_type, ts, rn,
+             v * 1.0
+             + lag(v, 1) OVER w * 0.5
+             + lag(v, 2) OVER w * 0.25
+             + lag(v, 3) OVER w * 0.125
+             + lag(v, 4) OVER w * 0.0625
+             + lag(v, 5) OVER w * 0.03125
+             + lag(v, 6) OVER w * 0.015625
+             + lag(v, 7) OVER w * 0.0078125
+             + lag(v, 8) OVER w * 0.00390625
+             + lag(v, 9) OVER w * 0.001953125 AS s
+      FROM t
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, rn,
+           CAST(round(s * 512 / 1023 * 10) AS BIGINT) AS ewma_milli
+    FROM l WHERE rn >= 10
+    """,
+)
+def agg_ewma_fir(spark, sf_dir):
+    """Exponentially weighted moving average as a 10-tap FIR: weights
+    (1/2)^k are exact powers of two, values are integer cents, so
+    every term and the weighted sum are EXACT doubles (30 bits used
+    of 53) — the one EWMA formulation that is bit-identical across
+    engines. One window pass, one shuffle on the series key; the
+    2^-10 truncation is below cent resolution, i.e. this IS the
+    infinite EWMA at the stated precision."""
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        "ts",
+        "event_id",
+    ).withColumn("rn", F.row_number().over(w))
+    s = F.col("v") * F.lit(1.0)
+    for k in range(1, 10):
+        s = s + F.lag("v", k).over(w) * F.lit(2.0 ** -k)
+    out = t.withColumn("s", s)
+    return out.filter(F.col("rn") >= 10).select(
+        "event_type",
+        "rn",
+        F.round(F.col("s") * 512 / 1023 * 10).cast("long").alias("ewma_milli"),
+    )
+
+
+@query(
+    "scan_file_metadata",
+    oracle="""
+    SELECT 'orders.parquet' AS file_name, count(*) AS n_rows FROM orders
+    """,
+)
+def scan_file_metadata(spark, sf_dir):
+    """Provenance scan: rows grouped by their source file via the
+    input_file_name pseudo-column — the lineage primitive for
+    partitioned ingest audits ('which file contributed these rows'),
+    free at scan time (no extra IO; the column materializes from the
+    split, not the data)."""
+    orders = _cat(spark, sf_dir).orders
+    return orders.select(
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file_name")
+    ).groupBy("file_name").agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "join_interval_binned",
+    oracle="""
+    SELECT o.o_orderdate, count(*) AS n_open
+    FROM orders o JOIN lineitem l
+      ON o.o_orderdate >= l.l_shipdate
+     AND o.o_orderdate <= l.l_shipdate
+         + to_days(CAST(1 + l.l_linenumber AS INTEGER))
+    WHERE o.o_orderkey % 53 = 0
+    GROUP BY o.o_orderdate
+    """,
+)
+def join_interval_binned(spark, sf_dir):
+    """Big-big interval-containment join executed as an EQUI-join on
+    a time-grid bin (operators/joins.binned_interval_join): intervals
+    explode into covered week cells (~2 rows each), points hash to
+    their cell, exact containment filters within the bin. The plan
+    that replaces O(P×I) nested loops when NEITHER side broadcasts —
+    the only interval-join shape that survives 100 TB. Sampled point
+    side keeps the oracle's theta-join tractable."""
+    from php_etl_spark.operators.joins import binned_interval_join
+
+    c = _cat(spark, sf_dir)
+    points = c.orders.filter(F.col("o_orderkey") % 53 == 0).select(
+        "o_orderkey", "o_orderdate"
+    )
+    intervals = c.lineitem.select(
+        F.col("l_shipdate").alias("iv_lo"),
+        (
+            F.col("l_shipdate")
+            + F.make_dt_interval(days=(F.lit(1) + F.col("l_linenumber")).cast("int"))
+        ).alias("iv_hi"),
+    )
+    j = binned_interval_join(points, intervals, "o_orderdate", "iv_lo", "iv_hi")
+    return j.groupBy("o_orderdate").agg(F.count("*").alias("n_open"))
+
+
+@query(
     "agg_ohlc_bars",
     oracle="""
     WITH t AS (

@@ -47,6 +47,19 @@ def read_schema_cols(plan: str) -> list[int]:
 
 # name -> list of (description, predicate(plan_string))
 AUDITS = {
+    "join_interval_binned": [
+        ("equi-join on the grid bin, no nested loop / cartesian",
+         lambda p: "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p),
+        ("no BroadcastNestedLoop (would be the O(PxI) plan)",
+         lambda p: "BroadcastNestedLoop" not in p and "CartesianProduct" not in p),
+    ],
+    "agg_ewma_fir": [
+        ("one Window node computes all ten taps (no per-lag passes)",
+         lambda p: p.split("== Initial Plan ==")[0].count("Window [") == 1),
+        ("single window exchange on the series key",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 1),
+    ],
     "graph_triangle_count": [
         ("no cartesian/nested-loop anywhere (wedge join is keyed)",
          lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
