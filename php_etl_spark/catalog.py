@@ -15,7 +15,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = [
     "region",
@@ -43,10 +43,6 @@ class Catalog:
         self.spark = spark
         self.base_dir = base_dir
         self._cache: dict[str, DataFrame] = {}
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
 
     def path(self, name: str) -> str:
         return os.path.join(self.base_dir, f"{name}.parquet")
@@ -73,12 +69,19 @@ class Catalog:
 
 
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS); Spark reads it as
-    long nanoseconds under ``nanosAsLong``. Convert to a microsecond
-    timestamp — the same truncation DuckDB applies — so event-time
-    semantics (windows, watermarks) work on a proper TimestampType.
+    """events.parquet stores ts as TIMESTAMP(NANOS). Spark ≥4.x reads
+    that as TIMESTAMP_NTZ (nanos truncated to micros); older runtimes
+    read it as long nanoseconds under the ``nanosAsLong`` legacy conf.
+    Normalize both to a session-UTC TimestampType — the same
+    microsecond truncation DuckDB applies — so event-time semantics
+    (windows, watermarks, unix_micros) work everywhere downstream.
     """
-    if isinstance(df.schema["ts"].dataType, LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, TimestampNTZType):
+        # session tz is UTC, so NTZ→LTZ is a type change, not a value
+        # change: every oracle hash stays bit-identical
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif isinstance(dt, LongType):
         # integer division: ns-since-epoch exceeds double's 53-bit
         # mantissa, so a float divide would corrupt microseconds
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1828,9 +1828,19 @@ def multimodal_bytes(spark, sf_dir):
 def multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas decode (deterministic fake decoder —
     media libs stubbed per environment; Spark-side schema/batching is
-    real). Rows-only."""
+    real). Rows-only. The feature vector serializes to a ','-joined
+    string at the boundary so result rows stay scalar-typed for the
+    driver's row hasher; the operator itself keeps array<double>."""
     d = _cat(spark, sf_dir).documents
-    return M.decode_features(M.with_binary_payload(d), n_features=8, fake=True)
+    feats = M.decode_features(M.with_binary_payload(d), n_features=8, fake=True)
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("features", lambda v: F.format_string("%.6f", v))
+        ).alias("features"),
+    )
 
 
 @query(
@@ -2369,7 +2379,7 @@ def fn_regexp(spark, sf_dir):
     "fn_collect_list",
     oracle="""
     SELECT n_nationkey,
-           list_sort(list(s_name)) AS suppliers,
+           array_to_string(list_sort(list(s_name)), '|') AS suppliers,
            COUNT(*) AS n
     FROM nation JOIN supplier ON s_nationkey = n_nationkey
     GROUP BY n_nationkey
@@ -2378,13 +2388,15 @@ def fn_regexp(spark, sf_dir):
 def fn_collect_list(spark, sf_dir):
     """Grouped collection into a sorted array — the deterministic form
     of collect_list (raw collect order is partitioning-dependent;
-    array_sort makes it stable at any parallelism)."""
+    array_sort makes it stable at any parallelism). Serialized '|'-
+    joined at the query boundary: result rows stay scalar-typed so any
+    row hasher (driver, pandas) can sort them."""
     cat = _cat(spark, sf_dir)
     j = cat.nation.join(
         cat.supplier, cat.nation.n_nationkey == cat.supplier.s_nationkey
     )
     return j.groupBy("n_nationkey").agg(
-        F.array_sort(F.collect_list("s_name")).alias("suppliers"),
+        F.concat_ws("|", F.array_sort(F.collect_list("s_name"))).alias("suppliers"),
         F.count("*").alias("n"),
     )
 
@@ -3298,17 +3310,19 @@ def agg_bool(spark, sf_dir):
 @query(
     "agg_collect_set",
     oracle="""
-    SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
            COUNT(DISTINCT event_type) AS n_types
     FROM events GROUP BY user_id
     """,
 )
 def agg_collect_set(spark, sf_dir):
     """Grouped distinct collection into a sorted array (deterministic
-    collect_set)."""
+    collect_set), '|'-serialized at the boundary so result rows stay
+    scalar-typed for any row hasher."""
     ev = _cat(spark, sf_dir).events
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.concat_ws("|", F.array_sort(F.collect_set("event_type"))).alias("types"),
         F.countDistinct("event_type").alias("n_types"),
     )
 
@@ -4362,11 +4376,14 @@ def docs_pack_budget(spark, sf_dir):
     "emb_quantize_int8",
     oracle="""
     SELECT vec_id,
-           CASE WHEN maxabs = 0
-                THEN list_transform(emb, x -> 0)
-                ELSE list_transform(
-                    emb, x -> CAST(floor(x / (maxabs / 127.0) + 0.5) AS INT))
-           END AS q_embedding,
+           array_to_string(
+             CASE WHEN maxabs = 0
+                  THEN list_transform(emb, x -> CAST(0 AS VARCHAR))
+                  ELSE list_transform(
+                      emb,
+                      x -> CAST(CAST(floor(x / (maxabs / 127.0) + 0.5) AS INT)
+                                AS VARCHAR))
+             END, ',') AS q_embedding,
            maxabs / 127.0 AS scale
     FROM (
       SELECT vec_id,
@@ -4380,10 +4397,20 @@ def emb_quantize_int8(spark, sf_dir):
     """Symmetric int8 embedding quantization (scale = max|x|/127,
     explicit half-up rounding so ties break identically in every
     engine) — 4x compression before shipping vectors to an ANN index.
-    Narrow map, no shuffle."""
+    Narrow map, no shuffle. The int8 vector serializes to a ','-joined
+    string at the query boundary (scalar-typed rows for the hasher);
+    the operator itself (llm.similarity.quantize_int8) keeps the
+    native array<int> for downstream ANN use."""
     from php_etl_spark.llm.similarity import quantize_int8
 
-    return quantize_int8(_cat(spark, sf_dir).embeddings)
+    q = quantize_int8(_cat(spark, sf_dir).embeddings)
+    return q.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("q_embedding", lambda v: v.cast("string"))
+        ).alias("q_embedding"),
+        "scale",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5579,7 +5606,13 @@ def agg_approx_percentile_sketch(spark, sf_dir):
         ev.groupBy("event_type")
         .agg(
             F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000)
-            .alias("p50_p95_p99")
+            .alias("p")
+        )
+        .select(
+            "event_type",
+            F.element_at("p", 1).alias("p50"),
+            F.element_at("p", 2).alias("p95"),
+            F.element_at("p", 3).alias("p99"),
         )
         .orderBy("event_type")
     )
@@ -5644,7 +5677,7 @@ def text_tfidf_topk(spark, sf_dir):
     ),
     td AS (SELECT DISTINCT doc_id, term FROM toks)
     SELECT term, COUNT(*) AS df,
-           list(doc_id ORDER BY doc_id) AS postings
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
     FROM td GROUP BY term
     ORDER BY df DESC, term
     LIMIT 20
@@ -5667,7 +5700,13 @@ def text_inverted_index(spark, sf_dir):
         td.groupBy("term")
         .agg(
             F.count("*").alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda v: v.cast("string"),
+                ),
+            ).alias("postings"),
         )
         .orderBy(F.col("df").desc(), "term")
         .limit(20)
@@ -6868,7 +6907,14 @@ DRIVER_GREEN = [
 
 # Never-driver-checked keys, most-critical first (sinks/pipelines, streaming,
 # LLM ops, UDF surface — the operators the round-1 verdict called out).
+# Round-3 head: the six r2-red keys (NTZ root cause + array-output
+# hasher break) and the five array-reshaped never-checked keys go
+# FIRST so the driver re-verifies the fixes this round.
 _PRIORITY = [
+    "stream_watermark", "stream_stream_join", "agg_max_concurrent",
+    "agg_time_weighted_avg", "cdc_apply_snapshot", "emb_quantize_int8",
+    "multimodal_decode", "fn_collect_list", "agg_collect_set",
+    "agg_approx_percentile_sketch", "text_inverted_index",
     "scan_documents", "sink_append", "sink_jdbc", "sink_jdbc_upsert",
     "bulk_extract_roundtrip", "sink_csv_roundtrip",
     "sink_partitioned", "upsert_merge", "upsert_partitioned",
@@ -6902,7 +6948,10 @@ def _reorder_for_driver() -> None:
     green_list = file_green or DRIVER_GREEN
     green = set(green_list)
     # prioritize only keys the driver has NOT yet verified
-    prioritized = [k for k in _PRIORITY if k in QUERIES and k not in green]
+    # (dict.fromkeys: stable dedup — head keys may repeat in _PRIORITY)
+    prioritized = [
+        k for k in dict.fromkeys(_PRIORITY) if k in QUERIES and k not in green
+    ]
     rest = [k for k in QUERIES if k not in green and k not in set(prioritized)]
     order = prioritized + rest + [k for k in green_list if k in QUERIES]
     reordered = {k: QUERIES[k] for k in order}

@@ -54,9 +54,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet stores TIMESTAMP(NANOS) which Spark has no
-        # native type for; read as long and convert (catalog.py).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.parquet stores TIMESTAMP(NANOS); Spark ≥4.x reads it
+        # as TIMESTAMP_NTZ (the legacy nanosAsLong conf is a no-op
+        # there) and the catalog normalizes it to TimestampType.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -130,7 +130,6 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """
     _ship_package(spark)
     for k, v in [
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),

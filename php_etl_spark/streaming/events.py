@@ -26,10 +26,6 @@ from php_etl_spark.functions.exact import dec
 def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Streaming read of any catalog table. Schema comes from a batch
     probe (file-stream sources require an explicit schema)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     path = f"{sf_dir}/{table}.parquet"
     schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
@@ -49,11 +45,15 @@ def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming read of the events table; the nanosecond epoch column
-    converts to a microsecond timestamp exactly as in the batch
-    catalog."""
+    """Streaming read of the events table; the TIMESTAMP(NANOS) column
+    normalizes to a session-UTC microsecond timestamp exactly as in
+    the batch catalog (watermarks require TimestampType, not NTZ)."""
     sdf = stream_table(spark, sf_dir, "events")
-    if dict(sdf.dtypes)["ts"] == "bigint":
+    ts_dtype = dict(sdf.dtypes)["ts"]
+    if ts_dtype == "timestamp_ntz":
+        # UTC session tz ⇒ bit-identical values, just watermarkable
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif ts_dtype == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return sdf
 

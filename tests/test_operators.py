@@ -139,7 +139,7 @@ def test_approx_percentile_sketch_error_bound(spark):
 
     sf = "/root/testdata/sf0.001"
     got = {
-        r["event_type"]: r["p50_p95_p99"]
+        r["event_type"]: (r["p50"], r["p95"], r["p99"])
         for r in QUERIES["agg_approx_percentile_sketch"](spark, sf).collect()
     }
     by_type = defaultdict(list)
