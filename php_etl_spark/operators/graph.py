@@ -180,10 +180,13 @@ def pagerank(
 
     Per round: ranks ⋈ out-degrees (one shuffle on node id) → explode
     contributions along edges (shuffle on dst) → aggregate. Dangling
-    mass is computed exactly each round and redistributed uniformly.
-    materialize() truncates lineage so the plan doesn't grow with the
-    iteration count — the same pattern as dedup_clusters. Iterative ⇒
-    no SQL oracle; correctness is property-tested (mass conservation,
+    mass is redistributed uniformly but stays IN the plan: the 1-row
+    dangling aggregate rides a broadcast cross join into the rank
+    update, so each iteration is a single Spark job (the materialize
+    action) with no driver-side scalar round-trip. materialize()
+    truncates lineage so the plan doesn't grow with the iteration
+    count — the same pattern as dedup_clusters. Iterative ⇒ no SQL
+    oracle; correctness is property-tested (mass conservation,
     positivity, hub dominance) in tests/test_graph.py.
     """
     nodes = materialize(
@@ -198,10 +201,9 @@ def pagerank(
         with_deg = ranks.join(
             out_deg, ranks["node"] == out_deg[src], "left"
         ).select(ranks["node"], "rank", "out_deg")
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # 1-row aggregate, broadcast below — never collected
+        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
         )
         contribs = (
             edges.join(with_deg.filter(F.col("out_deg").isNotNull()),
@@ -211,11 +213,17 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        base = (1.0 - damping) + damping * dangling / n
         ranks = materialize(
-            nodes.join(contribs, "node", "left").select(
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))).alias("rank"),
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.col("dangling") / F.lit(float(n))
+                    + F.lit(damping)
+                    * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
             )
         )
     return ranks

@@ -25,7 +25,17 @@ from php_etl_spark.functions.exact import dec
 
 def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Streaming read of any catalog table. Schema comes from a batch
-    probe (file-stream sources require an explicit schema)."""
+    probe (file-stream sources require an explicit schema).
+
+    Directory-shaped tables (the production layout — parquet datasets
+    are directories on HDFS/S3, where ``os.path.isfile`` is False)
+    stream straight from the original path, no indirection. Only a
+    bare single-file table — the local testdata layout — is exposed
+    through a driver-local symlink dir, because the streaming file
+    source lists directories. That fallback assumes the driver's
+    filesystem is visible to executors (true in local mode); on a
+    real cluster, materialize single-file tables into a directory on
+    the shared store instead."""
     path = f"{sf_dir}/{table}.parquet"
     schema = spark.read.parquet(path).schema
     if os.path.isfile(path):

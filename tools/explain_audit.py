@@ -424,12 +424,23 @@ def main() -> int:
         if not checks:
             print(f"skip  {name}: no audit entries")
             continue
-        if name in PLAN_BUILDERS:
-            plan = PLAN_BUILDERS[name](spark, args.sf)
-        else:
-            df = QUERIES[name](spark, args.sf)
-            df.collect()  # force AQE final plan
-            plan = plan_of(df)
+        # one broken query must report FAIL and let the rest of the
+        # scoreboard run — a crash here once hid every later assertion
+        try:
+            if name in PLAN_BUILDERS:
+                plan = PLAN_BUILDERS[name](spark, args.sf)
+            else:
+                df = QUERIES[name](spark, args.sf)
+                df.collect()  # force AQE final plan
+                plan = plan_of(df)
+        except Exception as exc:  # noqa: BLE001 — report, continue
+            bad += len(checks)
+            first = str(exc).strip().splitlines()
+            print(f"FAIL  {name}: plan build raised "
+                  f"{type(exc).__name__}: {first[0][:120] if first else ''}")
+            for desc, _ in checks:
+                print(f"FAIL  {name}: {desc} (not evaluated)")
+            continue
         for desc, pred in checks:
             try:
                 ok = pred(plan)
