@@ -2005,6 +2005,52 @@ def sink_csv_roundtrip(spark, sf_dir):
 
 
 @query(
+    "sink_versioned_publish",
+    oracle="""
+    WITH existing AS (
+      SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
+      FROM customer WHERE c_custkey <= 800
+    ), updates AS (
+      SELECT c_custkey AS k, UPPER(c_name) AS name, c_acctbal + 50 AS bal
+      FROM customer WHERE c_custkey BETWEEN 400 AND 1200
+    )
+    SELECT e.k, e.name, e.bal FROM existing e
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.k = e.k)
+    UNION ALL
+    SELECT k, name, bal FROM updates
+    """,
+)
+def sink_versioned_publish(spark, sf_dir):
+    """S9/O5/O8 object-store-safe commit protocol: publish a base
+    snapshot, upsert-publish a second version (merge semantics,
+    /root/reference/sdk/migrate_assures.php:165-203), read back
+    through the manifest pointer. Every commit is immutable data
+    files + ONE atomic pointer write — the table-format shape that
+    replaces the POSIX directory-rename swap at 100 TB (no rename on
+    S3-style stores; readers on the old pointer keep a consistent
+    snapshot; rollback is pointer-only). sources/versioned.py."""
+    import tempfile
+
+    from php_etl_spark.sources import versioned as V
+
+    t = tempfile.mkdtemp(prefix="sink_versioned_") + "/t"
+    c = _cat(spark, sf_dir).customer
+    base = c.filter(F.col("c_custkey") <= 800).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    updates = c.filter(F.col("c_custkey").between(400, 1200)).select(
+        F.col("c_custkey").alias("k"),
+        F.upper("c_name").alias("name"),
+        (F.col("c_acctbal") + 50).alias("bal"),
+    )
+    V.publish(base, t)
+    V.upsert(spark, updates, t, keys=["k"])
+    return V.read_current(spark, t)
+
+
+@query(
     "sink_jdbc_upsert",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
@@ -6915,6 +6961,7 @@ _PRIORITY = [
     "agg_time_weighted_avg", "cdc_apply_snapshot", "emb_quantize_int8",
     "multimodal_decode", "fn_collect_list", "agg_collect_set",
     "agg_approx_percentile_sketch", "text_inverted_index",
+    "sink_versioned_publish",
     "scan_documents", "sink_append", "sink_jdbc", "sink_jdbc_upsert",
     "bulk_extract_roundtrip", "sink_csv_roundtrip",
     "sink_partitioned", "upsert_merge", "upsert_partitioned",

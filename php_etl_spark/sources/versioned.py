@@ -1,0 +1,190 @@
+"""Versioned table publish: object-store-safe commits via a manifest
+pointer instead of directory renames.
+
+``_staged_rewrite`` (writers.py) swaps directories with ``os.rename``
+— atomic on POSIX, impossible on S3/GCS-style object stores where a
+"directory rename" is a non-atomic copy storm. The production answer
+is the one every table format (Delta/Iceberg/Hudi) uses: data files
+are immutable, and a commit is ONE small pointer write. This module
+is that shape in its minimal form, for plain parquet:
+
+  table_dir/
+    _versions/v00000001-<uuid>/   immutable parquet snapshot
+    _versions/v00000002-<uuid>/
+    _CURRENT                      JSON pointer {version, dir, ...}
+
+A publish writes a brand-new snapshot directory (its name is
+unguessable, so concurrent writers never collide on data paths), then
+replaces ``_CURRENT`` — a single-object atomic operation both on
+POSIX (``os.replace``) and on object stores (single-key PUT). A crash
+mid-publish leaves an orphan snapshot and an untouched pointer:
+readers are never broken, and ``vacuum`` reclaims orphans later.
+Rollback is a pointer rewrite — no data movement, mirroring the
+reference's pre-run backup/restore trait
+(/root/reference/sdk/shell/import.sh:74-80) without copying data.
+
+Reference semantics parity: upsert/refresh publish the same
+``merge_frames``/``refresh_frames`` relations the staged-rewrite path
+uses (/root/reference/sdk/migrate_assures.php:165-236); only the
+commit mechanism differs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from php_etl_spark.materialize import materialize
+
+_POINTER = "_CURRENT"
+_VERSIONS = "_versions"
+
+
+def _pointer_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _POINTER)
+
+
+def read_pointer(table_dir: str) -> dict[str, Any] | None:
+    """Current commit record, or None for a never-published table."""
+    try:
+        with open(_pointer_path(table_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _write_pointer(table_dir: str, record: dict[str, Any]) -> None:
+    """Single-object atomic pointer replace (os.replace locally; on an
+    object store this maps to one PUT of the pointer key)."""
+    tmp = _pointer_path(table_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(record, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _pointer_path(table_dir))
+
+
+def publish(df: DataFrame, table_dir: str) -> dict[str, Any]:
+    """Commit ``df`` as the table's next version. The snapshot write
+    is partition-parallel; the commit itself is one pointer write.
+    Returns the new commit record."""
+    current = read_pointer(table_dir)
+    version = (current["version"] + 1) if current else 1
+    snap_rel = os.path.join(_VERSIONS, f"v{version:08d}-{uuid.uuid4().hex[:8]}")
+    snap_dir = os.path.join(table_dir, snap_rel)
+    df.write.mode("overwrite").parquet(snap_dir)
+    record = {
+        "version": version,
+        "dir": snap_rel,
+        "previous": current["dir"] if current else None,
+        # high-water mark of committed versions: lets vacuum tell a
+        # rolled-back-but-committed snapshot (keep) from the orphan of
+        # a crashed publish (reclaim)
+        "max_committed": version,
+    }
+    _write_pointer(table_dir, record)
+    return record
+
+
+def read_current(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Resolve the pointer and read the current snapshot."""
+    current = read_pointer(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no published version at {table_dir}")
+    return spark.read.parquet(os.path.join(table_dir, current["dir"]))
+
+
+def upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_dir: str,
+    keys: Sequence[str],
+) -> dict[str, Any]:
+    """Merge-publish: current ⟕ updates → next version. The previous
+    snapshot stays on disk untouched, so a reader holding the old
+    pointer keeps a consistent view (snapshot isolation by
+    construction)."""
+    from php_etl_spark.sources.writers import merge_frames
+
+    if read_pointer(table_dir) is None:
+        return publish(materialize(updates), table_dir)
+    merged = merge_frames(read_current(spark, table_dir), updates, keys)
+    return publish(materialize(merged), table_dir)
+
+
+def delete_reinsert(
+    spark: SparkSession,
+    replacement: DataFrame,
+    table_dir: str,
+    keys: Sequence[str],
+) -> dict[str, Any]:
+    """Refresh-publish (delete-then-reinsert as a new version)."""
+    from php_etl_spark.sources.writers import refresh_frames
+
+    if read_pointer(table_dir) is None:
+        return publish(materialize(replacement), table_dir)
+    refreshed = refresh_frames(read_current(spark, table_dir), replacement, keys)
+    return publish(materialize(refreshed), table_dir)
+
+
+def rollback(table_dir: str, to_version: int) -> dict[str, Any]:
+    """Point the table back at an existing snapshot — a pointer write,
+    zero data movement. Fails if the snapshot was vacuumed."""
+    target = None
+    for name in sorted(os.listdir(os.path.join(table_dir, _VERSIONS))):
+        if name.startswith(f"v{to_version:08d}-"):
+            target = os.path.join(_VERSIONS, name)
+            break
+    if target is None:
+        raise FileNotFoundError(
+            f"version {to_version} not found under {table_dir}/{_VERSIONS} "
+            "(vacuumed?)"
+        )
+    current = read_pointer(table_dir)
+    record = {
+        "version": to_version,
+        "dir": target,
+        "previous": current["dir"] if current else None,
+        "rollback_of": current["version"] if current else None,
+        "max_committed": max(
+            to_version,
+            current.get("max_committed", current["version"]) if current else 0,
+        ),
+    }
+    _write_pointer(table_dir, record)
+    return record
+
+
+def vacuum(table_dir: str, keep: int = 2) -> list[str]:
+    """Delete snapshot directories older than the ``keep`` most recent
+    — EXCEPT the one the pointer references (always kept, whatever its
+    age; a rolled-back table must not lose its live data). Also
+    reclaims orphans from crashed publishes. Returns removed dirs."""
+    import shutil
+
+    versions_dir = os.path.join(table_dir, _VERSIONS)
+    if not os.path.isdir(versions_dir):
+        return []
+    current = read_pointer(table_dir)
+    live = os.path.basename(current["dir"]) if current else None
+    max_committed = (
+        current.get("max_committed", current["version"]) if current else 0
+    )
+    snaps = sorted(os.listdir(versions_dir))  # name order == version order
+    # a snapshot numbered past the commit high-water mark is the
+    # orphan of a crashed publish — never "recent", always reclaimable
+    committed = [s for s in snaps if int(s[1:9]) <= max_committed]
+    keep_set = set(committed[-keep:]) if keep > 0 else set()
+    if live:
+        keep_set.add(live)
+    removed = []
+    for name in snaps:
+        if name not in keep_set:
+            shutil.rmtree(os.path.join(versions_dir, name), ignore_errors=True)
+            removed.append(name)
+    return removed

@@ -177,3 +177,103 @@ class TestDeltaSink:
             for r in delta_sink.read(spark, str(tmp_path / "t")).collect()
         }
         assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+class TestVersionedPublish:
+    """Object-store-safe commit protocol: immutable snapshots + one
+    atomic pointer write per commit (sources/versioned.py). No
+    directory rename anywhere in the commit path."""
+
+    def test_publish_read_roundtrip(self, spark, tmp_path):
+        from php_etl_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        rec = V.publish(
+            spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), t
+        )
+        assert rec["version"] == 1 and rec["previous"] is None
+        got = {(r["k"], r["v"]) for r in V.read_current(spark, t).collect()}
+        assert got == {(1, "a"), (2, "b")}
+
+    def test_upsert_creates_new_version_old_snapshot_intact(self, spark, tmp_path):
+        import os
+
+        from php_etl_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        V.publish(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), t)
+        v1_dir = os.path.join(t, V.read_pointer(t)["dir"])
+        v1_files = sorted(os.listdir(v1_dir))
+        rec = V.upsert(
+            spark,
+            spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]),
+            t,
+            keys=["k"],
+        )
+        assert rec["version"] == 2
+        got = {(r["k"], r["v"]) for r in V.read_current(spark, t).collect()}
+        assert got == {(1, "a"), (2, "B"), (3, "c")}
+        # snapshot isolation: v1's files are byte-untouched
+        assert sorted(os.listdir(v1_dir)) == v1_files
+        old = {
+            (r["k"], r["v"])
+            for r in spark.read.parquet(v1_dir).collect()
+        }
+        assert old == {(1, "a"), (2, "b")}
+
+    def test_delete_reinsert_refresh_semantics(self, spark, tmp_path):
+        from php_etl_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        V.publish(
+            spark.createDataFrame([(1, 10), (1, 11), (2, 20)], ["k", "v"]), t
+        )
+        V.delete_reinsert(
+            spark, spark.createDataFrame([(1, 99)], ["k", "v"]), t, keys=["k"]
+        )
+        got = {(r["k"], r["v"]) for r in V.read_current(spark, t).collect()}
+        assert got == {(1, 99), (2, 20)}
+
+    def test_rollback_is_pointer_only(self, spark, tmp_path):
+        from php_etl_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        V.publish(spark.createDataFrame([(1, "a")], ["k", "v"]), t)
+        V.publish(spark.createDataFrame([(1, "CHANGED")], ["k", "v"]), t)
+        rec = V.rollback(t, 1)
+        assert rec["version"] == 1 and rec["rollback_of"] == 2
+        got = {(r["k"], r["v"]) for r in V.read_current(spark, t).collect()}
+        assert got == {(1, "a")}
+
+    def test_vacuum_keeps_live_and_recent(self, spark, tmp_path):
+        import os
+
+        from php_etl_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        for i in range(4):
+            V.publish(spark.createDataFrame([(i,)], ["k"]), t)
+        V.rollback(t, 1)  # live pointer now on the OLDEST snapshot
+        removed = V.vacuum(t, keep=2)
+        snaps = sorted(os.listdir(os.path.join(t, "_versions")))
+        # v1 survives (live), v3+v4 survive (recent), v2 reclaimed
+        assert len(removed) == 1 and removed[0].startswith("v00000002-")
+        assert [s[:9] for s in snaps] == ["v00000001", "v00000003", "v00000004"]
+        got = {r["k"] for r in V.read_current(spark, t).collect()}
+        assert got == {0}
+
+    def test_crashed_publish_leaves_readers_unbroken(self, spark, tmp_path):
+        import os
+
+        from php_etl_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        V.publish(spark.createDataFrame([(1, "a")], ["k", "v"]), t)
+        # simulate a crash AFTER the snapshot write, BEFORE the pointer
+        # commit: an orphan snapshot dir appears, pointer untouched
+        orphan = os.path.join(t, "_versions", "v00000002-deadbeef")
+        spark.createDataFrame([(9, "junk")], ["k", "v"]).write.parquet(orphan)
+        got = {(r["k"], r["v"]) for r in V.read_current(spark, t).collect()}
+        assert got == {(1, "a")}
+        removed = V.vacuum(t, keep=1)
+        assert "v00000002-deadbeef" in removed
