@@ -6893,6 +6893,313 @@ def graph_pagerank(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H breadth, third batch: Q8/Q12/Q13/Q14/Q19/Q20 shapes adapted to
+# the driver's schema (no partsupp / l_shipmode / l_commitdate columns)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_mktshare_q8",
+    oracle="""
+    SELECT year, CAST(round(1000000.0 * asia_rev / total_rev) AS BIGINT)
+             AS asia_share_ppm
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS year,
+             SUM(CASE WHEN n_s.n_name = 'CHINA'
+                 THEN CAST(l_extendedprice AS DECIMAL(14,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE CAST(0 AS DECIMAL(14,2)) END) AS asia_rev,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+      JOIN region   ON n_c.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      GROUP BY 1
+    ) ORDER BY year
+    """,
+)
+def join_mktshare_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): one supplier nation's
+    share of yearly revenue for one part type sold into one customer
+    region. The same fact row joins supplier-side AND customer-side
+    nation dims — nation appears twice under different aliases; every
+    dim broadcasts, so the fact shuffles only for the year groupBy.
+    The share is a conditional-sum ratio computed in one aggregation
+    pass (no self-join), reported as exact ppm (round to integer
+    parts-per-million — one correctly-rounded division, hash-stable
+    across engines)."""
+    cat = _cat(spark, sf_dir)
+    n_s = cat.nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("s_nation")
+    )
+    n_c = cat.nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    rev = dec("l_extendedprice", "decimal(14,2)") * (
+        F.lit(1) - dec("l_discount", "decimal(4,2)")
+    )
+    zero = F.lit(0).cast("decimal(14,2)")
+    return (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.part.filter(F.col("p_type") == "PROMO"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n_s, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n_c, F.col("c_nationkey") == F.col("c_nkey"))
+        .join(cat.region.filter(F.col("r_name") == "ASIA"),
+              F.col("c_rkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("year"))
+        .agg(
+            F.sum(F.when(F.col("s_nation") == "CHINA", rev).otherwise(zero))
+            .alias("asia_rev"),
+            F.sum(rev).alias("total_rev"),
+        )
+        .select(
+            "year",
+            F.round(F.lit(1000000.0) * F.col("asia_rev") / F.col("total_rev"))
+            .cast("long")
+            .alias("asia_share_ppm"),
+        )
+        .orderBy("year")
+    )
+
+
+@query(
+    "agg_priority_counts_q12",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_priority_counts_q12(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode/priority matrix; adapted — the
+    driver's lineitem has no l_shipmode, so the grouping rides
+    l_returnflag): conditional counts split one pass by a CASE on the
+    joined dimension attribute. The date filter pushes to the
+    lineitem scan; both counts come from the SAME aggregation (no
+    second scan, no self-join)."""
+    cat = _cat(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    return (
+        cat.orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_custdist_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def agg_custdist_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): left outer
+    join so order-less customers count as 0, then a second aggregation
+    over the per-customer counts. Two shuffles by construction — the
+    first on c_custkey (join + count), the second on the tiny c_count
+    domain; the second aggregate's input is |customers| rows, already
+    far smaller than the fact."""
+    cat = _cat(spark, sf_dir)
+    per_cust = (
+        cat.customer.join(
+            cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "agg_promo_share_q14",
+    oracle="""
+    SELECT CAST(month AS DATE) AS month,
+           CAST(round(1000000.0 * promo_rev / total_rev) AS BIGINT)
+             AS promo_ppm
+    FROM (
+      SELECT date_trunc('month', l_shipdate) AS month,
+             SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(14,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE CAST(0 AS DECIMAL(14,2)) END) AS promo_rev,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-07-01'
+      GROUP BY 1
+    ) ORDER BY month
+    """,
+)
+def agg_promo_share_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promotion revenue share) by month: part dim
+    broadcasts into the date-pruned fact scan; the share ratio is a
+    conditional sum over the same single aggregation, reported in
+    exact ppm."""
+    cat = _cat(spark, sf_dir)
+    rev = dec("l_extendedprice", "decimal(14,2)") * (
+        F.lit(1) - dec("l_discount", "decimal(4,2)")
+    )
+    zero = F.lit(0).cast("decimal(14,2)")
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    return (
+        li.join(cat.part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .alias("promo_rev"),
+            F.sum(rev).alias("total_rev"),
+        )
+        .select(
+            "month",
+            F.round(F.lit(1000000.0) * F.col("promo_rev") / F.col("total_rev"))
+            .cast("long")
+            .alias("promo_ppm"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "join_disjunctive_q19",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def join_disjunctive_q19(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive brand/size/quantity predicates):
+    an OR of conjunction triples mixing build-side (part) and
+    probe-side (lineitem) columns. The join itself stays a plain
+    equi-join on partkey — the disjunction is a post-join residual, so
+    no cartesian; Catalyst additionally derives the OR-of-brands
+    filter on the part side, shrinking the broadcast."""
+    cat = _cat(spark, sf_dir)
+    rev = dec("l_extendedprice", "decimal(14,2)") * (
+        F.lit(1) - dec("l_discount", "decimal(4,2)")
+    )
+    q = F.col("l_quantity")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 10)
+        & q.between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(10, 25)
+        & q.between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(20, 50)
+        & q.between(20, 50)
+    )
+    return (
+        cat.lineitem.join(cat.part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "subquery_excess_q20",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey AS t_partkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1
+    ), per_sp AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS supp_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY 1, 2
+    )
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM per_sp JOIN per_part ON l_partkey = t_partkey
+      WHERE supp_qty > 0.1 * total_qty
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def subquery_excess_q20(spark, sf_dir):
+    """TPC-H Q20 shape (excess-stock suppliers; adapted — no partsupp
+    table, so availqty becomes shipped quantity): suppliers who moved
+    more than a tenth of a PROMO part's total volume. Q20's correlated
+    scalar subquery (total per part) decorrelates to one per-part
+    aggregate joined back on partkey — both aggregates combine
+    map-side, and the final supplier filter is a semi join."""
+    cat = _cat(spark, sf_dir)
+    promo_parts = cat.part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    per_supp_part = (
+        cat.lineitem.join(
+            promo_parts, F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    per_part = cat.lineitem.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("l_quantity").alias("total_qty")
+    )
+    excess = (
+        per_supp_part.join(
+            per_part, F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("supp_qty") > 0.1 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        cat.supplier.join(
+            excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
 # The external correctness gate verifies a bounded window of queries in

@@ -255,6 +255,33 @@ AUDITS = {
         ("NOT EXISTS leg is an anti join, never cartesian",
          lambda p: "LeftAnti" in p and "CartesianProduct" not in p),
     ],
+    "join_mktshare_q8": [
+        ("all six dims broadcast (nation twice), fact shuffles only for the year agg",
+         lambda p: p.count("BroadcastHashJoin") >= 5),
+        ("share ratio from ONE aggregation pass (no revenue self-join)",
+         lambda p: "CartesianProduct" not in p
+         and p.split("== Initial Plan ==")[0].count("HashAggregate") <= 4),
+        ("PROMO filter pushed to the part scan",
+         lambda p: "PushedFilters" in p and "p_type" in p),
+    ],
+    "agg_custdist_q13": [
+        ("left outer join preserves order-less customers",
+         lambda p: "LeftOuter" in p or "BuildRight" in p),
+        ("both aggregates combine map-side (partial before each shuffle)",
+         lambda p: p.count("partial_count") >= 1 or "partial" in p),
+    ],
+    "join_disjunctive_q19": [
+        ("equi-join on partkey; disjunction is a residual, never cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("derived brand disjunction prunes the part side at its scan",
+         lambda p: "p_brand" in p.split("Join")[-1] or "PushedFilters" in p),
+    ],
+    "subquery_excess_q20": [
+        ("correlated total-per-part decorrelated to aggregate + join",
+         lambda p: p.count("HashAggregate") >= 2 and "CartesianProduct" not in p),
+        ("supplier filter is a semi join", lambda p: "LeftSemi" in p),
+    ],
     "join_fuzzy_match": [
         ("no cross join: signature blocking is an equi-join",
          lambda p: "CartesianProduct" not in p
