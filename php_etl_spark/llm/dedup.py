@@ -511,3 +511,72 @@ def cross_corpus_overlap(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids_by: str = "hash",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (public method: Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): cluster embeddings, then drop vectors
+    that have a higher-priority near-duplicate (cosine >= threshold)
+    WITHIN their cluster. Priority = smaller id (deterministic winner
+    at any parallelism).
+
+    Scale shape — the reason this survives billions of vectors where
+    all-pairs cosine cannot:
+    - cluster assignment is a broadcast-codebook linear scan
+      (similarity.ivf_assign: N x n_cells dot products, no shuffle of
+      the vector side until the per-vector argmax window);
+    - the quadratic pairwise step runs only WITHIN a cell, so its
+      cost is sum(|cell|^2) — bounded by the cluster granularity knob
+      exactly as in the paper, not by N^2;
+    - integer-quantized dot products (similarity.quantize) keep the
+      cosine bit-stable across engines and partitionings.
+
+    Returns (vec_id, cell, kept): the full population labeled with
+    its cell and the keep/drop decision.
+    """
+    from php_etl_spark.llm import similarity as S
+
+    centroids = S.ivf_centroids(
+        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, by=centroids_by
+    )
+    assign = S.ivf_assign(emb, centroids, nprobe=1, id_col=id_col, vec_col=vec_col)
+    prep = S._prepared(emb, id_col, vec_col, "v").join(
+        assign, on="v_id"
+    )  # (v_id, v_q, v_norm, cell)
+    a = prep.select(
+        F.col("v_id").alias("keep_cand"),
+        F.col("v_q").alias("q_a"),
+        F.col("v_norm").alias("n_a"),
+        "cell",
+    )
+    b = prep.select(
+        F.col("v_id").alias("drop_cand"),
+        F.col("v_q").alias("q_b"),
+        F.col("v_norm").alias("n_b"),
+        "cell",
+    )
+    cos = S.dot_q(F.col("q_a"), F.col("q_b")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    )
+    drops = (
+        a.join(b, on="cell")
+        .filter(F.col("keep_cand") < F.col("drop_cand"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("drop_cand").alias("v_id"))
+        .distinct()
+    )
+    return prep.join(
+        drops.withColumn("__dropped", F.lit(True)), on="v_id", how="left"
+    ).select(
+        F.col("v_id").alias(id_col),
+        "cell",
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+    )

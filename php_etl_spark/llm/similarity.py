@@ -292,15 +292,20 @@ def ivf_centroids(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    by: str = "hash",
 ) -> DataFrame:
     """Deterministic IVF codebook: the ``n_cells`` vectors with the
     smallest xxhash64(id) serve as cell centroids — a hash-sample
     'training' that is reproducible at any parallelism. Production
     IVF k-means-refines the codebook; the assignment/probe machinery
-    below is unchanged by how centroids are chosen."""
+    below is unchanged by how centroids are chosen. ``by="id"`` ranks
+    by the raw id instead — a worse statistical sample (ids can be
+    clustered) but expressible in plain SQL, which is what lets the
+    semantic-dedup query carry a cross-engine oracle."""
+    rank_col = F.xxhash64(F.col("c_id")) if by == "hash" else F.col("c_id")
     ranked = (
         _prepared(emb, id_col, vec_col, "c")
-        .withColumn("__h", F.xxhash64(F.col("c_id")))
+        .withColumn("__h", rank_col)
         .orderBy("__h")
         .limit(n_cells)
     )

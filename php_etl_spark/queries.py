@@ -1757,6 +1757,73 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @query(
+    "dedup_semantic",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    ), norms AS (
+      SELECT vec_id, SUM(q * q) AS n2 FROM flat GROUP BY 1
+    ), cents AS (
+      SELECT vec_id AS c_vid, ROW_NUMBER() OVER (ORDER BY vec_id) AS cell
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ), cscore AS (
+      SELECT f.vec_id, c.cell,
+             CAST(SUM(f.q * cf.q) AS DOUBLE)
+               / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+               AS cos_c
+      FROM flat f
+      JOIN cents c ON TRUE
+      JOIN flat cf ON cf.vec_id = c.c_vid AND cf.i = f.i
+      JOIN norms nv ON nv.vec_id = f.vec_id
+      JOIN norms nc ON nc.vec_id = c.c_vid
+      GROUP BY f.vec_id, c.cell, nv.n2, nc.n2
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY cos_c DESC, cell) AS rk
+        FROM cscore
+      ) WHERE rk = 1
+    ), pair_dots AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, SUM(fa.q * fb.q) AS dot
+      FROM assign a
+      JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN flat fa ON fa.vec_id = a.vec_id
+      JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+      GROUP BY 1, 2
+    ), drops AS (
+      SELECT DISTINCT vb FROM pair_dots
+      JOIN norms na ON na.vec_id = va
+      JOIN norms nb ON nb.vec_id = vb
+      WHERE CAST(dot AS DOUBLE)
+              / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+            >= 0.45
+    )
+    SELECT a.vec_id, a.cell, d.vb IS NULL AS kept
+    FROM assign a LEFT JOIN drops d ON d.vb = a.vec_id
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup (cluster → within-cluster cosine
+    prune, llm.dedup.semantic_dedup): broadcast-codebook assignment
+    keeps the scan narrow; the quadratic pairwise step is bounded to
+    sum(|cell|^2) instead of N^2 — the published recipe for pruning
+    web-scale pretraining data. id-ranked centroids here so the whole
+    pipeline (assignment argmax included) carries an exact SQL oracle;
+    production uses the hash-sampled or k-means codebook, same
+    machinery."""
+    return D.semantic_dedup(
+        _cat(spark, sf_dir).embeddings,
+        n_cells=16,
+        threshold=0.45,
+        centroids_by="id",
+    )
+
+
+@query(
     "sim_topk_bruteforce",
     oracle="""
     WITH flat AS (
@@ -7281,8 +7348,8 @@ _PRIORITY = [
     "text_language_id", "text_fingerprint", "text_pii_scrub",
     "text_token_count_bpe",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cosine", "dedup_clusters",
-    "dedup_corpus_end_to_end",
+    "dedup_simhash", "dedup_embedding_cosine", "dedup_semantic",
+    "dedup_clusters", "dedup_corpus_end_to_end",
     "contamination_ngram", "corpus_mix_stratified", "docs_pack_budget",
     "emb_quantize_int8", "sql_passthrough", "rollup_incremental",
     "agg_hll_sketch", "agg_hll_partial_union", "text_repetition_stats",

@@ -490,3 +490,42 @@ def test_pq_adc_recall_vs_brute_force(spark):
     # 32-bit codes pick a 10% shortlist, exact rescore orders it; on
     # near-random synthetic vectors (worst case for PQ) recall@5 ≥ 0.5
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_semantic_dedup_properties(spark):
+    """SemDeDup invariants: partition of the population; every dropped
+    vector has a HIGHER-priority (smaller-id) same-cell neighbor above
+    the threshold; every kept-but-matched case is explained by its
+    matches being lower-priority or cross-cell."""
+    from php_etl_spark.llm.dedup import semantic_dedup
+    from php_etl_spark.llm.similarity import cosine
+
+    emb = Catalog(spark, SF).embeddings
+    t = 0.45
+    result = semantic_dedup(emb, n_cells=8, threshold=t, centroids_by="id")
+    rows = result.collect()
+    assert len(rows) == emb.count()  # partition: every vector labeled
+    cell_of = {r["vec_id"]: r["cell"] for r in rows}
+    kept = {r["vec_id"] for r in rows if r["kept"]}
+    dropped = {r["vec_id"] for r in rows if not r["kept"]}
+    assert kept and kept.isdisjoint(dropped)
+
+    pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .filter(F.col("cos") >= t)
+        .collect()
+    )
+    witnesses = {
+        vb
+        for r in pairs
+        for va, vb in [(r["va"], r["vb"])]
+        if cell_of[va] == cell_of[vb]
+    }
+    # dropped  <=>  has a smaller-id same-cell neighbor above threshold
+    assert dropped == witnesses

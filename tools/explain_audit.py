@@ -255,6 +255,13 @@ AUDITS = {
         ("NOT EXISTS leg is an anti join, never cartesian",
          lambda p: "LeftAnti" in p and "CartesianProduct" not in p),
     ],
+    "dedup_semantic": [
+        ("centroid assignment broadcasts the codebook (no vector-side shuffle to score cells)",
+         lambda p: "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p),
+        ("pairwise prune is an equi-join on the cell, never a global cartesian",
+         lambda p: "Exchange hashpartitioning(cell" in p
+         or "SortMergeJoin" in p or "ShuffledHashJoin" in p),
+    ],
     "join_mktshare_q8": [
         ("all six dims broadcast (nation twice), fact shuffles only for the year agg",
          lambda p: p.count("BroadcastHashJoin") >= 5),
