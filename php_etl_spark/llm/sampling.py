@@ -64,3 +64,39 @@ def pack_by_budget(
         *out_cols,
         F.floor(cum_before / F.lit(budget)).cast("long").alias("bin"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based corpus rebalancing (the multilingual sampling
+    rule published with mBERT/XLM-R: stratum probability ∝ n^alpha,
+    alpha<1 up-weights rare strata). Realized as per-stratum keep
+    rates normalized so the RAREST stratum keeps everything:
+    ``rate_s = (n_min / n_s)^(1-alpha)``, applied through the same
+    deterministic hash gate as ``stratified_mix``.
+
+    The rates derive from the data in the same plan: one tiny
+    per-stratum count aggregate broadcast back onto the corpus — no
+    driver round-trip, no config to drift out of date. For
+    ``alpha=0.5`` the rate is ``sqrt(n_min/n_s)`` computed with a
+    single correctly-rounded IEEE sqrt+divide, bit-identical in every
+    engine (general alpha uses pow, whose last-bit rounding is
+    engine-specific — fine for production, not for oracle hashing)."""
+    counts = df.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.count("*").alias("__n")
+    )
+    n_min = counts.agg(F.min("__n").alias("__n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min))
+    ratio = F.col("__n_min").cast("double") / F.col("__n").cast("double")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    rates = rates.select("__s", rate.alias("__rate"))
+    gate = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(10_000))
+    return (
+        df.join(F.broadcast(rates), df[stratum_col] == F.col("__s"))
+        .filter(gate < F.floor(F.col("__rate") * 10_000))
+        .drop("__s", "__rate")
+    )

@@ -7267,6 +7267,149 @@ def subquery_excess_q20(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline batch 3: temperature mixing, deterministic
+# splits, URL surface, exact medians
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_mix_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n,
+             MIN(COUNT(*)) OVER () AS n_min
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN counts c ON d.lang = c.lang
+    WHERE (d.doc_id * 2654435761) % 10000 <
+          floor(sqrt(CAST(c.n_min AS DOUBLE) / CAST(c.n AS DOUBLE)) * 10000)
+    """,
+)
+def corpus_mix_temperature(spark, sf_dir):
+    """Temperature sampling (alpha=0.5, the mBERT/XLM-R multilingual
+    rebalancing rule): per-language keep rate sqrt(n_min/n_lang), so
+    rare languages keep everything and dominant ones down-sample
+    toward balance. Rates derive from a tiny per-stratum count
+    broadcast back onto the corpus inside one plan (llm.sampling.
+    temperature_mix) — reproducible from the data alone, no RNG, no
+    collected config."""
+    from php_etl_spark.llm.sampling import temperature_mix
+
+    docs = _cat(spark, sf_dir).documents.select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return temperature_mix(docs, stratum_col="lang", alpha=0.5)
+
+
+@query(
+    "split_train_holdout",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN (doc_id * 2654435761) % 100 < 98 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 99 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split ORDER BY split
+    """,
+)
+def split_train_holdout(spark, sf_dir):
+    """Deterministic train/val/test split (98/1/1) by key-hash bucket
+    — the split a 100 TB corpus needs: stable under re-partitioning
+    and incremental appends (a document's split never changes when
+    new data arrives, unlike randomSplit), and expressible as a
+    pushed-down filter for any single split. Reported as per-split
+    counts + char volume."""
+    docs = _cat(spark, sf_dir).documents
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    split = (
+        F.when(bucket < 98, F.lit("train"))
+        .when(bucket < 99, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+        .orderBy("split")
+    )
+
+
+@query(
+    "fn_parse_url",
+    oracle="""
+    SELECT doc_id,
+           lower(source) || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS lang_param
+    FROM documents
+    """,
+)
+def fn_parse_url(spark, sf_dir):
+    """URL decomposition (host / path / query parameter) via the
+    JVM-side ``parse_url`` — the provenance primitive behind
+    domain-level dedup, per-site quality weighting, and robots-policy
+    filtering in web-corpus pipelines. URLs are synthesized from the
+    document metadata so the oracle can rebuild the exact components
+    with string ops."""
+    docs = _cat(spark, sf_dir).documents
+    url = F.concat(
+        F.lit("https://"),
+        F.lower("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@query(
+    "agg_median_exact",
+    oracle="""
+    SELECT event_type,
+           CAST(round(quantile_cont(value, 0.5) * 1000000) AS BIGINT)
+             AS median_micro,
+           CAST(round((quantile_cont(value, 0.9)
+                       - quantile_cont(value, 0.1)) * 1000000) AS BIGINT)
+             AS decile_range_micro
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_median_exact(spark, sf_dir):
+    """Exact interpolated median and 10-90 decile range per group
+    (``percentile`` — the exact sort-based aggregate, vs the
+    approx_percentile sketch registered separately). Exact quantiles
+    need the full per-group sort, the honest cost the sketch avoids;
+    both engines use the same linear-interpolation definition, and
+    micro-unit rounding absorbs their last-bit differences."""
+    ev = _cat(spark, sf_dir).events
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)) * 1000000)
+            .cast("long")
+            .alias("median_micro"),
+            F.round(
+                (F.percentile("value", F.lit(0.9)) - F.percentile("value", F.lit(0.1)))
+                * 1000000
+            )
+            .cast("long")
+            .alias("decile_range_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
 # The external correctness gate verifies a bounded window of queries in
@@ -7361,6 +7504,10 @@ _PRIORITY = [
     "udf_pandas_scalar", "udaf_grouped_pandas", "docs_chunk",
     "join_multiway", "join_star_q5", "join_agg_q10", "join_range",
     "join_asof", "fn_math", "fn_datetime", "fn_array", "fn_json", "fn_map",
+    "join_mktshare_q8", "agg_priority_counts_q12", "agg_custdist_q13",
+    "agg_promo_share_q14", "join_disjunctive_q19", "subquery_excess_q20",
+    "corpus_mix_temperature", "split_train_holdout", "fn_parse_url",
+    "agg_median_exact",
 ]
 
 
