@@ -33,6 +33,10 @@ HEADLINE = [
     "pipeline_etl",         # config pipeline: map + first-wins dedup
     "dedup_minhash_lsh",    # LLM: subquadratic near-dup
     "sim_topk_bruteforce",  # LLM: vector top-k
+    # round-3 additions (first-run baselines noted in BASELINE.md —
+    # suite totals before/after r3 are not directly comparable)
+    "join_mktshare_q8",     # Q8 shape: dual-role dim star + ratio agg
+    "dedup_semantic",       # LLM: SemDeDup cluster-bounded cosine prune
 ]
 
 

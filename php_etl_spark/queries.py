@@ -7409,6 +7409,130 @@ def agg_median_exact(spark, sf_dir):
     )
 
 
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, SUM(n) AS total FROM cnt GROUP BY 1
+    )
+    SELECT c.source,
+           CAST(round((ln(CAST(t.total AS DOUBLE))
+                 - SUM(CAST(c.n AS DOUBLE) * ln(CAST(c.n AS DOUBLE)))
+                   / CAST(t.total AS DOUBLE)) * 1000000) AS BIGINT)
+             AS lang_entropy_micronats,
+           COUNT(*) AS n_langs
+    FROM cnt c JOIN tot t ON c.source = t.source
+    GROUP BY c.source, t.total ORDER BY c.source
+    """,
+)
+def agg_entropy(spark, sf_dir):
+    """Shannon entropy of the language distribution per source
+    (micro-nats) — the corpus-diversity metric a data-mixing pipeline
+    monitors per shard. Computed from integer counts via
+    ``H = ln(N) - Σ n·ln(n)/N`` so both engines evaluate the same
+    exact-integer inputs through correctly-rounded ln; micro-unit
+    rounding absorbs the last-bit summation differences. Two count
+    aggregates, both combining map-side; state is |source × lang|."""
+    docs = _cat(spark, sf_dir).documents
+    cnt = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("total"))
+    return (
+        cnt.join(tot, "source")
+        .groupBy("source", "total")
+        .agg(
+            F.round(
+                (
+                    F.log(F.col("total").cast("double"))
+                    - F.sum(
+                        F.col("n").cast("double") * F.log(F.col("n").cast("double"))
+                    )
+                    / F.col("total").cast("double")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lang_entropy_micronats"),
+            F.count("*").alias("n_langs"),
+        )
+        .select("source", "lang_entropy_micronats", "n_langs")
+        .orderBy("source")
+    )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(regr_slope(CAST(l_extendedprice AS DOUBLE),
+                                 CAST(l_quantity AS DOUBLE)) * 1000) AS BIGINT)
+             AS slope_milli,
+           CAST(round(regr_intercept(CAST(l_extendedprice AS DOUBLE),
+                                     CAST(l_quantity AS DOUBLE)) * 1000) AS BIGINT)
+             AS intercept_milli,
+           CAST(round(corr(CAST(l_extendedprice AS DOUBLE),
+                           CAST(l_quantity AS DOUBLE)) * 1000000) AS BIGINT)
+             AS corr_micro
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_regression(spark, sf_dir):
+    """Per-group least-squares fit (price ~ quantity): regr_slope /
+    regr_intercept / corr — the built-in bivariate aggregates, each a
+    single algebraic pass (sums of x, y, xy, x², y² merge
+    associatively, so map-side partials survive any partitioning).
+    Milli/micro rounding absorbs engine last-bit differences in the
+    final divisions."""
+    li = _cat(spark, sf_dir).lineitem
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x) * 1000).cast("long").alias("slope_milli"),
+            F.round(F.regr_intercept(y, x) * 1000)
+            .cast("long")
+            .alias("intercept_milli"),
+            F.round(F.corr(y, x) * 1000000).cast("long").alias("corr_micro"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(percent_rank() OVER w * 1000000) AS BIGINT)
+             AS pct_rank_micro,
+           CAST(round(cume_dist() OVER w * 1000000) AS BIGINT)
+             AS cume_micro
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def window_percent_rank_cume(spark, sf_dir):
+    """Distribution window functions: percent_rank (rank-1)/(n-1) and
+    cume_dist over account balance within each market segment — the
+    relative-standing primitives behind per-stratum quality
+    percentiles. One window pass, one shuffle on the segment key;
+    custkey tiebreak makes ranks deterministic."""
+    from pyspark.sql import Window as W
+
+    c = _cat(spark, sf_dir).customer
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w) * 1000000)
+        .cast("long")
+        .alias("pct_rank_micro"),
+        F.round(F.cume_dist().over(w) * 1000000).cast("long").alias("cume_micro"),
+    ).orderBy("c_custkey")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -7507,7 +7631,8 @@ _PRIORITY = [
     "join_mktshare_q8", "agg_priority_counts_q12", "agg_custdist_q13",
     "agg_promo_share_q14", "join_disjunctive_q19", "subquery_excess_q20",
     "corpus_mix_temperature", "split_train_holdout", "fn_parse_url",
-    "agg_median_exact",
+    "agg_median_exact", "agg_entropy", "agg_regression",
+    "window_percent_rank_cume",
 ]
 
 
