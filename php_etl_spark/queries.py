@@ -7410,6 +7410,41 @@ def agg_median_exact(spark, sf_dir):
 
 
 @query(
+    "stream_versioned_publish",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_versioned_publish(spark, sf_dir):
+    """Streaming materialization into the VERSIONED sink: the tumbling
+    aggregate runs as a real streaming query whose micro-batches
+    merge-publish manifest versions (immutable snapshot + one atomic
+    pointer write per batch — transactional streaming output on plain
+    parquet, object-store-safe). Keyed merge makes batch replay
+    idempotent, so the table converges to the batch query's final
+    state — exactly what the oracle checks."""
+    import tempfile as _tf
+
+    from php_etl_spark.streaming.events import (
+        events_stream,
+        run_to_versioned,
+        tumbling_agg,
+    )
+
+    t = _tf.mkdtemp(prefix="q_stream_versioned_") + "/hourly"
+    agg = tumbling_agg(events_stream(spark, sf_dir))
+    out = run_to_versioned(agg, t, ["window_start", "event_type"])
+    return out.select(
+        "window_start", "window_end", "event_type",
+        F.col("n").cast("long").alias("n"), "sum_value",
+    )
+
+
+@query(
     "agg_entropy",
     oracle="""
     WITH cnt AS (
@@ -7632,7 +7667,7 @@ _PRIORITY = [
     "agg_promo_share_q14", "join_disjunctive_q19", "subquery_excess_q20",
     "corpus_mix_temperature", "split_train_holdout", "fn_parse_url",
     "agg_median_exact", "agg_entropy", "agg_regression",
-    "window_percent_rank_cume",
+    "window_percent_rank_cume", "stream_versioned_publish",
 ]
 
 

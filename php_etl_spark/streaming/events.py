@@ -232,6 +232,50 @@ def run_to_jdbc(
     return J.read_jdbc_table(spark, conn, table)
 
 
+def run_to_versioned(
+    transformed: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    output_mode: str = "update",
+) -> DataFrame:
+    """Stream → versioned table: each micro-batch's changed rows
+    merge-publish a NEW manifest version (sources/versioned.py) — a
+    transactional streaming sink on plain parquet with no table-format
+    dependency. Every batch commit is immutable data files + one
+    atomic pointer write, so readers never observe a half-written
+    batch, a crashed batch leaves an orphan snapshot and an intact
+    pointer, and replayed batches (restart between commit and
+    checkpoint advance) re-merge the same keys instead of duplicating
+    them — the sink converges to exactly-once FINAL STATE on any
+    object store. Returns a batch read of the final version."""
+    from php_etl_spark.sources import versioned as V
+
+    spark = transformed.sparkSession
+
+    def _publish_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            V.upsert(batch_df.sparkSession, batch_df, table_dir, keys)
+
+    ck_dir = tempfile.mkdtemp(prefix="php_etl_stream_ver_ck_")
+    override = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if override:
+        spark.conf.set("spark.sql.shuffle.partitions", override)
+    try:
+        q = (
+            transformed.writeStream.foreachBatch(_publish_batch)
+            .option("checkpointLocation", ck_dir)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if override:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return V.read_current(spark, table_dir)
+
+
 # --- transformations (batch- and stream-applicable) ---------------------------
 
 

@@ -204,3 +204,36 @@ def test_stream_jdbc_upsert_idempotent_replay(spark):
     first = run()
     second = run()
     assert first and first == second
+
+
+def test_versioned_stream_sink_replay_idempotent(spark):
+    """Replaying the same stream into the versioned sink (restart
+    between batch commit and checkpoint advance) must re-merge the
+    same keys, not duplicate them: final state is unchanged, only the
+    version number advances."""
+    import tempfile
+
+    from php_etl_spark.sources import versioned as V
+    from php_etl_spark.streaming.events import (
+        events_stream,
+        run_to_versioned,
+        tumbling_agg,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = tempfile.mkdtemp(prefix="ver_replay_") + "/hourly"
+    keys = ["window_start", "event_type"]
+    first = run_to_versioned(
+        tumbling_agg(events_stream(spark, sf)), t, keys
+    ).collect()
+    v_first = V.read_pointer(t)["version"]
+    # fresh checkpoint dir => the whole stream replays into the sink
+    second = run_to_versioned(
+        tumbling_agg(events_stream(spark, sf)), t, keys
+    ).collect()
+    assert V.read_pointer(t)["version"] > v_first
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    assert sorted(map(key, first)) == sorted(map(key, second))
+    assert {key(r): (r["n"], r["sum_value"]) for r in first} == {
+        key(r): (r["n"], r["sum_value"]) for r in second
+    }
