@@ -224,6 +224,49 @@ def main() -> int:
     )
     assert n_bloom == n_nobloom, "bloom pruning must not change the result"
 
+    # 8. semantic dedup stays subquadratic: 200k synthetic embeddings,
+    # cluster-bounded pairwise work Σ|cell|² must sit orders of
+    # magnitude under N², and doubling the cell count must shrink it
+    # (the paper's granularity knob). Vector components derive from
+    # xxhash64 — deterministic, no RNG.
+    from php_etl_spark.llm.dedup import semantic_dedup
+    from php_etl_spark.llm.similarity import ivf_assign, ivf_centroids
+
+    n_vec, dim = 200_000, 8
+    comps = [
+        (
+            (F.abs(F.xxhash64(F.col("id") * F.lit(dim) + F.lit(j))) % 2000).cast(
+                "double"
+            )
+            / F.lit(1000.0)
+            - F.lit(1.0)
+        ).alias(f"c{j}")
+        for j in range(dim)
+    ]
+    vecs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+    )
+    for n_cells in (64, 128):
+        cents = ivf_centroids(vecs, n_cells=n_cells)
+        assign = ivf_assign(vecs, cents, nprobe=1)
+        sizes = assign.groupBy("cell").count()
+        pair_work = sizes.agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs")
+        ).collect()[0]["pairs"]
+        allpairs = n_vec * (n_vec - 1) / 2
+        print(
+            f"  semantic dedup n_cells={n_cells}: candidate pairs "
+            f"{int(pair_work):,} = {pair_work / allpairs:.4%} of all-pairs"
+        )
+        assert pair_work < 0.05 * allpairs, (
+            "cluster-bounded pairwise work must be far below N^2"
+        )
+    n_labeled = timed(
+        "semantic dedup (200k vectors, 128 cells) end-to-end",
+        lambda: semantic_dedup(vecs, n_cells=128, threshold=0.95).count(),
+    )
+    assert n_labeled == n_vec, "dedup must label the full population"
+
     print("scale probe OK")
     return 0
 
