@@ -7568,6 +7568,117 @@ def window_percent_rank_cume(spark, sf_dir):
     ).orderBy("c_custkey")
 
 
+@query(
+    "fn_struct_json",
+    oracle="""
+    SELECT o_orderkey,
+           '{"key":' || CAST(o_orderkey AS VARCHAR)
+             || ',"status":"' || o_orderstatus
+             || '","priority":"' || o_orderpriority || '"}' AS order_doc,
+           o_orderstatus AS status_field
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def fn_struct_json(spark, sf_dir):
+    """Struct build → JSON serialize → nested-field projection: the
+    document-assembly primitive for landing relational rows in a
+    JSON/event sink. ``to_json(struct(...))`` emits canonical
+    {"field":value} with declared field order, which the oracle
+    rebuilds with plain string concatenation — so the byte-level
+    format is pinned, not engine-dependent."""
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_orderkey") <= 2000)
+    doc = F.struct(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.to_json(doc).alias("order_doc"),
+        doc.getField("status").alias("status_field"),
+    )
+
+
+@query(
+    "fn_from_json_typed",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k,
+           CAST(props->>'$.flag' AS BOOLEAN) AS flag,
+           COALESCE(CAST(props->>'$.missing' AS BIGINT), -1) AS missing_field
+    FROM events
+    """,
+)
+def fn_from_json_typed(spark, sf_dir):
+    """Schema-typed JSON parsing (``from_json`` with an explicit
+    struct schema — one parse per row, every field typed in the same
+    pass, vs per-field get_json_object re-parsing). Absent fields
+    surface as typed NULLs; the PERMISSIVE-mode contract a 100 TB
+    semi-structured ingest relies on."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField as SF_,
+        StructType as ST_,
+    )
+
+    schema = ST_(
+        [
+            SF_("k", LongType()),
+            SF_("flag", BooleanType()),
+            SF_("missing", LongType()),
+        ]
+    )
+    ev = _cat(spark, sf_dir).events
+    parsed = F.from_json("props", schema).alias("p")
+    return ev.select("event_id", parsed).select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.col("p.flag").alias("flag"),
+        F.coalesce(F.col("p.missing"), F.lit(-1)).alias("missing_field"),
+    )
+
+
+@query(
+    "gen_date_spine",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+      FROM orders
+    )
+    SELECT CAST(m AS DATE) AS month,
+           ROW_NUMBER() OVER (ORDER BY m) AS ordinal
+    FROM bounds, LATERAL (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m
+    )
+    ORDER BY month
+    """,
+)
+def gen_date_spine(spark, sf_dir):
+    """Complete month spine between the data's own date bounds
+    (``sequence`` + explode from a 1-row bound aggregate) — the
+    generator behind gap-free reporting calendars and as-of
+    backfills. The bounds aggregate is one row, so the spine
+    generation is driver-free and the explode fans out from a single
+    task; gapfill joins then run against it."""
+    from pyspark.sql import Window as W
+
+    o = _cat(spark, sf_dir).orders
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month")
+    )
+    return spine.select(
+        "month", F.row_number().over(W.orderBy("month")).alias("ordinal")
+    ).orderBy("month")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -7668,6 +7779,7 @@ _PRIORITY = [
     "corpus_mix_temperature", "split_train_holdout", "fn_parse_url",
     "agg_median_exact", "agg_entropy", "agg_regression",
     "window_percent_rank_cume", "stream_versioned_publish",
+    "fn_struct_json", "fn_from_json_typed", "gen_date_spine",
 ]
 
 
