@@ -227,3 +227,55 @@ def pagerank(
             )
         )
     return ranks
+
+
+def tree_closure(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    rounds: int = 4,
+) -> DataFrame:
+    """Root + depth for every node of a forest, by POINTER DOUBLING:
+    ``rounds`` self-joins of the ancestor mapping resolve hierarchies
+    up to depth 2^rounds — the scale answer to recursive CTEs, whose
+    row-at-a-time recursion doesn't distribute. Each round composes
+    the mapping with itself (``anc_{k+1}(x) = anc_k(anc_k(x))``,
+    distances add), so a 1M-deep chain needs 20 joins, not 1M.
+
+    ``edges`` is one (child, parent) row per node; a root carries
+    ``parent == child``. The mapping stays FUNCTIONAL (exactly one row
+    per node) through every round: root entries compose as identity,
+    so saturated nodes pass through unchanged. materialize() truncates
+    lineage per round, same as pagerank. Returns (node, root, depth).
+    """
+    m = edges.select(
+        F.col(child).alias("x"),
+        F.col(parent).alias("y"),
+        F.when(F.col(parent) == F.col(child), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("d"),
+    )
+    # forest roots referenced only as parents (no self-edge row): give
+    # them the identity entry so composition saturates at them
+    terminals = (
+        edges.select(F.col(parent).alias("x"))
+        .distinct()
+        .join(
+            edges.select(F.col(child).alias("x")).distinct(), "x", "left_anti"
+        )
+        .select("x", F.col("x").alias("y"), F.lit(0).cast("long").alias("d"))
+    )
+    m = m.unionByName(terminals)
+    for _ in range(rounds):
+        m2 = m.select(
+            F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("d").alias("d2")
+        )
+        m = materialize(
+            m.join(m2, m["y"] == m2["x2"]).select(
+                "x", F.col("y2").alias("y"), (F.col("d") + F.col("d2")).alias("d")
+            )
+        )
+    return m.select(
+        F.col("x").alias("node"), F.col("y").alias("root"), F.col("d").alias("depth")
+    )

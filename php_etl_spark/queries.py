@@ -7679,6 +7679,48 @@ def gen_date_spine(spark, sf_dir):
     ).orderBy("month")
 
 
+@query(
+    "hierarchy_closure",
+    oracle="""
+    WITH RECURSIVE climb AS (
+      SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+      FROM customer
+      UNION ALL
+      SELECT node, CAST(floor(cur / 8) AS BIGINT), depth + 1
+      FROM climb WHERE cur > 0
+    )
+    SELECT node AS c_custkey,
+           arg_max(cur, depth) AS root,
+           MAX(depth) AS depth
+    FROM climb GROUP BY node ORDER BY c_custkey
+    """,
+)
+def hierarchy_closure(spark, sf_dir):
+    """Hierarchy flattening (root + depth per node) by POINTER
+    DOUBLING (operators/graph.tree_closure): 4 functional self-joins
+    resolve depth up to 2^4 — the distributed answer to the oracle's
+    WITH RECURSIVE, whose one-level-per-step recursion would take
+    depth-many rounds. A synthetic 8-ary reporting tree over customer
+    keys (parent = floor(key/8), key 0 the root) keeps the edge
+    relation real while both engines agree on it exactly."""
+    from php_etl_spark.operators.graph import tree_closure
+
+    c = _cat(spark, sf_dir).customer
+    edges = c.select(
+        F.col("c_custkey").alias("child"),
+        F.floor(F.col("c_custkey") / 8).cast("long").alias("parent"),
+    )
+    return (
+        tree_closure(edges, rounds=4)
+        .select(
+            F.col("node").alias("c_custkey"),
+            "root",
+            "depth",
+        )
+        .orderBy("c_custkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -7780,6 +7822,7 @@ _PRIORITY = [
     "agg_median_exact", "agg_entropy", "agg_regression",
     "window_percent_rank_cume", "stream_versioned_publish",
     "fn_struct_json", "fn_from_json_typed", "gen_date_spine",
+    "hierarchy_closure",
 ]
 
 

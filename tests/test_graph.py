@@ -91,3 +91,31 @@ def test_pagerank_positive_and_hub_wins(pagerank_ranks):
     # the hub everyone points at must outrank every leaf
     assert ranks[1] == max(ranks.values())
     assert ranks[1] > ranks[4]
+
+
+def test_tree_closure_forest_with_parent_only_roots(spark):
+    """Pointer doubling must handle a forest whose roots appear only
+    on the parent side (no self-edge row), resolve depth up to
+    2^rounds, and stay functional (one row per node)."""
+    from php_etl_spark.operators.graph import tree_closure
+
+    #   100 -> 10 -> 1      (root 1 has no child row)
+    #   200 -> 20 -> 2 -> 2 (root 2 is a self-edge)
+    #   300 -> 30 -> 10 -> 1 (shares the chain into root 1)
+    edges = spark.createDataFrame(
+        [
+            (100, 10), (10, 1),
+            (200, 20), (20, 2), (2, 2),
+            (300, 30), (30, 10),
+        ],
+        ["child", "parent"],
+    )
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in tree_closure(edges, rounds=3).collect()
+    }
+    assert got == {
+        100: (1, 2), 10: (1, 1), 1: (1, 0),
+        200: (2, 2), 20: (2, 1), 2: (2, 0),
+        300: (1, 3), 30: (1, 2),
+    }
