@@ -7721,6 +7721,38 @@ def hierarchy_closure(spark, sf_dir):
     )
 
 
+@query(
+    "table_checksum",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           SUM(CAST(concat('0x', substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)
+               ), 1, 8)) AS BIGINT)) AS checksum
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def table_checksum(spark, sf_dir):
+    """Anti-entropy table fingerprint: per-partition row count + an
+    ORDER-INSENSITIVE checksum (sum of an md5 prefix over a canonical
+    row serialization) — the cheap replication/migration verifier: two
+    engines or two replicas agree iff counts AND checksums agree,
+    without shipping rows. Commutative sum ⇒ partials merge map-side
+    and the result is identical at any parallelism; md5 is the one
+    hash both engines define identically (the reference re-reads the
+    destination to verify, migrate_assures.php:205-236 — this is that
+    check as one aggregate)."""
+    o = _cat(spark, sf_dir).orders
+    row_key = F.concat_ws(
+        ":", F.col("o_orderkey").cast("string"), F.col("o_custkey").cast("string")
+    )
+    chk = F.conv(F.substring(F.md5(row_key), 1, 8), 16, 10).cast("long")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), F.sum(chk).alias("checksum"))
+        .orderBy("o_orderstatus")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -7822,7 +7854,7 @@ _PRIORITY = [
     "agg_median_exact", "agg_entropy", "agg_regression",
     "window_percent_rank_cume", "stream_versioned_publish",
     "fn_struct_json", "fn_from_json_typed", "gen_date_spine",
-    "hierarchy_closure",
+    "hierarchy_closure", "table_checksum",
 ]
 
 
