@@ -87,6 +87,7 @@ def asof_join(
     right_values: Sequence[str],
     suffix: str = "_asof",
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the temporally matching right
     row within the same key group —
@@ -94,6 +95,11 @@ def asof_join(
     - ``backward`` (default): latest right with ``right_ts <= left_ts``
     - ``forward``: earliest right with ``right_ts >= left_ts``
     - ``nearest``: whichever of the two is closer (tie → backward)
+
+    ``tolerance`` (pandas.merge_asof parity) bounds the match: a
+    carried value farther than ``tolerance`` from the left timestamp
+    comes back NULL instead — seconds for timestamp columns, plain
+    units for numeric ones (both compare via the double cast).
 
     Implemented as union + sort + value carry inside a window — one
     shuffle on the key, no per-row probes, no range explosion. This is
@@ -155,21 +161,29 @@ def asof_join(
             ],
         )
     out = carried.filter(F.col("__side") == 1)
+    b_gap = F.col("__ts").cast("double") - F.col("__bts").cast("double")
+    f_gap = F.col("__fts").cast("double") - F.col("__ts").cast("double")
+    b_ok = F.lit(True) if tolerance is None else b_gap <= F.lit(float(tolerance))
+    f_ok = F.lit(True) if tolerance is None else f_gap <= F.lit(float(tolerance))
     if direction == "nearest":
         # prefer the side that exists; on both, the closer ts, tie →
         # backward (matches pandas.merge_asof)
         take_b = F.col("__fts").isNull() | (
-            F.col("__bts").isNotNull()
-            & (
-                F.col("__ts").cast("double") - F.col("__bts").cast("double")
-                <= F.col("__fts").cast("double") - F.col("__ts").cast("double")
-            )
+            F.col("__bts").isNotNull() & (b_gap <= f_gap)
         )
-        picks = [(c, F.when(take_b, F.col(c + "__b")).otherwise(F.col(c + "__f"))) for c in right_values]
+        picks = [
+            (
+                c,
+                F.when(take_b & b_ok, F.col(c + "__b")).otherwise(
+                    F.when(~take_b & f_ok, F.col(c + "__f"))
+                ),
+            )
+            for c in right_values
+        ]
     elif direction == "backward":
-        picks = [(c, F.col(c + "__b")) for c in right_values]
+        picks = [(c, F.when(b_ok, F.col(c + "__b"))) for c in right_values]
     else:
-        picks = [(c, F.col(c + "__f")) for c in right_values]
+        picks = [(c, F.when(f_ok, F.col(c + "__f"))) for c in right_values]
     for c, expr in picks:
         out = out.withColumn(c + suffix, expr)
     drop = ["__side", "__ts", "__rts", "__bts", "__fts"] + [

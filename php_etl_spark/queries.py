@@ -1267,6 +1267,52 @@ def join_asof(spark, sf_dir):
 
 
 @query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch(p.ts) - epoch(c.ts) <= 3600
+                THEN c.event_id END AS click_event_id,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch(p.ts) - epoch(c.ts) <= 3600
+                THEN c.value END AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a match tolerance (pandas.merge_asof parity):
+    the latest prior click counts only within a 1-hour horizon —
+    attribution-window semantics. Same single-shuffle union+carry
+    plan; the tolerance is a post-carry gate, not a range join."""
+    ev = _cat(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_src_id"), "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks.withColumnRenamed("ts", "click_ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_values=["click_src_id", "value"],
+        suffix="_asof",
+        tolerance=3600.0,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("click_src_id_asof").alias("click_event_id"),
+        F.col("value_asof").alias("click_value"),
+    )
+
+
+@query(
     "upsert_merge",
     oracle="""
     WITH existing AS (
@@ -7854,7 +7900,7 @@ _PRIORITY = [
     "agg_median_exact", "agg_entropy", "agg_regression",
     "window_percent_rank_cume", "stream_versioned_publish",
     "fn_struct_json", "fn_from_json_typed", "gen_date_spine",
-    "hierarchy_closure", "table_checksum",
+    "hierarchy_closure", "table_checksum", "join_asof_tolerance",
 ]
 
 
