@@ -7799,6 +7799,61 @@ def table_checksum(spark, sf_dir):
     )
 
 
+@query(
+    "udf_cogrouped_pandas",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           COUNT(l.l_orderkey) AS n_lines,
+           CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT)
+             AS sum_qty
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey <= 2000
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+)
+def udf_cogrouped_pandas(spark, sf_dir):
+    """Cogrouped pandas transform (the 4th pandas-UDF surface beside
+    scalar / grouped-agg / mapInPandas): both tables' rows for the
+    same key arrive TOGETHER as two pandas frames — the escape hatch
+    for per-key logic that needs both sides at once (custom as-of
+    merges, per-entity reconciliation). Physically a cogroup shuffle
+    on the key, Arrow batches both ways; here the per-key body is a
+    trivially-relational count/sum so the oracle can state the same
+    result as a LEFT JOIN + GROUP BY."""
+    import pandas as pd
+
+    cat = _cat(spark, sf_dir)
+    o = cat.orders.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = cat.lineitem.filter(F.col("l_orderkey") <= 2000).select(
+        "l_orderkey", "l_quantity"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["o_orderkey", "o_orderstatus", "n_lines", "sum_qty"]
+            )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(left["o_orderkey"].iloc[0])],
+                "o_orderstatus": [left["o_orderstatus"].iloc[0]],
+                "n_lines": [int(len(right))],
+                "sum_qty": [int(right["l_quantity"].astype("int64").sum())],
+            }
+        )
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            merge,
+            "o_orderkey long, o_orderstatus string, n_lines long, sum_qty long",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -7901,6 +7956,7 @@ _PRIORITY = [
     "window_percent_rank_cume", "stream_versioned_publish",
     "fn_struct_json", "fn_from_json_typed", "gen_date_spine",
     "hierarchy_closure", "table_checksum", "join_asof_tolerance",
+    "udf_cogrouped_pandas",
 ]
 
 
