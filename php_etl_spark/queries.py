@@ -7854,6 +7854,14 @@ def udf_cogrouped_pandas(spark, sf_dir):
     )
 
 
+# NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
+# streaming/events.user_totals_tws) exists but is NOT registered as a
+# query: the API's Python runner requires protobuf, absent in this
+# container (tws_available() gates it; tests skip with that reason).
+# The applyInPandasWithState path (stream_stateful_custom) covers the
+# custom-stateful capability in the registry.
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------

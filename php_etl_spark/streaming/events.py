@@ -448,3 +448,81 @@ def stream_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` ships its state protocol over
+    protobuf; the Python workers need the ``protobuf`` package or the
+    streaming runner crashes at init. Gate callers on this."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals via ``transformWithStateInPandas`` — Spark 4's
+    StatefulProcessor API (typed per-key state handles + timers), the
+    successor of applyInPandasWithState. State lives in the RocksDB
+    state store (the provider the API requires — also the right
+    provider at scale: state spills to disk instead of executor heap).
+
+    Money accumulates in integer cents inside the state so the final
+    double division is the only float op — bit-identical to the batch
+    aggregate at any batch split, which is exactly what the oracle
+    checks. availableNow drains all input; update mode emits each
+    key's final running total in its last batch."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires the protobuf package in "
+            "the Python workers (absent here); use "
+            "stateful_session_stats (applyInPandasWithState) instead"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n LONG, cents LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = 0
+            cents = 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    (pdf["value"] * 100).round().astype("int64").sum()
+                )
+            if self._totals.exists():
+                prev_n, prev_cents = self._totals.get()
+                n += int(prev_n)
+                cents += int(prev_cents)
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n": [n],
+                    "sum_value": [cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    sdf = events_stream(spark, sf_dir).select("user_id", "value")
+    out = sdf.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id long, n long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return run_to_files(out, output_mode="update")

@@ -237,3 +237,38 @@ def test_versioned_stream_sink_replay_idempotent(spark):
     assert {key(r): (r["n"], r["sum_value"]) for r in first} == {
         key(r): (r["n"], r["sum_value"]) for r in second
     }
+
+
+def test_transform_with_state_totals(spark):
+    """Spark 4 StatefulProcessor path: per-user totals must equal the
+    batch aggregate. Skips where the API's protobuf dependency is
+    absent (this container); errors clearly rather than silently
+    falling back."""
+    import pytest
+
+    from php_etl_spark.streaming.events import tws_available, user_totals_tws
+
+    sf = "/root/testdata/sf0.001"
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            user_totals_tws(spark, sf)
+        pytest.skip("protobuf absent: transformWithStateInPandas unavailable")
+    got = {
+        r["user_id"]: (r["n"], r["sum_value"])
+        for r in user_totals_tws(spark, sf).collect()
+    }
+    from php_etl_spark.catalog import Catalog
+    from php_etl_spark.functions.exact import dec
+    from pyspark.sql import functions as F
+
+    exp = {
+        r["user_id"]: (r["n"], r["sum_value"])
+        for r in Catalog(spark, sf)
+        .events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == exp
