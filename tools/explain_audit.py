@@ -255,6 +255,25 @@ AUDITS = {
         ("NOT EXISTS leg is an anti join, never cartesian",
          lambda p: "LeftAnti" in p and "CartesianProduct" not in p),
     ],
+    "table_checksum": [
+        ("checksum combines map-side (partial aggregate before the shuffle)",
+         lambda p: "partial" in p),
+        ("single pass: one aggregate exchange, no join",
+         lambda p: "Join" not in p.split("== Initial Plan ==")[0]),
+    ],
+    "gen_date_spine": [
+        ("spine explodes from a 1-row bound aggregate (no fact re-scan)",
+         lambda p: "Generate explode" in p or "Generate" in p),
+        ("orders scan pruned to the date column",
+         lambda p: all(n <= 1 for n in read_schema_cols(p))),
+    ],
+    "agg_priority_counts_q12": [
+        ("date filter pushed to the lineitem scan",
+         lambda p: "PushedFilters" in p and "l_shipdate" in p),
+        ("both conditional counts from ONE aggregation pass",
+         lambda p: "CartesianProduct" not in p
+         and p.split("== Initial Plan ==")[0].count("Exchange hashpartitioning") <= 2),
+    ],
     "dedup_semantic": [
         ("centroid assignment broadcasts the codebook (no vector-side shuffle to score cells)",
          lambda p: "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p),
