@@ -100,3 +100,66 @@ def temperature_mix(
         .filter(gate < F.floor(F.col("__rate") * 10_000))
         .drop("__s", "__rate")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_threshold: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Importance-weighted deterministic sampling: keep a row iff
+    ``hash_gate < weight_threshold`` where the caller supplies the
+    per-row threshold on the 0..10000 gate scale (e.g. quality-score
+    ∝ keep probability — the FineWeb/DCLM-style quality-weighted
+    selection). Same hash gate as stratified_mix: reproducible,
+    partition-independent, pushes down as a plain filter."""
+    gate = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(10_000))
+    return df.filter(gate < weight_threshold)
+
+
+def select_by_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "n_chars",
+    cost_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Best-docs-under-budget selection: keep rows in (score DESC,
+    id ASC) order while the running cost stays within ``budget`` —
+    the corpus-curation step "take the highest-quality documents up
+    to N tokens".
+
+    Distributed in three bounded steps (the naive form is ONE global
+    window = a single-partition sort of the whole corpus):
+    1. per-score totals (shuffle on |distinct scores| keys),
+    2. running total over the score histogram — a window over the
+       tiny histogram, not the corpus,
+    3. whole buckets above the cutoff pass; only the single boundary
+       bucket gets a per-row window (partitioned BY THE SCORE, so its
+       partition is one bucket, not the corpus).
+    Equivalent by construction to the global-window definition the
+    oracle states."""
+    w_hist = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = (
+        df.groupBy(F.col(score_col).alias("score"))
+        .agg(F.sum(cost_col).alias("bucket_cost"))
+        .withColumn("run_total", F.sum("bucket_cost").over(w_hist))
+    ).withColumn("prev_total", F.col("run_total") - F.col("bucket_cost"))
+    scored = df.join(
+        F.broadcast(hist), df[score_col] == hist["score"]
+    )
+    whole = scored.filter(F.col("run_total") <= budget).select(df["*"])
+    w_bucket = Window.partitionBy("score").orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    boundary = (
+        scored.filter(
+            (F.col("run_total") > budget) & (F.col("prev_total") < budget)
+        )
+        .withColumn("in_bucket_run", F.sum(cost_col).over(w_bucket))
+        .filter(F.col("prev_total") + F.col("in_bucket_run") <= budget)
+        .select(df["*"])
+    )
+    return whole.unionByName(boundary)

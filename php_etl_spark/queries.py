@@ -7854,6 +7854,55 @@ def udf_cogrouped_pandas(spark, sf_dir):
     )
 
 
+@query(
+    "sample_weighted",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE (doc_id * 2654435761) % 10000 < least(n_chars, 400) * 25
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Quality-weighted deterministic sampling (llm.sampling.
+    weighted_sample): keep probability ∝ document length capped at 400
+    chars (the stand-in for a model quality score) — longer docs keep
+    with rate n_chars/400, the FineWeb/DCLM-style importance-weighted
+    selection, as a pure integer hash-gate filter (pushes down, no
+    RNG, partition-independent)."""
+    from php_etl_spark.llm.sampling import weighted_sample
+
+    docs = _cat(spark, sf_dir).documents.select("doc_id", "lang", "n_chars")
+    threshold = F.least(F.col("n_chars"), F.lit(400)) * 25
+    return weighted_sample(docs, threshold)
+
+
+@query(
+    "docs_select_budget",
+    oracle="""
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (
+               ORDER BY n_chars DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM documents
+    ) WHERE cum <= 50000
+    """,
+)
+def docs_select_budget(spark, sf_dir):
+    """Best-documents-under-budget (llm.sampling.select_by_budget):
+    the longest documents until 50k cumulative chars. The oracle
+    states it as ONE global window; the engine computes the identical
+    set in three bounded steps — score-histogram running total (tiny
+    window), whole buckets under the cutoff, and a per-row window
+    over just the boundary bucket — so no single-partition sort of
+    the corpus ever happens."""
+    from php_etl_spark.llm.sampling import select_by_budget
+
+    docs = _cat(spark, sf_dir).documents.select("doc_id", "n_chars")
+    return select_by_budget(docs, budget=50_000)
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -7964,7 +8013,7 @@ _PRIORITY = [
     "window_percent_rank_cume", "stream_versioned_publish",
     "fn_struct_json", "fn_from_json_typed", "gen_date_spine",
     "hierarchy_closure", "table_checksum", "join_asof_tolerance",
-    "udf_cogrouped_pandas",
+    "udf_cogrouped_pandas", "sample_weighted", "docs_select_budget",
 ]
 
 

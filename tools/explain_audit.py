@@ -255,6 +255,12 @@ AUDITS = {
         ("NOT EXISTS leg is an anti join, never cartesian",
          lambda p: "LeftAnti" in p and "CartesianProduct" not in p),
     ],
+    "docs_select_budget": [
+        ("per-row window partitions by the score bucket, never a corpus-wide single partition",
+         lambda p: "windowspecdefinition(score" in p),
+        ("histogram rides a broadcast join onto the corpus",
+         lambda p: "BroadcastHashJoin" in p),
+    ],
     "table_checksum": [
         ("checksum combines map-side (partial aggregate before the shuffle)",
          lambda p: "partial" in p),
