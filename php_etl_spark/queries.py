@@ -7903,6 +7903,52 @@ def docs_select_budget(spark, sf_dir):
     return select_by_budget(docs, budget=50_000)
 
 
+@query(
+    "agg_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
+      FROM documents GROUP BY 1, 2
+    ), rowm AS (SELECT lang, SUM(o) AS r FROM obs GROUP BY 1),
+       colm AS (SELECT source, SUM(o) AS c FROM obs GROUP BY 1),
+       tot AS (SELECT SUM(o) AS t FROM obs)
+    SELECT CAST(round(SUM((o - r * c / t) * (o - r * c / t) / (r * c / t))
+                      * 1000) AS BIGINT) AS chi2_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM obs JOIN rowm USING (lang) JOIN colm USING (source) CROSS JOIN tot
+    """,
+)
+def agg_chi_square(spark, sf_dir):
+    """Chi-square independence statistic for the lang × source
+    contingency table — the drift/association check a corpus monitor
+    runs between shard dimensions. Observed and marginal counts are
+    exact integers from three tiny aggregates (|langs|, |sources|,
+    |cells| rows — all broadcast); the statistic is assembled
+    per-cell and milli-rounded so both engines agree to the hash.
+    Note: cells with zero observations contribute r·c/t each; the
+    standard statistic over OBSERVED cells is what both sides
+    compute."""
+    docs = _cat(spark, sf_dir).documents
+    obs = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    rowm = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    colm = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("t"))
+    e = F.col("r") * F.col("c") / F.col("t")
+    return (
+        obs.join(F.broadcast(rowm), "lang")
+        .join(F.broadcast(colm), "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e) * 1000)
+            .cast("long")
+            .alias("chi2_milli"),
+            F.count("*").cast("long").alias("n_cells"),
+        )
+    )
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -8014,6 +8060,7 @@ _PRIORITY = [
     "fn_struct_json", "fn_from_json_typed", "gen_date_spine",
     "hierarchy_closure", "table_checksum", "join_asof_tolerance",
     "udf_cogrouped_pandas", "sample_weighted", "docs_select_budget",
+    "agg_chi_square",
 ]
 
 
