@@ -580,3 +580,67 @@ def semantic_dedup(
         "cell",
         F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: n-gram CONTAINMENT C(A in B) = |A∩B|/|A|
+    (Broder's containment — catches a document embedded inside a
+    larger one, which symmetric Jaccard misses because the union is
+    dominated by the big doc). Output: one row per qualifying
+    direction, (contained_doc, container_doc, containment).
+
+    Candidate generation reuses the bounded inverted shingle index
+    (same df-cutoff argument as ``jaccard_pairs``); each undirected
+    candidate is scored once and emits up to two directed rows, so
+    the scoring cost matches the Jaccard path."""
+    sets_df = materialize(_shingle_sets(df, text_col, id_col, n))
+    sh = sets_df.select("doc", F.explode("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a, b = sh.alias("a"), sh.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets_df.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets_df.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("i"),
+            F.size("sh_a").cast("double").alias("sz_a"),
+            F.size("sh_b").cast("double").alias("sz_b"),
+        )
+    )
+    fwd = scored.select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        (F.col("i") / F.col("sz_a")).alias("containment"),
+    )
+    rev = scored.select(
+        F.col("doc_b").alias("contained_doc"),
+        F.col("doc_a").alias("container_doc"),
+        (F.col("i") / F.col("sz_b")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

@@ -1749,6 +1749,41 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM (SELECT doc_id, {{toks}} AS ws FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+    ), sizes AS (
+      SELECT doc, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2
+    ), dirs AS (
+      SELECT doc_a AS contained_doc, doc_b AS container_doc,
+             CAST(i AS DOUBLE) / sa.sz AS containment
+      FROM inter JOIN sizes sa ON sa.doc = doc_a
+      UNION ALL
+      SELECT doc_b, doc_a, CAST(i AS DOUBLE) / sb.sz
+      FROM inter JOIN sizes sb ON sb.doc = doc_b
+    )
+    SELECT * FROM dirs WHERE containment >= 0.5
+    """.replace("{toks}", _TOKS_SQL),
+)
+def dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric near-dup: word-3-gram CONTAINMENT |A∩B|/|A| >= 0.5
+    (Broder) — finds a document embedded inside a larger one, which
+    symmetric Jaccard misses because the big doc dominates the union.
+    Same bounded inverted-index candidate generation as the Jaccard
+    path; each candidate scores once and emits up to two directed
+    rows (llm.dedup.containment_pairs)."""
+    return D.containment_pairs(
+        _cat(spark, sf_dir).documents, n=3, threshold=0.5, max_doc_freq=1000
+    )
+
+
 @query("dedup_minhash_lsh")
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32) → LSH(8 bands × 4 rows) → candidate pairs → exact
@@ -8060,7 +8095,7 @@ _PRIORITY = [
     "fn_struct_json", "fn_from_json_typed", "gen_date_spine",
     "hierarchy_closure", "table_checksum", "join_asof_tolerance",
     "udf_cogrouped_pandas", "sample_weighted", "docs_select_budget",
-    "agg_chi_square",
+    "agg_chi_square", "dedup_ngram_containment",
 ]
 
 
