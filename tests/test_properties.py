@@ -198,3 +198,37 @@ def test_fuzzy_join_matches_brute_force(spark, lefts, rights):
         if _lev(s, t) <= 1
     }
     assert got == want
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 100)),  # costs; ids assigned by index
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(0, 400),
+)
+def test_select_by_budget_equals_global_window(spark, costs, budget):
+    """The three-step bounded decomposition (score histogram → whole
+    buckets → boundary-bucket window) must select EXACTLY the rows the
+    single global window definition does: running cost over
+    (score DESC, id ASC) <= budget. Random duplicate costs exercise
+    the boundary bucket; budget 0 and over-budget edges included."""
+    from php_etl_spark.llm.sampling import select_by_budget
+
+    rows = [(i, c[0]) for i, c in enumerate(costs)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    got = {
+        r["doc_id"]
+        for r in select_by_budget(df, budget=budget).collect()
+    }
+    run = 0
+    want = set()
+    for i, c in sorted(rows, key=lambda r: (-r[1], r[0])):
+        run += c
+        if run <= budget:
+            want.add(i)
+        else:
+            break
+    assert got == want, (sorted(rows), budget)
