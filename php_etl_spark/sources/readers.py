@@ -48,7 +48,13 @@ def read_source(
     DataFrame ops so Catalyst pushes them into the scan.
     """
     kind = conn.get("type", "parquet")
-    if kind == "parquet":
+    if conn.get("layout") == "versioned":
+        # resolve the manifest pointer to the current snapshot —
+        # readers on an old pointer keep a consistent view
+        from php_etl_spark.sources import versioned as _v
+
+        df = _v.read_current(spark, _table_path(conn, table))
+    elif kind == "parquet":
         df = spark.read.parquet(_table_path(conn, table))
     elif kind == "csv":
         df = spark.read.options(header="true", inferSchema="true", **conn.get("options", {})).csv(

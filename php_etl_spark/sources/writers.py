@@ -81,6 +81,13 @@ def overwrite(df: DataFrame, conn: dict[str, Any], table: str) -> str:
         from php_etl_spark.sources import delta_sink
 
         return delta_sink.overwrite(df, path)
+    if conn.get("layout") == "versioned":
+        # manifest-pointer commit (object-store-safe); an overwrite is
+        # simply the next published version
+        from php_etl_spark.sources import versioned as _v
+
+        _v.publish(df, path)
+        return path
     return _file_write(df, conn, path, "overwrite")
 
 
@@ -280,6 +287,13 @@ def upsert(
         from php_etl_spark.sources import delta_sink
 
         return delta_sink.upsert(spark, updates, path, keys)
+    if conn.get("layout") == "versioned":
+        # merge-publish: immutable snapshot + atomic pointer write —
+        # the object-store-safe commit (no directory rename)
+        from php_etl_spark.sources import versioned as _v
+
+        _v.upsert(spark, updates, path, keys)
+        return path
     if not os.path.exists(path):
         w = updates.write.mode("overwrite")
         if partition_by:
@@ -315,6 +329,11 @@ def delete_reinsert(
         from php_etl_spark.sources import delta_sink
 
         return delta_sink.delete_reinsert(spark, replacement, path, keys)
+    if conn.get("layout") == "versioned":
+        from php_etl_spark.sources import versioned as _v
+
+        _v.delete_reinsert(spark, replacement, path, keys)
+        return path
     if not os.path.exists(path):
         w = replacement.write.mode("overwrite")
         if partition_by:

@@ -277,3 +277,26 @@ class TestVersionedPublish:
         assert got == {(1, "a")}
         removed = V.vacuum(t, keep=1)
         assert "v00000002-deadbeef" in removed
+
+    def test_connection_routing_layout_versioned(self, spark, tmp_path):
+        """The config-driven sink/source routing must honor
+        {"layout": "versioned"}: overwrite publishes v1, upsert
+        merge-publishes v2, read_source resolves the pointer."""
+        from php_etl_spark.sources import versioned as V
+        from php_etl_spark.sources.readers import read_source
+        from php_etl_spark.sources.writers import overwrite, upsert
+
+        conn = {"type": "parquet", "layout": "versioned", "path": str(tmp_path)}
+        overwrite(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), conn, "t")
+        upsert(
+            spark,
+            spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]),
+            conn,
+            "t",
+            keys=["k"],
+        )
+        assert V.read_pointer(str(tmp_path / "t"))["version"] == 2
+        got = {
+            (r["k"], r["v"]) for r in read_source(spark, conn, "t").collect()
+        }
+        assert got == {(1, "a"), (2, "B"), (3, "c")}
