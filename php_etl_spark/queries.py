@@ -7939,6 +7939,56 @@ def docs_select_budget(spark, sf_dir):
 
 
 @query(
+    "window_running_distinct",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS distinct_types_so_far
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts, event_id
+                  ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    """,
+)
+def window_running_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) over an ordered window — a builtin
+    neither engine has — via the first-occurrence decomposition: flag
+    each (user, type)'s first event with one window pass, then running
+    sum of flags with a second. Two window passes, both partitioned by
+    user (the second reuses the first's partitioning, so one shuffle
+    reaches the exchange); event_id tiebreak makes equal-timestamp
+    ordering deterministic."""
+    from pyspark.sql import Window as W
+
+    ev = _cat(spark, sf_dir).events
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("first_seen"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+    )
+
+
+@query(
     "agg_chi_square",
     oracle="""
     WITH obs AS (
@@ -8095,7 +8145,7 @@ _PRIORITY = [
     "fn_struct_json", "fn_from_json_typed", "gen_date_spine",
     "hierarchy_closure", "table_checksum", "join_asof_tolerance",
     "udf_cogrouped_pandas", "sample_weighted", "docs_select_budget",
-    "agg_chi_square", "dedup_ngram_containment",
+    "agg_chi_square", "dedup_ngram_containment", "window_running_distinct",
 ]
 
 
