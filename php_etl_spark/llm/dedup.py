@@ -544,9 +544,16 @@ def semantic_dedup(
     """
     from php_etl_spark.llm import similarity as S
 
-    centroids = S.ivf_centroids(
-        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, by=centroids_by
-    )
+    if centroids_by == "kmeans":
+        # the paper's actual recipe: k-means cells balance cluster
+        # sizes, which directly bounds the Σ|cell|² pairwise cost
+        centroids = S.codebook_as_centroids(
+            S.kmeans_codebook(emb, k=n_cells, id_col=id_col, vec_col=vec_col)
+        )
+    else:
+        centroids = S.ivf_centroids(
+            emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, by=centroids_by
+        )
     assign = S.ivf_assign(emb, centroids, nprobe=1, id_col=id_col, vec_col=vec_col)
     prep = S._prepared(emb, id_col, vec_col, "v").join(
         assign, on="v_id"

@@ -529,3 +529,18 @@ def test_semantic_dedup_properties(spark):
     }
     # dropped  <=>  has a smaller-id same-cell neighbor above threshold
     assert dropped == witnesses
+
+
+def test_semantic_dedup_kmeans_centroids(spark):
+    """The kmeans-codebook cell option must still partition the
+    population and keep at least one representative per near-dup
+    group (kept set non-empty, labels complete)."""
+    from php_etl_spark.llm.dedup import semantic_dedup
+
+    emb = Catalog(spark, SF).embeddings
+    result = semantic_dedup(
+        emb, n_cells=8, threshold=0.45, centroids_by="kmeans"
+    ).collect()
+    assert len(result) == emb.count()
+    assert any(r["kept"] for r in result)
+    assert {r["cell"] for r in result} <= set(range(1, 9))
