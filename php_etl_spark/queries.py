@@ -7989,6 +7989,100 @@ def window_running_distinct(spark, sf_dir):
 
 
 @query(
+    "text_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {{toks}} AS ts FROM documents
+    ), bi AS (
+      SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM (
+        SELECT doc_id, unnest(list_zip(
+          list_slice(ts, 1, greatest(len(ts) - 1, 0)),
+          list_slice(ts, 2, len(ts))
+        )) AS b FROM toks
+      )
+    ), big AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+       uni AS (SELECT w1, SUM(c_xy) AS c_x FROM big GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(round(AVG(-ln(CAST(big.c_xy AS DOUBLE) / uni.c_x)) * 1000000)
+                AS BIGINT) AS nll_micronats,
+           COUNT(*) AS n_bigrams
+    FROM bi d
+    JOIN big ON d.w1 = big.w1 AND d.w2 = big.w2
+    JOIN uni ON d.w1 = uni.w1
+    GROUP BY d.doc_id
+    """.replace("{toks}", _TOKS_SQL),
+)
+def text_lm_score(spark, sf_dir):
+    """Corpus-trained bigram LM quality score (the CCNet recipe with
+    the LM trained on the corpus itself): per-document average
+    negative log of P(w2|w1) = c(w1,w2)/c(w1·) in exact micro-nats —
+    low = fluent-for-this-corpus, high = outlier text. Count model
+    (no smoothing needed: every scored bigram was observed), so both
+    engines evaluate ln on identical exact-integer ratios; the bigram
+    and prefix tables are |vocab²-observed| and |vocab| rows — the
+    only state at 100 TB — and broadcast onto the per-doc stream."""
+    docs = _cat(spark, sf_dir).documents
+    toks = docs.select("doc_id", T.tokens("text").alias("ts"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.slice("ts", 2, F.size("ts")),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    big = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    uni = big.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    nll = -F.log(F.col("c_xy").cast("double") / F.col("c_x"))
+    return (
+        bi.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(nll) * 1000000).cast("long").alias("nll_micronats"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
+@query(
+    "agg_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(round((e.value - s.mu) / s.sd * 1000) AS BIGINT) AS z_milli
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sd) > 2.5
+    """,
+)
+def agg_zscore_outliers(spark, sf_dir):
+    """Per-group z-score outlier flagging (|z| > 2.5): the per-type
+    mean/stddev is a tiny broadcast aggregate joined back onto the
+    stream — the standard two-pass anomaly screen. Milli-rounding of
+    the reported z absorbs last-bit variance differences; the filter
+    threshold sits far from any data point's rounding boundary."""
+    ev = _cat(spark, sf_dir).events
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(z * 1000).cast("long").alias("z_milli"),
+        )
+    )
+
+
+@query(
     "agg_chi_square",
     oracle="""
     WITH obs AS (
@@ -8146,6 +8240,7 @@ _PRIORITY = [
     "hierarchy_closure", "table_checksum", "join_asof_tolerance",
     "udf_cogrouped_pandas", "sample_weighted", "docs_select_budget",
     "agg_chi_square", "dedup_ngram_containment", "window_running_distinct",
+    "text_lm_score", "agg_zscore_outliers",
 ]
 
 
