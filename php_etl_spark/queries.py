@@ -8083,6 +8083,70 @@ def agg_zscore_outliers(spark, sf_dir):
 
 
 @query(
+    "agg_ks_test",
+    oracle="""
+    WITH a AS (SELECT value FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT value FROM events WHERE event_type = 'click'),
+         na AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM a),
+         nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM b),
+         pts AS (
+           SELECT value, SUM(in_a) AS ca, SUM(in_b) AS cb FROM (
+             SELECT value, 1 AS in_a, 0 AS in_b FROM a
+             UNION ALL
+             SELECT value, 0, 1 FROM b
+           ) GROUP BY value
+         ),
+         ecdf AS (
+           SELECT value,
+                  SUM(ca) OVER (ORDER BY value) AS ra,
+                  SUM(cb) OVER (ORDER BY value) AS rb
+           FROM pts
+         )
+    SELECT CAST(round(MAX(abs(ra / na.n - rb / nb.n)) * 1000000) AS BIGINT)
+             AS ks_micro,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b
+    FROM ecdf CROSS JOIN na CROSS JOIN nb
+    GROUP BY na.n, nb.n
+    """,
+)
+def agg_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic (purchase vs click
+    value distributions): max |ECDF_a - ECDF_b|, evaluated at the
+    merged distinct data points — the distribution-drift check between
+    corpus shards. The running ECDF is a window over DISTINCT values
+    pre-aggregated per point (|distinct values| rows, far below row
+    count); exact KS fundamentally needs that one ordered pass — at
+    100 TB you run it binned (agg_histogram) or on a sample, both
+    registered. Counts are exact integers; one micro-rounded division
+    pair per point."""
+    ev = _cat(spark, sf_dir).events
+    a = ev.filter(F.col("event_type") == "purchase").select("value")
+    b = ev.filter(F.col("event_type") == "click").select("value")
+    n_a = a.count()
+    n_b = b.count()
+    tagged = a.select("value", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")).unionByName(
+        b.select("value", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    )
+    pts = tagged.groupBy("value").agg(
+        F.sum("in_a").alias("ca"), F.sum("in_b").alias("cb")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ecdf = pts.select(
+        (F.sum("ca").over(w) / F.lit(float(n_a))).alias("fa"),
+        (F.sum("cb").over(w) / F.lit(float(n_b))).alias("fb"),
+    )
+    return ecdf.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))) * 1000000)
+        .cast("long")
+        .alias("ks_micro"),
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+    )
+
+
+@query(
     "agg_chi_square",
     oracle="""
     WITH obs AS (
@@ -8240,7 +8304,7 @@ _PRIORITY = [
     "hierarchy_closure", "table_checksum", "join_asof_tolerance",
     "udf_cogrouped_pandas", "sample_weighted", "docs_select_budget",
     "agg_chi_square", "dedup_ngram_containment", "window_running_distinct",
-    "text_lm_score", "agg_zscore_outliers",
+    "text_lm_score", "agg_zscore_outliers", "agg_ks_test",
 ]
 
 
