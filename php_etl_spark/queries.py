@@ -8083,6 +8083,60 @@ def agg_zscore_outliers(spark, sf_dir):
 
 
 @query(
+    "agg_gini",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ), ranked AS (
+      SELECT o_orderpriority, c,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority ORDER BY c, c
+             ) AS i
+      FROM cents
+    )
+    SELECT o_orderpriority,
+           CAST(round(
+             CAST(2 * SUM(i * c) - (COUNT(*) + 1) * SUM(c) AS DOUBLE)
+             / (COUNT(*) * SUM(c)) * 1000000) AS BIGINT) AS gini_micro,
+           COUNT(*) AS n
+    FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_gini(spark, sf_dir):
+    """Gini concentration coefficient of order value per priority
+    class — the inequality/concentration metric a revenue or corpus
+    monitor tracks (is volume concentrating into few heavy keys?).
+    Computed from the rank formulation G = (2·Σi·xᵢ − (n+1)·Σxᵢ) /
+    (n·Σxᵢ) on integer CENTS so both sums are exact at any
+    partitioning; one rank window per group (partition-bounded, no
+    global sort) and a single micro-rounded division."""
+    from pyspark.sql import Window as W
+
+    o = _cat(spark, sf_dir).orders
+    cents = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("c")
+    ranked = cents.withColumn("i", F.row_number().over(w))
+    g = (
+        (2 * F.sum(F.col("i") * F.col("c")) - (F.count("*") + 1) * F.sum("c"))
+        .cast("double")
+        / (F.count("*") * F.sum("c"))
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.round(g * 1000000).cast("long").alias("gini_micro"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "agg_ks_test",
     oracle="""
     WITH a AS (SELECT value FROM events WHERE event_type = 'purchase'),
@@ -8304,7 +8358,7 @@ _PRIORITY = [
     "hierarchy_closure", "table_checksum", "join_asof_tolerance",
     "udf_cogrouped_pandas", "sample_weighted", "docs_select_budget",
     "agg_chi_square", "dedup_ngram_containment", "window_running_distinct",
-    "text_lm_score", "agg_zscore_outliers", "agg_ks_test",
+    "text_lm_score", "agg_zscore_outliers", "agg_ks_test", "agg_gini",
 ]
 
 
