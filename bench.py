@@ -37,6 +37,11 @@ HEADLINE = [
     # suite totals before/after r3 are not directly comparable)
     "join_mktshare_q8",     # Q8 shape: dual-role dim star + ratio agg
     "dedup_semantic",       # LLM: SemDeDup cluster-bounded cosine prune
+    # round-4 additions: window + as-of families (previously the only
+    # windowed headline was topk) — first-run baselines in BASELINE.md
+    "join_asof",            # as-of backward join (time-series PIT)
+    "window_percent_rank_cume",  # rank-family window over lineitem
+    "agg_max_concurrent",   # segmented prefix-sum boundary sweep (r4 shape)
 ]
 
 

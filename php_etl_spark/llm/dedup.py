@@ -54,7 +54,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard, gated through a bounded candidate set.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b and
@@ -76,8 +76,10 @@ def jaccard_pairs(
       sharing ≥1 rare shingle is still found (near-dups at
       threshold ≥ 0.8 share almost all their shingles, so a generous
       cutoff loses nothing in practice).
-    - ``max_doc_freq=None`` → unbounded exact index (small corpora /
-      oracle parity only).
+    - ``max_doc_freq=None`` (explicit opt-in; the DEFAULT is the
+      bounded cutoff 1000) → unbounded exact index. Small corpora /
+      oracle parity only — on a real corpus the unbounded index is the
+      Σ df² blowup, so you must ask for it by name.
     """
     sets_df = materialize(_shingle_sets(df, text_col, id_col, n))
     if candidates is None:
@@ -595,7 +597,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Asymmetric near-dup: n-gram CONTAINMENT C(A in B) = |A∩B|/|A|
     (Broder's containment — catches a document embedded inside a

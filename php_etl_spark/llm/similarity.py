@@ -430,6 +430,20 @@ def quantize_int8(
     )
 
 
+def kmeans_seed_rank(col):
+    """Deterministic pseudo-random rank for k-means seed selection:
+    a Knuth multiplicative hash reduced FIRST (id % 1000003) so the
+    product stays inside BIGINT in every engine — DuckDB promotes
+    overflow to HUGEINT while Spark wraps, so an overflowing hash
+    would silently disagree across engines. SQL-expressible
+    ((id % 1000003) * 2654435761 % 999999937), which is what lets the
+    seed-selection step carry an EXACT cross-engine oracle
+    (emb_kmeans_seeds) instead of a rows-only check."""
+    return F.pmod(
+        F.pmod(col, F.lit(1000003)) * F.lit(2654435761), F.lit(999999937)
+    )
+
+
 def kmeans_codebook(
     emb: DataFrame,
     k: int = 16,
@@ -469,7 +483,11 @@ def kmeans_codebook(
     ).filter(F.size("v") > 0)
     vecs = materialize(vecs)
 
-    seeds = vecs.withColumn("__h", F.xxhash64("kid")).orderBy("__h").limit(k)
+    seeds = (
+        vecs.withColumn("__h", kmeans_seed_rank(F.col("kid")))
+        .orderBy("__h", "kid")
+        .limit(k)
+    )
     cents = [list(r["v"]) for r in seeds.select("v").collect()]
     k = len(cents)  # corpus smaller than k → shrink honestly
     sizes: dict[int, int] = {}

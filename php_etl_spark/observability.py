@@ -151,3 +151,50 @@ def read_metrics(path: str | None = None) -> list[dict[str, Any]]:
         return []
     with open(out) as f:
         return [json.loads(line) for line in f if line.strip()]
+
+
+class ProgressEstimator:
+    """Sliding-window rate + ETA, matching the reference's progress
+    surface (/root/reference/sdk/lib/progress.php:424-446: rate from
+    the last 5 (time, done) samples, ETA = remaining/rate). The
+    reference ticks per ROW because its cursor loop owns the stream;
+    on Spark the natural tick is per completed UNIT OF WORK — a table
+    in a pipeline DAG, a micro-batch in a stream, a partition batch in
+    a bulk import — so ``update`` takes whatever unit the caller
+    owns. Driver-side only, O(window) memory, no Spark dependency.
+    """
+
+    def __init__(self, total: float | None = None, window: int = 5) -> None:
+        self.total = total
+        self.window = max(2, window)
+        self._samples: list[tuple[float, float]] = []
+
+    def update(self, done: float, now: float | None = None) -> dict[str, Any]:
+        """Record cumulative ``done`` units; returns the current
+        snapshot {done, total, rate_per_s, eta_s, pct}. ``now`` is
+        injectable for tests."""
+        t = time.time() if now is None else now
+        self._samples.append((t, done))
+        if len(self._samples) > self.window:
+            self._samples = self._samples[-self.window :]
+        return self.snapshot()
+
+    def snapshot(self) -> dict[str, Any]:
+        done = self._samples[-1][1] if self._samples else 0.0
+        out: dict[str, Any] = {"done": done, "total": self.total}
+        rate = None
+        if len(self._samples) >= 2:
+            (t0, d0), (tn, dn) = self._samples[0], self._samples[-1]
+            if tn > t0 and dn > d0:
+                rate = (dn - d0) / (tn - t0)
+        out["rate_per_s"] = round(rate, 3) if rate else None
+        if self.total:
+            out["pct"] = round(100.0 * done / self.total, 1)
+            out["eta_s"] = (
+                round((self.total - done) / rate, 1) if rate else None
+            )
+        return out
+
+    def emit_progress(self, label: str, path: str | None = None) -> None:
+        """Append the current snapshot to the metrics JSONL."""
+        emit({"event": "progress", "label": label, **self.snapshot()}, path)

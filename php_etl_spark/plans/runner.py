@@ -202,8 +202,21 @@ def run_pipeline(
     destination written by an earlier table stay ordered (the
     employeurs→assures dependency in import.sh:86-100).
     """
+    from php_etl_spark.observability import ProgressEstimator
+
+    # pipeline-level rate/ETA ticks on table completion — the Spark
+    # equivalent of the reference's per-row 5-sample sliding-window
+    # progress (/root/reference/sdk/lib/progress.php:424-446); emits
+    # to the metrics JSONL only when one is configured
+    progress = ProgressEstimator(total=len(spec.tables))
+
     if max_parallel <= 1:
-        return [run_table(spark, spec, t) for t in spec.tables]
+        out: list[TableResult] = []
+        for t in spec.tables:
+            out.append(run_table(spark, spec, t))
+            progress.update(len(out))
+            progress.emit_progress("pipeline")
+        return out
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -239,6 +252,8 @@ def run_pipeline(
             futs = {t.destination: pool.submit(run_table, spark, spec, t) for t in stage}
             for dest, fut in futs.items():
                 results[dest] = fut.result()
+                progress.update(len(results))
+        progress.emit_progress("pipeline")
     return [results[d] for d in order]
 
 

@@ -1743,9 +1743,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
     Scoring is always exact from the full shingle sets, so the cutoff
     cannot change a reported jaccard — near-dups at 0.8 share almost
     all shingles, so any pair with a shared shingle rarer than the
-    cutoff is still found."""
+    cutoff is still found.
+
+    This oracle-gated entry opts into the UNBOUNDED index
+    (max_doc_freq=None) so Spark scores exactly the pairs the oracle
+    scores — the DuckDB oracle has no df cutoff, and on a dense corpus
+    a pair whose shared shingles all exceed the cutoff would otherwise
+    appear only on the oracle side. The library default stays bounded
+    (llm.dedup.jaccard_pairs max_doc_freq=1000) for real corpora."""
     return D.jaccard_pairs(
-        _cat(spark, sf_dir).documents, n=3, threshold=0.8, max_doc_freq=1000
+        _cat(spark, sf_dir).documents, n=3, threshold=0.8, max_doc_freq=None
     )
 
 
@@ -1778,9 +1785,12 @@ def dedup_ngram_containment(spark, sf_dir):
     symmetric Jaccard misses because the big doc dominates the union.
     Same bounded inverted-index candidate generation as the Jaccard
     path; each candidate scores once and emits up to two directed
-    rows (llm.dedup.containment_pairs)."""
+    rows (llm.dedup.containment_pairs). Like dedup_ngram_jaccard, this
+    oracle-gated entry opts into max_doc_freq=None so the candidate
+    set matches the cutoff-free oracle exactly; real corpora use the
+    bounded library default."""
     return D.containment_pairs(
-        _cat(spark, sf_dir).documents, n=3, threshold=0.5, max_doc_freq=1000
+        _cat(spark, sf_dir).documents, n=3, threshold=0.5, max_doc_freq=None
     )
 
 
@@ -6191,7 +6201,7 @@ def agg_outliers_iqr(spark, sf_dir):
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
       FROM pts
     )
-    SELECT event_type, MAX(live) AS max_concurrent
+    SELECT event_type, CAST(MAX(live) AS BIGINT) AS max_concurrent
     FROM run GROUP BY event_type
     """,
 )
@@ -6199,12 +6209,28 @@ def agg_max_concurrent(spark, sf_dir):
     """Peak concurrency per event type (resource-contention profiling):
     each event is an interval [ts, ts + value-as-duration); the classic
     +1/-1 boundary sweep turns "max overlapping intervals" into a
-    running sum + max — one window pass over 2N boundary points, no
-    interval self-join (which would be O(N²) at 100 TB). All arithmetic
-    is integer microseconds; the (t, delta, tie) order is total, so
-    end-at-t closes before start-at-t opens and the running sum is
-    engine-reproducible."""
+    running sum + max — no interval self-join (which would be O(N²) at
+    100 TB). All arithmetic is integer microseconds; the (t, delta,
+    tie) order is total, so end-at-t closes before start-at-t opens and
+    the running sum is engine-reproducible.
+
+    SEGMENTED two-phase prefix sum, not one window per event_type: a
+    per-type running sum puts every boundary point of a type in ONE
+    task (5 event types → 5 tasks at any scale). Instead boundary
+    points are range-bucketed on time (bounds from a 1-row broadcast
+    aggregate, never a driver collect):
+      phase 1 — running sum + max WITHIN each (event_type, bucket)
+                (parallelism = types × buckets), plus each bucket's
+                delta total;
+      phase 2 — exclusive cumulative sum of bucket totals per type
+                (a window over the tiny types × buckets frame) gives
+                each bucket's entry offset; peak = max over buckets of
+                offset + local max.
+    Equal timestamps land in the same bucket, so the (t, delta, tie)
+    order is preserved across the segmentation and the result is
+    identical to the single-window formulation the oracle computes."""
     ev = _cat(spark, sf_dir).events
+    n_buckets = 256
     iv = ev.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.unix_micros("ts").alias("s"),
@@ -6213,6 +6239,7 @@ def agg_max_concurrent(spark, sf_dir):
             + F.round(F.col("value") * 100).cast("long") * 10000
         ).alias("e"),
     )
+    bounds = iv.agg(F.min("s").alias("tmin"), F.max("e").alias("tmax"))
     pts = iv.select(
         "event_type", F.col("s").alias("t"), F.lit(1).alias("delta"),
         F.col("s").alias("tie"),
@@ -6222,15 +6249,41 @@ def agg_max_concurrent(spark, sf_dir):
             F.col("s").alias("tie"),
         )
     )
-    w = (
-        Window.partitionBy("event_type")
+    width = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("tmax") - F.col("tmin") + 1) / F.lit(n_buckets)),
+    ).cast("long")
+    withb = pts.join(F.broadcast(bounds)).withColumn(
+        "bucket", F.floor((F.col("t") - F.col("tmin")) / width)
+    )
+    w_local = (
+        Window.partitionBy("event_type", "bucket")
         .orderBy("t", "delta", "tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    per_bucket = (
+        withb.select(
+            "event_type", "bucket", "delta",
+            F.sum("delta").over(w_local).alias("local_live"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max("local_live").alias("local_max"),
+            F.sum("delta").alias("bucket_sum"),
+        )
+    )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return (
-        pts.select("event_type", F.sum("delta").over(w).alias("live"))
+        per_bucket.select(
+            "event_type", "local_max",
+            F.coalesce(F.sum("bucket_sum").over(w_off), F.lit(0)).alias("off"),
+        )
         .groupBy("event_type")
-        .agg(F.max("live").alias("max_concurrent"))
+        .agg(F.max(F.col("off") + F.col("local_max")).alias("max_concurrent"))
     )
 
 
@@ -6482,6 +6535,38 @@ def sketch_countmin_topk(spark, sf_dir):
         .join(top, F.col("item") == F.col("token"))
         .select("token", "exact", "est", (F.col("est") - F.col("exact")).alias("overcount"))
         .orderBy(F.col("exact").desc(), "token")
+    )
+
+
+@query(
+    "emb_kmeans_seeds",
+    oracle="""
+    SELECT vec_id,
+           (vec_id % 1000003) * 2654435761 % 999999937 AS seed_rank
+    FROM embeddings
+    WHERE len(embedding) > 0
+    ORDER BY seed_rank, vec_id
+    LIMIT 8
+    """,
+)
+def emb_kmeans_seeds(spark, sf_dir):
+    """The deterministic seed-selection step of k-means codebook
+    training, with an EXACT cross-engine oracle: seeds are the k
+    vectors with the smallest multiplicative-hash rank
+    (llm.similarity.kmeans_seed_rank — reduced-first so the product
+    never overflows BIGINT in either engine). This pins the one part
+    of Lloyd's loop that IS exactly SQL-expressible; the iterative
+    mean updates remain rows-only by nature (float reduction order),
+    covered by emb_kmeans_codebook + inertia property tests."""
+    emb = _cat(spark, sf_dir).embeddings
+    return (
+        emb.filter(F.size("embedding") > 0)
+        .select(
+            "vec_id",
+            S.kmeans_seed_rank(F.col("vec_id")).alias("seed_rank"),
+        )
+        .orderBy("seed_rank", "vec_id")
+        .limit(8)
     )
 
 
@@ -7123,10 +7208,10 @@ def join_mktshare_q8(spark, sf_dir):
     "agg_priority_counts_q12",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
     GROUP BY l_returnflag ORDER BY l_returnflag
@@ -7386,7 +7471,7 @@ def corpus_mix_temperature(spark, sf_dir):
 @query(
     "split_train_holdout",
     oracle="""
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
     FROM (
       SELECT n_chars,
              CASE WHEN (doc_id * 2654435761) % 100 < 98 THEN 'train'
@@ -8092,7 +8177,7 @@ def agg_zscore_outliers(spark, sf_dir):
     ), ranked AS (
       SELECT o_orderpriority, c,
              ROW_NUMBER() OVER (
-               PARTITION BY o_orderpriority ORDER BY c, c
+               PARTITION BY o_orderpriority ORDER BY c
              ) AS i
       FROM cents
     )
@@ -8313,52 +8398,59 @@ DRIVER_GREEN = [
     "fn_coalesce", "fn_date_format", "fn_try_cast", "fn_cast",
 ]
 
-# Never-driver-checked keys, most-critical first (sinks/pipelines, streaming,
-# LLM ops, UDF surface — the operators the round-1 verdict called out).
-# Round-3 head: the six r2-red keys (NTZ root cause + array-output
-# hasher break) and the five array-reshaped never-checked keys go
-# FIRST so the driver re-verifies the fixes this round.
+# Never-driver-checked keys, most-critical first. Round-4 head: the
+# three r03 reds (oracle HUGEINT→BIGINT casts landed this round —
+# Spark values were already DuckDB-identical, re-verify first), then
+# the oldest never-checked debt in the batches the r03 verdict named
+# (pivot/cohort/SCD2, embedding training, event analytics, TPC-H tail,
+# financial/stats). Zero repeats of already-green keys by construction
+# (_reorder_for_driver drops green keys from this list).
 _PRIORITY = [
-    "stream_watermark", "stream_stream_join", "agg_max_concurrent",
-    "agg_time_weighted_avg", "cdc_apply_snapshot", "emb_quantize_int8",
-    "multimodal_decode", "fn_collect_list", "agg_collect_set",
-    "agg_approx_percentile_sketch", "text_inverted_index",
-    "sink_versioned_publish",
-    "scan_documents", "sink_append", "sink_jdbc", "sink_jdbc_upsert",
-    "bulk_extract_roundtrip", "sink_csv_roundtrip",
-    "sink_partitioned", "upsert_merge", "upsert_partitioned",
-    "delete_reinsert", "pipeline_etl", "pipeline_quarantine",
-    "pipeline_incremental", "fn_concat",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_watermark", "stream_stateful", "stream_stateful_custom",
-    "stream_static_join", "stream_stream_join",
-    "text_normalize", "text_token_count", "text_quality_score",
-    "text_language_id", "text_fingerprint", "text_pii_scrub",
-    "text_token_count_bpe",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cosine", "dedup_semantic",
-    "dedup_clusters", "dedup_corpus_end_to_end",
-    "contamination_ngram", "corpus_mix_stratified", "docs_pack_budget",
-    "emb_quantize_int8", "sql_passthrough", "rollup_incremental",
-    "agg_hll_sketch", "agg_hll_partial_union", "text_repetition_stats",
-    "join_hinted_shuffle_hash", "sink_range_clustered",
-    "subquery_exists_agg_q4", "join_volume_q7", "window_top_supplier_q15",
-    "subquery_in_groupby_q18", "subquery_anti_avg_q22",
-    "sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
-    "multimodal_bytes", "multimodal_decode", "multimodal_frames",
-    "udf_pandas_scalar", "udaf_grouped_pandas", "docs_chunk",
-    "join_multiway", "join_star_q5", "join_agg_q10", "join_range",
-    "join_asof", "fn_math", "fn_datetime", "fn_array", "fn_json", "fn_map",
-    "join_mktshare_q8", "agg_priority_counts_q12", "agg_custdist_q13",
-    "agg_promo_share_q14", "join_disjunctive_q19", "subquery_excess_q20",
-    "corpus_mix_temperature", "split_train_holdout", "fn_parse_url",
-    "agg_median_exact", "agg_entropy", "agg_regression",
-    "window_percent_rank_cume", "stream_versioned_publish",
-    "fn_struct_json", "fn_from_json_typed", "gen_date_spine",
+    # r03 reds — oracle typing recast, re-verify
+    "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
+    # verdict-named oldest debt
+    "agg_pivot", "agg_retention_cohorts", "dim_scd2_merge",
+    "emb_kmeans_codebook", "emb_kmeans_seeds", "emb_pq_train",
+    "event_transitions",
+    # ANN / embedding / graph training paths (never in a window)
+    "sim_ann_ivf_trained", "sim_ann_pq_adc", "graph_pagerank",
+    "graph_degree_distribution", "graph_triangle_count",
+    # r03-priority stragglers that missed the r03 window
     "hierarchy_closure", "table_checksum", "join_asof_tolerance",
     "udf_cogrouped_pandas", "sample_weighted", "docs_select_budget",
-    "agg_chi_square", "dedup_ngram_containment", "window_running_distinct",
+    "dedup_ngram_containment", "window_running_distinct",
     "text_lm_score", "agg_zscore_outliers", "agg_ks_test", "agg_gini",
+    "agg_chi_square", "dedup_incremental_batch",
+    # financial / stats batch
+    "agg_weighted_avg", "agg_outliers_iqr", "agg_moments_exact",
+    "agg_ewma_fir", "window_drawdown", "agg_ohlc_bars", "profile_benford",
+    "agg_corr_exact", "agg_histogram", "agg_cumulative_distinct",
+    "window_pct_change", "sketch_countmin_topk",
+    # TPC-H-shape tail
+    "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
+    "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
+    "agg_supplier_cnt_q16", "subquery_avg_gate_q17", "subquery_waiting_q21",
+    "subquery_min_cost_q2", "subquery_dominant_supplier_q20",
+    "join_market_share_q8",
+    # remaining families, oldest-first
+    "agg_min_max", "fn_string_extended", "subquery_scalar", "subquery_in",
+    "sample_hash", "join_full_outer", "join_cross", "agg_salted_twophase",
+    "window_ntile_dist", "window_first_last", "agg_percentile", "fn_regexp",
+    "join_bucketed", "agg_stats", "window_range_frame", "reshape_unpivot",
+    "fn_hash", "limit_sample_stratified", "subquery_correlated_min",
+    "subquery_exists", "join_count_distribution", "subquery_having_in",
+    "udtf_python", "udf_arrow_scalar", "multimodal_audio_windows",
+    "multimodal_resize", "window_sessionize", "agg_mode", "fn_bitwise",
+    "join_nullsafe", "agg_bool", "sort_global_rank", "fn_array_hof",
+    "fn_datetime_extract", "fn_case_chain", "fn_null_handling",
+    "fn_string_pad", "join_bloom_pruned", "scan_schema_evolution",
+    "window_funnel", "window_islands", "agg_histogram", "profile_table",
+    "join_fuzzy_match", "validate_constraints_report", "join_point_in_time",
+    "agg_gapfill_timeseries", "set_union_by_name", "join_salted_skew",
+    "stream_jdbc_upsert", "text_top_tokens", "text_tfidf_topk",
+    "text_bigram_lift", "text_lexical_diversity", "table_diff_snapshots",
+    "agg_string_agg", "scan_file_metadata", "join_interval_binned",
+    "sink_orc_roundtrip", "sink_json_roundtrip", "agg_basket_lift",
 ]
 
 

@@ -72,20 +72,44 @@ def _write_pointer(table_dir: str, record: dict[str, Any]) -> None:
 def publish(df: DataFrame, table_dir: str) -> dict[str, Any]:
     """Commit ``df`` as the table's next version. The snapshot write
     is partition-parallel; the commit itself is one pointer write.
-    Returns the new commit record."""
+    Returns the new commit record.
+
+    Concurrency contract: SINGLE WRITER. The commit is a read-pointer/
+    write-pointer sequence with no compare-and-swap, so two concurrent
+    publishers would both read version N and the last pointer PUT wins
+    silently. A multi-writer deployment needs a create-if-absent
+    per-version commit marker (the Delta _delta_log protocol) or an
+    external lock; readers are safe either way (the pointer swap is
+    atomic and snapshots are immutable).
+
+    Version numbers are allocated past the commit high-water mark
+    (``max_committed``), never reused — publish-after-rollback gets a
+    FRESH number, so the per-version ``history`` map stays unambiguous
+    and a crashed publish retried later cannot collide with an
+    abandoned partial snapshot at the same version."""
     current = read_pointer(table_dir)
-    version = (current["version"] + 1) if current else 1
+    prev_max = (
+        current.get("max_committed", current["version"]) if current else 0
+    )
+    version = prev_max + 1
     snap_rel = os.path.join(_VERSIONS, f"v{version:08d}-{uuid.uuid4().hex[:8]}")
     snap_dir = os.path.join(table_dir, snap_rel)
     df.write.mode("overwrite").parquet(snap_dir)
+    # exact snapshot dir per committed version: rollback resolves from
+    # this, never by globbing version prefixes (which a crashed publish
+    # could shadow with a half-written orphan)
+    history = dict(current.get("history", {})) if current else {}
+    history[str(version)] = snap_rel
     record = {
         "version": version,
         "dir": snap_rel,
         "previous": current["dir"] if current else None,
         # high-water mark of committed versions: lets vacuum tell a
         # rolled-back-but-committed snapshot (keep) from the orphan of
-        # a crashed publish (reclaim)
-        "max_committed": version,
+        # a crashed publish (reclaim). Monotone — a rollback lowers
+        # ``version`` but never this.
+        "max_committed": max(version, prev_max),
+        "history": history,
     }
     _write_pointer(table_dir, record)
     return record
@@ -134,18 +158,37 @@ def delete_reinsert(
 
 def rollback(table_dir: str, to_version: int) -> dict[str, Any]:
     """Point the table back at an existing snapshot — a pointer write,
-    zero data movement. Fails if the snapshot was vacuumed."""
-    target = None
-    for name in sorted(os.listdir(os.path.join(table_dir, _VERSIONS))):
-        if name.startswith(f"v{to_version:08d}-"):
-            target = os.path.join(_VERSIONS, name)
-            break
+    zero data movement. Fails if the snapshot was vacuumed.
+
+    Resolution goes through the pointer's per-version ``history`` map
+    (the exact dir each commit wrote), NOT a directory glob: a crashed
+    publish leaves a half-written orphan whose name shares the version
+    prefix, and a glob could restore it. Pointers written before the
+    history map fall back to the glob but error on ambiguity."""
+    current = read_pointer(table_dir)
+    history = current.get("history", {}) if current else {}
+    target = history.get(str(to_version))
+    if target is None:
+        prefix = f"v{to_version:08d}-"
+        matches = [
+            name
+            for name in sorted(os.listdir(os.path.join(table_dir, _VERSIONS)))
+            if name.startswith(prefix)
+        ]
+        if len(matches) > 1:
+            raise RuntimeError(
+                f"ambiguous rollback: {len(matches)} snapshots match "
+                f"{prefix}* and the pointer has no commit history for "
+                f"version {to_version}: {matches}"
+            )
+        target = os.path.join(_VERSIONS, matches[0]) if matches else None
+    elif not os.path.isdir(os.path.join(table_dir, target)):
+        target = None  # committed but vacuumed
     if target is None:
         raise FileNotFoundError(
             f"version {to_version} not found under {table_dir}/{_VERSIONS} "
             "(vacuumed?)"
         )
-    current = read_pointer(table_dir)
     record = {
         "version": to_version,
         "dir": target,
@@ -155,6 +198,7 @@ def rollback(table_dir: str, to_version: int) -> dict[str, Any]:
             to_version,
             current.get("max_committed", current["version"]) if current else 0,
         ),
+        "history": history,
     }
     _write_pointer(table_dir, record)
     return record

@@ -544,3 +544,63 @@ def test_semantic_dedup_kmeans_centroids(spark):
     assert len(result) == emb.count()
     assert any(r["kept"] for r in result)
     assert {r["cell"] for r in result} <= set(range(1, 9))
+
+
+class TestBoundedJaccardDefault:
+    """Round-4: jaccard_pairs/containment_pairs default to a BOUNDED
+    inverted index (max_doc_freq=1000); the unbounded Σ df² index is
+    explicit opt-in (max_doc_freq=None). A universal stop-shingle must
+    not generate candidate pairs on its own once its df exceeds the
+    cutoff, while true near-dups sharing rarer shingles survive."""
+
+    def test_default_is_bounded(self):
+        import inspect
+
+        from php_etl_spark.llm import dedup as D
+
+        assert (
+            inspect.signature(D.jaccard_pairs).parameters["max_doc_freq"].default
+            == 1000
+        )
+        assert (
+            inspect.signature(D.containment_pairs)
+            .parameters["max_doc_freq"]
+            .default
+            == 1000
+        )
+
+    def test_stop_shingle_produces_no_candidates(self, spark):
+        from php_etl_spark.llm import dedup as D
+
+        # every doc ends with the same boilerplate 3-gram; the bodies
+        # share nothing. With the cutoff below the boilerplate's df,
+        # no pair may be generated from boilerplate alone.
+        boiler = "all rights reserved"
+        rows = [
+            (i, f"unique body {i} alpha{i} beta{i} gamma{i} {boiler}")
+            for i in range(6)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = D.jaccard_pairs(
+            docs, n=3, threshold=0.0, max_doc_freq=3
+        ).collect()
+        assert got == []
+
+    def test_near_dups_survive_the_cutoff(self, spark):
+        from php_etl_spark.llm import dedup as D
+
+        boiler = "all rights reserved"
+        near = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [(0, f"{near} {boiler}"), (1, f"{near} {boiler}")]
+        rows += [
+            (i, f"unique body {i} alpha{i} beta{i} gamma{i} {boiler}")
+            for i in range(2, 6)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.jaccard_pairs(
+                docs, n=3, threshold=0.8, max_doc_freq=3
+            ).collect()
+        }
+        assert pairs == {(0, 1)}

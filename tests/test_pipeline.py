@@ -464,3 +464,85 @@ def test_pipeline_constraints_quarantine_and_fail(spark, src_dir, tmp_path):
     with pytest.raises(ValueError, match="constraint violations"):
         run_pipeline(spark, spec_fail)
     assert not os.path.exists(os.path.join(str(tmp_path / "dstf"), "persons"))
+
+
+def test_progress_estimator_sliding_window_rate_and_eta():
+    """Reference parity (sdk/lib/progress.php:424-446): rate over a
+    5-sample sliding window, ETA = remaining/rate. Injected clocks
+    make the math exact: after warm-up samples at 2 units/s, a burst
+    to 10 units/s must dominate once the slow samples age out of the
+    window."""
+    from php_etl_spark.observability import ProgressEstimator
+
+    p = ProgressEstimator(total=100, window=5)
+    # 2 units/s for 5 samples
+    for i in range(5):
+        snap = p.update(done=2 * i, now=float(i))
+    assert snap["rate_per_s"] == 2.0
+    assert snap["eta_s"] == (100 - 8) / 2.0
+    assert snap["pct"] == 8.0
+    # burst: 10 units/s; window slides, old slow samples age out
+    done = 8
+    t = 4.0
+    for _ in range(4):
+        t += 1.0
+        done += 10
+        snap = p.update(done=done, now=t)
+    assert snap["rate_per_s"] == 10.0
+    assert snap["eta_s"] == (100 - done) / 10.0
+
+
+def test_progress_estimator_degenerate_cases():
+    from php_etl_spark.observability import ProgressEstimator
+
+    p = ProgressEstimator(total=10)
+    # single sample: no rate, no ETA, but pct present
+    snap = p.update(done=0, now=0.0)
+    assert snap["rate_per_s"] is None and snap["eta_s"] is None
+    # zero progress across samples: still no rate (no divide-by-zero)
+    snap = p.update(done=0, now=5.0)
+    assert snap["rate_per_s"] is None and snap["eta_s"] is None
+    # no total: rate but no pct/eta keys
+    q = ProgressEstimator()
+    q.update(done=0, now=0.0)
+    snap = q.update(done=4, now=2.0)
+    assert snap["rate_per_s"] == 2.0 and "eta_s" not in snap
+
+
+def test_pipeline_emits_progress_records(spark, src_dir, tmp_path, monkeypatch):
+    """A sequential pipeline run emits one progress record per table
+    with rising done counts and pct reaching 100."""
+    import json as _json
+
+    from php_etl_spark import observability as O
+    from php_etl_spark.plans.runner import run_pipeline
+    from php_etl_spark.plans.spec import PipelineSpec
+
+    sink = str(tmp_path / "metrics.jsonl")
+    monkeypatch.setenv(O.ENV_KEY, sink)
+    spec = PipelineSpec.from_dict(
+        {
+            "connections": {
+                "from": {"type": "parquet", "path": src_dir},
+                "to": {"type": "parquet", "path": str(tmp_path / "out")},
+            },
+            "tables": [
+                {
+                    "flow": "people -> t1",
+                    "columns": {"id": "[id]", "name": "[name]"},
+                },
+                {
+                    "flow": "people -> t2",
+                    "columns": {"id": "[id]"},
+                },
+            ],
+        }
+    )
+    run_pipeline(spark, spec, max_parallel=1)
+    recs = [
+        _json.loads(line)
+        for line in open(sink)
+        if '"progress"' in line
+    ]
+    assert [r["done"] for r in recs] == [1, 2]
+    assert recs[-1]["pct"] == 100.0

@@ -43,3 +43,23 @@ def test_query_output_schema_is_driver_hashable(spark, name):
         f"{name} emits collection-typed columns {offenders}; serialize "
         "at the query boundary (concat_ws/to_json) with a matching oracle"
     )
+
+
+def test_oracle_result_types_lint():
+    """Every oracle must produce driver-hashable result types in
+    DuckDB: an uncast SUM(BIGINT) yields HUGEINT, which the driver's
+    value hasher canonicalizes differently from Spark's BIGINT — the
+    exact bug behind the three r03 correctness reds. DuckDB-only
+    (LIMIT 0 planning), so the whole registry lints in seconds."""
+    import subprocess
+    import sys
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "lint_oracles.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr

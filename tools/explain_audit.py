@@ -376,12 +376,17 @@ AUDITS = {
          lambda p: "partial_count" in p or "HashAggregate" in p),
     ],
     "agg_max_concurrent": [
-        ("boundary sweep is ONE window pass: a single shuffle on "
-         "event_type feeds running sum and max",
+        ("segmented prefix sum: local window partitions by "
+         "(event_type, bucket), never one task per event_type",
+         lambda p: "bucket" in p
+         and "Exchange hashpartitioning(event_type" in p),
+        ("two shuffles max: local segment window + tiny offset window",
          lambda p: p.split("== Initial Plan ==")[0].count(
              "Exchange hashpartitioning") <= 2),
         ("no interval self-join (the O(N²) trap)",
-         lambda p: "Join" not in p or "CartesianProduct" not in p),
+         lambda p: "CartesianProduct" not in p),
+        ("time bounds ride a 1-row broadcast, no driver collect",
+         lambda p: "BroadcastNestedLoopJoin" in p or "Broadcast" in p),
         ("events scan pruned to ts/type/value",
          lambda p: all(n <= 3 for n in read_schema_cols(p))),
     ],

@@ -1,0 +1,93 @@
+"""Oracle result-type lint: execute every registered oracle in DuckDB
+and FAIL on result columns whose type the driver's value hasher
+canonicalizes differently from Spark's:
+
+  - HUGEINT  — DuckDB's uncast SUM(BIGINT). Spark sums to BIGINT, so
+    identical values hash differently (the exact bug behind the three
+    r03 correctness reds: agg_max_concurrent, agg_priority_counts_q12,
+    split_train_holdout). House style: CAST(SUM(...) AS BIGINT).
+  - DECIMAL  — only when the Spark side isn't decimal-typed too; an
+    oracle must state the width explicitly. Flagged for review.
+
+DuckDB-only (no Spark session), so the whole registry lints in
+seconds. Usage::
+
+    python tools/lint_oracles.py [--sf DIR] [name ...]
+
+Exit 0 iff no oracle produces a flagged column type.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Types whose Spark/DuckDB hash canonicalization diverges. DECIMAL is
+# allowed when explicitly cast (DuckDB reports the cast's type, so an
+# explicit CAST(... AS DECIMAL(14,2)) still shows here — those are
+# fine IF the Spark side is decimal of the same scale; keep them out
+# of oracles unless both sides agree, and list exceptions below).
+FLAGGED = ("HUGEINT",)
+
+# key -> columns deliberately decimal-typed on BOTH sides.
+ALLOW: dict[str, set[str]] = {}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from php_etl_spark.queries import ORACLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(args.sf, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    names = args.names or list(ORACLES)
+    bad = 0
+    for name in names:
+        sql = ORACLES.get(name)
+        if sql is None:
+            continue
+        try:
+            # LIMIT 0 wrap: types come from the planner, zero rows run
+            cur = con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
+        except Exception as exc:  # noqa: BLE001 — lint must report all
+            bad += 1
+            print(f"FAIL  {name}: oracle does not execute: "
+                  f"{str(exc).splitlines()[0][:120]}")
+            continue
+        for col, dtype in zip(
+            [d[0] for d in cur.description],
+            [d[1] for d in cur.description],
+        ):
+            type_name = str(dtype).upper()
+            if any(f in type_name for f in FLAGGED) and col not in ALLOW.get(
+                name, set()
+            ):
+                bad += 1
+                print(
+                    f"FAIL  {name}: column `{col}` is {type_name} — "
+                    f"cast it (CAST(... AS BIGINT)) so the driver hash "
+                    f"canonicalization matches Spark"
+                )
+    print(f"\n{'OK' if not bad else f'{bad} oracle type violations'} "
+          f"({len(names)} oracles linted)")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
