@@ -8331,6 +8331,140 @@ def agg_chi_square(spark, sf_dir):
     )
 
 
+@query(
+    "text_duplicate_spans",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS doc,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+             || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+             || ' ' || ws[i+7] AS span
+      FROM (SELECT doc_id, {{toks}} AS ws FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i)
+    )
+    SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sh GROUP BY span HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, span LIMIT 50
+    """.replace("{toks}", _TOKS_SQL),
+)
+def text_duplicate_spans(spark, sf_dir):
+    """Exact duplicate-span detection, the C4/MassiveText cleaning
+    rule ("drop any long n-gram span occurring in more than one
+    document"): word-8-gram shingles with document frequency >= 2 —
+    the removal list for cross-document boilerplate (license headers,
+    navigation chrome, templated sentences). One explode + one
+    map-side-combined count on the span hash; top spans reported with
+    a deterministic (count, span) tiebreak. Unlike the pairwise
+    Jaccard/containment family this is linear in total shingles —
+    it's the first-pass span blocklist a 100 TB corpus scrub runs
+    before any pair scoring."""
+    from php_etl_spark.llm.text import word_shingles
+
+    d = _cat(spark, sf_dir).documents
+    par = spark.sparkContext.defaultParallelism
+    return (
+        d.repartition(par, "doc_id")
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.explode(F.array_distinct(word_shingles("text", 8))).alias("span"),
+        )
+        .groupBy("span")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "span")
+        .limit(50)
+    )
+
+
+@query(
+    "multimodal_dedup_content",
+    oracle="""
+    SELECT sha256(text) AS payload_sha256,
+           MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+)
+def multimodal_dedup_content(spark, sf_dir):
+    """Exact duplicate detection over the opaque BINARY payload — the
+    multimodal twin of dedup_exact: media files dedup by content
+    digest (the payload bytes, not any decoded feature), one shuffle
+    on a 32-byte sha256 key at any scale, min-id winner. The digest is
+    computed inside the same plan that carries the binary column
+    (llm.multimodal.with_binary_payload), so no second pass over the
+    payload bytes."""
+    d = _cat(spark, sf_dir).documents
+    return (
+        M.with_binary_payload(d)
+        .groupBy("payload_sha256")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+@query(
+    "agg_var_cvar",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ), var AS (
+      SELECT o_orderstatus,
+             percentile_disc(0.95) WITHIN GROUP (ORDER BY c) AS var95_cents
+      FROM cents GROUP BY o_orderstatus
+    )
+    SELECT cents.o_orderstatus,
+           var.var95_cents,
+           CAST(round(AVG(c)) AS BIGINT) AS cvar95_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_tail
+    FROM cents JOIN var USING (o_orderstatus)
+    WHERE c >= var.var95_cents
+    GROUP BY cents.o_orderstatus, var.var95_cents
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_var_cvar(spark, sf_dir):
+    """Value-at-Risk and Conditional VaR (expected shortfall) of order
+    value per status — the tail-risk pair every financial rollup and
+    cost-anomaly monitor reports. VaR95 is percentile_disc (a stored
+    value — deterministic, engine-exact, no interpolation ulp);
+    CVaR is the exact integer-cents mean of the tail at or beyond it.
+    Two passes: a tiny per-group percentile aggregate broadcast back
+    onto the fact, then one conditional mean — never a global sort."""
+    o = _cat(spark, sf_dir).orders
+    cents = o.select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    cents.createOrReplaceTempView("var_cents")
+    # Spark's percentile_disc returns DOUBLE regardless of input type
+    # (DuckDB preserves BIGINT); the selected value is an exact stored
+    # integer, so the cast is lossless
+    var = spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY c)
+                    AS BIGINT) AS var95_cents
+        FROM var_cents GROUP BY o_orderstatus
+        """
+    )
+    return (
+        cents.join(F.broadcast(var), "o_orderstatus")
+        .filter(F.col("c") >= F.col("var95_cents"))
+        .groupBy("o_orderstatus", "var95_cents")
+        .agg(
+            F.round(F.avg("c")).cast("long").alias("cvar95_cents"),
+            F.count("*").alias("n_tail"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -8426,6 +8560,8 @@ _PRIORITY = [
     "agg_ewma_fir", "window_drawdown", "agg_ohlc_bars", "profile_benford",
     "agg_corr_exact", "agg_histogram", "agg_cumulative_distinct",
     "window_pct_change", "sketch_countmin_topk",
+    # round-4 additions (fresh code: verify this round)
+    "text_duplicate_spans", "multimodal_dedup_content", "agg_var_cvar",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

@@ -390,6 +390,20 @@ AUDITS = {
         ("events scan pruned to ts/type/value",
          lambda p: all(n <= 3 for n in read_schema_cols(p))),
     ],
+    "text_duplicate_spans": [
+        ("span counting combines map-side (partial before the shuffle)",
+         lambda p: "partial_count" in p or "partial" in p),
+        ("no pairwise join anywhere (linear span blocklist, not pair scoring)",
+         lambda p: "Join" not in p.split("== Initial Plan ==")[0]),
+        ("top-50 executed as TakeOrderedAndProject (no global sort)",
+         lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "agg_var_cvar": [
+        ("per-group VaR rides a broadcast join back onto the fact",
+         lambda p: "BroadcastHashJoin" in p),
+        ("VaR is a grouped aggregate, never a window over a sorted fact",
+         lambda p: "Window" not in p),
+    ],
     "agg_cumulative_distinct": [
         ("running sum windows over per-day rows, AFTER the per-user "
          "reduction (single-partition window is |dates|-sized)",
