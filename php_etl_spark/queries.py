@@ -2209,6 +2209,122 @@ def sink_versioned_publish(spark, sf_dir):
 
 
 @query(
+    "sink_versioned_timetravel",
+    oracle="""
+    SELECT c_custkey AS k, c_name AS name FROM customer
+    WHERE c_custkey <= 800
+    """,
+)
+def sink_versioned_timetravel(spark, sf_dir):
+    """Time travel over the versioned commit protocol (the Delta/
+    Iceberg ``VERSION AS OF`` shape): publish v1, overwrite-publish
+    v2, then read v1 BACK while the pointer stays on v2 — proving
+    historical snapshots stay byte-stable and exactly resolvable via
+    the pointer's per-version commit history (never a dir glob that a
+    crashed publish could shadow). The oracle is v1's content; the
+    query returns the v1 read even though v2 is current."""
+    import tempfile
+
+    from php_etl_spark.sources import versioned as V
+
+    t = tempfile.mkdtemp(prefix="sink_timetravel_") + "/t"
+    c = _cat(spark, sf_dir).customer
+    v1 = c.filter(F.col("c_custkey") <= 800).select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
+    )
+    v2 = c.filter(F.col("c_custkey") <= 300).select(
+        F.col("c_custkey").alias("k"), F.upper("c_name").alias("name")
+    )
+    V.publish(v1, t)
+    V.publish(v2, t)
+    assert V.read_pointer(t)["version"] == 2
+    return V.read_version(spark, t, 1)
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderstatus, o_orderdate, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(round(2 * median(c) OVER (
+             PARTITION BY o_orderstatus
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           )) AS BIGINT) AS med2_cents
+    FROM cents
+    """,
+)
+def window_rolling_median(spark, sf_dir):
+    """Rolling 5-point median of order value per status — the robust
+    smoother (outlier-immune, unlike moving average) every monitoring
+    rollup wants. Exact cross-engine: inputs are integer cents, and a
+    trailing frame of <=5 rows interpolates only at exact halves, so
+    reporting 2x the median keeps every value integral — no float
+    hash risk. One window pass; the frame is rows-bounded so state
+    per partition is O(5), and the partition key (status) times date
+    ordering is the standard time-series layout."""
+    from pyspark.sql import Window as W
+
+    o = _cat(spark, sf_dir).orders
+    cents = o.select(
+        "o_orderstatus", "o_orderdate", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    return cents.select(
+        "o_orderkey",
+        F.round(2 * F.expr("percentile(c, 0.5)").over(w))
+        .cast("long")
+        .alias("med2_cents"),
+    )
+
+
+@query(
+    "docs_cap_per_source",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id % 1000003) * 2654435761 % 999999937, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 30
+    """,
+)
+def docs_cap_per_source(spark, sf_dir):
+    """Per-source document cap — the domain-balancing rule every
+    pretraining mix applies (no single crawl domain may dominate):
+    keep at most K documents per source, chosen by a deterministic
+    multiplicative-hash rank (stable under re-partitioning and
+    incremental appends — a kept document stays kept when new data
+    arrives, unlike any RNG sample). One window pass partitioned by
+    source; the same overflow-safe rank the k-means seeder uses, so
+    both engines order identically."""
+    from pyspark.sql import Window as W
+
+    from php_etl_spark.llm.similarity import kmeans_seed_rank
+
+    d = _cat(spark, sf_dir).documents
+    w = W.partitionBy("source").orderBy(
+        kmeans_seed_rank(F.col("doc_id")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 30)
+        .select("doc_id", "source")
+    )
+
+
+@query(
     "sink_jdbc_upsert",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
@@ -8562,6 +8678,8 @@ _PRIORITY = [
     "window_pct_change", "sketch_countmin_topk",
     # round-4 additions (fresh code: verify this round)
     "text_duplicate_spans", "multimodal_dedup_content", "agg_var_cvar",
+    "sink_versioned_timetravel", "window_rolling_median",
+    "docs_cap_per_source",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

@@ -156,15 +156,13 @@ def delete_reinsert(
     return publish(materialize(refreshed), table_dir)
 
 
-def rollback(table_dir: str, to_version: int) -> dict[str, Any]:
-    """Point the table back at an existing snapshot — a pointer write,
-    zero data movement. Fails if the snapshot was vacuumed.
-
-    Resolution goes through the pointer's per-version ``history`` map
-    (the exact dir each commit wrote), NOT a directory glob: a crashed
-    publish leaves a half-written orphan whose name shares the version
-    prefix, and a glob could restore it. Pointers written before the
-    history map fall back to the glob but error on ambiguity."""
+def _resolve_version(table_dir: str, to_version: int) -> str:
+    """Resolve a committed version to its exact snapshot dir via the
+    pointer's per-version ``history`` map (the dir each commit wrote),
+    NOT a directory glob: a crashed publish leaves a half-written
+    orphan whose name shares the version prefix, and a glob could pick
+    it. Pointers written before the history map fall back to the glob
+    but error on ambiguity."""
     current = read_pointer(table_dir)
     history = current.get("history", {}) if current else {}
     target = history.get(str(to_version))
@@ -177,9 +175,9 @@ def rollback(table_dir: str, to_version: int) -> dict[str, Any]:
         ]
         if len(matches) > 1:
             raise RuntimeError(
-                f"ambiguous rollback: {len(matches)} snapshots match "
-                f"{prefix}* and the pointer has no commit history for "
-                f"version {to_version}: {matches}"
+                f"ambiguous version resolution: {len(matches)} snapshots "
+                f"match {prefix}* and the pointer has no commit history "
+                f"for version {to_version}: {matches}"
             )
         target = os.path.join(_VERSIONS, matches[0]) if matches else None
     elif not os.path.isdir(os.path.join(table_dir, target)):
@@ -189,6 +187,29 @@ def rollback(table_dir: str, to_version: int) -> dict[str, Any]:
             f"version {to_version} not found under {table_dir}/{_VERSIONS} "
             "(vacuumed?)"
         )
+    return target
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int
+) -> DataFrame:
+    """Time travel: read a historical committed snapshot without
+    moving the pointer — the Delta/Iceberg ``VERSION AS OF`` shape.
+    Snapshots are immutable, so a historical read is just a parquet
+    scan of that version's dir; concurrent publishes never disturb
+    it. Fails (like any table format) once vacuum reclaimed it."""
+    target = _resolve_version(table_dir, version)
+    return spark.read.parquet(os.path.join(table_dir, target))
+
+
+def rollback(table_dir: str, to_version: int) -> dict[str, Any]:
+    """Point the table back at an existing snapshot — a pointer write,
+    zero data movement. Fails if the snapshot was vacuumed. Resolution
+    via ``_resolve_version`` (exact per-version history, glob only for
+    legacy pointers)."""
+    target = _resolve_version(table_dir, to_version)
+    current = read_pointer(table_dir)
+    history = current.get("history", {}) if current else {}
     record = {
         "version": to_version,
         "dir": target,

@@ -385,5 +385,25 @@ class TestVersionedRollbackSafety:
         json.dump(rec, open(ptr, "w"))
         orphan = os.path.join(t, "_versions", "v00000001-ffffffff")
         spark.createDataFrame([(9,)], ["k"]).write.parquet(orphan)
-        with pytest.raises(RuntimeError, match="ambiguous rollback"):
+        with pytest.raises(RuntimeError, match="ambiguous version"):
             V.rollback(t, 1)
+
+    def test_read_version_time_travel(self, spark, tmp_path):
+        import pytest
+
+        from php_etl_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        V.publish(spark.createDataFrame([(1, "v1")], ["k", "v"]), t)
+        V.publish(spark.createDataFrame([(1, "v2")], ["k", "v"]), t)
+        # historical read; pointer stays on v2
+        old = {(r["k"], r["v"]) for r in V.read_version(spark, t, 1).collect()}
+        assert old == {(1, "v1")}
+        assert V.read_pointer(t)["version"] == 2
+        cur = {(r["k"], r["v"]) for r in V.read_current(spark, t).collect()}
+        assert cur == {(1, "v2")}
+        # vacuumed history is a clean error, not a wrong read
+        V.publish(spark.createDataFrame([(1, "v3")], ["k", "v"]), t)
+        V.vacuum(t, keep=1)
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            V.read_version(spark, t, 1)

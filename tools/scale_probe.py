@@ -267,6 +267,95 @@ def main() -> int:
     )
     assert n_labeled == n_vec, "dedup must label the full population"
 
+    # 9. segmented boundary sweep: the max-concurrent running sum must
+    # parallelize past the event-type cardinality. 10M intervals over
+    # THREE types (the pathological low-cardinality case): one window
+    # per type caps at 3 tasks; the segmented two-phase prefix sum
+    # (time-bucketed local sums + tiny offset cumsum, the
+    # agg_max_concurrent shape) must produce the identical answer
+    # while its main shuffle carries (type, bucket) granularity.
+    n_iv = args.rows
+    iv = spark.range(n_iv).select(
+        (F.col("id") % 3).cast("string").alias("event_type"),
+        (F.abs(F.xxhash64("id")) % 1_000_000_000).alias("s"),
+        (F.abs(F.xxhash64("id", "id")) % 10_000_000).alias("dur"),
+    ).select(
+        "event_type", "s", (F.col("s") + 1 + F.col("dur")).alias("e")
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta"),
+        F.col("s").alias("tie"),
+    ).unionAll(
+        iv.select(
+            "event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"),
+            F.col("s").alias("tie"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    def single_window():
+        w = (
+            W.partitionBy("event_type")
+            .orderBy("t", "delta", "tie")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return {
+            r["event_type"]: r["m"]
+            for r in pts.select(
+                "event_type", F.sum("delta").over(w).alias("live")
+            )
+            .groupBy("event_type")
+            .agg(F.max("live").alias("m"))
+            .collect()
+        }
+
+    def segmented(n_buckets=256):
+        bounds = iv.agg(F.min("s").alias("tmin"), F.max("e").alias("tmax"))
+        width = F.greatest(
+            F.lit(1),
+            F.ceil((F.col("tmax") - F.col("tmin") + 1) / F.lit(n_buckets)),
+        ).cast("long")
+        withb = pts.join(F.broadcast(bounds)).withColumn(
+            "bucket", F.floor((F.col("t") - F.col("tmin")) / width)
+        )
+        w_local = (
+            W.partitionBy("event_type", "bucket")
+            .orderBy("t", "delta", "tie")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        per_bucket = (
+            withb.select(
+                "event_type", "bucket", "delta",
+                F.sum("delta").over(w_local).alias("local_live"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.max("local_live").alias("local_max"),
+                F.sum("delta").alias("bucket_sum"),
+            )
+        )
+        w_off = (
+            W.partitionBy("event_type")
+            .orderBy("bucket")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        return {
+            r["event_type"]: r["m"]
+            for r in per_bucket.select(
+                "event_type", "local_max",
+                F.coalesce(F.sum("bucket_sum").over(w_off), F.lit(0)).alias(
+                    "off"
+                ),
+            )
+            .groupBy("event_type")
+            .agg(F.max(F.col("off") + F.col("local_max")).alias("m"))
+            .collect()
+        }
+
+    ref = timed("boundary sweep, one window per type (3 tasks)", single_window)
+    seg = timed("boundary sweep, segmented 256 buckets", segmented)
+    assert ref == seg, f"segmented sweep must be exact: {ref} != {seg}"
+
     print("scale probe OK")
     return 0
 
