@@ -8497,6 +8497,134 @@ def text_duplicate_spans(spark, sf_dir):
 
 
 @query(
+    "emb_truncate_renorm",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id,
+             list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE len(embedding) >= 16
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM t
+    )
+    SELECT vec_id,
+           array_to_string(
+             list_transform(v, x -> CAST(CAST(round(x / nrm * 1000000)
+                                              AS BIGINT) AS VARCHAR)),
+             ',') AS trunc16_q
+    FROM n WHERE nrm > 0
+    """,
+)
+def emb_truncate_renorm(spark, sf_dir):
+    """Matryoshka-style dimension truncation (Kusupati et al. 2022,
+    MRL): keep the first 16 of 64 dims and re-normalize to unit
+    length — the 4x cheaper index/rerank representation MRL-trained
+    embedding models support natively. A narrow map (no shuffle); the
+    norm is a 16-element fold whose left-to-right order both engines
+    share, and components report micro-quantized so the driver hash
+    is float-safe. Serialized at the boundary (the driver's row
+    hasher needs scalar columns)."""
+    emb = _cat(spark, sf_dir).embeddings
+    v = F.slice(
+        F.transform("embedding", lambda x: x.cast("double")), 1, 16
+    )
+    d = emb.filter(F.size("embedding") >= 16).select("vec_id", v.alias("v"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return (
+        d.withColumn("nrm", nrm)
+        .filter(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "v",
+                    lambda x: F.round(x / F.col("nrm") * 1000000)
+                    .cast("long")
+                    .cast("string"),
+                ),
+            ).alias("trunc16_q"),
+        )
+    )
+
+
+@query(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+             CAST(len(toks) AS INT) AS n_tokens,
+             md5(norm) AS content_hash
+      FROM (SELECT doc_id, lang, source, {{toks}} AS toks,
+                   {{norm}} AS norm
+            FROM documents)
+    ), gated AS (
+      SELECT doc_id, lang, n_tokens >= 20 AS quality_ok, content_hash
+      FROM scored
+    ), ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+               PARTITION BY content_hash ORDER BY doc_id
+             ) AS rk
+      FROM gated WHERE quality_ok
+    )
+    SELECT lang,
+           CAST(COUNT(*) FILTER (WHERE quality_ok AND rk = 1) AS BIGINT)
+             AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE quality_ok AND rk > 1) AS BIGINT)
+             AS n_dropped_dup,
+           CAST(COUNT(*) FILTER (WHERE NOT quality_ok) AS BIGINT)
+             AS n_dropped_quality
+    FROM gated LEFT JOIN ranked USING (doc_id)
+    GROUP BY lang ORDER BY lang
+    """.replace("{toks}", _TOKS_SQL).replace("{norm}", _NORM_SQL),
+)
+def corpus_clean_pipeline(spark, sf_dir):
+    """End-to-end corpus cleaning in ONE plan — the composition a
+    pretraining data pipeline actually runs: token-count quality gate
+    -> exact dedup on normalized content (first-wins by doc_id) ->
+    per-language accounting of kept / duplicate-dropped /
+    quality-dropped documents. Every stage is a building block that
+    already carries its own oracle (text_token_count, dedup_exact);
+    this query proves they COMPOSE exactly — one scan, one window on
+    the 16-byte content hash, one final aggregate, no intermediate
+    materialization."""
+    from php_etl_spark.llm import text as T
+    from pyspark.sql import Window as W
+
+    d = _cat(spark, sf_dir).documents.select(
+        "doc_id", "lang",
+        T.token_count("text").alias("n_tokens"),
+        T.normalized_hash("text").alias("content_hash"),
+    )
+    gated = d.withColumn("quality_ok", F.col("n_tokens") >= 20)
+    rk = F.row_number().over(
+        W.partitionBy("content_hash").orderBy("doc_id")
+    )
+    ranked = gated.filter("quality_ok").withColumn("rk", rk)
+    return (
+        gated.join(ranked.select("doc_id", "rk"), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count_if(F.col("quality_ok") & (F.col("rk") == 1)).alias(
+                "n_kept"
+            ),
+            F.count_if(F.col("quality_ok") & (F.col("rk") > 1)).alias(
+                "n_dropped_dup"
+            ),
+            F.count_if(~F.col("quality_ok")).alias("n_dropped_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "multimodal_dedup_content",
     oracle="""
     SELECT sha256(text) AS payload_sha256,
@@ -8683,7 +8811,7 @@ _PRIORITY = [
     # round-4 additions (fresh code: verify this round)
     "text_duplicate_spans", "multimodal_dedup_content", "agg_var_cvar",
     "sink_versioned_timetravel", "window_rolling_median",
-    "docs_cap_per_source",
+    "docs_cap_per_source", "emb_truncate_renorm", "corpus_clean_pipeline",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

@@ -404,6 +404,18 @@ AUDITS = {
         ("VaR is a grouped aggregate, never a window over a sorted fact",
          lambda p: "Window" not in p),
     ],
+    "corpus_clean_pipeline": [
+        ("one documents scan feeds the whole pipeline (no re-scan per stage)",
+         lambda p: p.split("== Initial Plan ==")[0].count("FileScan parquet") <= 2),
+        ("dedup window partitions on the content hash (never single-partition)",
+         lambda p: "windowspecdefinition(content_hash" in p),
+        ("documents scan pruned to the 3 referenced columns",
+         lambda p: all(n <= 3 for n in read_schema_cols(p))),
+    ],
+    "emb_truncate_renorm": [
+        ("narrow map: no shuffle exchange anywhere",
+         lambda p: "Exchange" not in p.split("== Initial Plan ==")[0]),
+    ],
     "agg_cumulative_distinct": [
         ("running sum windows over per-day rows, AFTER the per-user "
          "reduction (single-partition window is |dates|-sized)",
