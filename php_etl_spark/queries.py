@@ -8625,6 +8625,146 @@ def corpus_clean_pipeline(spark, sf_dir):
 
 
 @query(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    ), norms AS (
+      SELECT vec_id, SUM(q * q) AS n2 FROM flat GROUP BY 1
+    ), dots AS (
+      SELECT c.vec_id, SUM(qf.q * c.q) AS dot
+      FROM flat qf JOIN flat c ON qf.i = c.i
+      WHERE qf.vec_id = 0 AND c.vec_id <> 0
+      GROUP BY 1
+    ), cos AS (
+      SELECT d.vec_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+               AS cosv
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = 0
+      JOIN norms nc ON nc.vec_id = d.vec_id
+    ), vshort AS (
+      SELECT vec_id AS id, rk FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cosv DESC, vec_id) AS rk
+        FROM cos
+      ) WHERE rk <= 50
+    ), kwtf AS (
+      SELECT doc_id, len(list_filter(toks, x -> x = 'data')) AS tf
+      FROM (SELECT doc_id, {{toks}} AS toks FROM documents)
+      WHERE doc_id <> 0
+    ), kshort AS (
+      SELECT doc_id AS id, rk FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rk
+        FROM kwtf WHERE tf > 0
+      ) WHERE rk <= 50
+    ), united AS (
+      SELECT id, 1.0 / (60 + rk) AS s FROM vshort
+      UNION ALL
+      SELECT id, 1.0 / (60 + rk) AS s FROM kshort
+    )
+    SELECT id, CAST(round(SUM(s) * 1000000000) AS BIGINT) AS rrf_nano
+    FROM united GROUP BY id
+    ORDER BY rrf_nano DESC, id LIMIT 20
+    """.replace("{toks}", _TOKS_SQL),
+)
+def sim_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009) — the standard way production search fuses a vector
+    retriever with a keyword retriever: each side contributes
+    1/(60+rank) for its shortlist, sums decide. Scale-honest shape:
+    ranks are assigned on bounded top-50 SHORTLISTS (each produced by
+    its retriever's own top-k machinery — exact quantized cosine and
+    term-frequency here), never by a corpus-wide row_number, so the
+    fusion cost is O(shortlist), not O(N). All arithmetic is exact:
+    integer-quantized dots, integer ranks, and a 2-term double sum
+    (commutative in IEEE), nano-rounded for the hash."""
+    from php_etl_spark.llm import similarity as S
+    from php_etl_spark.llm import text as T
+    from pyspark.sql import Window as W
+
+    cat = _cat(spark, sf_dir)
+    prep = S._prepared(cat.embeddings, "vec_id", "embedding", "v")
+    qrow = prep.filter(F.col("v_id") == 0).select(
+        F.col("v_q").alias("q_q"), F.col("v_norm").alias("q_norm")
+    )
+    cos = S.dot_q(F.col("v_q"), F.col("q_q")).cast("double") / (
+        F.col("v_norm") * F.col("q_norm")
+    )
+    vshort = (
+        prep.filter(F.col("v_id") != 0)
+        .join(F.broadcast(qrow))
+        .select(F.col("v_id").alias("id"), cos.alias("cosv"))
+        .orderBy(F.col("cosv").desc(), "id")
+        .limit(50)
+        .select(
+            "id",
+            F.row_number()
+            .over(W.orderBy(F.col("cosv").desc(), "id"))
+            .alias("rk"),
+        )
+    )
+    kwtf = cat.documents.filter(F.col("doc_id") != 0).select(
+        F.col("doc_id").alias("id"),
+        F.size(F.filter(T.tokens("text"), lambda x: x == "data")).alias("tf"),
+    )
+    kshort = (
+        kwtf.filter(F.col("tf") > 0)
+        .orderBy(F.col("tf").desc(), "id")
+        .limit(50)
+        .select(
+            "id",
+            F.row_number()
+            .over(W.orderBy(F.col("tf").desc(), "id"))
+            .alias("rk"),
+        )
+    )
+    s = (F.lit(1.0) / (F.lit(60) + F.col("rk"))).alias("s")
+    united = vshort.select("id", s).unionAll(kshort.select("id", s))
+    return (
+        united.groupBy("id")
+        .agg(F.round(F.sum("s") * 1000000000).cast("long").alias("rrf_nano"))
+        .orderBy(F.col("rrf_nano").desc(), "id")
+        .limit(20)
+    )
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+    SELECT lang, source,
+           CAST(n_chars // 100 AS BIGINT) AS chars_bucket,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM documents
+    GROUP BY lang, source, n_chars // 100
+    HAVING COUNT(*) < 5
+    """,
+)
+def privacy_k_anonymity(spark, sf_dir):
+    """K-anonymity audit over quasi-identifiers — the governance check
+    a training-data release runs before publishing: any combination of
+    quasi-identifying attributes (language, source, size bucket)
+    shared by fewer than k=5 documents is a re-identification risk and
+    gets reported for suppression or generalization. One map-side-
+    combined aggregate on the quasi-identifier tuple; the HAVING
+    filter returns only the risky groups, so output is small even on
+    a 100 TB corpus (risk lists shrink as data grows)."""
+    d = _cat(spark, sf_dir).documents
+    return (
+        d.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 100).alias("chars_bucket"),
+        )
+        .agg(F.count("*").alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )
+
+
+@query(
     "multimodal_dedup_content",
     oracle="""
     SELECT sha256(text) AS payload_sha256,
@@ -8812,6 +8952,7 @@ _PRIORITY = [
     "text_duplicate_spans", "multimodal_dedup_content", "agg_var_cvar",
     "sink_versioned_timetravel", "window_rolling_median",
     "docs_cap_per_source", "emb_truncate_renorm", "corpus_clean_pipeline",
+    "privacy_k_anonymity", "sim_hybrid_rrf",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
