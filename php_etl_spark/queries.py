@@ -2308,11 +2308,15 @@ def docs_cap_per_source(spark, sf_dir):
     """Per-source document cap — the domain-balancing rule every
     pretraining mix applies (no single crawl domain may dominate):
     keep at most K documents per source, chosen by a deterministic
-    multiplicative-hash rank (stable under re-partitioning and
-    incremental appends — a kept document stays kept when new data
-    arrives, unlike any RNG sample). One window pass partitioned by
-    source; the same overflow-safe rank the k-means seeder uses, so
-    both engines order identically."""
+    multiplicative-hash rank. Fully reproducible from the data alone
+    (no RNG, identical under any partitioning); on append, selection
+    churn is bounded to genuine rank displacement — a new document
+    evicts at most one incumbent, whereas an RNG re-sample reshuffles
+    everything. (For strictly append-stable selection use a hash
+    THRESHOLD — sample_hash — which trades exact-K for stability.)
+    One window pass partitioned by source; the same overflow-safe
+    rank the k-means seeder uses, so both engines order
+    identically."""
     from pyspark.sql import Window as W
 
     from php_etl_spark.llm.similarity import kmeans_seed_rank
