@@ -185,7 +185,7 @@ def lsh_candidates(
     signatures: DataFrame,
     n_hashes: int = 32,
     bands: int = 8,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Band the signature (rows per (doc, band) = docs × bands) and
     self-join per band bucket: two docs are candidates iff they agree
@@ -198,22 +198,12 @@ def lsh_candidates(
     crawl scale. Docs in an oversized bucket almost always share their
     OTHER bands' buckets too (they are near-identical by construction)
     or are caught by exact dedup first, so capping costs little recall
-    while bounding pairs by bands × Σ min(bucket, cap)²."""
-    banded = _band_table(signatures, n_hashes, bands)
-    if max_bucket_size is not None:
-        # rank within bucket (deterministic by doc id) and keep the
-        # first `cap` members — same one shuffle as the join key, so
-        # the cap costs no extra exchange
-        from pyspark.sql import Window as _W
-
-        rn = F.row_number().over(
-            _W.partitionBy("band", "bucket").orderBy(F.col("doc"))
-        )
-        banded = (
-            banded.withColumn("__rn", rn)
-            .filter(F.col("__rn") <= max_bucket_size)
-            .drop("__rn")
-        )
+    while bounding pairs by bands × Σ min(bucket, cap)². Bounded by
+    DEFAULT (cap 1000, same policy as ``jaccard_pairs``); pass
+    ``max_bucket_size=None`` explicitly for the unbounded join."""
+    banded = _cap_buckets(
+        _band_table(signatures, n_hashes, bands), max_bucket_size
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -227,6 +217,24 @@ def lsh_candidates(
     )
 
 
+def _cap_buckets(banded: DataFrame, cap: int | None) -> DataFrame:
+    """Keep the first ``cap`` members per (band, bucket) — rank within
+    bucket is deterministic by doc id, and the window shares the join
+    key's shuffle, so the cap costs no extra exchange."""
+    if cap is None:
+        return banded
+    from pyspark.sql import Window as _W
+
+    rn = F.row_number().over(
+        _W.partitionBy("band", "bucket").orderBy(F.col("doc"))
+    )
+    return (
+        banded.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -235,11 +243,14 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Subquadratic near-dup pipeline: MinHash → LSH banding →
     candidate pairs → exact Jaccard verification on candidates only.
     This is the shape that survives 100 TB; the exact all-pairs join
-    does not."""
+    does not. Hot band-buckets are capped by default (see
+    ``lsh_candidates``); verification is always exact, so the cap
+    can only skip pairs, never mis-score one."""
     # shingle ONCE: the materialized (doc, shingle-array) table feeds
     # both the signature branch and the verification branch (without
     # it, each branch re-tokenizes the corpus). materialize() picks
@@ -247,7 +258,7 @@ def minhash_lsh_pairs(
     # cluster (spark.php_etl.materialize).
     sets_df = materialize(_shingle_sets(df, text_col, id_col, n))
     sigs = _signatures_from_sets(sets_df, n_hashes)
-    cands = lsh_candidates(sigs, n_hashes, bands)
+    cands = lsh_candidates(sigs, n_hashes, bands, max_bucket_size)
     return _exact_jaccard_on_candidates(cands, sets_df, threshold)
 
 
@@ -299,10 +310,15 @@ def incremental_near_dup(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Continuous-ingestion dedup: which NEW documents are near-dups
     of something ALREADY in the corpus — (new_doc, dup_of, jaccard)
     for exact Jaccard >= threshold among LSH band-bucket candidates.
+    The corpus side's hot buckets are capped by default (a boilerplate
+    bucket in a web-scale corpus would otherwise multiply against
+    every batch; same bounded-by-default policy as ``jaccard_pairs``/
+    ``lsh_candidates``, ``None`` opts out).
 
     The join is batch-bands × corpus-bands on (band, bucket) — never a
     corpus self-join, so per-increment cost scales with the BATCH (the
@@ -314,11 +330,12 @@ def incremental_near_dup(
     the operator is self-contained."""
     corpus_sets = materialize(_shingle_sets(corpus, text_col, id_col, n))
     batch_sets = materialize(_shingle_sets(batch, text_col, id_col, n))
-    corpus_bands = _band_table(
-        _signatures_from_sets(corpus_sets, n_hashes), n_hashes, bands
-    ).select(
-        F.col("doc").alias("dup_of"), "band", "bucket"
-    )
+    corpus_bands = _cap_buckets(
+        _band_table(
+            _signatures_from_sets(corpus_sets, n_hashes), n_hashes, bands
+        ),
+        max_bucket_size,
+    ).select(F.col("doc").alias("dup_of"), "band", "bucket")
     batch_bands = _band_table(
         _signatures_from_sets(batch_sets, n_hashes), n_hashes, bands
     ).select(F.col("doc").alias("new_doc"), "band", "bucket")

@@ -625,3 +625,36 @@ def test_semantic_dedup_kernel_matches_sql_bitwise(spark):
         )
     assert rows["sql"] == rows["kernel"]
     assert any(not kept for _, _, kept in rows["sql"])  # test has teeth
+
+
+def test_lsh_hot_bucket_capped_by_default(spark):
+    """lsh_candidates defaults to a bounded per-(band,bucket) join
+    (same policy as jaccard_pairs): a degenerate corpus where every
+    signature is identical (all docs share one text) must produce at
+    most cap^2/2-ish candidates per band under a small explicit cap,
+    and the default must be bounded (not None)."""
+    import inspect
+
+    from php_etl_spark.llm import dedup as D
+
+    assert (
+        inspect.signature(D.lsh_candidates).parameters["max_bucket_size"].default
+        == 1000
+    )
+    assert (
+        inspect.signature(D.minhash_lsh_pairs)
+        .parameters["max_bucket_size"]
+        .default
+        == 1000
+    )
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text repeated endlessly here") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    sigs = D.minhash_signatures(docs, n=3, n_hashes=8)
+    capped = D.lsh_candidates(sigs, n_hashes=8, bands=2, max_bucket_size=5)
+    # 40 identical docs, cap 5: per band C(5,2)=10 pairs, 2 bands,
+    # dedup'd -> exactly 10 distinct pairs (same 5 survivors per band)
+    assert capped.count() == 10
+    unbounded = D.lsh_candidates(sigs, n_hashes=8, bands=2, max_bucket_size=None)
+    assert unbounded.count() == 40 * 39 // 2
