@@ -232,3 +232,43 @@ def test_select_by_budget_equals_global_window(spark, costs, budget):
         else:
             break
     assert got == want, (sorted(rows), budget)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 60),                 # boundary time
+            st.sampled_from([1, -1]),           # open/close delta
+            st.integers(0, 60),                 # tiebreak
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(1, 50),                         # bucket width
+)
+def test_segmented_prefix_sum_identity(points, width):
+    """The algebra behind the segmented boundary sweep
+    (agg_max_concurrent): max over the global (t, delta, tie)-ordered
+    prefix sums EQUALS max over time-buckets of (exclusive bucket
+    offset + local prefix max), for ANY bucket width — including
+    equal timestamps at bucket boundaries, all-points-one-bucket, and
+    width larger than the time span. This is the invariant that makes
+    the distributed two-phase plan exact."""
+    ordered = sorted(points, key=lambda p: (p[0], p[1], p[2]))
+    run, best = 0, float("-inf")
+    for _, d, _ in ordered:
+        run += d
+        best = max(best, run)
+
+    buckets: dict[int, list[tuple[int, int, int]]] = {}
+    for p in ordered:
+        buckets.setdefault(p[0] // width, []).append(p)
+    offset, seg_best = 0, float("-inf")
+    for b in sorted(buckets):
+        local, local_max = 0, float("-inf")
+        for _, d, _ in buckets[b]:  # already (t, delta, tie)-ordered
+            local += d
+            local_max = max(local_max, local)
+        seg_best = max(seg_best, offset + local_max)
+        offset += local
+    assert seg_best == best
