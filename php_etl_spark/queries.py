@@ -8736,6 +8736,21 @@ def sim_hybrid_rrf(spark, sf_dir):
     )
 
 
+@query("stream_dedup_ingest")
+def stream_dedup_ingest(spark, sf_dir):
+    """Streaming admission control for a training corpus: arriving
+    documents are LSH-screened against the already-ingested corpus
+    and only near-dup-free ones land (streaming/events.
+    run_dedup_ingest; batch-vs-corpus band join, cost ∝ batch).
+    Rows-only: the LSH screen is hash-defined (no SQL oracle by
+    nature); determinism and the admitted/rejected split are
+    pytest-asserted against the batch incremental_near_dup result."""
+    from php_etl_spark.streaming.events import run_dedup_ingest
+
+    out = run_dedup_ingest(spark, sf_dir, corpus_max_id=249, threshold=0.8)
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 @query(
     "privacy_k_anonymity",
     oracle="""
@@ -8956,7 +8971,7 @@ _PRIORITY = [
     "text_duplicate_spans", "multimodal_dedup_content", "agg_var_cvar",
     "sink_versioned_timetravel", "window_rolling_median",
     "docs_cap_per_source", "emb_truncate_renorm", "corpus_clean_pipeline",
-    "privacy_k_anonymity", "sim_hybrid_rrf",
+    "privacy_k_anonymity", "sim_hybrid_rrf", "stream_dedup_ingest",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

@@ -172,6 +172,62 @@ def run_to_files(
     return spark.read.schema(transformed.schema).parquet(data_dir)
 
 
+def run_dedup_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_max_id: int,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Continuous corpus ingestion with near-duplicate filtering — the
+    streaming form of an LLM data pipeline's admission control: each
+    arriving micro-batch of documents is LSH-screened against the
+    ALREADY-INGESTED corpus (llm.dedup.incremental_near_dup: batch
+    bands x corpus bands, cost ∝ batch, never a corpus self-join) and
+    only documents with no near-dup land in the destination.
+
+    Here the pre-ingested corpus is ``doc_id <= corpus_max_id`` and
+    the stream carries the rest. At production scale the corpus band
+    table is a persisted artifact that each accepted batch appends to
+    (so admission stays O(batch) forever); with availableNow's single
+    batch the self-contained form below is equivalent.
+
+    Returns the batch readback of admitted documents."""
+    from pyspark.sql import functions as F
+
+    from php_etl_spark.llm.dedup import incremental_near_dup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") <= corpus_max_id)
+    stream = stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") > corpus_max_id
+    )
+    base = tempfile.mkdtemp(prefix="php_etl_ingest_")
+    data_dir = os.path.join(base, "out")
+    ck_dir = os.path.join(base, "checkpoint")
+
+    def _admit(batch_df: DataFrame, _batch_id: int) -> None:
+        dups = (
+            incremental_near_dup(corpus, batch_df, threshold=threshold)
+            .select("new_doc")
+            .distinct()
+        )
+        admitted = batch_df.join(
+            dups, batch_df["doc_id"] == dups["new_doc"], "left_anti"
+        )
+        admitted.write.mode("append").parquet(data_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.exists(data_dir):
+        return spark.createDataFrame([], docs.schema)
+    return spark.read.schema(docs.schema).parquet(data_dir)
+
+
 def run_to_jdbc(
     transformed: DataFrame,
     conn: dict,

@@ -272,3 +272,32 @@ def test_transform_with_state_totals(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_dedup_ingest_matches_batch_screen(spark):
+    """The streaming admission path must admit exactly the documents
+    the batch incremental_near_dup screen admits: stream docs with
+    doc_id > corpus_max against the corpus below it; admitted =
+    streamed minus near-dups-of-corpus."""
+    from pyspark.sql import functions as F
+
+    from php_etl_spark.llm.dedup import incremental_near_dup
+    from php_etl_spark.streaming.events import run_dedup_ingest
+
+    sf = "/root/testdata/sf0.001"
+    admitted = {
+        r["doc_id"]
+        for r in run_dedup_ingest(spark, sf, corpus_max_id=24).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") <= 24)
+    batch = docs.filter(F.col("doc_id") > 24)
+    dups = {
+        r["new_doc"]
+        for r in incremental_near_dup(corpus, batch, threshold=0.8)
+        .select("new_doc")
+        .distinct()
+        .collect()
+    }
+    expected = {r["doc_id"] for r in batch.collect()} - dups
+    assert admitted == expected and admitted
