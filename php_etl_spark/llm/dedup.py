@@ -388,17 +388,21 @@ def simhash_table(
     return voted.select("doc", packed.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def hamming_near_pairs(
+    fp: DataFrame,
+    id_col: str = "doc",
+    hash_col: str = "simhash",
     max_distance: int = 3,
 ) -> DataFrame:
-    """Hamming-near pairs via banded SimHash: split 64 bits into
-    max_distance+1 bands — any pair within the distance budget must
-    agree exactly on ≥1 band (pigeonhole), so candidates come from
-    band-bucket joins, then exact popcount(xor) verification."""
-    st = simhash_table(df, text_col, id_col)
+    """GENERIC Hamming-ball search over any 64-bit fingerprint column
+    (text SimHash, multimodal perceptual hash, ...): split 64 bits
+    into max_distance+1 bands — any pair within the distance budget
+    must agree exactly on >=1 band (pigeonhole), so candidates come
+    from band-bucket equi-joins, then exact popcount(xor)
+    verification. Output (doc_a, doc_b, hamming), doc_a < doc_b."""
+    st = fp.select(
+        F.col(id_col).alias("doc"), F.col(hash_col).alias("simhash")
+    )
     n_bands = max_distance + 1
     width = 64 // n_bands
     bands = [
@@ -432,6 +436,22 @@ def simhash_pairs(
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cands.select("doc_a", "doc_b", dist.alias("hamming")).filter(
         F.col("hamming") <= max_distance
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Hamming-near pairs via banded SimHash over text tokens — the
+    text instantiation of ``hamming_near_pairs``."""
+    return hamming_near_pairs(
+        simhash_table(df, text_col, id_col),
+        id_col="doc",
+        hash_col="simhash",
+        max_distance=max_distance,
     )
 
 

@@ -94,6 +94,31 @@ def decode_features(
     return src.mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
+def perceptual_hash64(
+    feats: DataFrame,
+    feature_col: str = "features",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """aHash-shaped 64-bit perceptual fingerprint over a decoded
+    feature vector: bit i is set iff feature_i exceeds the vector's
+    mean — the average-hash recipe real image dedup uses on 8x8
+    grayscale cells, applied to whatever the decoder emitted (64
+    fake features here; real decoded cells in production). A narrow
+    JVM-side map (no Python, no shuffle); feed the result to
+    ``llm.dedup.hamming_near_pairs`` for banded near-dup search.
+    Returns (doc_id, phash)."""
+    f = f"transform({feature_col}, x -> CAST(x AS DOUBLE))"
+    mean = f"(aggregate({f}, CAST(0.0 AS DOUBLE), (a, x) -> a + x) / size({feature_col}))"
+    packed = (
+        f"aggregate(zip_with({f}, sequence(0, size({feature_col}) - 1), "
+        f"(x, i) -> IF(x > {mean}, shiftleft(CAST(1 AS BIGINT), i), "
+        f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (acc, v) -> acc | v)"
+    )
+    return feats.select(
+        F.col(id_col), F.expr(packed).alias("phash")
+    )
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -8736,6 +8736,25 @@ def sim_hybrid_rrf(spark, sf_dir):
     )
 
 
+@query("multimodal_near_dup_phash")
+def multimodal_near_dup_phash(spark, sf_dir):
+    """Perceptual-hash near-dup over BINARY media payloads: Arrow-
+    batched decode (deterministic fake — real codecs are env-gated) →
+    64-bit aHash fingerprint (bit = cell above mean, a narrow JVM map)
+    → banded Hamming-ball search (llm.dedup.hamming_near_pairs —
+    pigeonhole band join, never all-pairs). The multimodal twin of
+    SimHash text dedup: resized/re-encoded variants of one image land
+    within a small Hamming ball even when their bytes differ.
+    Rows-only (hash-defined); exact-dup payloads provably collide at
+    distance 0, pytest-asserted."""
+    d = _cat(spark, sf_dir).documents
+    feats = M.decode_features(M.with_binary_payload(d), n_features=64, fake=True)
+    fp = M.perceptual_hash64(feats)
+    return D.hamming_near_pairs(
+        fp, id_col="doc_id", hash_col="phash", max_distance=3
+    ).orderBy("doc_a", "doc_b")
+
+
 @query("stream_dedup_ingest")
 def stream_dedup_ingest(spark, sf_dir):
     """Streaming admission control for a training corpus: arriving
@@ -8972,6 +8991,7 @@ _PRIORITY = [
     "sink_versioned_timetravel", "window_rolling_median",
     "docs_cap_per_source", "emb_truncate_renorm", "corpus_clean_pipeline",
     "privacy_k_anonymity", "sim_hybrid_rrf", "stream_dedup_ingest",
+    "multimodal_near_dup_phash",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

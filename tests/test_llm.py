@@ -658,3 +658,32 @@ def test_lsh_hot_bucket_capped_by_default(spark):
     assert capped.count() == 10
     unbounded = D.lsh_candidates(sigs, n_hashes=8, bands=2, max_bucket_size=None)
     assert unbounded.count() == 40 * 39 // 2
+
+
+def test_perceptual_hash_near_dup_finds_exact_payload_dups(spark):
+    """Identical binary payloads must collide at Hamming distance 0;
+    unrelated payloads must not land within the distance-3 ball (the
+    fake decoder is hash-seeded, so unrelated features are random-ish
+    and far apart with overwhelming probability)."""
+    from php_etl_spark.llm import multimodal as M
+    from php_etl_spark.llm.dedup import hamming_near_pairs
+
+    rows = [
+        (0, "the same media payload content"),
+        (1, "the same media payload content"),       # exact dup of 0
+        (2, "completely different payload A xyz"),
+        (3, "another unrelated payload B qrs tuv"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    feats = M.decode_features(
+        M.with_binary_payload(docs), n_features=64, fake=True
+    )
+    fp = M.perceptual_hash64(feats)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hamming_near_pairs(
+            fp, id_col="doc_id", hash_col="phash", max_distance=3
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert all(k == (0, 1) for k in pairs)
