@@ -430,6 +430,114 @@ def quantize_int8(
     )
 
 
+def gram_matrix(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact integer Gram matrix of the quantized corpus:
+    G[i,j] = Σ_vec q_i·q_j over all vectors, as (i, j, g) rows with
+    1-based indices. The d² second-moment statistic behind PCA/
+    whitening/OPQ — computed in EXACT integer arithmetic (quantized
+    components), so it is bit-identical under any partitioning and
+    both engines agree to the hash.
+
+    Plan shape: each vector emits its d² products via a nested
+    transform + one explode (NO self-join on the exploded table —
+    that would shuffle N·d rows), then one groupBy(i, j) whose
+    map-side combine collapses every partition to ≤ d² partial rows.
+    Driver/shuffle traffic is d²-sized, never N-sized. Overflow
+    bound: |q| ≤ QUANT·max|x|, so N·q² must stay < 2^63 — at 1e6
+    quantization and unit-scale embeddings that holds to ~30B
+    vectors."""
+    q = quantize(F.col(vec_col))
+    pairs = F.flatten(
+        F.transform(
+            q,
+            lambda x, i: F.transform(
+                q,
+                lambda y, j: F.struct(
+                    (i + 1).alias("i"), (j + 1).alias("j"), (x * y).alias("p")
+                ),
+            ),
+        )
+    )
+    return (
+        emb.select(F.explode(pairs).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("g"))
+    )
+
+
+def pca_whiten(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """PCA whitening of the embedding corpus: project each vector onto
+    the top-k principal axes and rescale to unit variance — the
+    standard conditioning step before OPQ / similarity calibration.
+
+    Distribution of work (the 100 TB shape):
+    - second moments come from ``gram_matrix`` (exact integer Σ qqᵀ,
+      map-side combined to d² rows) plus an exact integer sum vector —
+      the ONLY driver traffic is the d×d Gram + d-vector (codebook-
+      sized, like every iterative loop here);
+    - the d×d eigendecomposition runs on the driver (numpy eigh — d is
+      64, this is microseconds and deterministic given the exact
+      integer input);
+    - the projection ships back as ONE broadcast row and applies as a
+      narrow map (no shuffle, no Python in the row path).
+
+    Returns (id, white: array<double> length k), components ordered by
+    descending eigenvalue."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    d = len(emb.select(vec_col).first()[0])
+    n = emb.count()
+    g_rows = gram_matrix(emb, id_col, vec_col).collect()
+    q = quantize(F.col(vec_col))
+    sums = (
+        emb.select(F.posexplode(q).alias("i", "qv"))
+        .groupBy("i")
+        .agg(F.sum("qv").alias("s"))
+        .collect()
+    )
+    G = np.zeros((d, d))
+    for r in g_rows:
+        G[r["i"] - 1, r["j"] - 1] = r["g"]
+    s = np.zeros(d)
+    for r in sums:
+        s[r["i"]] = r["s"]
+    scale = float(QUANT)
+    mean = s / (n * scale)
+    cov = G / (n * scale * scale) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    w = evecs[:, order] / np.sqrt(evals[order] + eps)  # d×k whitening map
+    one = spark.createDataFrame(
+        [(mean.tolist(), w.T.tolist())],
+        schema="mu array<double>, w array<array<double>>",
+    )
+    centered = F.transform(
+        F.col(vec_col),
+        lambda x, i: x.cast("double") - F.get("mu", i),
+    )
+    proj = F.transform(
+        F.col("w"),
+        lambda row: F.aggregate(
+            F.zip_with(centered, row, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return emb.join(F.broadcast(one)).select(
+        F.col(id_col).alias("id"), proj.alias("white")
+    )
+
+
 def kmeans_seed_rank(col):
     """Deterministic pseudo-random rank for k-means seed selection:
     a Knuth multiplicative hash reduced FIRST (id % 1000003) so the

@@ -6694,6 +6694,56 @@ def emb_kmeans_seeds(spark, sf_dir):
     )
 
 
+@query(
+    "emb_gram_matrix",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    )
+    SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+    FROM flat a JOIN flat b USING (vec_id)
+    GROUP BY a.i, b.i
+    """,
+)
+def emb_gram_matrix(spark, sf_dir):
+    """Exact integer Gram matrix Σ qqᵀ of the quantized embedding
+    corpus — the d² second-moment statistic behind PCA/whitening/OPQ,
+    bit-identical under any partitioning because every product and sum
+    is integer arithmetic. Spark emits each vector's d² products via a
+    nested transform + ONE explode and map-side-combines to ≤ d²
+    partial rows per partition — no self-join of an exploded N·d
+    table (which is what the oracle does, quadratic-joined, fine only
+    at oracle scale)."""
+    return S.gram_matrix(_cat(spark, sf_dir).embeddings)
+
+
+@query("emb_pca_whiten")
+def emb_pca_whiten(spark, sf_dir):
+    """PCA whitening (top-8 axes, unit variance) — the conditioning
+    step before OPQ/calibrated similarity. Moments come from the exact
+    integer Gram (emb_gram_matrix) + an exact integer sum vector; the
+    64×64 eigendecomposition runs driver-side (codebook-sized
+    traffic, deterministic given the exact integer input) and the
+    projection applies as ONE broadcast row + narrow map. Rows-only:
+    eigenvectors are not SQL-expressible; whitened-covariance≈I and
+    determinism are pytest-asserted. Components serialize milli-
+    rounded for scalar-typed output."""
+    out = S.pca_whiten(_cat(spark, sf_dir).embeddings, k=8)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "white",
+                lambda v: F.round(v * 1000).cast("long").cast("string"),
+            ),
+        ).alias("white_milli"),
+    )
+
+
 @query("emb_kmeans_codebook")
 def emb_kmeans_codebook(spark, sf_dir):
     """Train an 8-cell k-means codebook over the embedding corpus
@@ -8991,7 +9041,7 @@ _PRIORITY = [
     "sink_versioned_timetravel", "window_rolling_median",
     "docs_cap_per_source", "emb_truncate_renorm", "corpus_clean_pipeline",
     "privacy_k_anonymity", "sim_hybrid_rrf", "stream_dedup_ingest",
-    "multimodal_near_dup_phash",
+    "multimodal_near_dup_phash", "emb_gram_matrix", "emb_pca_whiten",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

@@ -687,3 +687,37 @@ def test_perceptual_hash_near_dup_finds_exact_payload_dups(spark):
     }
     assert pairs.get((0, 1)) == 0
     assert all(k == (0, 1) for k in pairs)
+
+
+class TestPcaWhiten:
+    def test_whitened_covariance_is_identity(self, spark):
+        """Sample covariance of the whitened top-k projection must be
+        ~I (diagonal 1, off-diagonal ~0) — the defining property of
+        whitening. Quantized-exact moments make the rotation
+        deterministic, so tolerances are purely statistical."""
+        import numpy as np
+
+        from php_etl_spark.llm.similarity import pca_whiten
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        W = np.array(
+            [r["white"] for r in pca_whiten(emb, k=4).collect()]
+        )
+        cov = np.cov(W, rowvar=False)
+        assert np.allclose(np.diag(cov), 1.0, atol=0.05)
+        off = cov - np.diag(np.diag(cov))
+        assert np.abs(off).max() < 0.05
+
+    def test_deterministic_across_runs(self, spark):
+        from php_etl_spark.llm.similarity import pca_whiten
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = sorted(
+            (r["id"], tuple(round(x, 9) for x in r["white"]))
+            for r in pca_whiten(emb, k=3).collect()
+        )
+        b = sorted(
+            (r["id"], tuple(round(x, 9) for x in r["white"]))
+            for r in pca_whiten(emb, k=3).collect()
+        )
+        assert a == b
