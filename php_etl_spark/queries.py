@@ -1227,6 +1227,70 @@ def join_range(spark, sf_dir):
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, event_id AS click_event_id, value
+      FROM events WHERE event_type = 'click'
+    ), pairs AS (
+      SELECT p.event_id, p.user_id, p.ts, c.click_event_id, c.value,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END
+             ) AS rk
+      FROM p JOIN c USING (user_id)
+    )
+    SELECT event_id, user_id, ts, click_event_id,
+           CAST(round(value * 100) AS BIGINT) AS click_value_cents
+    FROM pairs WHERE rk = 1
+    UNION ALL
+    SELECT p.event_id, p.user_id, p.ts, NULL, NULL
+    FROM p WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id)
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join: each purchase pairs with the
+    temporally CLOSEST click by the same user, before or after (tie →
+    backward) — the sensor-fusion/alignment variant pandas calls
+    merge_asof(direction='nearest'). Same union + window carry as the
+    backward join (one shuffle on user_id, no range explosion); the
+    oracle is the naive quadratic formulation. Left-join semantics:
+    users with no clicks keep their purchases with NULLs."""
+    ev = _cat(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_src_id"),
+        "value",
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_values=["click_src_id", "value"],
+        suffix="_asof",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("click_src_id_asof").alias("click_event_id"),
+        F.round(F.col("value_asof") * 100)
+        .cast("long")
+        .alias("click_value_cents"),
+    )
+
+
+@query(
     "join_asof",
     oracle="""
     SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_event_id,
@@ -9042,6 +9106,7 @@ _PRIORITY = [
     "docs_cap_per_source", "emb_truncate_renorm", "corpus_clean_pipeline",
     "privacy_k_anonymity", "sim_hybrid_rrf", "stream_dedup_ingest",
     "multimodal_near_dup_phash", "emb_gram_matrix", "emb_pca_whiten",
+    "join_asof_nearest",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
