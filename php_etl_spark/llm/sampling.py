@@ -163,3 +163,46 @@ def select_by_budget(
         .select(df["*"])
     )
     return whole.unionByName(boundary)
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    rank_col: Column,
+    k: int,
+    tiebreak_col: str = "doc_id",
+    salt_partitions: int = 64,
+) -> DataFrame:
+    """Keep the k smallest-ranked rows per stratum, WITHOUT a
+    one-task-per-stratum window: a rank window partitioned only by the
+    stratum serializes each stratum into a single task (10 sources x
+    billions of docs -> 10 tasks). Two exact phases instead:
+
+    1. local rank within (stratum, salt) where salt derives from the
+       rank value itself — parallelism = strata x salt_partitions. Any
+       row in the global top-k of its stratum is also in the top-k of
+       its salt subgroup (subset ordering), so filtering local rank
+       <= k keeps a GUARANTEED superset, at most salt_partitions * k
+       rows per stratum.
+    2. exact global rank over that bounded survivor set (a window over
+       <= salt_partitions * k rows per stratum — trivial at any corpus
+       size), filter <= k.
+
+    Result is identical to the single-window formulation — same rows,
+    same ranks — which is what lets the oracle stay the naive
+    ROW_NUMBER formulation."""
+    d = df.withColumn("__r", rank_col).withColumn(
+        "__salt", F.pmod(F.col("__r"), F.lit(salt_partitions))
+    )
+    w_local = Window.partitionBy(stratum_col, "__salt").orderBy(
+        "__r", tiebreak_col
+    )
+    survivors = d.withColumn("__lr", F.row_number().over(w_local)).filter(
+        F.col("__lr") <= k
+    )
+    w_global = Window.partitionBy(stratum_col).orderBy("__r", tiebreak_col)
+    return (
+        survivors.withColumn("__gr", F.row_number().over(w_global))
+        .filter(F.col("__gr") <= k)
+        .drop("__r", "__salt", "__lr", "__gr")
+    )

@@ -2378,22 +2378,25 @@ def docs_cap_per_source(spark, sf_dir):
     evicts at most one incumbent, whereas an RNG re-sample reshuffles
     everything. (For strictly append-stable selection use a hash
     THRESHOLD — sample_hash — which trades exact-K for stability.)
-    One window pass partitioned by source; the same overflow-safe
-    rank the k-means seeder uses, so both engines order
-    identically."""
-    from pyspark.sql import Window as W
-
+    Scale shape: NOT one rank window per source (sources are
+    low-cardinality — that plan is one task per source at corpus
+    scale). llm.sampling.cap_per_stratum runs a salted local rank
+    (parallelism = sources × 64) whose top-k per salt is a guaranteed
+    superset, then an exact global rank over the ≤ 64·k survivors —
+    identical result, so the oracle stays the naive ROW_NUMBER
+    formulation. The same overflow-safe rank the k-means seeder uses,
+    so both engines order identically."""
+    from php_etl_spark.llm.sampling import cap_per_stratum
     from php_etl_spark.llm.similarity import kmeans_seed_rank
 
-    d = _cat(spark, sf_dir).documents
-    w = W.partitionBy("source").orderBy(
-        kmeans_seed_rank(F.col("doc_id")), "doc_id"
-    )
-    return (
-        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 30)
-        .select("doc_id", "source")
-    )
+    d = _cat(spark, sf_dir).documents.select("doc_id", "source")
+    return cap_per_stratum(
+        d,
+        stratum_col="source",
+        rank_col=kmeans_seed_rank(F.col("doc_id")),
+        k=30,
+        tiebreak_col="doc_id",
+    ).select("doc_id", "source")
 
 
 @query(

@@ -721,3 +721,31 @@ class TestPcaWhiten:
             for r in pca_whiten(emb, k=3).collect()
         )
         assert a == b
+
+
+def test_cap_per_stratum_matches_single_window(spark):
+    """The two-phase salted cap must return exactly the rows a naive
+    per-stratum rank window returns — including when a stratum has
+    fewer than k rows, and across salt-boundary clustering."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from php_etl_spark.llm.sampling import cap_per_stratum
+
+    rows = [(i, f"s{i % 3}") for i in range(200)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    rank = F.pmod(F.col("doc_id") * 7919, F.lit(104729))
+    got = {
+        (r["doc_id"], r["source"])
+        for r in cap_per_stratum(
+            df, "source", rank, k=10, salt_partitions=8
+        ).collect()
+    }
+    w = W.partitionBy("source").orderBy(rank, "doc_id")
+    want = {
+        (r["doc_id"], r["source"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .collect()
+    }
+    assert got == want and (1000, "tiny") in got

@@ -404,6 +404,13 @@ AUDITS = {
         ("VaR is a grouped aggregate, never a window over a sorted fact",
          lambda p: "Window" not in p),
     ],
+    "docs_cap_per_source": [
+        ("phase-1 rank window partitions by (source, salt), never one "
+         "task per source",
+         lambda p: "__salt" in p),
+        ("two window passes total (salted local + bounded global)",
+         lambda p: p.split("== Initial Plan ==")[0].count("Window [") == 2),
+    ],
     "corpus_clean_pipeline": [
         ("one documents scan feeds the whole pipeline (no re-scan per stage)",
          lambda p: p.split("== Initial Plan ==")[0].count("FileScan parquet") <= 2),
