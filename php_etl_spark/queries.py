@@ -8978,7 +8978,12 @@ def agg_var_cvar(spark, sf_dir):
     value — deterministic, engine-exact, no interpolation ulp);
     CVaR is the exact integer-cents mean of the tail at or beyond it.
     Two passes: a tiny per-group percentile aggregate broadcast back
-    onto the fact, then one conditional mean — never a global sort."""
+    onto the fact, then one conditional mean — never a global sort.
+    Scale note: exact ordered-set percentiles buffer each group's
+    values executor-side; with few groups and billions of rows the
+    production variant swaps in approx_percentile (t-digest,
+    mergeable partials — see agg_approx_percentile_sketch) for the
+    VaR step, keeping the CVaR tail mean exact."""
     o = _cat(spark, sf_dir).orders
     cents = o.select(
         "o_orderstatus",
