@@ -8872,6 +8872,45 @@ def multimodal_near_dup_phash(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+@query(
+    "scan_csv_corrupt_quarantine",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey <= 100
+    """,
+)
+def scan_csv_corrupt_quarantine(spark, sf_dir):
+    """Dirty-input ingestion: a CSV carrying valid rows plus injected
+    malformed lines reads under PERMISSIVE with corrupt-row
+    quarantine (sources/readers.read_csv_with_quarantine) — the clean
+    side must be exactly the valid rows (the oracle), the corrupt
+    side is asserted non-empty in-body. Neither job-failure nor
+    silent DROPMALFORMED: at scale the corrupt frame lands in its own
+    sink for repair/replay while the clean fraction proceeds."""
+    import tempfile
+
+    from php_etl_spark.sources.readers import read_csv_with_quarantine
+
+    d = tempfile.mkdtemp(prefix="csv_quarantine_")
+    good = (
+        _cat(spark, sf_dir)
+        .orders.filter(F.col("o_orderkey") <= 100)
+        .select("o_orderkey", "o_custkey")
+    )
+    lines = ["o_orderkey,o_custkey"] + [
+        f"{r['o_orderkey']},{r['o_custkey']}" for r in good.collect()
+    ]
+    lines.insert(5, "not-a-number,also-bad")  # injected dirty rows
+    lines.append("12345,not_an_id,extra,fields")
+    with open(f"{d}/orders.csv", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    clean, corrupt = read_csv_with_quarantine(
+        spark, f"{d}/orders.csv", "o_orderkey BIGINT, o_custkey BIGINT"
+    )
+    n_bad = corrupt.count()
+    assert n_bad == 2, f"quarantine must catch both dirty lines, got {n_bad}"
+    return clean
+
+
 @query("stream_dedup_ingest")
 def stream_dedup_ingest(spark, sf_dir):
     """Streaming admission control for a training corpus: arriving
@@ -9114,7 +9153,7 @@ _PRIORITY = [
     "docs_cap_per_source", "emb_truncate_renorm", "corpus_clean_pipeline",
     "privacy_k_anonymity", "sim_hybrid_rrf", "stream_dedup_ingest",
     "multimodal_near_dup_phash", "emb_gram_matrix", "emb_pca_whiten",
-    "join_asof_nearest",
+    "join_asof_nearest", "scan_csv_corrupt_quarantine",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

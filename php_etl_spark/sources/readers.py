@@ -82,3 +82,43 @@ def read_source(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Dirty-input CSV ingestion with corrupt-row quarantine — the
+    scan-side twin of the pipeline's failure quarantine
+    (/root/reference/sdk/migrate_assure_users.php:60-68 writes
+    rejected rows to a side file; operators/validate.py does it for
+    constraint failures). PERMISSIVE parsing routes every malformed
+    line into ``_corrupt_record`` instead of failing the job or
+    silently dropping data (DROPMALFORMED): returns (clean, corrupt)
+    DataFrames splitting on that column. The corrupt frame carries the
+    raw line for repair/replay — at scale it lands in its own sink and
+    the clean 99.99% proceeds."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructType
+
+    struct = StructType.fromDDL(schema).add("_corrupt_record", StringType())
+    raw = (
+        spark.read.schema(struct)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # PERMISSIVE leaves _corrupt_record unmaterializable without a
+    # cache barrier (Spark refuses to filter on only the internal
+    # corrupt column of a lazily-parsed CSV); selecting all columns
+    # through a cache makes the split stable
+    raw = raw.cache()
+    clean = raw.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return clean, corrupt

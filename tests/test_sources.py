@@ -407,3 +407,22 @@ class TestVersionedRollbackSafety:
         V.vacuum(t, keep=1)
         with pytest.raises(FileNotFoundError, match="vacuumed"):
             V.read_version(spark, t, 1)
+
+
+def test_csv_corrupt_quarantine_split(spark, tmp_path):
+    """PERMISSIVE CSV ingestion: malformed lines land in the corrupt
+    frame with their raw text; clean rows parse fully typed; nothing
+    is silently dropped (clean + corrupt == input lines)."""
+    from php_etl_spark.sources.readers import read_csv_with_quarantine
+
+    p = tmp_path / "t.csv"
+    p.write_text(
+        "id,amount\n1,10\n2,twenty\n3,30\nnot,even,close\n4,40\n"
+    )
+    clean, corrupt = read_csv_with_quarantine(
+        spark, str(p), "id BIGINT, amount BIGINT"
+    )
+    rows = sorted((r["id"], r["amount"]) for r in clean.collect())
+    assert rows == [(1, 10), (3, 30), (4, 40)]
+    bad = sorted(r["_corrupt_record"] for r in corrupt.collect())
+    assert bad == ["2,twenty", "not,even,close"]
