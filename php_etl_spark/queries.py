@@ -8873,6 +8873,124 @@ def multimodal_near_dup_phash(spark, sf_dir):
 
 
 @query(
+    "window_cumsum_reset",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(COALESCE(value, 0) * 100) AS BIGINT) AS v,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  )) > 3600000000 OR LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  ) IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), islands AS (
+      SELECT *, SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM ev
+    )
+    SELECT event_id, user_id, session_no,
+           CAST(SUM(v) OVER (
+             PARTITION BY user_id, session_no ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_running_cents
+    FROM islands
+    """,
+)
+def window_cumsum_reset(spark, sf_dir):
+    """Cumulative sum with conditional reset — the 'running total
+    within session' shape (resets whenever the user pauses > 1 hour):
+    gaps-and-islands via a lag-flag cumsum assigns session numbers,
+    then a second running sum inside (user, session). Three window
+    passes but ONE shuffle: all windows share the user_id partitioning
+    (the session window refines it), so the exchange happens once.
+    Values ride as exact integer cents."""
+    from pyspark.sql import Window as W
+
+    ev = _cat(spark, sf_dir).events
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_user))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 3600000000), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = ev.select(
+        "event_id", "user_id", "ts",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("long")
+        .alias("v"),
+        new_session.alias("new_session"),
+    )
+    session_no = F.sum("new_session").over(
+        w_user.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    islands = flagged.withColumn("session_no", session_no)
+    w_sess = (
+        W.partitionBy("user_id", "session_no")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return islands.select(
+        "event_id", "user_id", "session_no",
+        F.sum("v").over(w_sess).alias("session_running_cents"),
+    )
+
+
+@query(
+    "scan_partitioned_dpp",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_partitioned_dpp(spark, sf_dir):
+    """Dynamic partition pruning: the fact lands partitioned by
+    status, the filter arrives only THROUGH a dimension join (no
+    static predicate on the fact), and Catalyst injects a runtime
+    subquery into the fact scan's PartitionFilters — at 100 TB this
+    is the difference between scanning one partition and scanning the
+    table. The in-body assertion requires `dynamicpruning` in the
+    scan; the oracle is the statically-filtered equivalent."""
+    import tempfile
+
+    o = _cat(spark, sf_dir).orders
+    d = tempfile.mkdtemp(prefix="dpp_") + "/orders_part"
+    o.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.partitionBy("o_orderstatus").mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    # the dim filter rides a NON-key column: a filter on the join key
+    # itself would constant-propagate through the equi-join and prune
+    # statically (good, but then nothing is *dynamic*); filtering on
+    # `flag` leaves the surviving key values unknowable at compile
+    # time, so the scan must carry a runtime dynamicpruning subquery
+    dim = (
+        spark.createDataFrame(
+            [("F", "keep"), ("O", "drop"), ("P", "drop")],
+            ["o_orderstatus", "flag"],
+        )
+        .filter(F.col("flag") == "keep")
+        .select("o_orderstatus")
+    )
+    joined = fact.join(F.broadcast(dim), "o_orderstatus")
+    out = joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "fact scan must carry a runtime partition-pruning subquery"
+    )
+    return out
+
+
+@query(
     "scan_csv_corrupt_quarantine",
     oracle="""
     SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey <= 100
@@ -9154,6 +9272,7 @@ _PRIORITY = [
     "privacy_k_anonymity", "sim_hybrid_rrf", "stream_dedup_ingest",
     "multimodal_near_dup_phash", "emb_gram_matrix", "emb_pca_whiten",
     "join_asof_nearest", "scan_csv_corrupt_quarantine",
+    "window_cumsum_reset", "scan_partitioned_dpp",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

@@ -404,6 +404,19 @@ AUDITS = {
         ("VaR is a grouped aggregate, never a window over a sorted fact",
          lambda p: "Window" not in p),
     ],
+    "window_cumsum_reset": [
+        ("all three windows share the user_id partitioning: ONE exchange",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 1),
+        ("events scan pruned to the 4 referenced columns",
+         lambda p: all(n <= 4 for n in read_schema_cols(p))),
+    ],
+    "scan_partitioned_dpp": [
+        ("fact scan carries a runtime dynamicpruning subquery",
+         lambda p: "dynamicpruning" in p.lower()),
+        ("dim broadcast (DPP reuses the broadcast exchange)",
+         lambda p: "BroadcastHashJoin" in p),
+    ],
     "docs_cap_per_source": [
         ("phase-1 rank window partitions by (source, salt), never one "
          "task per source",
