@@ -8873,6 +8873,67 @@ def multimodal_near_dup_phash(spark, sf_dir):
 
 
 @query(
+    "sketch_kmv_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             (user_id % 1000003) * 2654435761 % 999999937 AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+      FROM h
+    ), kv AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (WHERE rk <= 64) AS BIGINT) AS n_kmv,
+             MAX(CASE WHEN rk = 64 THEN hv END) AS kth
+      FROM r GROUP BY event_type
+    ), ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT kv.event_type, n_kmv,
+           CAST(CASE WHEN n_kmv < 64 THEN n_kmv
+                ELSE round(63 * 999999937.0 / kth) END AS BIGINT)
+             AS est_distinct,
+           exact_distinct
+    FROM kv JOIN ex USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-user sketch per event type —
+    the sketch family that, unlike the HLL rollups already here, also
+    supports INTERSECTION estimates (audience overlap, cross-corpus
+    contamination). Deterministic by construction: the overflow-safe
+    multiplicative hash is SQL-expressible, so the sketch CONTENT and
+    the (k-1)·M/kth estimate carry an exact cross-engine oracle —
+    reported beside the exact distinct count as its own calibration.
+    Bottom-k per stratum reuses cap_per_stratum (salted two-phase,
+    never one task per stratum); a sketch is k kilobyte-rows,
+    mergeable and broadcastable (operators/sketches.py)."""
+    from php_etl_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    ev = _cat(spark, sf_dir).events
+    sk = kmv_sketch(ev, "event_type", "user_id", k=64)
+    est = kmv_estimate(sk, k=64)
+    exact = ev.groupBy(F.col("event_type").alias("stratum")).agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "stratum")
+        .select(
+            F.col("stratum").alias("event_type"),
+            "n_kmv",
+            "est_distinct",
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "window_cumsum_reset",
     oracle="""
     WITH ev AS (
@@ -9272,7 +9333,7 @@ _PRIORITY = [
     "privacy_k_anonymity", "sim_hybrid_rrf", "stream_dedup_ingest",
     "multimodal_near_dup_phash", "emb_gram_matrix", "emb_pca_whiten",
     "join_asof_nearest", "scan_csv_corrupt_quarantine",
-    "window_cumsum_reset", "scan_partitioned_dpp",
+    "window_cumsum_reset", "scan_partitioned_dpp", "sketch_kmv_distinct",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

@@ -319,3 +319,44 @@ def test_fuzzy_join_exact_recall_at_distance_one(spark):
         (3, 10): 1,  # insertion
         (4, 10): 1,  # substitution
     }
+
+
+class TestKmvSketch:
+    def test_estimate_calibration_and_small_strata_exact(self, spark):
+        """A stratum below k reports exactly; a stratum far above k
+        estimates within the ~1/sqrt(k) relative-error band."""
+        from php_etl_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+        rows = [(i, "big") for i in range(5000)] + [
+            (i, "small") for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, ["uid", "stratum"])
+        est = {
+            r["stratum"]: (r["n_kmv"], r["est_distinct"])
+            for r in kmv_estimate(
+                kmv_sketch(df, "stratum", "uid", k=64), k=64
+            ).collect()
+        }
+        assert est["small"] == (20, 20)
+        n_kmv, e = est["big"]
+        assert n_kmv == 64
+        assert abs(e - 5000) / 5000 < 0.5  # 3-4 sigma at k=64
+
+    def test_intersection_estimate(self, spark):
+        """Half-overlapping sets: the merged bottom-k Jaccard estimate
+        must land near the true 1/3 (|A∩B|/|A∪B| for half overlap)."""
+        from php_etl_spark.operators.sketches import (
+            kmv_intersection_estimate,
+            kmv_sketch,
+        )
+
+        a = spark.createDataFrame(
+            [(i, "a") for i in range(2000)], ["uid", "stratum"]
+        )
+        b = spark.createDataFrame(
+            [(i, "b") for i in range(1000, 3000)], ["uid", "stratum"]
+        )
+        sa = kmv_sketch(a, "stratum", "uid", k=128)
+        sb = kmv_sketch(b, "stratum", "uid", k=128)
+        r = kmv_intersection_estimate(sa, sb, k=128).collect()[0]
+        assert abs(r["jaccard_est"] - 1 / 3) < 0.15
