@@ -404,6 +404,24 @@ AUDITS = {
         ("VaR is a grouped aggregate, never a window over a sorted fact",
          lambda p: "Window" not in p),
     ],
+    "sketch_kmv_distinct": [
+        ("bottom-k rides the salted two-phase cap (salt in a window partitioning)",
+         lambda p: "__salt" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "sim_hybrid_rrf": [
+        ("both shortlists are TakeOrderedAndProject (no corpus-wide sort)",
+         lambda p: p.count("TakeOrderedAndProject") >= 2),
+        ("query vector rides a broadcast", lambda p: "Broadcast" in p),
+    ],
+    "privacy_k_anonymity": [
+        ("quasi-identifier count combines map-side",
+         lambda p: "partial_count" in p or "partial" in p),
+    ],
+    "multimodal_dedup_content": [
+        ("content dedup is a hash aggregate on the digest, map-side combined",
+         lambda p: "HashAggregate" in p and "partial" in p),
+    ],
     "window_cumsum_reset": [
         ("all three windows share the user_id partitioning: ONE exchange",
          lambda p: p.split("== Initial Plan ==")[0].count(
