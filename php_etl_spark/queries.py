@@ -8934,6 +8934,92 @@ def sketch_kmv_distinct(spark, sf_dir):
 
 
 @query(
+    "sketch_kmv_overlap",
+    oracle="""
+    WITH ha AS (
+      SELECT DISTINCT (user_id % 1000003) * 2654435761 % 999999937 AS hv
+      FROM events WHERE event_type = 'click'
+    ), hb AS (
+      SELECT DISTINCT (user_id % 1000003) * 2654435761 % 999999937 AS hv
+      FROM events WHERE event_type = 'purchase'
+    ), sa AS (SELECT hv FROM ha ORDER BY hv LIMIT 128),
+       sb AS (SELECT hv FROM hb ORDER BY hv LIMIT 128),
+       uni AS (
+         SELECT DISTINCT hv FROM (
+           SELECT hv FROM sa UNION ALL SELECT hv FROM sb
+         ) ORDER BY hv LIMIT 128
+       ),
+       shared AS (
+         SELECT hv FROM uni
+         WHERE hv IN (SELECT hv FROM sa) AND hv IN (SELECT hv FROM sb)
+       ),
+       ea AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+       eb AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM shared) AS n_shared_in_unionk,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS n_unionk,
+      CAST(round(1000.0 * (SELECT COUNT(*) FROM shared)
+                 / (SELECT COUNT(*) FROM uni)) AS BIGINT) AS jaccard_est_milli,
+      CAST(round(1000.0
+                 * (SELECT COUNT(*) FROM ea WHERE user_id IN (SELECT user_id FROM eb))
+                 / (SELECT COUNT(*) FROM (SELECT user_id FROM ea
+                                          UNION SELECT user_id FROM eb)))
+           AS BIGINT) AS jaccard_exact_milli
+    """,
+)
+def sketch_kmv_overlap(spark, sf_dir):
+    """Audience-overlap estimation from KMV sketches — the operation
+    HLL sketches cannot do: the k smallest hashes of A∪B are a uniform
+    sample of the union, so the fraction present in both sketches
+    estimates Jaccard. Reported beside the EXACT Jaccard of the same
+    two user sets (click vs purchase) as in-query calibration; both
+    sides deterministic, so the whole thing is oracle-checkable. The
+    sketches are 128-row frames — every downstream join/count here is
+    sketch-sized regardless of corpus size."""
+    from php_etl_spark.operators.sketches import kmv_sketch
+
+    ev = _cat(spark, sf_dir).events
+    k = 128
+
+    def side(tag, etype):
+        return kmv_sketch(
+            ev.filter(F.col("event_type") == etype).select("user_id")
+            .withColumn("s", F.lit(tag)),
+            "s", "user_id", k=k,
+        ).select("hv")
+
+    sa, sb = side("a", "click"), side("b", "purchase")
+    uni = sa.unionAll(sb).distinct().orderBy("hv").limit(k)
+    shared = (
+        uni.join(sa.withColumnRenamed("hv", "hv_a"),
+                 F.col("hv") == F.col("hv_a"), "left_semi")
+        .join(sb.withColumnRenamed("hv", "hv_b"),
+              F.col("hv") == F.col("hv_b"), "left_semi")
+    )
+    n_shared = shared.agg(F.count("*").alias("n_shared_in_unionk"))
+    n_uni = uni.agg(F.count("*").alias("n_unionk"))
+    ea = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    eb = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    n_int = ea.join(eb, "user_id", "left_semi").agg(
+        F.count("*").alias("ni")
+    )
+    n_un = ea.unionAll(eb).distinct().agg(F.count("*").alias("nu"))
+    return (
+        n_shared.crossJoin(n_uni).crossJoin(n_int).crossJoin(n_un)
+        .select(
+            "n_shared_in_unionk",
+            "n_unionk",
+            F.round(1000.0 * F.col("n_shared_in_unionk") / F.col("n_unionk"))
+            .cast("long")
+            .alias("jaccard_est_milli"),
+            F.round(1000.0 * F.col("ni") / F.col("nu"))
+            .cast("long")
+            .alias("jaccard_exact_milli"),
+        )
+    )
+
+
+@query(
     "window_cumsum_reset",
     oracle="""
     WITH ev AS (
@@ -9334,6 +9420,7 @@ _PRIORITY = [
     "multimodal_near_dup_phash", "emb_gram_matrix", "emb_pca_whiten",
     "join_asof_nearest", "scan_csv_corrupt_quarantine",
     "window_cumsum_reset", "scan_partitioned_dpp", "sketch_kmv_distinct",
+    "sketch_kmv_overlap",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
