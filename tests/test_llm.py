@@ -749,3 +749,38 @@ def test_cap_per_stratum_matches_single_window(spark):
         .collect()
     }
     assert got == want and (1000, "tiny") in got
+
+
+def test_semantic_dedup_kernel_block_chunking_parity(spark):
+    """Cells larger than the kernel's 1024-row block must still match
+    the SQL path exactly — exercises the row-block Gram loop (1500
+    vectors in ONE cell), which smaller fixtures never reach."""
+    from pyspark.sql import functions as F
+
+    from php_etl_spark.llm.dedup import semantic_dedup
+
+    dim = 8
+    comps = [
+        (
+            (F.abs(F.xxhash64(F.col("id") * F.lit(dim) + F.lit(j))) % 200)
+            .cast("double")
+            / F.lit(100.0)
+            - F.lit(1.0)
+        ).alias(f"c{j}")
+        for j in range(dim)
+    ]
+    vecs = spark.range(1500).select(
+        F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+    )
+    out = {}
+    for mode in ("sql", "kernel"):
+        out[mode] = sorted(
+            (r["vec_id"], r["cell"], r["kept"])
+            for r in semantic_dedup(
+                vecs, n_cells=1, threshold=0.93, centroids_by="id",
+                pairwise=mode,
+            ).collect()
+        )
+    assert out["sql"] == out["kernel"]
+    kept = sum(1 for _, _, k in out["sql"] if k)
+    assert 0 < kept < 1500  # both kept and dropped present
