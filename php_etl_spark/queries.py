@@ -8873,6 +8873,58 @@ def multimodal_near_dup_phash(spark, sf_dir):
 
 
 @query(
+    "window_vwap",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(round(l_quantity) AS BIGINT) AS qty
+      FROM lineitem WHERE l_partkey <= 200
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CAST(round(1000.0 * SUM(price_cents) OVER w
+                      / SUM(qty) OVER w) AS BIGINT) AS vwap_milli_cents
+    FROM c
+    WINDOW w AS (
+      PARTITION BY l_partkey
+      ORDER BY l_shipdate, l_orderkey, l_linenumber
+      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_vwap(spark, sf_dir):
+    """Trailing volume-weighted average price per part (20-trade
+    window) — THE execution-quality benchmark in finance, and the
+    exact same shape as any weighted rolling rate. Engine-exact: both
+    running sums are integer (cents, units) so the single division is
+    deterministic IEEE and milli-rounds identically everywhere. One
+    window pass; the partition key (partkey) is high-cardinality so
+    parallelism scales with the data, and the frame is rows-bounded
+    (O(20) state per partition)."""
+    from pyspark.sql import Window as W
+
+    li = _cat(spark, sf_dir).lineitem.filter(F.col("l_partkey") <= 200)
+    c = li.select(
+        "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    w = (
+        W.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-19, 0)
+    )
+    return c.select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        F.round(
+            1000.0 * F.sum("price_cents").over(w) / F.sum("qty").over(w)
+        )
+        .cast("long")
+        .alias("vwap_milli_cents"),
+    )
+
+
+@query(
     "sketch_kmv_distinct",
     oracle="""
     WITH h AS (
@@ -9420,7 +9472,7 @@ _PRIORITY = [
     "multimodal_near_dup_phash", "emb_gram_matrix", "emb_pca_whiten",
     "join_asof_nearest", "scan_csv_corrupt_quarantine",
     "window_cumsum_reset", "scan_partitioned_dpp", "sketch_kmv_distinct",
-    "sketch_kmv_overlap",
+    "sketch_kmv_overlap", "window_vwap",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
