@@ -9369,6 +9369,280 @@ def agg_var_cvar(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 (cont.): two-sample statistical tests + distribution drift —
+# the A/B-test and data-drift monitors an ETL platform runs over every
+# metric, all reduced to exact integer/decimal moments so the result is
+# bit-identical across engines and partitionings (same discipline as
+# agg_corr_exact / agg_ks_test)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_ttest_welch",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(o_totalprice * 100 AS BIGINT) AS cents
+      FROM orders
+    ), m AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n1,
+             CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS n2,
+             CAST(SUM(cents)
+                  FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS s1,
+             CAST(SUM(cents)
+                  FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS s2,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents)
+                  FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS q1,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents)
+                  FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS q2
+      FROM c GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n1, n2,
+           s1 / n1 - s2 / n2 AS mean_diff_cents,
+           (s1 / n1 - s2 / n2)
+             / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                    + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) AS t_welch,
+           (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+              + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+           * (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+              + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+             / ((((q1 - s1 * s1 / n1) / (n1 - 1)) / n1)
+                * (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
+                + (((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+                * (((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) / (n2 - 1))
+             AS df_welch
+    FROM m ORDER BY o_orderstatus
+    """,
+)
+def agg_ttest_welch(spark, sf_dir):
+    """Welch's unequal-variance t-test per order status: URGENT vs LOW
+    priority order values, in integer CENTS. One conditional-
+    aggregation pass accumulates exact integer moments (n, Σx, Σx²)
+    per arm — associative, so the map-side combine does most of the
+    work and the result is identical for any partitioning — then the
+    t statistic and Welch–Satterthwaite df are one double formula per
+    group row. Moments stay INTEGER-valued (decimal(38,0) ↔ HUGEINT):
+    a fractional decimal → double cast is double-rounded differently
+    across engines above 2^53, an integer-valued one is a single
+    correctly-rounded conversion in both. No window, no second scan:
+    the same single-pass shape the reference's aggregate loop has
+    (/root/reference/sdk/src/ETLTask.php:60-94), generalized to paired
+    arms."""
+    o = _cat(spark, sf_dir).orders
+    x = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    arm1 = F.col("o_orderpriority") == "1-URGENT"
+    arm2 = F.col("o_orderpriority") == "5-LOW"
+    m = o.groupBy("o_orderstatus").agg(
+        F.count(F.when(arm1, F.lit(1))).alias("n1"),
+        F.count(F.when(arm2, F.lit(1))).alias("n2"),
+        F.sum(F.when(arm1, x)).cast("double").alias("s1"),
+        F.sum(F.when(arm2, x)).cast("double").alias("s2"),
+        F.sum(F.when(arm1, x * x)).cast("double").alias("q1"),
+        F.sum(F.when(arm2, x * x)).cast("double").alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2 = F.col("s1"), F.col("s2")
+    q1, q2 = F.col("q1"), F.col("q2")
+    vn1 = ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+    vn2 = ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2
+    mean_diff = s1 / n1 - s2 / n2
+    t = mean_diff / F.sqrt(vn1 + vn2)
+    df = (vn1 + vn2) * (vn1 + vn2) / (
+        vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1)
+    )
+    return m.select(
+        "o_orderstatus", "n1", "n2",
+        mean_diff.alias("mean_diff_cents"),
+        t.alias("t_welch"),
+        df.alias("df_welch"),
+    ).orderBy("o_orderstatus")
+
+
+@query(
+    "agg_mannwhitney_u",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS na,
+             CAST(COUNT(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS nb
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+      GROUP BY 1
+    ), c AS (
+      SELECT v, na, nb,
+             CAST(COALESCE(SUM(nb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS nb_below
+      FROM h
+    )
+    SELECT CAST(SUM(na) AS BIGINT) AS n_r,
+           CAST(SUM(nb) AS BIGINT) AS n_a,
+           CAST(SUM(na * (2 * nb_below + nb)) AS BIGINT) AS u_r_x2
+    FROM c
+    """,
+)
+def agg_mannwhitney_u(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (nonparametric A/B) in the
+    VALUE-HISTOGRAM formulation: instead of ranking N rows (a global
+    sort + one-task window), aggregate to per-value counts for each
+    arm, then U = Σ_v na(v)·(nb_below(v) + nb(v)/2) over the ordered
+    histogram — ties get the exact half credit, and ×2 keeps every
+    quantity a BIGINT (no float ranks, bit-stable hash). The only
+    window runs over the DISTINCT-value histogram (50 rows for TPC-H
+    quantities), not the data — at 100 TB the histogram is still tiny
+    while a rank() over N rows would be a single-task sort."""
+    li = _cat(spark, sf_dir).lineitem.filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    h = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+        F.count(F.when(F.col("l_returnflag") == "R", F.lit(1))).alias("na"),
+        F.count(F.when(F.col("l_returnflag") == "A", F.lit(1))).alias("nb"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = h.withColumn(
+        "nb_below", F.coalesce(F.sum("nb").over(w), F.lit(0)).cast("long")
+    )
+    return c.agg(
+        F.sum("na").alias("n_r"),
+        F.sum("nb").alias("n_a"),
+        F.sum(
+            F.col("na") * (2 * F.col("nb_below") + F.col("nb"))
+        ).alias("u_r_x2"),
+    )
+
+
+@query(
+    "agg_psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+             CAST(COUNT(*) FILTER (WHERE year(o_orderdate) <= 1995) AS BIGINT) AS n_old,
+             CAST(COUNT(*) FILTER (WHERE year(o_orderdate) > 1995) AS BIGINT) AS n_new
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(n_old) AS DOUBLE) AS t_old,
+             CAST(SUM(n_new) AS DOUBLE) AS t_new,
+             CAST(COUNT(*) AS DOUBLE) AS nb
+      FROM b
+    )
+    SELECT bucket, n_old, n_new,
+           CAST(floor(
+             ((n_old + 1.0) / (t_old + nb) - (n_new + 1.0) / (t_new + nb))
+             * ln(((n_old + 1.0) * (t_new + nb))
+                  / ((n_new + 1.0) * (t_old + nb)))
+             * 1000000000) AS BIGINT) AS psi_term_nano
+    FROM b, t ORDER BY bucket
+    """,
+)
+def agg_psi_drift(spark, sf_dir):
+    """Population Stability Index between the pre-1996 and post-1995
+    order-value distributions — the standard drift monitor between a
+    training snapshot and live data. Fixed-width buckets (data-
+    independent, so the two periods bucket identically with no
+    quantile pass), Laplace add-one smoothing, and the per-bucket PSI
+    term quantized to integer NANO-units via floor: the ln() runs on
+    exact integer inputs, so both engines produce the identical
+    double, and the published value is a BIGINT — hash-stable by
+    construction. Totals ride a 1-row broadcast cross join (no
+    whole-frame window)."""
+    o = _cat(spark, sf_dir).orders
+    old = F.year("o_orderdate") <= 1995
+    b = o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).alias("bucket")
+    ).agg(
+        F.count(F.when(old, F.lit(1))).alias("n_old"),
+        F.count(F.when(~old, F.lit(1))).alias("n_new"),
+    )
+    t = b.agg(
+        F.sum("n_old").cast("double").alias("t_old"),
+        F.sum("n_new").cast("double").alias("t_new"),
+        F.count("*").cast("double").alias("nb"),
+    )
+    j = b.crossJoin(F.broadcast(t))
+    po = (F.col("n_old") + 1.0) / (F.col("t_old") + F.col("nb"))
+    pn = (F.col("n_new") + 1.0) / (F.col("t_new") + F.col("nb"))
+    llr = F.log(
+        ((F.col("n_old") + 1.0) * (F.col("t_new") + F.col("nb")))
+        / ((F.col("n_new") + 1.0) * (F.col("t_old") + F.col("nb")))
+    )
+    return j.select(
+        "bucket", "n_old", "n_new",
+        F.floor((po - pn) * llr * 1000000000).alias("psi_term_nano"),
+    ).orderBy("bucket")
+
+
+@query(
+    "agg_autocorr_lag",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT a.event_type, a.c AS x, b.c AS y
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND b.day = a.day + INTERVAL 1 DAY
+    ), m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM p GROUP BY 1
+    )
+    SELECT event_type, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS autocorr_lag1
+    FROM m ORDER BY event_type
+    """,
+)
+def agg_autocorr_lag(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily event-count series per event
+    type — the seasonality probe behind anomaly alerts. The lag pair is
+    a SELF-EQUI-JOIN on (type, day+1), not a lag() window: the join
+    shuffles by key like any other join and scales horizontally, where
+    a per-type ordered window would serialize each type's whole history
+    through one task. Moments are exact integers (daily counts), so the
+    final Pearson formula is engine-identical."""
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("c"))
+    a = d.alias("a")
+    b = d.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.day") == F.date_add(F.col("a.day"), 1)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = p.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "event_type", "n", corr.alias("autocorr_lag1")
+    ).orderBy("event_type")
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -9473,6 +9747,8 @@ _PRIORITY = [
     "join_asof_nearest", "scan_csv_corrupt_quarantine",
     "window_cumsum_reset", "scan_partitioned_dpp", "sketch_kmv_distinct",
     "sketch_kmv_overlap", "window_vwap",
+    "agg_ttest_welch", "agg_mannwhitney_u", "agg_psi_drift",
+    "agg_autocorr_lag",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
