@@ -206,3 +206,114 @@ def cap_per_stratum(
         .filter(F.col("__gr") <= k)
         .drop("__r", "__salt", "__lr", "__gr")
     )
+
+
+def hex_bucket(col: Column, n_buckets: int, *, salt: str = "") -> Column:
+    """Deterministic, SQL-portable hash bucket of any value: mix three
+    hex digits of md5 with small primes. Weaker mixing than xxhash64
+    but expressible identically in every SQL dialect (md5/substr/ascii)
+    — which is what lets sketches built on it carry EXACT cross-engine
+    oracles. All products stay far below 2^31, so no dialect-dependent
+    integer-overflow behavior."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(salt)))
+    mixed = (
+        F.ascii(F.substring(h, 1, 1)) * 17161
+        + F.ascii(F.substring(h, 3, 1)) * 131
+        + F.ascii(F.substring(h, 5, 1))
+    )
+    return mixed % n_buckets
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (public method: Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw-corpus document by the log-likelihood ratio of a
+    hashed-unigram model of the TARGET corpus against one of the raw
+    corpus; resampling raw docs by this weight shifts the pretraining
+    mix toward the target domain without a trained classifier.
+
+    Scale shape: both corpora collapse to n_buckets-row count tables
+    (one shuffle each, map-side combined); the LLR table is
+    bucket-sized and BROADCAST to the per-doc join — no corpus-sized
+    side ever moves. Per-bucket LLRs are quantized to integer
+    nano-units (the ln() runs on exact integer counts, so both engines
+    produce the identical double, and floor() makes it a BIGINT), so a
+    document's weight is an exact integer dot product — bit-stable
+    across engines and partitionings."""
+    from php_etl_spark.llm.text import tokens
+
+    b_of = lambda c: hex_bucket(c, n_buckets)  # noqa: E731
+    raw_tok = raw.select(
+        id_col, F.explode(tokens(text_col)).alias("t")
+    ).withColumn("b", b_of(F.col("t")))
+    tgt_tok = target.select(
+        F.explode(tokens(text_col)).alias("t")
+    ).select(b_of(F.col("t")).alias("b"))
+    tc = tgt_tok.groupBy("b").agg(F.count("*").alias("c_t"))
+    qc = raw_tok.groupBy("b").agg(F.count("*").alias("c_q"))
+    spark = raw.sparkSession
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("b"))
+    tot = tc.agg(F.sum("c_t").alias("ptot")).crossJoin(
+        qc.agg(F.sum("c_q").alias("qtot"))
+    )
+    B = F.lit(n_buckets)
+    ct = F.coalesce(F.col("c_t"), F.lit(0))
+    cq = F.coalesce(F.col("c_q"), F.lit(0))
+    llr = (
+        spine.join(tc, "b", "left")
+        .join(qc, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    ((ct + 1.0) * (F.col("qtot") + B))
+                    / ((cq + 1.0) * (F.col("ptot") + B))
+                )
+                * 1000000000
+            ).alias("w"),
+        )
+    )
+    per_doc = raw_tok.groupBy(id_col, "b").agg(F.count("*").alias("cnt"))
+    return (
+        per_doc.join(F.broadcast(llr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("w")).alias("dsir_weight_nano"),
+        )
+    )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic training-shard assignment + per-epoch pseudo-
+    random order, with NO window and NO RNG: ``shard`` is a stable
+    hash bucket of the id (data placement never moves between epochs),
+    ``shuffle_key`` mixes the id with the epoch salt — sorting a shard
+    by (shuffle_key, id) is the epoch's shuffle order. A loader
+    re-derives the exact order from (id, epoch) alone: resumable,
+    partition-layout-independent, and verifiable by any SQL engine.
+    Writing is one hash-partitioned sort — the plan a rand()-ordered
+    global sort can't match (nondeterministic under retry, and a
+    single total order)."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#e{epoch}")))
+    key = (
+        F.ascii(F.substring(h, 1, 1)) * 1000000
+        + F.ascii(F.substring(h, 3, 1)) * 10000
+        + F.ascii(F.substring(h, 5, 1)) * 100
+        + F.ascii(F.substring(h, 7, 1))
+    )
+    return df.withColumn(
+        "shard", hex_bucket(F.col(id_col), n_shards)
+    ).withColumn("shuffle_key", key.cast("bigint"))

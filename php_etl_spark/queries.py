@@ -9643,6 +9643,139 @@ def agg_autocorr_lag(spark, sf_dir):
     ).orderBy("event_type")
 
 
+# ---------------------------------------------------------------------------
+# round-4 (cont.): pretraining-pipeline additions — DSIR importance
+# weighting, BPE-training pair counts, deterministic shard shuffle
+# ---------------------------------------------------------------------------
+
+_HB = (
+    "(ascii(substr(md5({x}),1,1))*17161 + ascii(substr(md5({x}),3,1))*131"
+    " + ascii(substr(md5({x}),5,1))) % {m}"
+)
+
+
+@query(
+    "docs_dsir_weights",
+    oracle=f"""
+    WITH tb AS (
+      SELECT doc_id, source, {_HB.format(x='t', m=256)} AS b
+      FROM (SELECT doc_id, source, unnest({_TOKS_SQL}) AS t FROM documents)
+    ), spine AS (SELECT unnest(generate_series(0, 255)) AS b),
+    tc AS (SELECT b, COUNT(*) AS c_t FROM tb WHERE source = 'src0' GROUP BY 1),
+    qc AS (SELECT b, COUNT(*) AS c_q FROM tb WHERE source <> 'src0' GROUP BY 1),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM tb WHERE source = 'src0') AS ptot,
+             (SELECT COUNT(*) FROM tb WHERE source <> 'src0') AS qtot
+    ), llr AS (
+      SELECT spine.b,
+             CAST(floor(ln(((COALESCE(c_t, 0) + 1.0) * (qtot + 256))
+                           / ((COALESCE(c_q, 0) + 1.0) * (ptot + 256)))
+                        * 1000000000) AS BIGINT) AS w
+      FROM spine LEFT JOIN tc USING (b) LEFT JOIN qc USING (b), tot
+    ), d AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tb WHERE source <> 'src0' GROUP BY 1, 2
+    )
+    SELECT d.doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt * w) AS BIGINT) AS dsir_weight_nano
+    FROM d JOIN llr USING (b)
+    GROUP BY 1 ORDER BY dsir_weight_nano DESC, doc_id LIMIT 50
+    """,
+)
+def docs_dsir_weights(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): the 50 raw-corpus docs
+    whose hashed-unigram log-likelihood ratio most favors the target
+    domain (source = src0) — the importance-resampling step that tilts
+    a pretraining mix toward a quality domain without a trained
+    classifier. See llm.sampling.dsir_weights for the scale shape
+    (bucket-sized LLR table broadcast; integer nano-unit weights,
+    bit-stable cross-engine)."""
+    from php_etl_spark.llm.sampling import dsir_weights
+
+    docs = _cat(spark, sf_dir).documents
+    w = dsir_weights(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+    return w.orderBy(F.desc("dsir_weight_nano"), "doc_id").limit(50)
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH wf AS (
+      SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest({_TOKS_SQL}) AS t FROM documents) GROUP BY 1
+    ), pairs AS (
+      SELECT substr(w, i, 2) AS pair, f
+      FROM wf, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS freq
+    FROM pairs GROUP BY 1 ORDER BY freq DESC, pair LIMIT 30
+    """,
+)
+def text_bpe_pair_counts(spark, sf_dir):
+    """One BPE-training iteration at corpus scale: the 30 most frequent
+    adjacent symbol pairs, weighted by word frequency. The load-bearing
+    move is aggregating the corpus to its WORD-FREQUENCY table first
+    (vocab-sized, Zipf-bounded) and enumerating character pairs over
+    that — pair extraction touches each distinct word once regardless
+    of corpus size, which is exactly how production BPE trainers make
+    the merge loop tractable. Pair explosion is a higher-order
+    transform over sequence() (columnar, no Python)."""
+    docs = _cat(spark, sf_dir).documents
+    wf = (
+        docs.select(F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(30)
+    )
+
+
+@query(
+    "docs_shard_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           {_HB.format(x="CAST(doc_id AS VARCHAR)", m=8)} AS shard,
+           CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#e0'), 1, 1)) * 1000000
+              + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#e0'), 3, 1)) * 10000
+              + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#e0'), 5, 1)) * 100
+              + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#e0'), 7, 1))
+              AS BIGINT) AS shuffle_key
+    FROM documents
+    """,
+)
+def docs_shard_shuffle(spark, sf_dir):
+    """Training-shard assignment + epoch-0 shuffle order for the whole
+    corpus — llm.sampling.shard_shuffle: stable hash shard (placement
+    never moves between epochs), epoch-salted shuffle key (sorting a
+    shard by (shuffle_key, doc_id) IS the epoch's pseudo-random order).
+    No window, no RNG, no global sort: a narrow map the loader can
+    re-derive row-by-row, so training order is reproducible and
+    resumable from (doc_id, epoch) alone."""
+    from php_etl_spark.llm.sampling import shard_shuffle
+
+    docs = _cat(spark, sf_dir).documents
+    return shard_shuffle(docs).select("doc_id", "shard", "shuffle_key")
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -9748,7 +9881,8 @@ _PRIORITY = [
     "window_cumsum_reset", "scan_partitioned_dpp", "sketch_kmv_distinct",
     "sketch_kmv_overlap", "window_vwap",
     "agg_ttest_welch", "agg_mannwhitney_u", "agg_psi_drift",
-    "agg_autocorr_lag",
+    "agg_autocorr_lag", "docs_dsir_weights", "text_bpe_pair_counts",
+    "docs_shard_shuffle",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

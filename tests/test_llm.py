@@ -784,3 +784,38 @@ def test_semantic_dedup_kernel_block_chunking_parity(spark):
     assert out["sql"] == out["kernel"]
     kept = sum(1 for _, _, k in out["sql"] if k)
     assert 0 < kept < 1500  # both kept and dropped present
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """A raw doc written in the target corpus's vocabulary must score
+    higher than one written in disjoint vocabulary — the defining
+    property of the importance weight."""
+    from php_etl_spark.llm.sampling import dsir_weights
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(20)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(100, "alpha beta gamma delta alpha beta"),
+         (101, "zog quux blarp wibble zog quux")],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: r.dsir_weight_nano for r in dsir_weights(raw, target).collect()}
+    assert w[100] > 0 > w[101], w
+    # deterministic across recomputation
+    w2 = {r.doc_id: r.dsir_weight_nano for r in dsir_weights(raw, target).collect()}
+    assert w == w2
+
+
+def test_shard_shuffle_stable_placement_reshuffled_order(spark):
+    from php_etl_spark.llm.sampling import shard_shuffle
+
+    docs = Catalog(spark, SF).documents.select("doc_id")
+    e0 = shard_shuffle(docs, n_shards=8, epoch=0).collect()
+    e1 = {r.doc_id: r for r in shard_shuffle(docs, n_shards=8, epoch=1).collect()}
+    assert all(r.shard == e1[r.doc_id].shard for r in e0), "placement must not move"
+    changed = sum(1 for r in e0 if r.shuffle_key != e1[r.doc_id].shuffle_key)
+    assert changed > len(e0) * 0.9, "epoch salt must reshuffle the order"
+    shards = {r.shard for r in e0}
+    assert shards == set(range(8))
