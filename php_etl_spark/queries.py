@@ -9776,6 +9776,129 @@ def docs_shard_shuffle(spark, sf_dir):
     return shard_shuffle(docs).select("doc_id", "shard", "shuffle_key")
 
 
+# ---------------------------------------------------------------------------
+# round-4 (cont.): layout maintenance (compaction, Z-order clustering)
+# and the binary-file source
+# ---------------------------------------------------------------------------
+from php_etl_spark.sources.maintenance import (  # noqa: E402
+    compact,
+    dir_file_stats,
+    zorder_sql,
+    zorder_value,
+    zorder_write,
+)
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def scan_binaryfile(spark, sf_dir):
+    """The binaryFile source — how raw image/audio/document payloads
+    enter a multimodal pipeline as (path, length, content) rows. Test
+    harness materializes a small file tree (bounded: doc_id % 10 at
+    test scale) and the OPERATOR under test is the distributed scan:
+    spark.read.format('binaryFile'), filename→key extraction, and
+    content hashing all run on executors; nothing data-sized touches
+    the driver at scan time."""
+    import os
+    import tempfile
+
+    fixture = _cat(spark, sf_dir).documents.filter(
+        F.col("doc_id") % 10 == 0
+    ).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="binscan_")
+    for row in fixture.collect():  # bounded fixture setup, not the operator
+        with open(os.path.join(root, f"{row.doc_id}.bin"), "wb") as f:
+            f.write(row.text.encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(root)
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+@query(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_compact_small_files(spark, sf_dir):
+    """Small-file compaction (Delta OPTIMIZE semantics,
+    sources/maintenance.compact): a table written in an accreted
+    64-file state is bin-packed to ceil(bytes/target) files via
+    round-robin repartition + staged atomic swap; the oracle checks
+    the one property compaction must preserve — row contents are
+    untouched. File-count reduction itself is asserted in
+    tests/test_maintenance.py (counts are layout, not data, so they
+    stay out of the value hash)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="compact_") + "/events"
+    ev = _cat(spark, sf_dir).events.select("event_id", "event_type")
+    ev.repartition(64).write.parquet(path)
+    compact(spark, path, target_file_bytes=256 << 10)
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").alias("sum_event_id"),
+    )
+
+
+_ZEXPRS = ["user_id % 256", "dayofyear(CAST(ts AS DATE)) % 256"]
+
+
+@query(
+    "sink_zorder_clustered",
+    oracle=f"""
+    SELECT event_id,
+           user_id % 256 AS ubucket,
+           dayofyear(CAST(ts AS DATE)) % 256 AS dbucket,
+           CAST({zorder_sql(_ZEXPRS)} AS BIGINT) AS zvalue
+    FROM events
+    """,
+)
+def sink_zorder_clustered(spark, sf_dir):
+    """Multi-column Z-order clustering (Delta OPTIMIZE ZORDER BY
+    semantics, sources/maintenance.zorder_write): events clustered on
+    the Morton interleave of (user bucket, day-of-year bucket) land in
+    range-partitioned files whose parquet footer stats are narrow in
+    BOTH dimensions — file skipping then works for user predicates AND
+    time predicates, where 1-D range clustering (sink_range_clustered)
+    only prunes its single sort key. The curve value is exact long bit
+    arithmetic, oracle-checked verbatim in SQL; the write round-trips
+    through the staged-swap commit and the read-back must be
+    value-identical."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="zorder_") + "/events"
+    ev = _cat(spark, sf_dir).events.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("ubucket"),
+        (F.dayofyear(F.to_date("ts")) % 256).alias("dbucket"),
+    )
+    zorder_write(
+        ev, path, [F.col("ubucket"), F.col("dbucket")], n_files=8
+    )
+    back = spark.read.parquet(path)
+    return back.select(
+        "event_id",
+        "ubucket",
+        "dbucket",
+        zorder_value([F.col("ubucket"), F.col("dbucket")]).alias("zvalue"),
+    )
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -9882,7 +10005,8 @@ _PRIORITY = [
     "sketch_kmv_overlap", "window_vwap",
     "agg_ttest_welch", "agg_mannwhitney_u", "agg_psi_drift",
     "agg_autocorr_lag", "docs_dsir_weights", "text_bpe_pair_counts",
-    "docs_shard_shuffle",
+    "docs_shard_shuffle", "scan_binaryfile", "sink_compact_small_files",
+    "sink_zorder_clustered",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

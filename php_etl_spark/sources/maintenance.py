@@ -1,0 +1,140 @@
+"""Table-layout maintenance: small-file compaction and multi-column
+Z-order clustering — the OPTIMIZE family every long-lived table needs.
+
+No single counterpart in the reference (its destinations are database
+tables; the DBMS compacts for it — the capability matched here is the
+operational half of the reference's bulk rewrite paths,
+/root/reference/sdk/shell/import.sh:63-80). At 100 TB these are not
+optional: a streaming or incremental-upsert table accretes thousands of
+kilobyte files per partition (each an open/seek/footer-parse at scan
+time and a NameNode/object-store list entry), and an unclustered layout
+makes every selective scan read every file. Both operators follow the
+public Delta/Iceberg OPTIMIZE design: rewrite data files only, commit
+via atomic swap, never change row contents.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from php_etl_spark.sources.writers import _staged_rewrite
+
+
+def dir_file_stats(path: str) -> tuple[int, int]:
+    """(data-file count, total bytes) for a table directory.
+
+    Local-filesystem walk — the test-scale stand-in for the
+    FileSystem.listFiles() enumeration a cluster driver does during
+    planning; the two numbers are the same ones Spark's
+    InMemoryFileIndex already collects for every scan."""
+    n = b = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            if f.endswith((".parquet", ".orc", ".csv", ".json")):
+                n += 1
+                b += os.path.getsize(os.path.join(root, f))
+    return n, b
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    keep_backup: bool = False,
+) -> dict[str, Any]:
+    """Bin-pack a parquet table into ~target-size files (Delta
+    OPTIMIZE semantics): read, round-robin repartition to
+    ceil(total/target) outputs, staged-rewrite with atomic swap (the
+    table is never absent, crash restores the old layout). Row
+    contents and schema are untouched — only the file layout changes.
+
+    Skips (reports, rewrites nothing) when the table already has no
+    more files than the target — compaction must be idempotent and
+    cheap to schedule unconditionally."""
+    files_before, total_bytes = dir_file_stats(path)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    if files_before <= n_out:
+        return {
+            "path": path,
+            "files_before": files_before,
+            "files_after": files_before,
+            "bytes": total_bytes,
+            "skipped": True,
+        }
+    df = spark.read.parquet(path)
+    _staged_rewrite(df.repartition(n_out), path, keep_backup=keep_backup)
+    files_after, bytes_after = dir_file_stats(path)
+    return {
+        "path": path,
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": bytes_after,
+        "skipped": False,
+    }
+
+
+def zorder_value(cols: list[Column], bits: int = 8) -> Column:
+    """Morton (Z-order) interleave of the low ``bits`` bits of each
+    column — the space-filling curve behind Delta's OPTIMIZE ZORDER BY
+    and Iceberg's sort-order z-ordering. Pure long bit arithmetic
+    (shift/and/add of disjoint bit positions), so it runs inside
+    whole-stage codegen AND is expressible verbatim in any SQL dialect
+    for oracle parity. Callers bucket real columns into [0, 2^bits)
+    first (e.g. ``col % 256``)."""
+    k = len(cols)
+    terms: list[Column] = []
+    for j, c in enumerate(cols):
+        v = c.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(v, i).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, i * k + j))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t  # disjoint bit positions: + is |
+    return out
+
+
+def zorder_sql(exprs: list[str], bits: int = 8) -> str:
+    """The identical interleave as ANSI SQL text (for oracles and
+    pushdown into external engines)."""
+    k = len(exprs)
+    terms = []
+    for j, e in enumerate(exprs):
+        for i in range(bits):
+            # fully parenthesized: SQL '+' binds tighter than '<<'
+            terms.append(f"(((({e}) >> {i}) & 1) << {i * k + j})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[Column],
+    n_files: int = 8,
+    bits: int = 8,
+) -> str:
+    """Cluster a table on the Z-order curve of several columns and
+    write ``n_files`` range-partitioned, internally sorted files.
+    Because z-neighbors are neighbors in EVERY interleaved dimension,
+    each output file covers a narrow min/max range of each clustering
+    column — parquet footer stats then prune files for predicates on
+    ANY of them, where single-column range clustering (see
+    sink_range_clustered) only prunes its one sort key. The curve
+    value is dropped before the write: data files are byte-identical
+    in schema to the input, the clustering lives purely in row
+    placement."""
+    z = zorder_value(cols, bits)
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    return _staged_rewrite(clustered, path)

@@ -1,0 +1,91 @@
+"""Layout-maintenance operators: small-file compaction and Z-order
+clustering (sources/maintenance.py)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from php_etl_spark.catalog import Catalog
+from php_etl_spark.sources.maintenance import (
+    compact,
+    dir_file_stats,
+    zorder_sql,
+    zorder_value,
+    zorder_write,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_compact_reduces_files_and_preserves_rows(spark):
+    path = tempfile.mkdtemp(prefix="cmp_") + "/t"
+    ev = Catalog(spark, SF).events.select("event_id", "event_type")
+    ev.repartition(32).write.parquet(path)
+    before_rows = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    n_before, _ = dir_file_stats(path)
+    assert n_before == 32
+    stats = compact(spark, path, target_file_bytes=64 << 20)
+    assert not stats["skipped"]
+    assert stats["files_after"] < stats["files_before"]
+    after_rows = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    assert before_rows == after_rows, "compaction must not change data"
+
+
+def test_compact_skips_when_already_packed(spark):
+    path = tempfile.mkdtemp(prefix="cmp_") + "/t"
+    Catalog(spark, SF).nation.repartition(1).write.parquet(path)
+    stats = compact(spark, path, target_file_bytes=64 << 20)
+    assert stats["skipped"] and stats["files_after"] == stats["files_before"]
+
+
+def test_zorder_value_matches_sql_and_interleaves(spark):
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("a"), (F.col("id") / 16).cast("long").alias("b")
+    )
+    got = df.select(
+        "a", "b", zorder_value([F.col("a"), F.col("b")], bits=4).alias("z")
+    )
+    via_sql = df.selectExpr(
+        "a", "b", f"{zorder_sql(['a', 'b'], bits=4)} AS z"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, via_sql.collect())
+    )
+    byab = {(r.a, r.b): r.z for r in got.collect()}
+    # classic Morton facts: (1,0)->1, (0,1)->2, (1,1)->3, (2,2)->12
+    assert byab[(1, 0)] == 1 and byab[(0, 1)] == 2
+    assert byab[(1, 1)] == 3 and byab[(2, 2)] == 12
+
+
+def test_zorder_write_files_cover_narrow_ranges(spark):
+    path = tempfile.mkdtemp(prefix="zw_") + "/t"
+    ev = Catalog(spark, SF).events.select(
+        "event_id",
+        (F.col("user_id") % 64).alias("a"),
+        (F.col("event_id") % 64).alias("b"),
+    )
+    zorder_write(ev, path, [F.col("a"), F.col("b")], n_files=8, bits=6)
+    back = spark.read.parquet(path).withColumn(
+        "f", F.input_file_name()
+    )
+    assert back.count() == ev.count()
+    spans = back.groupBy("f").agg(
+        F.min("a").alias("alo"), F.max("a").alias("ahi"),
+        F.min("b").alias("blo"), F.max("b").alias("bhi"),
+    ).collect()
+    assert len(spans) >= 4
+    # z-clustering: most files span well under the full 0..63 domain in
+    # BOTH dimensions (a random layout spans ~the whole domain in each)
+    narrow = [
+        s for s in spans if (s.ahi - s.alo) <= 48 and (s.bhi - s.blo) <= 48
+    ]
+    assert len(narrow) >= len(spans) // 2, [
+        (s.ahi - s.alo, s.bhi - s.blo) for s in spans
+    ]
