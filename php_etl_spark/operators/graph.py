@@ -279,3 +279,88 @@ def tree_closure(
     return m.select(
         F.col("x").alias("node"), F.col("y").alias("root"), F.col("d").alias("depth")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    seeds: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from a seed set, by
+    FRONTIER expansion — each round joins only the nodes discovered
+    last round against the edge table (one shuffle on node id) and
+    anti-joins the already-settled set, so total work is O(edges
+    touched), not O(rounds × edges). BFS levels are exact (a node is
+    always first reached at its true distance), which is what makes
+    the bounded-depth SQL union-of-levels oracle equivalent. Early-
+    exits when a frontier empties (the only driver round-trip is that
+    boolean). Returns (node, hops ≤ max_hops)."""
+    dist = materialize(
+        seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        .select("node", F.lit(0).cast("long").alias("hops"))
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        cand = (
+            edges.join(frontier, edges[src] == frontier["node"])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+        )
+        new = materialize(
+            cand.join(dist, "node", "left_anti").select(
+                "node", F.lit(h).cast("long").alias("hops")
+            )
+        )
+        if new.isEmpty():
+            break
+        dist = materialize(dist.unionByName(new))
+        frontier = new.select("node")
+    return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    a: str,
+    b: str,
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made
+    DETERMINISTIC: every node starts as its own label; each round it
+    adopts the most frequent label among its neighbors plus one
+    self-vote, ties broken by smallest label. The argmax is a
+    max(struct(count, -label)) AGGREGATE, not a per-node window — a
+    hub with millions of neighbors still reduces via map-side partial
+    aggregation instead of serializing through one window task.
+    Deterministic updates + fixed round count ⇒ the exact same label
+    table is expressible as k unrolled SQL rounds, so LPA carries a
+    full value oracle (rare for a community algorithm). materialize()
+    truncates lineage per round, same as pagerank."""
+    und = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .union(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = materialize(und.select(F.col("u").alias("node")).distinct())
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        neigh = und.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        votes = neigh.unionByName(labels.select("node", "label"))
+        cnt = votes.groupBy("node", "label").agg(F.count("*").alias("c"))
+        labels = materialize(
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"),
+                        (-F.col("label")).alias("neg_label"),
+                    )
+                ).alias("best")
+            )
+            .select("node", (-F.col("best.neg_label")).alias("label"))
+        )
+    return labels

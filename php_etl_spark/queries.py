@@ -9899,6 +9899,112 @@ def sink_zorder_clustered(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 (cont.): graph traversal — multi-source BFS and deterministic
+# label propagation over the purchase graph
+# ---------------------------------------------------------------------------
+
+_GRAPH_E_SQL = """
+    ed AS (
+      SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), e AS (
+      SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed
+    )
+"""
+
+
+def _graph_edges(c):
+    return (
+        c.orders.join(
+            c.lineitem, c.lineitem["l_orderkey"] == c.orders["o_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH {_GRAPH_E_SQL},
+    s AS (SELECT c_custkey AS node FROM customer WHERE c_custkey <= 10),
+    r1 AS (SELECT DISTINCT e.v AS node FROM e JOIN s ON e.u = s.node),
+    r2 AS (SELECT DISTINCT e.v AS node FROM e JOIN r1 ON e.u = r1.node),
+    r3 AS (SELECT DISTINCT e.v AS node FROM e JOIN r2 ON e.u = r2.node)
+    SELECT node, CAST(MIN(h) AS BIGINT) AS hops FROM (
+      SELECT node, 0 AS h FROM s
+      UNION ALL SELECT node, 1 AS h FROM r1
+      UNION ALL SELECT node, 2 AS h FROM r2
+      UNION ALL SELECT node, 3 AS h FROM r3
+    ) GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark, sf_dir):
+    """Multi-source BFS over the undirected customer↔supplier purchase
+    graph: hop distance from a 10-customer seed set within 3 hops
+    (operators/graph.bfs_hops). Frontier expansion — each round joins
+    only last round's discoveries and anti-joins the settled set, so
+    work tracks the reachable frontier, not rounds × edges. The oracle
+    is the unrolled union-of-levels formulation, equivalent because
+    BFS levels are exact min distances."""
+    c = _cat(spark, sf_dir)
+    seeds = c.customer.filter(F.col("c_custkey") <= 10).select(
+        F.col("c_custkey").alias("node")
+    )
+    ed = _graph_edges(c)
+    und = ed.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
+        ed.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    ).distinct()
+    return G.bfs_hops(und, "u", "v", seeds, max_hops=3)
+
+
+def _lpa_oracle(rounds: int) -> str:
+    parts = [
+        f"WITH {_GRAPH_E_SQL},",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", n{r} AS (
+      SELECT node, label, COUNT(*) AS c FROM (
+        SELECT e.u AS node, l.label FROM e JOIN l{p} l ON e.v = l.node
+        UNION ALL SELECT node, label FROM l{p}
+      ) GROUP BY 1, 2
+    ), l{r} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM n{r}) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"SELECT node, CAST(label AS BIGINT) AS label FROM l{rounds}"
+    )
+    return "\n".join(parts)
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(3))
+def graph_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label propagation (community
+    detection, Raghavan et al. 2007) on the purchase graph, 3 rounds
+    (operators/graph.label_propagation): most-frequent neighbor label
+    plus one self-vote, smallest-label tiebreak. The per-node argmax
+    is a max(struct(count, -label)) aggregate — map-side combinable,
+    no per-node window, hub-safe. Determinism buys what LPA normally
+    can't have: an exact SQL value oracle (the same 3 rounds unrolled
+    as CTEs with a ROW_NUMBER argmax)."""
+    c = _cat(spark, sf_dir)
+    return G.label_propagation(
+        _graph_edges(c), "src", "dst", iterations=3
+    ).select("node", "label")
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -10006,7 +10112,7 @@ _PRIORITY = [
     "agg_ttest_welch", "agg_mannwhitney_u", "agg_psi_drift",
     "agg_autocorr_lag", "docs_dsir_weights", "text_bpe_pair_counts",
     "docs_shard_shuffle", "scan_binaryfile", "sink_compact_small_files",
-    "sink_zorder_clustered",
+    "sink_zorder_clustered", "graph_bfs_hops", "graph_label_propagation",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

@@ -119,3 +119,30 @@ def test_tree_closure_forest_with_parent_only_roots(spark):
         200: (2, 2), 20: (2, 1), 2: (2, 0),
         300: (1, 3), 30: (1, 2),
     }
+
+
+def test_bfs_hops_exact_on_path_graph(spark):
+    # path 1-2-3-4-5 plus isolated pair 8-9; seed {1}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], ["u", "v"]
+    )
+    und = edges.union(edges.select("v", "u"))
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.hops for r in G.bfs_hops(und, "u", "v", seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond max_hops; 8,9 unreachable
+
+
+def test_bfs_hops_early_exit_on_empty_frontier(spark):
+    edges = spark.createDataFrame([(1, 2)], ["u", "v"])
+    und = edges.union(edges.select("v", "u"))
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.hops for r in G.bfs_hops(und, "u", "v", seeds, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1}
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles joined by nothing: each converges to its min id
+    tri = [(1, 2), (2, 3), (1, 3), (10, 20), (20, 30), (10, 30)]
+    edges = spark.createDataFrame(tri, ["a", "b"])
+    got = {r.node: r.label for r in G.label_propagation(edges, "a", "b", iterations=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 20: 10, 30: 10}
