@@ -42,6 +42,11 @@ HEADLINE = [
     "join_asof",            # as-of backward join (time-series PIT)
     "window_percent_rank_cume",  # rank-family window over lineitem
     "agg_max_concurrent",   # segmented prefix-sum boundary sweep (r4 shape)
+    # round-4 late additions: token-explode family (the corpus-side
+    # cost center of an LLM pipeline) — first-run baselines in
+    # BASELINE.md
+    "docs_dsir_weights",    # LLM: hashed-unigram importance weights
+    "text_bpe_pair_counts",  # LLM: BPE merge-iteration pair counting
 ]
 
 

@@ -256,7 +256,11 @@ def dsir_weights(
         F.explode(tokens(text_col)).alias("t")
     ).select(b_of(F.col("t")).alias("b"))
     tc = tgt_tok.groupBy("b").agg(F.count("*").alias("c_t"))
-    qc = raw_tok.groupBy("b").agg(F.count("*").alias("c_q"))
+    # per-doc counts FIRST; raw-corpus bucket totals derive from them —
+    # the corpus is tokenized once and the (doc, bucket) exchange is
+    # reused by both consumers instead of re-exploding the token stream
+    per_doc = raw_tok.groupBy(id_col, "b").agg(F.count("*").alias("cnt"))
+    qc = per_doc.groupBy("b").agg(F.sum("cnt").alias("c_q"))
     spark = raw.sparkSession
     spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("b"))
     tot = tc.agg(F.sum("c_t").alias("ptot")).crossJoin(
@@ -280,7 +284,6 @@ def dsir_weights(
             ).alias("w"),
         )
     )
-    per_doc = raw_tok.groupBy(id_col, "b").agg(F.count("*").alias("cnt"))
     return (
         per_doc.join(F.broadcast(llr), "b")
         .groupBy(id_col)

@@ -10005,6 +10005,207 @@ def graph_label_propagation(spark, sf_dir):
     ).select("node", "label")
 
 
+# ---------------------------------------------------------------------------
+# round-4 (cont.): attribution rollup + robust statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), j AS (
+      SELECT p.ts, p.cents,
+             CASE WHEN c.ts IS NOT NULL
+                       AND c.ts >= p.ts - INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END AS attr
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(attr) AS BIGINT) AS n_attributed,
+           CAST(SUM(CASE WHEN attr = 1 THEN cents ELSE 0 END) AS BIGINT)
+             AS attributed_cents
+    FROM j GROUP BY 1
+    """,
+)
+def event_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent click within a 7-day lookback, then rolled
+    up to daily (conversions, attributed, attributed revenue). The
+    lookup is the tolerance-bounded as-of join (operators/joins.
+    asof_join — union + window carry on user_id, no range explosion),
+    i.e. the 'most recent prior event' primitive applied to the rollup
+    every marketing warehouse ships. DuckDB's native ASOF LEFT JOIN
+    plus a post-filter is the identical semantics."""
+    ev = _cat(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("ts").alias("click_ts2"),
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_values=["click_ts2"],
+        tolerance=7 * 86400,
+    )
+    attr = F.when(F.col("click_ts2_asof").isNotNull(), 1).otherwise(0)
+    return (
+        j.select(F.to_date("ts").alias("day"), "cents", attr.alias("attr"))
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("attr").alias("n_attributed"),
+            F.sum(
+                F.when(F.col("attr") == 1, F.col("cents")).otherwise(0)
+            ).alias("attributed_cents"),
+        )
+    )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ), b AS (
+      SELECT o_orderpriority,
+             percentile_disc(0.1) WITHIN GROUP (ORDER BY c) AS lo,
+             percentile_disc(0.9) WITHIN GROUP (ORDER BY c) AS hi
+      FROM cents GROUP BY o_orderpriority
+    )
+    SELECT cents.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(c) AS DOUBLE) / COUNT(*) AS interdecile_mean_cents
+    FROM cents JOIN b USING (o_orderpriority)
+    WHERE c >= b.lo AND c <= b.hi
+    GROUP BY cents.o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_trimmed_mean(spark, sf_dir):
+    """Interdecile (10-90%) trimmed mean of order value per priority —
+    the robust average that survives fat-tailed corruption, reported
+    the way a metrics layer wants it. Decile bounds come from
+    percentile_disc (stored values, no interpolation ulp), ride a
+    broadcast back onto the scan, and the mean is an exact integer sum
+    over survivors divided once at the end — engine-identical."""
+    o = _cat(spark, sf_dir).orders
+    cents = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    cents.createOrReplaceTempView("tm_cents")
+    b = spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY c) AS BIGINT) AS lo,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY c) AS BIGINT) AS hi
+        FROM tm_cents GROUP BY o_orderpriority
+        """
+    )
+    return (
+        cents.join(F.broadcast(b), "o_orderpriority")
+        .filter((F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_kept"),
+            (F.sum("c").cast("double") / F.count("*")).alias(
+                "interdecile_mean_cents"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_mad_outliers",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), med AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS med_c
+      FROM cents GROUP BY event_type
+    ), dev AS (
+      SELECT cents.event_type, c, med_c, abs(c - med_c) AS ad
+      FROM cents JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS mad_c
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(MIN(med_c) AS BIGINT) AS median_cents,
+           CAST(MIN(mad_c) AS BIGINT) AS mad_cents,
+           CAST(COUNT(*) FILTER (WHERE ad > 5 * mad_c) AS BIGINT)
+             AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type ORDER BY event_type
+    """,
+)
+def agg_mad_outliers(spark, sf_dir):
+    """Median-absolute-deviation outlier screen per event type — the
+    robust cousin of agg_zscore_outliers (a single corrupted batch
+    can't move the median the way it moves a mean/stddev). Two
+    percentile_disc passes on exact integer cents (median, then median
+    absolute deviation), each ending in a tiny broadcast back onto the
+    scan; the 5×MAD flag is a pure integer comparison. No float
+    enters at any point."""
+    ev = _cat(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    cents.createOrReplaceTempView("mad_cents")
+    med = spark.sql(
+        """
+        SELECT event_type,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT) AS med_c
+        FROM mad_cents GROUP BY event_type
+        """
+    )
+    dev = cents.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("c") - F.col("med_c"))
+    )
+    dev.createOrReplaceTempView("mad_dev")
+    mad = spark.sql(
+        """
+        SELECT event_type,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS BIGINT) AS mad_c
+        FROM mad_dev GROUP BY event_type
+        """
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med_c").alias("median_cents"),
+            F.min("mad_c").alias("mad_cents"),
+            F.count(F.when(F.col("ad") > 5 * F.col("mad_c"), F.lit(1))).alias(
+                "n_outliers"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -10113,6 +10314,7 @@ _PRIORITY = [
     "agg_autocorr_lag", "docs_dsir_weights", "text_bpe_pair_counts",
     "docs_shard_shuffle", "scan_binaryfile", "sink_compact_small_files",
     "sink_zorder_clustered", "graph_bfs_hops", "graph_label_propagation",
+    "event_attribution", "agg_trimmed_mean", "agg_mad_outliers",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
