@@ -255,11 +255,18 @@ def dsir_weights(
     tgt_tok = target.select(
         F.explode(tokens(text_col)).alias("t")
     ).select(b_of(F.col("t")).alias("b"))
-    tc = tgt_tok.groupBy("b").agg(F.count("*").alias("c_t"))
-    # per-doc counts FIRST; raw-corpus bucket totals derive from them —
-    # the corpus is tokenized once and the (doc, bucket) exchange is
-    # reused by both consumers instead of re-exploding the token stream
-    per_doc = raw_tok.groupBy(id_col, "b").agg(F.count("*").alias("cnt"))
+    from php_etl_spark.materialize import materialize
+
+    # per-doc counts first, MATERIALIZED: four consumers hang off the
+    # token stream (bucket totals, grand totals, the per-doc join) and
+    # Spark re-runs an un-pinned explode once per consumer — pinning
+    # the (doc, bucket) table caps tokenization at one pass over each
+    # corpus. The pinned tables are count tables (≤ docs × n_buckets
+    # and n_buckets rows), never the token stream itself.
+    tc = materialize(tgt_tok.groupBy("b").agg(F.count("*").alias("c_t")))
+    per_doc = materialize(
+        raw_tok.groupBy(id_col, "b").agg(F.count("*").alias("cnt"))
+    )
     qc = per_doc.groupBy("b").agg(F.sum("cnt").alias("c_q"))
     spark = raw.sparkSession
     spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("b"))

@@ -454,6 +454,46 @@ AUDITS = {
         ("narrow map: no shuffle exchange anywhere",
          lambda p: "Exchange" not in p.split("== Initial Plan ==")[0]),
     ],
+    "docs_dsir_weights": [
+        ("final job reads only pinned count tables — the corpus is "
+         "tokenized in the two materialize jobs, never re-exploded here",
+         lambda p: p.split("== Initial Plan ==")[0].count("FileScan parquet") == 0),
+        ("bucket-sized LLR table broadcasts to the per-doc join",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian anywhere",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "agg_mannwhitney_u": [
+        ("the only window runs over the distinct-value histogram "
+         "(input is the grouped count table, map-side combined)",
+         lambda p: p.split("== Initial Plan ==")[0].count("Window [") == 1
+         and "partial_count" in p),
+        ("no join, no cartesian",
+         lambda p: "Join" not in p and "CartesianProduct" not in p),
+    ],
+    "agg_psi_drift": [
+        ("totals ride a 1-row broadcast (BroadcastNestedLoop on a "
+         "singleton), not a whole-frame window",
+         lambda p: "BroadcastNestedLoopJoin" in p
+         and p.split("== Initial Plan ==")[0].count("Window [") == 0),
+        ("no cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "agg_autocorr_lag": [
+        ("lag pairing is an equi-join on (type, day+1), NOT an ordered "
+         "window over each type's history",
+         lambda p: p.split("== Initial Plan ==")[0].count("Window [") == 0
+         and any(j in p for j in
+                 ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))),
+    ],
+    "event_attribution": [
+        ("one as-of carry window, partitioned on user_id",
+         lambda p: p.split("== Initial Plan ==")[0].count("Window [") == 1
+         and "windowspecdefinition(user_id" in p),
+        ("no range-explosion join (the as-of is union+carry)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+    ],
     "agg_cumulative_distinct": [
         ("running sum windows over per-day rows, AFTER the per-user "
          "reduction (single-partition window is |dates|-sized)",
