@@ -10206,6 +10206,89 @@ def agg_mad_outliers(spark, sf_dir):
     )
 
 
+@query(
+    "emb_centroid_exact",
+    oracle="""
+    WITH x AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 100000)
+                  AS BIGINT) AS q
+      FROM embeddings
+    )
+    SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS DOUBLE) / COUNT(*) AS centroid_e5,
+           (CAST(SUM(q * q) AS DOUBLE)
+              - CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE) / COUNT(*))
+             / COUNT(*) AS var_e10
+    FROM x GROUP BY 1, 2 ORDER BY label, pos
+    """,
+)
+def emb_centroid_exact(spark, sf_dir):
+    """Per-class centroid and per-dimension variance of the embedding
+    table — the class-prototype/feature-scaling pass of an embedding
+    pipeline — with exact cross-engine values: elements quantize to
+    integer 1e-5 units, so sums are exact and the mean/variance
+    formulas are one double expression from integer moments. Shape:
+    posexplode to (label, dim) and aggregate — map-side partial
+    aggregation reduces each partition to labels × dims rows before
+    the shuffle, so shuffle volume is partitions × labels × dims no
+    matter how many vectors scanned (the canonical distributable form
+    of a tensor reduction without a vectorized UDF)."""
+    e = _cat(spark, sf_dir).embeddings.select(
+        "label", F.posexplode("embedding").alias("pos0", "e")
+    )
+    q = F.round(F.col("e").cast("double") * 100000).cast("long")
+    g = e.select(
+        "label", (F.col("pos0") + 1).alias("pos"), q.alias("q")
+    ).groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
+    )
+    n = F.col("n")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    return g.select(
+        "label", "pos", "n",
+        (s / n).alias("centroid_e5"),
+        ((ss - s * s / n) / n).alias("var_e10"),
+    ).orderBy("label", "pos")
+
+
+@query(
+    "sink_versioned_stats_prune",
+    oracle="""
+    SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE user_id BETWEEN 100 AND 300
+    """,
+)
+def sink_versioned_stats_prune(spark, sf_dir):
+    """Manifest-statistics file pruning on the versioned table format
+    (sources/versioned.read_pruned): publish records per-file
+    min/max/rowcount in the commit pointer (one layout-sized job, the
+    Delta/Iceberg manifest-stats design); a range read then opens ONLY
+    the files whose range overlaps — no data touched for the rest, no
+    Spark job to plan the pruning. The write is range-clustered on
+    user_id so file ranges are narrow; the re-applied predicate makes
+    the result exact regardless of stats granularity. File-skipping
+    effectiveness is asserted in tests/test_sources.py (layout, not
+    data, so it stays out of the value hash)."""
+    import tempfile
+
+    from php_etl_spark.sources import versioned as V
+
+    path = tempfile.mkdtemp(prefix="vstats_") + "/events"
+    ev = _cat(spark, sf_dir).events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    V.publish(
+        ev.repartitionByRange(8, "user_id"), path, stats_cols=["user_id"]
+    )
+    return V.read_pruned(spark, path, "user_id", lo=100, hi=300)
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -10315,6 +10398,7 @@ _PRIORITY = [
     "docs_shard_shuffle", "scan_binaryfile", "sink_compact_small_files",
     "sink_zorder_clustered", "graph_bfs_hops", "graph_label_propagation",
     "event_attribution", "agg_trimmed_mean", "agg_mad_outliers",
+    "emb_centroid_exact", "sink_versioned_stats_prune",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

@@ -38,6 +38,7 @@ from collections.abc import Sequence
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from php_etl_spark.materialize import materialize
 
@@ -69,7 +70,50 @@ def _write_pointer(table_dir: str, record: dict[str, Any]) -> None:
     os.replace(tmp, _pointer_path(table_dir))
 
 
-def publish(df: DataFrame, table_dir: str) -> dict[str, Any]:
+def _json_stat(v: Any) -> Any:
+    """A min/max value in pointer-JSON form. Numeric/string/bool pass
+    through; dates/timestamps serialize to their ISO string (which
+    compares in the same order, so pruning bounds still work)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    iso = getattr(v, "isoformat", None)
+    if iso is not None:
+        return iso()
+    return str(v)
+
+
+def _collect_file_stats(
+    snap_dir: str, df: DataFrame, stats_cols: Sequence[str]
+) -> dict[str, dict[str, Any]]:
+    """Per-data-file min/max/rowcount for the tracked columns, in ONE
+    Spark job over the just-written snapshot (group by
+    input_file_name). The collected result is LAYOUT-sized (one row
+    per file), never data-sized — the same manifest statistics Delta
+    and Iceberg record at commit time."""
+    snap = df.sparkSession.read.parquet(snap_dir)
+    aggs = [F.count("*").alias("__rows")]
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    rows = snap.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    stats: dict[str, dict[str, Any]] = {}
+    for r in rows:
+        fname = os.path.basename(r["__f"])
+        entry: dict[str, Any] = {"rows": r["__rows"]}
+        for c in stats_cols:
+            entry[c] = [
+                _json_stat(r[f"__min_{c}"]),
+                _json_stat(r[f"__max_{c}"]),
+            ]
+        stats[fname] = entry
+    return stats
+
+
+def publish(
+    df: DataFrame,
+    table_dir: str,
+    stats_cols: Sequence[str] | None = None,
+) -> dict[str, Any]:
     """Commit ``df`` as the table's next version. The snapshot write
     is partition-parallel; the commit itself is one pointer write.
     Returns the new commit record.
@@ -100,6 +144,9 @@ def publish(df: DataFrame, table_dir: str) -> dict[str, Any]:
     # could shadow with a half-written orphan)
     history = dict(current.get("history", {})) if current else {}
     history[str(version)] = snap_rel
+    stats = (
+        _collect_file_stats(snap_dir, df, stats_cols) if stats_cols else None
+    )
     record = {
         "version": version,
         "dir": snap_rel,
@@ -111,6 +158,9 @@ def publish(df: DataFrame, table_dir: str) -> dict[str, Any]:
         "max_committed": max(version, prev_max),
         "history": history,
     }
+    if stats is not None:
+        record["stats_cols"] = list(stats_cols)
+        record["stats"] = stats
     _write_pointer(table_dir, record)
     return record
 
@@ -253,3 +303,69 @@ def vacuum(table_dir: str, keep: int = 2) -> list[str]:
             shutil.rmtree(os.path.join(versions_dir, name), ignore_errors=True)
             removed.append(name)
     return removed
+
+
+def pruned_files(
+    table_dir: str,
+    col: str,
+    lo: Any = None,
+    hi: Any = None,
+) -> tuple[list[str], int]:
+    """(files overlapping [lo, hi] on ``col``, total file count) for
+    the current version, from pointer statistics alone — no data read,
+    no Spark job. A file is skipped iff its [min, max] cannot contain
+    a matching row; files whose stats are missing are conservatively
+    kept, and an all-null file (min = max = null) is safely skipped
+    because a range predicate never matches null."""
+    current = read_pointer(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no published version at {table_dir}")
+    stats = current.get("stats")
+    if not stats or col not in current.get("stats_cols", []):
+        raise ValueError(
+            f"no file statistics for column {col!r} at {table_dir} "
+            "(publish with stats_cols=[...])"
+        )
+    keep: list[str] = []
+    for fname, entry in stats.items():
+        mn, mx = entry[col]
+        if mn is None and mx is None:
+            continue  # all-null file: a range predicate matches nothing
+        if lo is not None and mx is not None and mx < lo:
+            continue
+        if hi is not None and mn is not None and mn > hi:
+            continue
+        keep.append(fname)
+    return keep, len(stats)
+
+
+def read_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo: Any = None,
+    hi: Any = None,
+) -> DataFrame:
+    """Read the current version with FILE-LEVEL pruning for a closed
+    range predicate on a stats-tracked column — the manifest-stats
+    scan every table format does before parquet row-group stats even
+    come into play. At 100 TB the difference is opening thousands of
+    files vs the handful whose min/max overlap the range (clustered
+    writes — repartitionByRange or zorder_write — are what make the
+    ranges narrow). The predicate is RE-APPLIED to the surviving
+    files, so the result is exactly the filtered table regardless of
+    how coarse the stats are."""
+    keep, _total = pruned_files(table_dir, col, lo, hi)
+    current = read_pointer(table_dir)
+    base = os.path.join(table_dir, current["dir"])
+    df = (
+        spark.read.parquet(*[os.path.join(base, f) for f in keep])
+        if keep
+        else spark.read.parquet(base).where(F.lit(False))
+    )
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(col) <= F.lit(hi))
+    return df.filter(pred)

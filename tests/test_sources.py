@@ -426,3 +426,63 @@ def test_csv_corrupt_quarantine_split(spark, tmp_path):
     assert rows == [(1, 10), (3, 30), (4, 40)]
     bad = sorted(r["_corrupt_record"] for r in corrupt.collect())
     assert bad == ["2,twenty", "not,even,close"]
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+class TestVersionedStatsPruning:
+    """Manifest file statistics + stats-pruned range reads
+    (sources/versioned.publish(stats_cols=...) / read_pruned)."""
+
+    def test_stats_recorded_per_file(self, spark, tmp_path):
+        from php_etl_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        rec = V.publish(df.repartitionByRange(4, "k"), t, stats_cols=["k"])
+        assert rec["stats_cols"] == ["k"]
+        assert len(rec["stats"]) == 4
+        assert sum(e["rows"] for e in rec["stats"].values()) == 1000
+        # range clustering => file [min,max] spans are disjoint
+        spans = sorted(tuple(e["k"]) for e in rec["stats"].values())
+        for (_, hi), (lo2, _) in zip(spans, spans[1:]):
+            assert hi < lo2
+
+    def test_read_pruned_skips_files_and_is_exact(self, spark, tmp_path):
+        from php_etl_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        V.publish(df.repartitionByRange(8, "k"), t, stats_cols=["k"])
+        keep, total = V.pruned_files(t, "k", lo=100, hi=200)
+        assert total == 8 and len(keep) <= 2, (keep, total)
+        got = sorted(
+            (r.k, r.v) for r in V.read_pruned(spark, t, "k", 100, 200).collect()
+        )
+        assert got == [(k, 2 * k) for k in range(100, 201)]
+
+    def test_read_pruned_empty_range_returns_empty_with_schema(
+        self, spark, tmp_path
+    ):
+        from php_etl_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        df = spark.range(100).select(F.col("id").alias("k"))
+        V.publish(df.repartitionByRange(4, "k"), t, stats_cols=["k"])
+        out = V.read_pruned(spark, t, "k", lo=10_000, hi=20_000)
+        assert out.columns == ["k"] and out.count() == 0
+
+    def test_read_pruned_requires_tracked_column(self, spark, tmp_path):
+        import pytest
+
+        from php_etl_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        V.publish(spark.range(10).select(F.col("id").alias("k")), t)
+        with pytest.raises(ValueError, match="no file statistics"):
+            V.pruned_files(t, "k", 0, 5)
