@@ -10289,6 +10289,153 @@ def sink_versioned_stats_prune(spark, sf_dir):
     return V.read_pruned(spark, path, "user_id", lo=100, hi=300)
 
 
+@query(
+    "window_interpolate_linear",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      WHERE o_orderstatus = 'P' AND year(o_orderdate) = 1995
+      GROUP BY 1
+    ), spine AS (
+      SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31',
+                                    INTERVAL 1 DAY))::DATE AS day
+    ), j AS (
+      SELECT spine.day, d.cents FROM spine LEFT JOIN d USING (day)
+    ), n AS (
+      SELECT day, cents,
+             last_value(cents IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pv,
+             last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(cents IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nv,
+             first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT day, cents,
+           CASE
+             WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+             WHEN pv IS NULL OR nv IS NULL THEN NULL
+             ELSE pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                                    / date_diff('day', pd, nd))
+           END AS interp_cents
+    FROM n ORDER BY day
+    """,
+)
+def window_interpolate_linear(spark, sf_dir):
+    """Linear interpolation over gaps in a daily revenue series — the
+    sensor/metrics resampling primitive (ffill is agg_gapfill's job;
+    this is the two-sided version). Neighbors come from
+    last/first_value IGNORE NULLS over the DATE SPINE, which is
+    calendar-sized (365 rows here, ~36k rows for a century) no matter
+    how many raw rows aggregated into it — the same histogram-window
+    argument as agg_mannwhitney_u, so the single-partition window is
+    scale-safe. The interpolation weight is a ratio of integer day
+    deltas; values are exact integer cents, so both engines compute
+    the identical double."""
+    o = _cat(spark, sf_dir).orders
+    d = (
+        o.filter(
+            (F.col("o_orderstatus") == "P")
+            & (F.year("o_orderdate") == 1995)
+        )
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    spine = spark.sql(
+        """
+        SELECT explode(sequence(DATE '1995-01-01', DATE '1995-12-31',
+                                INTERVAL 1 DAY)) AS day
+        """
+    )
+    j = spine.join(d, "day", "left")
+    from pyspark.sql.window import Window
+
+    wb = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    day_if_val = F.when(F.col("cents").isNotNull(), F.col("day"))
+    n = j.select(
+        "day",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wb).alias("pv"),
+        F.last(day_if_val, ignorenulls=True).over(wb).alias("pd"),
+        F.first("cents", ignorenulls=True).over(wf).alias("nv"),
+        F.first(day_if_val, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = (
+        F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                F.datediff(F.col("day"), F.col("pd")).cast("double")
+                / F.datediff(F.col("nd"), F.col("pd"))
+            )
+        )
+    )
+    return n.select(
+        "day", "cents", interp.alias("interp_cents")
+    ).orderBy("day")
+
+
+@query(
+    "profile_spc_counts",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS DOUBLE) AS s,
+             CAST(SUM(c * c) AS DOUBLE) AS q
+      FROM d
+    )
+    SELECT day, c,
+           CAST(CASE WHEN abs(c - s / n)
+                          > 3 * sqrt((q - s * s / n) / (n - 1))
+                THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+    FROM d, m ORDER BY day
+    """,
+)
+def profile_spc_counts(spark, sf_dir):
+    """Statistical-process-control monitor on daily ingest volume —
+    the 3σ control chart a pipeline scheduler checks before trusting a
+    batch (the reference's operator eyeballs row counts in its
+    progress log; this is that check as data). Daily counts reduce the
+    corpus to a calendar-sized table; the mean/σ band is one exact-
+    moment aggregate riding back on a 1-row broadcast. Flag is integer,
+    band arithmetic from exact integer moments — engine-identical."""
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    m = d.agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("double").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("q"),
+    )
+    j = d.crossJoin(F.broadcast(m))
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    band = 3 * F.sqrt((q - s * s / n) / (n - 1))
+    flag = F.when(
+        F.abs(F.col("c") - s / n) > band, F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+    return j.select("day", "c", flag.alias("out_of_control")).orderBy("day")
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -10399,6 +10546,7 @@ _PRIORITY = [
     "sink_zorder_clustered", "graph_bfs_hops", "graph_label_propagation",
     "event_attribution", "agg_trimmed_mean", "agg_mad_outliers",
     "emb_centroid_exact", "sink_versioned_stats_prune",
+    "window_interpolate_linear", "profile_spc_counts",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
