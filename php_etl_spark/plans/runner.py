@@ -111,10 +111,51 @@ def run_table(
 
     with table_metrics(table.destination) as rec:
         result = _run_table(spark, spec, table)
+        if table.maintenance:
+            _apply_maintenance(spark, table, result.path, rec)
         rec["mode"] = table.mode
         rec["rows_written"] = result.rows_written
         rec["dest_path"] = result.path
     return result
+
+
+def _apply_maintenance(
+    spark: SparkSession,
+    table: TableSpec,
+    path: str | None,
+    rec: dict,
+) -> None:
+    """Post-write layout maintenance declared on the table spec — the
+    OPTIMIZE step a scheduler would otherwise run out-of-band, here a
+    declarative part of the pipeline (the reference's configs describe
+    the whole table lifecycle in one document; layout upkeep belongs
+    in it). zorder_by reclusters (and consolidates) the destination;
+    otherwise compact_target_bytes bin-packs small files. File sinks
+    only — JDBC/Delta destinations maintain themselves."""
+    import os
+
+    from php_etl_spark.sources.maintenance import compact, zorder_write
+
+    if not path or not os.path.isdir(path):
+        return
+    m = table.maintenance or {}
+    if m.get("zorder_by"):
+        zorder_write(
+            spark.read.parquet(path),
+            path,
+            [F.col(c) for c in m["zorder_by"]],
+            n_files=int(m.get("zorder_files", 8)),
+        )
+        rec["maintenance"] = {"zorder_by": m["zorder_by"]}
+    elif m.get("compact_target_bytes"):
+        stats = compact(
+            spark, path, target_file_bytes=int(m["compact_target_bytes"])
+        )
+        rec["maintenance"] = {
+            "compacted": not stats["skipped"],
+            "files_before": stats["files_before"],
+            "files_after": stats["files_after"],
+        }
 
 
 def _run_table(

@@ -44,6 +44,11 @@ class TableSpec:
     # quarantined (default) or fail the table run
     constraints: list[dict[str, Any]] = field(default_factory=list)
     on_violation: str = "quarantine"
+    # post-write layout maintenance (sources/maintenance.py):
+    #   {"zorder_by": ["a", "b"], "zorder_files": 8} and/or
+    #   {"compact_target_bytes": 134217728}
+    # zorder takes precedence (it already consolidates files)
+    maintenance: dict[str, Any] | None = None
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "TableSpec":
@@ -69,6 +74,7 @@ class TableSpec:
             connections=d.get("connections"),
             constraints=list(d.get("constraints", [])),
             on_violation=d.get("on_violation", "quarantine"),
+            maintenance=d.get("maintenance"),
         )
 
 

@@ -546,3 +546,36 @@ def test_pipeline_emits_progress_records(spark, src_dir, tmp_path, monkeypatch):
     ]
     assert [r["done"] for r in recs] == [1, 2]
     assert recs[-1]["pct"] == 100.0
+
+
+def test_pipeline_maintenance_compact(spark, src_dir, tmp_path):
+    """A table spec can declare post-write compaction; data unchanged,
+    small files merged."""
+    from php_etl_spark.sources.maintenance import dir_file_stats
+
+    dst = str(tmp_path / "dst")
+    spec = _spec(src_dir, dst, mode="overwrite")
+    # force a fragmented write by pre-splitting the source
+    spark.read.parquet(os.path.join(src_dir, "people")).repartition(16).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(str(tmp_path), "frag", "people"))
+    frag_src = os.path.join(str(tmp_path), "frag")
+    spec = _spec(frag_src, dst, mode="overwrite",
+                 maintenance={"compact_target_bytes": 64 << 20})
+    run_pipeline(spark, spec)
+    path = os.path.join(dst, "persons")
+    n_files, _ = dir_file_stats(path)
+    assert n_files == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 3
+
+
+def test_pipeline_maintenance_zorder(spark, src_dir, tmp_path):
+    dst = str(tmp_path / "dst")
+    spec = _spec(
+        src_dir, dst, mode="overwrite",
+        maintenance={"zorder_by": ["person_id"], "zorder_files": 2},
+    )
+    run_pipeline(spark, spec)
+    out = spark.read.parquet(os.path.join(dst, "persons"))
+    assert {r.person_id for r in out.collect()} == {1, 3, 4}
