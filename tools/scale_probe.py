@@ -356,6 +356,31 @@ def main() -> int:
     seg = timed("boundary sweep, segmented 256 buckets", segmented)
     assert ref == seg, f"segmented sweep must be exact: {ref} != {seg}"
 
+    # 10. manifest-stats file pruning at 10M rows: range-cluster into
+    # 64 files, publish with per-file stats, serve a narrow range.
+    # The pointer alone must prune ≥ 90% of files (no Spark job, no
+    # data read to decide), and the answer must match the full scan.
+    from php_etl_spark.sources import versioned as V
+
+    vdir = tempfile.mkdtemp(prefix="probe_vstats_") + "/t"
+    vbase = spark.range(args.rows).select(
+        F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+    )
+    V.publish(vbase.repartitionByRange(64, "k"), vdir, stats_cols=["k"])
+    keep, total = V.pruned_files(vdir, "k", lo=1000, hi=50_000)
+    assert total == 64 and len(keep) <= 4, (len(keep), total)
+    n_pruned = timed(
+        f"stats-pruned range read ({len(keep)}/{total} files opened)",
+        V.read_pruned(spark, vdir, "k", 1000, 50_000).count,
+    )
+    n_full = timed(
+        "same range, full-scan filter baseline",
+        lambda: V.read_current(spark, vdir)
+        .filter((F.col("k") >= 1000) & (F.col("k") <= 50_000))
+        .count(),
+    )
+    assert n_pruned == n_full == 49_001, (n_pruned, n_full)
+
     print("scale probe OK")
     return 0
 
