@@ -10436,6 +10436,96 @@ def profile_spc_counts(spark, sf_dir):
     return j.select("day", "c", flag.alias("out_of_control")).orderBy("day")
 
 
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, user_id // 63 AS blk,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS word
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(SUM(bit_count(word)) AS BIGINT) AS distinct_users,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM w GROUP BY 1 ORDER BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmap words — the mergeable
+    alternative to count_distinct for dense integer keys: pack user
+    ids into 63-bit blocks with bit_or, then popcount (63, not 64:
+    bit 63 is the sign bit and a checked-overflow shift in ANSI
+    engines). Two map-side-
+    combinable aggregates; the shuffle carries (group, block, word) ≈
+    |distinct|/64 rows instead of every raw id, and the word tables
+    MERGE across partitions, days, or rollup levels with another
+    bit_or (what HLL does approximately, exact here — the
+    roaring-bitmap idea in plain SQL). popcount totals must equal
+    count_distinct; the oracle checks both word-table shape and
+    counts."""
+    ev = _cat(spark, sf_dir).events
+    w = ev.groupBy(
+        "event_type", F.expr("user_id DIV 63").alias("blk")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+        ).alias("word")
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.sum(F.bit_count("word")).alias("distinct_users"),
+            F.count("*").alias("n_words"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_argmax_by",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, user_id, total_cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY total_cents DESC, user_id) AS rn
+      FROM t
+    )
+    SELECT event_type, user_id AS top_user, total_cents AS top_cents
+    FROM r WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def agg_argmax_by(spark, sf_dir):
+    """Argmax aggregation (max_by): the top spender per event type in
+    ONE aggregate — max_by(user, struct(total, -user)) with a
+    deterministic tiebreak — where the naive formulation is a rank
+    window over every (type, user) row. The aggregate combines
+    map-side (each partition keeps one candidate per type before the
+    shuffle); the oracle is the equivalent ROW_NUMBER formulation."""
+    ev = _cat(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    t = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents")
+    )
+    best = t.groupBy("event_type").agg(
+        F.max_by(
+            F.struct(
+                F.col("user_id").alias("top_user"),
+                F.col("total_cents").alias("top_cents"),
+            ),
+            F.struct(F.col("total_cents"), (-F.col("user_id")).alias("nu")),
+        ).alias("best")
+    )
+    return best.select(
+        "event_type",
+        F.col("best.top_user").alias("top_user"),
+        F.col("best.top_cents").alias("top_cents"),
+    ).orderBy("event_type")
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -10547,6 +10637,7 @@ _PRIORITY = [
     "event_attribution", "agg_trimmed_mean", "agg_mad_outliers",
     "emb_centroid_exact", "sink_versioned_stats_prune",
     "window_interpolate_linear", "profile_spc_counts",
+    "agg_bitmap_distinct", "agg_argmax_by",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
