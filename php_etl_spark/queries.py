@@ -10526,6 +10526,149 @@ def agg_argmax_by(spark, sf_dir):
     ).orderBy("event_type")
 
 
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """mapInArrow — the zero-copy end of the Python UDF ladder
+    (row-UDF → pandas UDF → Arrow batches, SURVEY §2.11): batches
+    arrive as pyarrow RecordBatches and pyarrow.compute kernels run
+    C++ vectorized with no pandas conversion. The kernel computes
+    char and UTF-8 byte lengths — SQL-expressible on purpose, so this
+    surface carries an exact oracle like the rest of the UDF family."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _cat(spark, sf_dir).documents.select("doc_id", "text")
+
+    def kernel(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())),
+                            pa.int64()),
+                ],
+                ["doc_id", "n_chars", "n_bytes"],
+            )
+
+    return docs.mapInArrow(
+        kernel, "doc_id long, n_chars long, n_bytes long"
+    )
+
+
+@query(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+      FROM events GROUP BY 1
+    ), rev AS (
+      SELECT e.user_id,
+             date_diff('day', first_seen.d0, CAST(e.ts AS DATE)) // 7 AS wk,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN first_seen USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+    ), sz AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cohort_users FROM first_seen
+    ), byweek AS (
+      SELECT wk, CAST(SUM(cents) AS BIGINT) AS week_cents
+      FROM rev GROUP BY 1
+    )
+    SELECT wk, week_cents,
+           CAST(SUM(week_cents) OVER (ORDER BY wk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents,
+           CAST(SUM(week_cents) OVER (ORDER BY wk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / cohort_users AS ltv_cents_per_user
+    FROM byweek, sz ORDER BY wk
+    """,
+)
+def agg_cohort_ltv(spark, sf_dir):
+    """Lifetime-value curve: cumulative purchase revenue per user as a
+    function of weeks since each user's first activity — the LTV
+    companion to agg_retention_cohorts. Per-user ages come from one
+    min-date aggregate joined back (shuffle on user_id); the running
+    total windows over the WEEK-OFFSET axis, which is
+    calendar-bounded — the same histogram-window argument as the
+    Mann-Whitney and interpolation queries. Exact integer cents
+    throughout; the per-user normalization divides once at the end."""
+    ev = _cat(spark, sf_dir).events
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    rev = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .join(first_seen, "user_id")
+        .select(
+            F.expr("datediff(to_date(ts), d0) DIV 7").alias("wk"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    sz = first_seen.agg(F.count("*").alias("cohort_users"))
+    byweek = rev.groupBy("wk").agg(F.sum("cents").alias("week_cents"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        byweek.crossJoin(F.broadcast(sz))
+        .select(
+            "wk",
+            "week_cents",
+            F.sum("week_cents").over(w).alias("cum_cents"),
+            (
+                F.sum("week_cents").over(w).cast("double")
+                / F.col("cohort_users")
+            ).alias("ltv_cents_per_user"),
+        )
+        .orderBy("wk")
+    )
+
+
+@query(
+    "sink_versioned_concurrent",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100 AS n_nationkey, lower(n_name) AS n_name
+    FROM nation
+    """,
+)
+def sink_versioned_concurrent(spark, sf_dir):
+    """Marker-protocol commits (sources/versioned.publish_concurrent):
+    two sequential publishes through the create-if-absent commit path
+    — v1 is nation, v2 appends a transformed copy — then a current
+    read plus a time-travel read of v1 verify that marker allocation,
+    pointer folding, and per-version history behave identically to the
+    single-writer path (the actual RACE is exercised by the threaded
+    test in tests/test_sources.py; a race has no SQL oracle)."""
+    import tempfile
+
+    from php_etl_spark.sources import versioned as V
+
+    path = tempfile.mkdtemp(prefix="vconc_") + "/t"
+    nat = _cat(spark, sf_dir).nation.select("n_nationkey", "n_name")
+    V.publish_concurrent(nat, path)
+    second = nat.select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.lower("n_name").alias("n_name"),
+    )
+    V.publish_concurrent(nat.unionByName(second), path)
+    v1 = V.read_version(spark, path, 1)
+    assert v1.count() == nat.count()  # history resolves the exact dir
+    return V.read_current(spark, path)
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -10637,7 +10780,8 @@ _PRIORITY = [
     "event_attribution", "agg_trimmed_mean", "agg_mad_outliers",
     "emb_centroid_exact", "sink_versioned_stats_prune",
     "window_interpolate_linear", "profile_spc_counts",
-    "agg_bitmap_distinct", "agg_argmax_by",
+    "agg_bitmap_distinct", "agg_argmax_by", "udf_map_in_arrow",
+    "agg_cohort_ltv", "sink_versioned_concurrent",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

@@ -121,9 +121,9 @@ def publish(
     Concurrency contract: SINGLE WRITER. The commit is a read-pointer/
     write-pointer sequence with no compare-and-swap, so two concurrent
     publishers would both read version N and the last pointer PUT wins
-    silently. A multi-writer deployment needs a create-if-absent
-    per-version commit marker (the Delta _delta_log protocol) or an
-    external lock; readers are safe either way (the pointer swap is
+    silently. A multi-writer deployment uses ``publish_concurrent``
+    (create-if-absent per-version commit markers, the Delta _delta_log
+    protocol); readers are safe either way (the pointer swap is
     atomic and snapshots are immutable).
 
     Version numbers are allocated past the commit high-water mark
@@ -369,3 +369,103 @@ def read_pruned(
     if hi is not None:
         pred = pred & (F.col(col) <= F.lit(hi))
     return df.filter(pred)
+
+
+# --- multi-writer commits -------------------------------------------------
+
+_COMMITS = "_commits"
+
+
+def _marker_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _COMMITS, f"v{version:08d}.json")
+
+
+def _read_markers(table_dir: str) -> dict[int, dict[str, Any]]:
+    cdir = os.path.join(table_dir, _COMMITS)
+    out: dict[int, dict[str, Any]] = {}
+    if not os.path.isdir(cdir):
+        return out
+    for name in os.listdir(cdir):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(cdir, name)) as f:
+                rec = json.load(f)
+            out[int(rec["version"])] = rec
+        except (OSError, ValueError, KeyError):
+            continue  # half-written marker from a crash: ignore
+    return out
+
+
+def publish_concurrent(
+    df: DataFrame,
+    table_dir: str,
+    stats_cols: Sequence[str] | None = None,
+) -> dict[str, Any]:
+    """Multi-writer publish — the Delta-_delta_log shape that
+    ``publish()``'s single-writer contract points at: a commit is a
+    CREATE-IF-ABSENT version marker (``_commits/vN.json``), so two
+    writers racing for version N get exactly one winner (O_CREAT|O_EXCL
+    locally; If-None-Match/precondition PUT on an object store) and the
+    loser retries at N+1 with its already-written snapshot — data files
+    are never rewritten on a version conflict, only the kilobyte marker
+    allocation repeats.
+
+    The ``_CURRENT`` pointer becomes a cache: after winning a marker,
+    each writer folds ALL markers into a pointer record (version = max
+    committed marker). Two racing pointer writes converge because both
+    compute the same merged state; readers of a stale pointer still see
+    a fully committed version. Serializes COMMITS, not read-modify-write
+    transactions — upsert-vs-upsert conflict detection (Delta's OCC
+    validation) is deliberately out of scope.
+
+    The snapshot dir is uuid-only (no version prefix): the version is
+    unknown until the marker wins, and nothing about the data files
+    changes when the allocation retries."""
+    os.makedirs(os.path.join(table_dir, _COMMITS), exist_ok=True)
+    snap_rel = os.path.join(_VERSIONS, f"s-{uuid.uuid4().hex}")
+    snap_dir = os.path.join(table_dir, snap_rel)
+    df.write.mode("overwrite").parquet(snap_dir)
+    stats = (
+        _collect_file_stats(snap_dir, df, stats_cols) if stats_cols else None
+    )
+    current = read_pointer(table_dir)
+    floor_v = current.get("max_committed", current["version"]) if current else 0
+    while True:
+        markers = _read_markers(table_dir)
+        version = max([floor_v, *markers.keys()]) + 1
+        marker = {"version": version, "dir": snap_rel}
+        if stats is not None:
+            marker["stats_cols"] = list(stats_cols)
+            marker["stats"] = stats
+        try:
+            fd = os.open(
+                _marker_path(table_dir, version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # lost the race for this number: retry at next
+        with os.fdopen(fd, "w") as f:
+            json.dump(marker, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        break
+    # fold every committed marker into the pointer; racing writers
+    # compute the same merged state, so last-write-wins converges
+    markers = _read_markers(table_dir)
+    history = dict(current.get("history", {})) if current else {}
+    history.update({str(v): m["dir"] for v, m in sorted(markers.items())})
+    maxv = max(markers)
+    top = markers[maxv]
+    record: dict[str, Any] = {
+        "version": maxv,
+        "dir": top["dir"],
+        "previous": history.get(str(maxv - 1)),
+        "max_committed": maxv,
+        "history": history,
+    }
+    if "stats" in top:
+        record["stats_cols"] = top["stats_cols"]
+        record["stats"] = top["stats"]
+    _write_pointer(table_dir, record)
+    return {**record, "committed_version": version}

@@ -486,3 +486,52 @@ class TestVersionedStatsPruning:
         V.publish(spark.range(10).select(F.col("id").alias("k")), t)
         with pytest.raises(ValueError, match="no file statistics"):
             V.pruned_files(t, "k", 0, 5)
+
+
+class TestConcurrentPublish:
+    """Multi-writer commits via create-if-absent version markers
+    (sources/versioned.publish_concurrent)."""
+
+    def test_racing_writers_get_distinct_versions(self, spark, tmp_path):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from php_etl_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+
+        def one(i: int) -> int:
+            df = spark.createDataFrame([(i, f"writer{i}")], ["k", "who"])
+            return V.publish_concurrent(df, t)["committed_version"]
+
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            got = sorted(ex.map(one, range(12)))
+        assert got == list(range(1, 13)), got
+        ptr = V.read_pointer(t)
+        assert ptr["version"] == 12 and ptr["max_committed"] == 12
+        assert len(ptr["history"]) == 12
+        # every committed version is independently readable
+        for v in (1, 6, 12):
+            assert V.read_version(spark, t, v).count() == 1
+
+    def test_concurrent_interops_with_single_writer_path(self, spark, tmp_path):
+        from php_etl_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        V.publish(spark.createDataFrame([(1, "a")], ["k", "v"]), t)
+        rec = V.publish_concurrent(
+            spark.createDataFrame([(2, "b")], ["k", "v"]), t
+        )
+        assert rec["committed_version"] == 2
+        assert {r.k for r in V.read_current(spark, t).collect()} == {2}
+        # single-writer publish allocates past the marker high-water mark
+        rec3 = V.publish(spark.createDataFrame([(3, "c")], ["k", "v"]), t)
+        assert rec3["version"] == 3
+
+    def test_concurrent_publish_records_stats(self, spark, tmp_path):
+        from php_etl_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        df = spark.range(100).select(F.col("id").alias("k"))
+        V.publish_concurrent(df.repartitionByRange(4, "k"), t, stats_cols=["k"])
+        keep, total = V.pruned_files(t, "k", lo=0, hi=10)
+        assert total == 4 and len(keep) == 1
