@@ -10669,6 +10669,87 @@ def sink_versioned_concurrent(spark, sf_dir):
     return V.read_current(spark, path)
 
 
+@query(
+    "cdc_apply_log",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
+      FROM customer WHERE c_custkey <= 600
+    ), log AS (
+      -- synthetic ordered change feed: two entries per key for some
+      -- keys, so last-wins ordering is actually exercised
+      SELECT c_custkey AS k, 'U' AS op, UPPER(c_name) AS name,
+             c_acctbal + 10 AS bal, c_custkey * 10 AS lsn
+      FROM customer WHERE c_custkey BETWEEN 200 AND 500
+      UNION ALL
+      SELECT c_custkey AS k, 'D' AS op, NULL AS name, NULL AS bal,
+             c_custkey * 10 + 5 AS lsn
+      FROM customer WHERE c_custkey BETWEEN 400 AND 500
+      UNION ALL
+      SELECT c_custkey AS k, 'I' AS op, c_name || '+new' AS name,
+             c_acctbal AS bal, c_custkey * 10 AS lsn
+      FROM customer WHERE c_custkey BETWEEN 700 AND 800
+    ), last AS (
+      SELECT k, op, name, bal FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY lsn DESC) rn
+        FROM log) WHERE rn = 1
+    )
+    SELECT b.k, b.name, b.bal FROM base b
+    LEFT JOIN last l ON b.k = l.k
+    WHERE l.k IS NULL
+    UNION ALL
+    SELECT k, name, bal FROM last WHERE op <> 'D'
+    """,
+)
+def cdc_apply_log(spark, sf_dir):
+    """Change-data-capture LOG apply (the Debezium/binlog shape,
+    completing cdc_apply_snapshot): an ordered I/U/D feed collapses to
+    one effective row per key (max_by over the log-sequence-number —
+    map-side combinable, no per-key window over the log), then a
+    single outer merge applies it: deletes drop, upserts replace,
+    untouched base rows pass through. This is the reference's
+    row-migration semantics (/root/reference/sdk/migrate_assures.php:
+    165-236) driven by a change feed instead of a full re-extract —
+    the log is the only thing that moves at 100 TB."""
+    c = _cat(spark, sf_dir).customer
+    base = c.filter(F.col("c_custkey") <= 600).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    upd = c.filter(F.col("c_custkey").between(200, 500)).select(
+        F.col("c_custkey").alias("k"), F.lit("U").alias("op"),
+        F.upper("c_name").alias("name"),
+        (F.col("c_acctbal") + 10).alias("bal"),
+        (F.col("c_custkey") * 10).alias("lsn"),
+    )
+    dele = c.filter(F.col("c_custkey").between(400, 500)).select(
+        F.col("c_custkey").alias("k"), F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("double").alias("bal"),
+        (F.col("c_custkey") * 10 + 5).alias("lsn"),
+    )
+    ins = c.filter(F.col("c_custkey").between(700, 800)).select(
+        F.col("c_custkey").alias("k"), F.lit("I").alias("op"),
+        F.concat(F.col("c_name"), F.lit("+new")).alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        (F.col("c_custkey") * 10).alias("lsn"),
+    )
+    log = upd.unionByName(dele).unionByName(ins)
+    last = (
+        log.groupBy("k")
+        .agg(
+            F.max_by(
+                F.struct("op", "name", "bal"), F.col("lsn")
+            ).alias("last")
+        )
+        .select("k", "last.op", "last.name", "last.bal")
+    )
+    untouched = base.join(last.select("k"), "k", "left_anti")
+    applied = last.filter(F.col("op") != "D").select("k", "name", "bal")
+    return untouched.unionByName(applied)
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -10781,7 +10862,7 @@ _PRIORITY = [
     "emb_centroid_exact", "sink_versioned_stats_prune",
     "window_interpolate_linear", "profile_spc_counts",
     "agg_bitmap_distinct", "agg_argmax_by", "udf_map_in_arrow",
-    "agg_cohort_ltv", "sink_versioned_concurrent",
+    "agg_cohort_ltv", "sink_versioned_concurrent", "cdc_apply_log",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
