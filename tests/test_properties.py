@@ -272,3 +272,81 @@ def test_segmented_prefix_sum_identity(points, width):
         seg_best = max(seg_best, offset + local_max)
         offset += local
     assert seg_best == best
+
+
+@PROP
+@given(st.lists(st.integers(0, 5000), min_size=1, max_size=60))
+def test_bitmap_distinct_equals_exact(spark, ids):
+    """The 63-bit word-packing distinct count is EXACT for any
+    nonnegative id multiset (the agg_bitmap_distinct kernel)."""
+    df = spark.createDataFrame([(i,) for i in ids], ["user_id"])
+    got = (
+        df.groupBy(F.expr("user_id DIV 63").alias("blk"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+            ).alias("word")
+        )
+        .agg(F.sum(F.bit_count("word")).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert got == len(set(ids))
+
+
+def _zorder_deinterleave(z: int, k: int, bits: int) -> tuple[int, ...]:
+    vals = [0] * k
+    for i in range(bits):
+        for j in range(k):
+            vals[j] |= ((z >> (i * k + j)) & 1) << i
+    return tuple(vals)
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_zorder_value_is_bijective(spark, pairs):
+    """The Morton interleave reconstructs both coordinates exactly —
+    no two distinct (a, b) share a curve value."""
+    from php_etl_spark.sources.maintenance import zorder_value
+
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = df.select(
+        "a", "b", zorder_value([F.col("a"), F.col("b")], bits=8).alias("z")
+    ).collect()
+    for r in got:
+        assert _zorder_deinterleave(r.z, 2, 8) == (r.a, r.b)
+
+
+@PROP
+@given(
+    st.lists(st.integers(1, 8), min_size=1, max_size=30),
+    st.lists(st.integers(1, 8), min_size=1, max_size=30),
+)
+def test_mannwhitney_histogram_equals_bruteforce(spark, xs, ys):
+    """2·U from the value-histogram formulation equals the pair-count
+    definition 2·(#{x>y} + ties/2) on arbitrary small samples."""
+    from pyspark.sql.window import Window
+
+    rows = [(v, "R") for v in xs] + [(v, "A") for v in ys]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    h = df.groupBy("v").agg(
+        F.count(F.when(F.col("g") == "R", F.lit(1))).alias("na"),
+        F.count(F.when(F.col("g") == "A", F.lit(1))).alias("nb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    got = (
+        h.withColumn(
+            "nb_below", F.coalesce(F.sum("nb").over(w), F.lit(0)).cast("long")
+        )
+        .agg(F.sum(F.col("na") * (2 * F.col("nb_below") + F.col("nb"))).alias("u2"))
+        .collect()[0]["u2"]
+    )
+    brute = sum(2 for x in xs for y in ys if x > y) + sum(
+        1 for x in xs for y in ys if x == y
+    )
+    assert got == brute
