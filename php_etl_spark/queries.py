@@ -10750,6 +10750,37 @@ def cdc_apply_log(spark, sf_dir):
     return untouched.unionByName(applied)
 
 
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1 ORDER BY event_type
+    """,
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """Exactly-once ingestion under at-least-once delivery: the stream
+    arrives DUPLICATED (union of two replays) and
+    dropDuplicatesWithinWatermark(event_id) suppresses the replays
+    with bounded state — the watermark ages dedup keys out of the
+    state store, which is what makes stream dedup feasible forever
+    (plain dropDuplicates grows state without bound). Native Spark
+    stateful operator (no foreachBatch — stream_dedup_ingest covers
+    the custom-logic variant); results land in the checkpointed file
+    sink, and the per-type counts must equal the ORIGINAL corpus
+    exactly."""
+    s = events_stream(spark, sf_dir).select("event_id", "event_type", "ts")
+    replayed = s.union(s)
+    deduped = replayed.withWatermark(
+        "ts", "1 hour"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    out = run_to_files(deduped, "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -10863,6 +10894,7 @@ _PRIORITY = [
     "window_interpolate_linear", "profile_spc_counts",
     "agg_bitmap_distinct", "agg_argmax_by", "udf_map_in_arrow",
     "agg_cohort_ltv", "sink_versioned_concurrent", "cdc_apply_log",
+    "stream_dedup_watermark",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
