@@ -10751,7 +10751,8 @@ def cdc_apply_log(spark, sf_dir):
 
 
 @query(
-    "stream_dedup_watermark",
+    "stream_dedup_watermark", "agg_log_histogram_quantiles",
+    "agg_geometric_mean",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY 1 ORDER BY event_type
@@ -10779,6 +10780,126 @@ def stream_dedup_watermark(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_log_histogram_quantiles",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND value > 0
+    ), h AS (
+      SELECT event_type, CAST(floor(ln(v) / ln(2)) AS BIGINT) AS bkt,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM c GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, bkt, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bkt) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM h
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN cum >= 0.50 * total THEN bkt END) AS BIGINT)
+             AS p50_bucket,
+           CAST(MIN(CASE WHEN cum >= 0.95 * total THEN bkt END) AS BIGINT)
+             AS p95_bucket,
+           CAST(MIN(CASE WHEN cum >= 0.99 * total THEN bkt END) AS BIGINT)
+             AS p99_bucket,
+           CAST(SUM(n) AS BIGINT) AS n_values
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_log_histogram_quantiles(spark, sf_dir):
+    """Quantiles from a MERGEABLE log₂ histogram (the HdrHistogram /
+    Prometheus-bucket idea): values collapse to power-of-two buckets
+    (≤ ~64 rows per group, bounded relative error), the histogram
+    merges across partitions/hosts/days with plain addition, and a
+    quantile is the first bucket whose cumulative count crosses p —
+    no global sort, no percentile shuffle of raw values, deterministic
+    by construction. The window runs over the ≤64-row bucket table per
+    group. This is how latency percentiles survive 100 TB; the exact
+    percentile_disc family here stays for when exactness matters."""
+    ev = _cat(spark, sf_dir).events.filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    h = c.groupBy(
+        "event_type",
+        F.floor(F.log(F.col("v")) / F.log(F.lit(2.0))).alias("bkt"),
+    ).agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window
+
+    wc = Window.partitionBy("event_type").orderBy("bkt")
+    wt = Window.partitionBy("event_type")
+    t = h.select(
+        "event_type", "bkt", "n",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    q = lambda p: F.min(  # noqa: E731
+        F.when(F.col("cum") >= p * F.col("total"), F.col("bkt"))
+    )
+    return (
+        t.groupBy("event_type")
+        .agg(
+            q(0.50).alias("p50_bucket"),
+            q(0.95).alias("p95_bucket"),
+            q(0.99).alias("p99_bucket"),
+            F.sum("n").alias("n_values"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_geometric_mean",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, v FROM (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+      ) WHERE v >= 1
+    ), m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(ln(v) * 1000000000) AS BIGINT)) AS BIGINT)
+               AS slog_nano
+      FROM c GROUP BY 1
+    )
+    SELECT event_type, n,
+           CAST(slog_nano // n AS BIGINT) AS mean_log_nano
+    FROM m ORDER BY event_type
+    """,
+)
+def agg_geometric_mean(spark, sf_dir):
+    """Geometric mean in the LOG domain with a hash-stable sum: a
+    plain SUM(ln x) is a float sum whose value depends on partition
+    order — never reproducible across engines or shuffles. Quantizing
+    each ln to integer nano-units makes the sum exact and associative
+    (the same move as the PSI/DSIR terms). The published value is the
+    log-domain mean in integer nano-units (slog DIV n — exact;
+    geomean = exp(·/1e9)): the final exp() itself is deliberately NOT
+    in the result because libm exp differs by 1 ULP between engines —
+    measured, not hypothetical — and a conformance surface publishes
+    only bit-stable numbers. Quantization error ≤ 1e-9 per row in the
+    exponent."""
+    ev = _cat(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).filter(F.col("v") >= 1)
+    m = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.floor(F.log(F.col("v")) * 1000000000).cast("long")
+        ).alias("slog_nano"),
+    )
+    return m.select(
+        "event_type", "n",
+        F.expr("slog_nano DIV n").alias("mean_log_nano"),
+    ).orderBy("event_type")
 
 
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
@@ -10894,7 +11015,8 @@ _PRIORITY = [
     "window_interpolate_linear", "profile_spc_counts",
     "agg_bitmap_distinct", "agg_argmax_by", "udf_map_in_arrow",
     "agg_cohort_ltv", "sink_versioned_concurrent", "cdc_apply_log",
-    "stream_dedup_watermark",
+    "stream_dedup_watermark", "agg_log_histogram_quantiles",
+    "agg_geometric_mean",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
