@@ -33,6 +33,7 @@ class TableResult:
     table: str
     rows_written: int
     path: str | None
+    skipped: bool = False
 
 
 def build_table_frame(
@@ -228,10 +229,82 @@ def _run_table(
     return TableResult(table.destination, n, dest_path)
 
 
+def _table_fingerprint(spec: PipelineSpec, table: TableSpec) -> str:
+    """Content hash of everything that determines a table's output:
+    its own spec plus the global connections. A resumed run SKIPS a
+    completed table only when the fingerprint still matches — edit the
+    spec and the table re-runs."""
+    import hashlib
+    import json as _json
+    from dataclasses import asdict
+
+    payload = {"table": asdict(table), "connections": spec.connections}
+    return hashlib.sha256(
+        _json.dumps(payload, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
+class RunState:
+    """Crash-resumable pipeline state: one JSON file mapping completed
+    destinations to their spec fingerprints, rewritten atomically after
+    every table. A rerun with the same state_path skips tables already
+    completed under an identical spec — the driver-restart story the
+    reference gets by re-running import.sh and relying on per-row
+    existence probes; here the probe is one file read, not a table
+    scan. Delete the state file (or change the spec) to force."""
+
+    def __init__(self, path: str):
+        import json as _json
+        import os as _os
+
+        self.path = path
+        self.completed: dict[str, str] = {}
+        if _os.path.exists(path):
+            with open(path) as f:
+                self.completed = _json.load(f).get("completed", {})
+
+    def is_done(self, dest: str, fingerprint: str) -> bool:
+        return self.completed.get(dest) == fingerprint
+
+    def mark(self, dest: str, fingerprint: str) -> None:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        self.completed[dest] = fingerprint
+        tmp = f"{self.path}.tmp-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            _json.dump({"completed": self.completed}, f, sort_keys=True)
+        _os.replace(tmp, self.path)
+
+
+def _run_or_skip(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    table: TableSpec,
+    state: "RunState | None",
+) -> TableResult:
+    if state is None:
+        return run_table(spark, spec, table)
+    fp = _table_fingerprint(spec, table)
+    if state.is_done(table.destination, fp):
+        return TableResult(table.destination, 0, None, skipped=True)
+    result = run_table(spark, spec, table)
+    state.mark(table.destination, fp)
+    return result
+
+
 def run_pipeline(
-    spark: SparkSession, spec: PipelineSpec, max_parallel: int = 1
+    spark: SparkSession,
+    spec: PipelineSpec,
+    max_parallel: int = 1,
+    state_path: str | None = None,
 ) -> list[TableResult]:
     """Execute the tables[] DAG (/root/reference/sdk/etl.php:91-150).
+
+    ``state_path`` enables crash-resume: completed tables are recorded
+    (destination → spec fingerprint) after each success and skipped on
+    rerun while their spec is unchanged.
 
     ``max_parallel=1`` is the reference's sequential order (its
     parallel execution is a TODO at sdk/etl.php:146). With
@@ -251,10 +324,12 @@ def run_pipeline(
     # to the metrics JSONL only when one is configured
     progress = ProgressEstimator(total=len(spec.tables))
 
+    state = RunState(state_path) if state_path else None
+
     if max_parallel <= 1:
         out: list[TableResult] = []
         for t in spec.tables:
-            out.append(run_table(spark, spec, t))
+            out.append(_run_or_skip(spark, spec, t, state))
             progress.update(len(out))
             progress.emit_progress("pipeline")
         return out
@@ -290,7 +365,10 @@ def run_pipeline(
     order: list[str] = [t.destination for t in spec.tables]
     for stage in stages:
         with ThreadPoolExecutor(max_workers=max_parallel) as pool:
-            futs = {t.destination: pool.submit(run_table, spark, spec, t) for t in stage}
+            futs = {
+                t.destination: pool.submit(_run_or_skip, spark, spec, t, state)
+                for t in stage
+            }
             for dest, fut in futs.items():
                 results[dest] = fut.result()
                 progress.update(len(results))

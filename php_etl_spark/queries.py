@@ -10751,8 +10751,7 @@ def cdc_apply_log(spark, sf_dir):
 
 
 @query(
-    "stream_dedup_watermark", "agg_log_histogram_quantiles",
-    "agg_geometric_mean",
+    "stream_dedup_watermark",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY 1 ORDER BY event_type
@@ -10902,6 +10901,46 @@ def agg_geometric_mean(spark, sf_dir):
     ).orderBy("event_type")
 
 
+@query(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT r.r_name, t.n_name, t.n_sup
+    FROM region r, LATERAL (
+      SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_sup
+      FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY n_sup DESC, n.n_name LIMIT 2
+    ) t
+    """,
+)
+def sql_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery (SQL:1999 LATERAL / CROSS APPLY):
+    top-2 supplier nations per region written the way an analyst
+    writes it. Catalyst DECORRELATES the per-region subquery into a
+    join + window under the hood — the declarative surface costs
+    nothing at scale because the optimizer rewrites it to the same
+    plan as window_topk_per_group. Registered through spark.sql to
+    exercise the SQL front end, not the DataFrame DSL."""
+    c = _cat(spark, sf_dir)
+    c.region.createOrReplaceTempView("lat_region")
+    c.nation.createOrReplaceTempView("lat_nation")
+    c.supplier.createOrReplaceTempView("lat_supplier")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_sup
+        FROM lat_region r, LATERAL (
+          SELECT n.n_name, COUNT(*) AS n_sup
+          FROM lat_nation n JOIN lat_supplier s
+            ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_sup DESC, n.n_name LIMIT 2
+        ) t
+        """
+    )
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -11015,6 +11054,8 @@ _PRIORITY = [
     "window_interpolate_linear", "profile_spc_counts",
     "agg_bitmap_distinct", "agg_argmax_by", "udf_map_in_arrow",
     "agg_cohort_ltv", "sink_versioned_concurrent", "cdc_apply_log",
+    "stream_dedup_watermark", "agg_log_histogram_quantiles",
+    "agg_geometric_mean", "sql_lateral_topk",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean",
     # TPC-H-shape tail

@@ -579,3 +579,22 @@ def test_pipeline_maintenance_zorder(spark, src_dir, tmp_path):
     run_pipeline(spark, spec)
     out = spark.read.parquet(os.path.join(dst, "persons"))
     assert {r.person_id for r in out.collect()} == {1, 3, 4}
+
+
+def test_pipeline_resume_skips_completed_tables(spark, src_dir, tmp_path):
+    """state_path makes reruns skip tables completed under an
+    unchanged spec; editing the spec re-runs the table."""
+    dst = str(tmp_path / "dst")
+    state = str(tmp_path / "state.json")
+    spec = _spec(src_dir, dst, mode="overwrite")
+    first = run_pipeline(spark, spec, state_path=state)
+    assert not first[0].skipped and first[0].rows_written == 3
+    second = run_pipeline(spark, spec, state_path=state)
+    assert second[0].skipped and second[0].rows_written == 0
+    # spec change -> fingerprint change -> re-run
+    spec2 = _spec(src_dir, dst, mode="overwrite", query="id > 1")
+    third = run_pipeline(spark, spec2, state_path=state)
+    assert not third[0].skipped
+    # without state_path, never skips
+    fourth = run_pipeline(spark, spec)
+    assert not fourth[0].skipped
