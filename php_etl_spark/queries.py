@@ -10941,6 +10941,142 @@ def sql_lateral_topk(spark, sf_dir):
     )
 
 
+@query(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, t FROM (
+        SELECT lang, unnest({_TOKS_SQL}) AS t FROM documents
+      )
+    ), vocab AS (
+      SELECT t FROM (
+        SELECT t, COUNT(*) AS f,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rk
+        FROM tok GROUP BY t
+      ) WHERE rk <= 1000
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE vocab.t IS NULL) AS BIGINT)
+             AS n_oov,
+           CAST(floor(1000000.0 * COUNT(*) FILTER (WHERE vocab.t IS NULL)
+                      / COUNT(*)) AS BIGINT) AS oov_ppm
+    FROM tok LEFT JOIN vocab USING (t)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per language against the corpus's own
+    top-1000 token vocabulary — the tokenizer-coverage report that
+    decides whether a vocab is big enough for a language before
+    training starts. The vocabulary is vocab-sized and BROADCAST to
+    the token stream (the stream is never shuffled by token); the rate
+    publishes in integer ppm. Deterministic vocab selection: frequency
+    with lexicographic tiebreak."""
+    docs = _cat(spark, sf_dir).documents
+    tok = docs.select("lang", F.explode(T.tokens("text")).alias("t"))
+    from pyspark.sql.window import Window
+
+    freq = tok.groupBy("t").agg(F.count("*").alias("f"))
+    rk = F.row_number().over(Window.orderBy(F.desc("f"), "t"))
+    vocab = (
+        freq.withColumn("rk", rk).filter(F.col("rk") <= 1000)
+        .select("t", F.lit(1).alias("__in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "t", "left")
+    oov = F.count(F.when(F.col("__in_vocab").isNull(), F.lit(1)))
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            oov.alias("n_oov"),
+            F.floor(
+                1000000.0
+                * F.count(F.when(F.col("__in_vocab").isNull(), F.lit(1)))
+                / F.count("*")
+            ).alias("oov_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "docs_length_histogram",
+    oracle=f"""
+    WITH n AS (
+      SELECT CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+    )
+    SELECT CAST(floor(ln(GREATEST(n_tokens, 1)) / ln(2)) AS BIGINT)
+             AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(2048 - (n_tokens % 2048)) AS BIGINT)
+             AS pad_waste_at_2048
+    FROM n GROUP BY 1 ORDER BY len_bucket
+    """,
+)
+def docs_length_histogram(spark, sf_dir):
+    """Sequence-length distribution in power-of-two buckets plus the
+    padding waste a naive one-doc-per-row loader would pay at a 2048
+    context — the report that motivates sequence packing
+    (docs_pack_budget) and shows what it saves. One narrow pass +
+    bucket aggregate; all integers."""
+    docs = _cat(spark, sf_dir).documents
+    n = docs.select(T.token_count("text").cast("long").alias("n_tokens"))
+    bucket = F.floor(
+        F.log(F.greatest(F.col("n_tokens"), F.lit(1))) / F.log(F.lit(2.0))
+    )
+    return (
+        n.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(2048 - (F.col("n_tokens") % 2048)).alias(
+                "pad_waste_at_2048"
+            ),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+@query(
+    "profile_freshness",
+    oracle="""
+    WITH m AS (SELECT MAX(ts) AS global_max FROM events)
+    SELECT event_type,
+           MAX(ts) AS latest,
+           CAST(date_diff('second', MAX(ts), global_max) AS BIGINT)
+             AS lag_seconds,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events, m
+    GROUP BY event_type, global_max ORDER BY event_type
+    """,
+)
+def profile_freshness(spark, sf_dir):
+    """Data-freshness monitor: per-source lag behind the newest event
+    anywhere — the staleness alarm an ingest SLA hangs on (the
+    reference's operator reads the progress log for this; here it's a
+    query over the data itself). One aggregate + a 1-row broadcast;
+    lag in integer seconds."""
+    ev = _cat(spark, sf_dir).events
+    m = ev.agg(F.max("ts").alias("global_max"))
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest"), F.count("*").alias("n")
+    )
+    return (
+        per.crossJoin(F.broadcast(m))
+        .select(
+            "event_type",
+            "latest",
+            (
+                F.unix_timestamp("global_max") - F.unix_timestamp("latest")
+            ).alias("lag_seconds"),
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -11055,7 +11191,8 @@ _PRIORITY = [
     "agg_bitmap_distinct", "agg_argmax_by", "udf_map_in_arrow",
     "agg_cohort_ltv", "sink_versioned_concurrent", "cdc_apply_log",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
-    "agg_geometric_mean", "sql_lateral_topk",
+    "agg_geometric_mean", "sql_lateral_topk", "text_oov_rate",
+    "docs_length_histogram", "profile_freshness",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean",
     # TPC-H-shape tail
