@@ -11077,6 +11077,92 @@ def profile_freshness(spark, sf_dir):
     )
 
 
+@query(
+    "event_top_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS sess
+      FROM flagged
+    ), arr AS (
+      SELECT user_id, sess,
+             list(event_type ORDER BY ts, event_id) AS a
+      FROM numbered GROUP BY 1, 2
+    ), tri AS (
+      SELECT a[i] || '>' || a[i+1] || '>' || a[i+2] AS path
+      FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a) - 2)) AS i)
+      WHERE len(a) >= 3
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def event_top_paths(spark, sf_dir):
+    """Journey-path analysis: the 10 most common 3-step event-type
+    sequences within 30-minute sessions — the 'what do users do next'
+    report funnels are built from. Sessionize (per-user gap window),
+    collect each session's ordered type array, slide a 3-gram over it
+    with a higher-order transform (columnar, same machinery as word
+    shingles), count. Sessions are user-bounded, so the collect_list
+    is session-sized, never corpus-sized; the deterministic intra-tie
+    order is (ts, event_id) on both engines."""
+    ev = _cat(spark, sf_dir).events
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            >= 1800,
+            1,
+        ).otherwise(0)
+    )
+    numbered = ev.select(
+        "user_id", "ts", "event_id", "event_type", brk.alias("brk")
+    ).withColumn("sess", F.sum("brk").over(w))
+    arr = (
+        numbered.groupBy("user_id", "sess")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("s")
+        )
+        .select(
+            F.expr("transform(s, x -> x.event_type)").alias("a")
+        )
+    )
+    tri = (
+        arr.filter(F.size("a") >= 3)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 2),
+                    lambda i: F.concat_ws(
+                        ">",
+                        F.element_at(F.col("a"), i),
+                        F.element_at(F.col("a"), i + 1),
+                        F.element_at(F.col("a"), i + 2),
+                    ),
+                )
+            ).alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -11192,7 +11278,7 @@ _PRIORITY = [
     "agg_cohort_ltv", "sink_versioned_concurrent", "cdc_apply_log",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean", "sql_lateral_topk", "text_oov_rate",
-    "docs_length_histogram", "profile_freshness",
+    "docs_length_histogram", "profile_freshness", "event_top_paths",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean",
     # TPC-H-shape tail
