@@ -494,6 +494,28 @@ AUDITS = {
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoop" not in p),
     ],
+    "text_oov_rate": [
+        ("vocab side broadcasts; the token stream is never shuffled "
+         "by token for the membership probe",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "sql_lateral_topk": [
+        ("Catalyst decorrelates the LATERAL subquery — no per-region "
+         "re-execution, no cartesian/nested-loop fallback",
+         lambda p: "CartesianProduct" not in p),
+        ("decorrelated to a rank window (same plan as the DSL top-k)",
+         lambda p: p.split("== Initial Plan ==")[0].count("Window [") >= 1),
+    ],
+    "agg_bitmap_distinct": [
+        ("two hash aggregates, both map-side combinable (partial "
+         "bit_or before the shuffle)",
+         lambda p: "partial_bit_or" in p or "partial_" in p),
+        ("no join, no window",
+         lambda p: "Join" not in p
+         and p.split("== Initial Plan ==")[0].count("Window [") == 0),
+    ],
     "agg_cumulative_distinct": [
         ("running sum windows over per-day rows, AFTER the per-user "
          "reduction (single-partition window is |dates|-sized)",
