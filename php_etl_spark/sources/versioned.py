@@ -444,7 +444,12 @@ def publish_concurrent(
                 os.O_CREAT | os.O_EXCL | os.O_WRONLY,
             )
         except FileExistsError:
-            continue  # lost the race for this number: retry at next
+            # lost the race for this number — OR the number is squatted
+            # by a crashed writer's half-written marker (unreadable, so
+            # _read_markers skips it and would hand out the same number
+            # forever). Either way: that version is burned, move past it.
+            floor_v = version
+            continue
         with os.fdopen(fd, "w") as f:
             json.dump(marker, f, sort_keys=True)
             f.flush()

@@ -535,3 +535,21 @@ class TestConcurrentPublish:
         V.publish_concurrent(df.repartitionByRange(4, "k"), t, stats_cols=["k"])
         keep, total = V.pruned_files(t, "k", lo=0, hi=10)
         assert total == 4 and len(keep) == 1
+
+    def test_corrupt_marker_is_ignored_and_version_skipped(self, spark, tmp_path):
+        """A half-written marker (crashed writer) must not break
+        commits; the version number it squatted is skipped, never
+        reused (its snapshot may exist in partial form)."""
+        import os
+
+        from php_etl_spark.sources import versioned as V
+
+        t = str(tmp_path / "t")
+        V.publish_concurrent(spark.createDataFrame([(1,)], ["k"]), t)
+        # simulate a crash: version-2 marker exists but is truncated
+        with open(V._marker_path(t, 2), "w") as f:
+            f.write('{"version": 2, "di')
+        rec = V.publish_concurrent(spark.createDataFrame([(2,)], ["k"]), t)
+        assert rec["committed_version"] == 3  # 2 squatted by the crash
+        assert V.read_pointer(t)["version"] == 3
+        assert {r.k for r in V.read_current(spark, t).collect()} == {2}
