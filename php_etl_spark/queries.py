@@ -4380,35 +4380,41 @@ def join_market_share_q8(spark, sf_dir):
 @query(
     "agg_corr_exact",
     oracle="""
-    SELECT l_returnflag,
-           COUNT(*) AS n,
-           CAST((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                     * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
-                 - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                   * CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE))
-                / (sqrt(COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                          * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                        - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                          * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE))
-                   * sqrt(COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
-                          * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
-                        - CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
-                          * CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)))
-                AS DOUBLE) AS corr_qty_price
-    FROM lineitem GROUP BY l_returnflag
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM c GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_qty_price
+    FROM m
     """,
 )
 def agg_corr_exact(spark, sf_dir):
-    """Pearson correlation from EXACT decimal moments: accumulate
-    (n, Σx, Σy, Σx², Σy², Σxy) as decimals — associative, partition-
-    order-independent, engine-identical — then one double formula per
-    group. Built-in ``corr()`` sums doubles in partition order and is
-    NOT reproducible across engines or shuffles; moment sketches in
-    exact arithmetic are (the same trick that makes every money
-    aggregate here hash-stable)."""
+    """Pearson correlation from EXACT integer moments: quantities are
+    integral, prices quantize to cents, and (n, Σx, Σy, Σx², Σy², Σxy)
+    accumulate as integer-valued decimals — associative, partition-
+    order-independent — then one double formula per group (corr is
+    scale-invariant, so cents change nothing). Integer-VALUED sums
+    matter, not just exact ones: a fractional decimal → double cast is
+    double-rounded (value/10^scale) and the two engines round it
+    differently above 2^53 — the 1-ULP drift the sf0.001 differential
+    run caught in the earlier fractional-decimal formulation. Built-in
+    ``corr()`` is worse still: it sums doubles in partition order and
+    is not reproducible across shuffles."""
     li = _cat(spark, sf_dir).lineitem
-    x = dec("l_quantity", "decimal(12,2)")
-    y = dec("l_extendedprice", "decimal(14,2)")
+    x = F.col("l_quantity").cast("long").cast("decimal(38,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
     g = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(x).alias("sx"),
