@@ -30,6 +30,18 @@ def main(argv: list[str] | None = None) -> int:
         help="JSONL path for per-table run metrics (rows, bytes, wall "
         "seconds, rows/sec); also honors SPARK_GRAFT_METRICS",
     )
+    ap.add_argument(
+        "--explain",
+        action="store_true",
+        help="dry run: compile each table's transform plan and print "
+        "the physical plan (pushed filters, pruned scan schema, join "
+        "strategies) without writing anything",
+    )
+    ap.add_argument(
+        "--state",
+        help="crash-resume state file: completed tables are recorded "
+        "here and skipped on rerun while their spec is unchanged",
+    )
     args = ap.parse_args(argv)
 
     with open(args.config) as f:
@@ -48,7 +60,18 @@ def main(argv: list[str] | None = None) -> int:
         os.environ[observability.ENV_KEY] = args.metrics
     spark = get_spark("php-etl-spark-cli", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
-    results = run_pipeline(spark, spec)
+    if args.explain:
+        # the reference has no dry-run; at cluster scale you want the
+        # plan (did the filter push down? which side broadcasts?)
+        # before you pay for the run
+        from php_etl_spark.plans.runner import build_table_frame
+
+        for t in spec.tables:
+            frame = build_table_frame(spark, spec, t)
+            print(f"== {t.source} -> {t.destination} ==")
+            print(frame._jdf.queryExecution().executedPlan().toString())
+        return 0
+    results = run_pipeline(spark, spec, state_path=args.state)
     for r in results:
         print(json.dumps({"table": r.table, "rows_written": r.rows_written, "path": r.path}))
     if observability.metrics_path():

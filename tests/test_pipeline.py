@@ -598,3 +598,37 @@ def test_pipeline_resume_skips_completed_tables(spark, src_dir, tmp_path):
     # without state_path, never skips
     fourth = run_pipeline(spark, spec)
     assert not fourth[0].skipped
+
+
+def test_cli_explain_dry_run(spark, tmp_path, capsys):
+    """--explain prints each table's physical plan and writes nothing."""
+    import json
+
+    from php_etl_spark.cli import main
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    spec = {
+        "tables": [
+            {
+                "flow": "nation -> nation_out",
+                "columns": ["key <- [n_nationkey]", "name <- [n_name]"],
+                "query": "n_regionkey = 1",
+            }
+        ]
+    }
+    cfg = tmp_path / "spec.json"
+    cfg.write_text(json.dumps(spec))
+    out_dir = tmp_path / "out"
+    rc = main(
+        [
+            "--config", str(cfg),
+            "--from-path", sf,
+            "--to-path", str(out_dir),
+            "--explain",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "nation -> nation_out" in printed
+    assert "FileScan" in printed and "PushedFilters" in printed
+    assert not (out_dir / "nation_out").exists(), "dry run must not write"
