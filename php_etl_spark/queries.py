@@ -11169,6 +11169,53 @@ def event_top_paths(spark, sf_dir):
     )
 
 
+@query("ml_logreg_quality")
+def ml_logreg_quality(spark, sf_dir):
+    """Train the corpus-quality classifier IN the engine
+    (llm/quality_model.py): logistic regression by full-batch gradient
+    descent where each iteration is ONE codegen aggregate and the
+    driver sees k+2 doubles per round — model-sized traffic, the
+    pagerank contract. The demonstrated task is heuristic
+    DISTILLATION (the standard bootstrap for a pretraining filter:
+    start from a hand rule, fit a calibrated model, swap in better
+    labels later without touching the pipeline): label = top-half of
+    text_quality_score's composite, features = the raw quality
+    signals; the trained model must reproduce the rule (high mean
+    score on the positive class, low on the negative). Iterative
+    float fixpoint ⇒ rows-only; convergence, accuracy, and
+    determinism are pytest-asserted (tests/test_llm.py)."""
+    from php_etl_spark.llm.quality_model import scorer, train_logreg
+
+    docs = _cat(spark, sf_dir).documents
+    qs = T.quality_stats(docs)
+    med = qs.agg(
+        F.expr(
+            "percentile_approx(quality_score, 0.5, 100000)"
+        ).alias("m")
+    )
+    feats = qs.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        F.col("stopword_ratio").alias("f_stop"),
+        F.col("digit_ratio").alias("f_digit"),
+        F.col("upper_ratio").alias("f_upper"),
+        F.col("punct_ratio").alias("f_punct"),
+        F.col("avg_token_len").alias("f_wlen"),
+        (F.col("quality_score") >= F.col("m")).cast("double").alias("y"),
+    )
+    cols = ["f_stop", "f_digit", "f_upper", "f_punct", "f_wlen"]
+    model = train_logreg(feats, cols, "y", iterations=40, lr=1.0)
+    p = scorer(model, cols)
+    return (
+        feats.select("y", p.alias("p"))
+        .groupBy(F.col("y").cast("boolean").alias("is_high_quality"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p"), 3).alias("mean_score"),
+        )
+        .orderBy("is_high_quality")
+    )
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -11285,6 +11332,7 @@ _PRIORITY = [
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean", "sql_lateral_topk", "text_oov_rate",
     "docs_length_histogram", "profile_freshness", "event_top_paths",
+    "ml_logreg_quality",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean",
     # TPC-H-shape tail

@@ -819,3 +819,33 @@ def test_shard_shuffle_stable_placement_reshuffled_order(spark):
     assert changed > len(e0) * 0.9, "epoch salt must reshuffle the order"
     shards = {r.shard for r in e0}
     assert shards == set(range(8))
+
+
+def test_logreg_learns_separable_data(spark):
+    """GD logistic regression: loss decreases monotonically and a
+    linearly separable synthetic set is classified correctly."""
+    from php_etl_spark.llm.quality_model import scorer, train_logreg
+
+    rows = [(float(i % 7), float((i * 3) % 5), 1.0 if (i % 7) >= 3 else 0.0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "a double, b double, y double")
+    model = train_logreg(df, ["a", "b"], "y", iterations=30, lr=1.0)
+    losses = model["losses"]
+    assert all(l2 <= l1 + 1e-9 for l1, l2 in zip(losses, losses[1:])), losses
+    preds = df.select(
+        "y", (scorer(model, ["a", "b"]) > 0.5).cast("double").alias("p")
+    ).collect()
+    acc = sum(1 for r in preds if r.p == r.y) / len(preds)
+    assert acc >= 0.95, acc
+    # a is the discriminative feature
+    assert abs(model["weights"]["a"]) > abs(model["weights"]["b"])
+
+
+def test_logreg_deterministic_across_runs(spark):
+    from php_etl_spark.llm.quality_model import train_logreg
+
+    rows = [(float(i % 10), 1.0 if i % 10 > 4 else 0.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "a double, y double")
+    m1 = train_logreg(df, ["a"], "y", iterations=10)
+    m2 = train_logreg(df, ["a"], "y", iterations=10)
+    assert m1["weights"] == m2["weights"] and m1["losses"] == m2["losses"]
