@@ -11216,6 +11216,109 @@ def ml_logreg_quality(spark, sf_dir):
     )
 
 
+@query(
+    "ml_linreg_normal_eq",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS sx1,
+             CAST(SUM(x2) AS DOUBLE) AS sx2,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS sx11,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS sx12,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS sx22,
+             CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS sx1y,
+             CAST(SUM(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS sx2y
+      FROM c GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           (sy * (sx11 * sx22 - sx12 * sx12)
+              - sx1 * (sx1y * sx22 - sx12 * sx2y)
+              + sx2 * (sx1y * sx12 - sx11 * sx2y))
+           / (n * (sx11 * sx22 - sx12 * sx12)
+              - sx1 * (sx1 * sx22 - sx12 * sx2)
+              + sx2 * (sx1 * sx12 - sx11 * sx2)) AS intercept_cents,
+           (n * (sx1y * sx22 - sx12 * sx2y)
+              - sy * (sx1 * sx22 - sx12 * sx2)
+              + sx2 * (sx1 * sx2y - sx1y * sx2))
+           / (n * (sx11 * sx22 - sx12 * sx12)
+              - sx1 * (sx1 * sx22 - sx12 * sx2)
+              + sx2 * (sx1 * sx12 - sx11 * sx2)) AS beta_qty,
+           (n * (sx11 * sx2y - sx1y * sx12)
+              - sx1 * (sx1 * sx2y - sx1y * sx2)
+              + sy * (sx1 * sx12 - sx11 * sx2))
+           / (n * (sx11 * sx22 - sx12 * sx12)
+              - sx1 * (sx1 * sx22 - sx12 * sx2)
+              + sx2 * (sx1 * sx12 - sx11 * sx2)) AS beta_disc
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def ml_linreg_normal_eq(spark, sf_dir):
+    """Multivariate OLS (price ~ quantity + discount, per return flag)
+    solved in CLOSED FORM from exact integer moments: one aggregate
+    pass accumulates the 3×3 normal-equation matrix (nine integer-
+    valued sums — associative, partition-order-independent), then
+    Cramer's rule is a fixed double formula per group row. Unlike the
+    iterative trainer (ml_logreg_quality), this model carries an EXACT
+    cross-engine SQL oracle — the two formulations bracket the
+    in-engine-training space: closed-form-with-oracle vs
+    iterative-rows-only. MLlib's LinearRegression does the same
+    normal-equation solve for small feature counts; here the solve is
+    visible and engine-checkable."""
+    li = _cat(spark, sf_dir).lineitem
+    x1 = F.col("l_quantity").cast("long").cast("decimal(38,0)")
+    x2 = F.round(F.col("l_discount") * 100).cast("decimal(38,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x1).cast("double").alias("sx1"),
+        F.sum(x2).cast("double").alias("sx2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("sx11"),
+        F.sum(x1 * x2).cast("double").alias("sx12"),
+        F.sum(x2 * x2).cast("double").alias("sx22"),
+        F.sum(x1 * y).cast("double").alias("sx1y"),
+        F.sum(x2 * y).cast("double").alias("sx2y"),
+    )
+    n, sx1, sx2, sy = F.col("n"), F.col("sx1"), F.col("sx2"), F.col("sy")
+    sx11, sx12, sx22 = F.col("sx11"), F.col("sx12"), F.col("sx22")
+    sx1y, sx2y = F.col("sx1y"), F.col("sx2y")
+    det = (
+        n * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx12 - sx11 * sx2)
+    )
+    det0 = (
+        sy * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1y * sx22 - sx12 * sx2y)
+        + sx2 * (sx1y * sx12 - sx11 * sx2y)
+    )
+    det1 = (
+        n * (sx1y * sx22 - sx12 * sx2y)
+        - sy * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    )
+    det2 = (
+        n * (sx11 * sx2y - sx1y * sx12)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx12 - sx11 * sx2)
+    )
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        (det0 / det).alias("intercept_cents"),
+        (det1 / det).alias("beta_qty"),
+        (det2 / det).alias("beta_disc"),
+    ).orderBy("l_returnflag")
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -11332,7 +11435,7 @@ _PRIORITY = [
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean", "sql_lateral_topk", "text_oov_rate",
     "docs_length_histogram", "profile_freshness", "event_top_paths",
-    "ml_logreg_quality",
+    "ml_logreg_quality", "ml_linreg_normal_eq",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean",
     # TPC-H-shape tail
