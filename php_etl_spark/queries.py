@@ -11319,6 +11319,61 @@ def ml_linreg_normal_eq(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events WHERE event_id % 100 = 0
+    """,
+)
+def fn_variant_json(spark, sf_dir):
+    """The VARIANT type (Spark 4 / open variant encoding — the
+    schema-on-read path for semi-structured columns): parse_json once
+    into the binary variant form, then variant_get extracts typed
+    fields WITHOUT re-parsing the JSON text per access — the
+    difference between one parse and one-parse-per-field when a row
+    carries many extractions. fn_json covers the classic
+    get_json_object string path; this is its typed successor."""
+    ev = _cat(spark, sf_dir).events.filter(F.col("event_id") % 100 == 0)
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return v.select(
+        "event_id", k.alias("k_val"), (k % 10).alias("k_mod")
+    )
+
+
+@query(
+    "scan_xml_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_xml_roundtrip(spark, sf_dir):
+    """Native XML source/sink (built into Spark 4; previously the
+    spark-xml package): write nation as XML row elements, read it
+    back through the distributed XML reader with an explicit rowTag.
+    Completes the text-format family (csv/json/orc/binary/xml) of the
+    reference's ReadWriter surface
+    (/root/reference/sdk/src/IO/ReadWriter.php:29-88)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="xml_") + "/nation"
+    nat = _cat(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nat.write.format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(path)
+    back = (
+        spark.read.format("xml").option("rowTag", "nation").load(path)
+    )
+    return back.select(
+        F.col("n_nationkey").cast("long"),
+        F.col("n_name").cast("string"),
+        F.col("n_regionkey").cast("long"),
+    )
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -11435,7 +11490,8 @@ _PRIORITY = [
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean", "sql_lateral_topk", "text_oov_rate",
     "docs_length_histogram", "profile_freshness", "event_top_paths",
-    "ml_logreg_quality", "ml_linreg_normal_eq",
+    "ml_logreg_quality", "ml_linreg_normal_eq", "fn_variant_json",
+    "scan_xml_roundtrip",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean",
     # TPC-H-shape tail
