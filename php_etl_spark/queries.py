@@ -11374,6 +11374,42 @@ def scan_xml_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "scan_python_datasource",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def scan_python_datasource(spark, sf_dir):
+    """User-defined connector end-to-end (sources/pyds.py, the Python
+    DataSource API): write a documents slice through the custom
+    format's two-phase-commit writer (task-private uuid files +
+    manifest publish — an orphan from a failed attempt is invisible to
+    readers), then scan it back through the custom reader's
+    one-split-per-file partitions. This is the reference's pluggable
+    ReadWriter contract (/root/reference/sdk/src/IO/ReadWriter.php:
+    17-88) as a first-class engine extension: the format string is all
+    user code, the parallelism and commit semantics are real."""
+    import tempfile
+
+    from php_etl_spark.sources.pyds import register
+
+    register(spark)
+    path = tempfile.mkdtemp(prefix="pyds_") + "/docs"
+    docs = _cat(spark, sf_dir).documents.filter(
+        F.col("doc_id") % 5 == 0
+    ).select("doc_id", "source", "n_chars")
+    docs.repartition(4).write.format("jsonl_lines").option(
+        "path", path
+    ).mode("append").save()
+    return (
+        spark.read.format("jsonl_lines")
+        .schema("doc_id long, source string, n_chars long")
+        .option("path", path)
+        .load()
+    )
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -11491,7 +11527,7 @@ _PRIORITY = [
     "agg_geometric_mean", "sql_lateral_topk", "text_oov_rate",
     "docs_length_histogram", "profile_freshness", "event_top_paths",
     "ml_logreg_quality", "ml_linreg_normal_eq", "fn_variant_json",
-    "scan_xml_roundtrip",
+    "scan_xml_roundtrip", "scan_python_datasource",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean",
     # TPC-H-shape tail

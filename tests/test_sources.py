@@ -553,3 +553,51 @@ class TestConcurrentPublish:
         assert rec["committed_version"] == 3  # 2 squatted by the crash
         assert V.read_pointer(t)["version"] == 3
         assert {r.k for r in V.read_current(spark, t).collect()} == {2}
+
+
+class TestPythonDataSource:
+    """Custom connector contract (sources/pyds.py): partition-per-file
+    reads, manifest-gated visibility."""
+
+    def test_roundtrip_and_partitioning(self, spark, tmp_path):
+        from php_etl_spark.sources.pyds import register
+
+        register(spark)
+        path = str(tmp_path / "t")
+        df = spark.range(100).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        df.repartition(4).write.format("jsonl_lines").option(
+            "path", path
+        ).mode("append").save()
+        back = (
+            spark.read.format("jsonl_lines")
+            .schema("k long, v string")
+            .option("path", path)
+            .load()
+        )
+        assert back.rdd.getNumPartitions() == 4  # one split per file
+        assert sorted((r.k, r.v) for r in back.collect()) == [
+            (i, str(i)) for i in range(100)
+        ]
+
+    def test_orphan_file_invisible_behind_manifest(self, spark, tmp_path):
+        import os
+
+        from php_etl_spark.sources.pyds import register
+
+        register(spark)
+        path = str(tmp_path / "t")
+        spark.range(10).selectExpr("id AS k").coalesce(1).write.format(
+            "jsonl_lines"
+        ).option("path", path).mode("append").save()
+        # a crashed/speculative task's leftover: present on disk,
+        # absent from the manifest
+        with open(os.path.join(path, "part-orphan.jsonl"), "w") as f:
+            f.write('{"k": 999}\n')
+        back = (
+            spark.read.format("jsonl_lines")
+            .schema("k long")
+            .option("path", path)
+            .load()
+        )
+        ks = {r.k for r in back.collect()}
+        assert 999 not in ks and ks == set(range(10))
