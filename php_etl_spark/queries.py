@@ -11410,6 +11410,65 @@ def scan_python_datasource(spark, sf_dir):
     )
 
 
+@query(
+    "stream_python_datasource",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 5 = 0 GROUP BY 1 ORDER BY source
+    """,
+)
+def stream_python_datasource(spark, sf_dir):
+    """The custom connector as a STREAMING source (sources/pyds.
+    JsonlLinesStreamReader): offsets are the consumed file-name set,
+    each micro-batch reads only newly-appeared files, and checkpoint
+    replay re-reads exactly the files between two offsets — the
+    user-defined form of the file-stream source's listing offsets.
+    Data lands through the custom batch writer first, then the stream
+    drains it under availableNow into a file sink; the per-source
+    rollup must equal the batch truth. (The Simple reader variant
+    prefetches on the driver — right for low-throughput tails; the
+    batch reader keeps the partition-parallel path.) Incremental
+    offset behavior is pytest-asserted with a file appearing between
+    two runs."""
+    import tempfile
+
+    from php_etl_spark.sources.pyds import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix="pyds_stream_")
+    src_dir = base + "/in"
+    docs = _cat(spark, sf_dir).documents.filter(
+        F.col("doc_id") % 5 == 0
+    ).select("doc_id", "source", "n_chars")
+    docs.repartition(2).write.format("jsonl_lines").option(
+        "path", src_dir
+    ).mode("append").save()
+    stream = (
+        spark.readStream.format("jsonl_lines")
+        .schema("doc_id long, source string, n_chars long")
+        .option("path", src_dir)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", base + "/out")
+        .option("checkpointLocation", base + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(base + "/out")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -11528,6 +11587,7 @@ _PRIORITY = [
     "docs_length_histogram", "profile_freshness", "event_top_paths",
     "ml_logreg_quality", "ml_linreg_normal_eq", "fn_variant_json",
     "scan_xml_roundtrip", "scan_python_datasource",
+    "stream_python_datasource",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean",
     # TPC-H-shape tail

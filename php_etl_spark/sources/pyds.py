@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -114,6 +115,54 @@ class JsonlLinesWriter(DataSourceWriter):
                     pass
 
 
+class JsonlLinesStreamReader(SimpleDataSourceStreamReader):
+    """Incremental tail of a jsonl_lines directory: the OFFSET is the
+    set of file names already consumed, so each micro-batch reads only
+    files that appeared since the last one — the custom-connector form
+    of the file-stream source's listing offsets. Exactly-once follows
+    from the offset contract: the checkpoint stores the consumed set,
+    and replaying a batch re-reads precisely the files between its
+    offsets (immutable once written)."""
+
+    def __init__(self, options, schema):
+        self.dir = options["path"]
+        self.fields = schema.fieldNames()
+
+    def _names(self) -> list[str]:
+        return sorted(
+            f
+            for f in os.listdir(self.dir)
+            if f.endswith((".jsonl", ".json")) and not f.startswith((".", "_"))
+        )
+
+    def _rows_of(self, names):
+        for n in names:
+            with open(os.path.join(self.dir, n)) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        d = json.loads(line)
+                        yield tuple(d.get(k) for k in self.fields)
+
+    def initialOffset(self):
+        return {"files": []}
+
+    def read(self, start):
+        # list, not generator: the engine's prefetch cache shallow-
+        # copies the iterator (copy.copy), which generators don't
+        # support — and the Simple API is driver-prefetch by design,
+        # so the batch is already memory-resident
+        names = self._names()
+        new = [n for n in names if n not in set(start["files"])]
+        return (iter(list(self._rows_of(new))), {"files": names})
+
+    def readBetweenOffsets(self, start, end):
+        seen = set(start["files"])
+        return iter(
+            list(self._rows_of([n for n in end["files"] if n not in seen]))
+        )
+
+
 class JsonlLinesDataSource(DataSource):
     """format("jsonl_lines") — register with
     ``spark.dataSource.register(JsonlLinesDataSource)``."""
@@ -130,6 +179,9 @@ class JsonlLinesDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return JsonlLinesWriter(self.options, schema, overwrite)
+
+    def simpleStreamReader(self, schema):
+        return JsonlLinesStreamReader(self.options, schema)
 
 
 def register(spark) -> None:

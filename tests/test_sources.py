@@ -601,3 +601,40 @@ class TestPythonDataSource:
         )
         ks = {r.k for r in back.collect()}
         assert 999 not in ks and ks == set(range(10))
+
+    def test_stream_reader_consumes_only_new_files(self, spark, tmp_path):
+        """Two availableNow drains with a file landing in between: the
+        second batch carries only the new file's rows (offset = the
+        consumed file set, tracked in the checkpoint)."""
+        import json as _json
+        import os
+
+        from php_etl_spark.sources.pyds import register
+
+        register(spark)
+        src = str(tmp_path / "in")
+        os.makedirs(src)
+        with open(os.path.join(src, "a.jsonl"), "w") as f:
+            f.write('{"k": 1}\n{"k": 2}\n')
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+        def drain():
+            q = (
+                spark.readStream.format("jsonl_lines")
+                .schema("k long")
+                .option("path", src)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        assert sorted(r.k for r in spark.read.parquet(out).collect()) == [1, 2]
+        with open(os.path.join(src, "b.jsonl"), "w") as f:
+            f.write('{"k": 3}\n')
+        drain()
+        assert sorted(r.k for r in spark.read.parquet(out).collect()) == [1, 2, 3]
