@@ -11411,7 +11411,7 @@ def scan_python_datasource(spark, sf_dir):
 
 
 @query(
-    "stream_python_datasource",
+    "stream_python_datasource", "privacy_mask_columns",
     oracle="""
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -11466,6 +11466,54 @@ def stream_python_datasource(spark, sf_dir):
             F.sum("n_chars").alias("sum_chars"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "privacy_mask_columns",
+    oracle="""
+    SELECT c_custkey,
+           substr(c_name, 1, 9) || repeat('*', GREATEST(length(c_name) - 9, 0))
+             AS name_masked,
+           'tok_' || substr(md5('pepper#' || CAST(c_custkey AS VARCHAR)), 1, 12)
+             AS key_token,
+           CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def privacy_mask_columns(spark, sf_dir):
+    """Column-level masking policies, the governance layer between a
+    raw table and its analyst-facing view (k-anonymity's companion:
+    privacy_k_anonymity MEASURES identifiability, this ENFORCES the
+    masks): partial redaction (name prefix kept, tail starred),
+    deterministic peppered tokenization (same key → same token, so
+    joins on the masked view still work, but the raw key never leaves
+    — the standard pseudonymization trade), and value banding
+    (balances rounded to 1000s, killing the long tail of unique
+    values). All pure codegen expressions — the masked view costs one
+    projection, no UDF, and pushes down like any other scan."""
+    c = _cat(spark, sf_dir).customer
+    name = F.col("c_name")
+    masked_name = F.concat(
+        F.substring(name, 1, 9),
+        F.expr("repeat('*', GREATEST(length(c_name) - 9, 0))"),
+    )
+    token = F.concat(
+        F.lit("tok_"),
+        F.substring(
+            F.md5(F.concat(F.lit("pepper#"), F.col("c_custkey").cast("string"))),
+            1,
+            12,
+        ),
+    )
+    band = (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long")
+    return c.select(
+        "c_custkey",
+        masked_name.alias("name_masked"),
+        token.alias("key_token"),
+        band.alias("acctbal_band"),
+        "c_mktsegment",
     )
 
 
@@ -11587,7 +11635,7 @@ _PRIORITY = [
     "docs_length_histogram", "profile_freshness", "event_top_paths",
     "ml_logreg_quality", "ml_linreg_normal_eq", "fn_variant_json",
     "scan_xml_roundtrip", "scan_python_datasource",
-    "stream_python_datasource",
+    "stream_python_datasource", "privacy_mask_columns",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean",
     # TPC-H-shape tail
