@@ -11411,7 +11411,7 @@ def scan_python_datasource(spark, sf_dir):
 
 
 @query(
-    "stream_python_datasource", "privacy_mask_columns",
+    "stream_python_datasource",
     oracle="""
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
