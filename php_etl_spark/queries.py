@@ -11517,6 +11517,53 @@ def privacy_mask_columns(spark, sf_dir):
     )
 
 
+@query(
+    "window_session_builtin",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, sess
+    """,
+)
+def window_session_builtin(spark, sf_dir):
+    """The BUILT-IN session_window aggregate in batch mode — one
+    groupBy(user, session_window(ts, gap)) instead of the three-step
+    lag/flag/cumsum formulation (window_sessionize keeps that manual
+    form; THIS is what you actually write): Spark merges overlapping
+    gap-extended intervals inside the aggregate, the same operator the
+    streaming session query uses, so batch backfill and live streaming
+    share one definition. The oracle is the manual formulation —
+    session_end is last event + gap by definition, which the
+    equivalence makes explicit."""
+    ev = _cat(spark, sf_dir).events
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -11637,7 +11684,7 @@ _PRIORITY = [
     "scan_xml_roundtrip", "scan_python_datasource",
     "stream_python_datasource", "privacy_mask_columns",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
-    "agg_geometric_mean",
+    "agg_geometric_mean", "window_session_builtin",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
