@@ -11564,6 +11564,39 @@ def window_session_builtin(spark, sf_dir):
     )
 
 
+@query(
+    "fn_collation_lcase",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(COUNT(*) OVER (PARTITION BY lower(c_mktsegment)) AS BIGINT)
+             AS segment_peers
+    FROM customer WHERE lower(c_mktsegment) = 'building'
+    """,
+)
+def fn_collation_lcase(spark, sf_dir):
+    """Collation-aware comparison (Spark 4 collations): filter and
+    group under UTF8_LCASE so 'BUILDING' ≡ 'Building' ≡ 'building'
+    at the TYPE level — the engine's answer to the lower()-wrapping
+    the reference sprinkles through every string comparison
+    (/root/reference/sdk/migrate_assures.php:108 does it by hand per
+    column; a collated column does it once in the schema and every
+    comparison, join, and aggregate inherits it). The oracle is the
+    lower()-wrapped formulation, making the equivalence explicit."""
+    c = _cat(spark, sf_dir).customer
+    seg = F.expr("c_mktsegment COLLATE UTF8_LCASE")
+    from pyspark.sql.window import Window
+
+    peers = F.count("*").over(Window.partitionBy(seg))
+    return (
+        c.filter(seg == "BuIlDiNg")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            peers.alias("segment_peers"),
+        )
+    )
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -11684,7 +11717,7 @@ _PRIORITY = [
     "scan_xml_roundtrip", "scan_python_datasource",
     "stream_python_datasource", "privacy_mask_columns",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
-    "agg_geometric_mean", "window_session_builtin",
+    "agg_geometric_mean", "window_session_builtin", "fn_collation_lcase",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
