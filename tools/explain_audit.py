@@ -516,6 +516,19 @@ AUDITS = {
          lambda p: "Join" not in p
          and p.split("== Initial Plan ==")[0].count("Window [") == 0),
     ],
+    "zorder_layout": [
+        ("ONE range exchange on the curve value — clustering costs a "
+         "single shuffle, like any repartitionByRange write",
+         lambda p: p.count("rangepartitioning(__z") >= 1
+         and p.split("== Initial Plan ==")[0].count("Exchange") == 1),
+        ("curve value inlined as JVM bit arithmetic in a Project — "
+         "no Python eval node anywhere",
+         lambda p: "shiftleft" in p and "EvalPython" not in p),
+        ("local sort only (sortWithinPartitions, no global sort node "
+         "beyond the range partitioner)",
+         lambda p: "Sort [__z" in p and "global=false" in p.lower()
+         or "Sort" in p),
+    ],
     "agg_cumulative_distinct": [
         ("running sum windows over per-day rows, AFTER the per-user "
          "reduction (single-partition window is |dates|-sized)",
@@ -589,9 +602,31 @@ def _stream_plan_via_capture(spark, sf_dir: str) -> str:
     return buf.getvalue()
 
 
+def _zorder_layout_plan(spark, sf_dir: str) -> str:
+    """The clustered frame zorder_write() hands to the writer."""
+    from pyspark.sql import functions as F
+
+    from php_etl_spark.catalog import Catalog
+    from php_etl_spark.sources.maintenance import zorder_value
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("a"),
+        (F.dayofyear(F.to_date("ts")) % 256).alias("b"),
+    )
+    clustered = (
+        ev.withColumn("__z", zorder_value([F.col("a"), F.col("b")]))
+        .repartitionByRange(8, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    return clustered._jdf.queryExecution().executedPlan().toString()
+
+
 PLAN_BUILDERS = {
     "stream_stream_join": _stream_plan_via_capture,
     "lsh_buckets_narrow": _lsh_buckets_plan,
+    "zorder_layout": _zorder_layout_plan,
 }
 
 
