@@ -11597,6 +11597,50 @@ def fn_collation_lcase(spark, sf_dir):
     )
 
 
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey AS cur,
+             CAST(0 AS BIGINT) AS depth
+      FROM customer WHERE c_custkey <= 500
+      UNION ALL
+      SELECT node, cur // 8 AS cur, depth + 1
+      FROM anc WHERE cur > 0
+    )
+    SELECT node AS c_custkey, CAST(MAX(depth) AS BIGINT) AS depth
+    FROM anc GROUP BY node
+    """,
+)
+def sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE through the SQL front end (landed in Spark 4):
+    ancestor walk up the synthetic 8-ary reporting tree, depth = steps
+    to root 0 — the same relation hierarchy_closure resolves by
+    pointer doubling. Both formulations are first-class now; the
+    docstring trade stands: recursion executes one LEVEL per
+    iteration (depth-many rounds — fine for org-chart depths), pointer
+    doubling takes log₂(depth) joins (the 1M-deep-chain answer).
+    Running both against one oracle pins them to the same semantics."""
+    c = _cat(spark, sf_dir).customer
+    c.filter(F.col("c_custkey") <= 500).createOrReplaceTempView(
+        "rec_customers"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT c_custkey AS node, c_custkey AS cur,
+                 CAST(0 AS BIGINT) AS depth
+          FROM rec_customers
+          UNION ALL
+          SELECT node, CAST(FLOOR(cur / 8) AS BIGINT) AS cur, depth + 1
+          FROM anc WHERE cur > 0
+        )
+        SELECT node AS c_custkey, MAX(depth) AS depth
+        FROM anc GROUP BY node
+        """
+    )
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
@@ -11718,6 +11762,7 @@ _PRIORITY = [
     "stream_python_datasource", "privacy_mask_columns",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean", "window_session_builtin", "fn_collation_lcase",
+    "sql_recursive_cte",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
