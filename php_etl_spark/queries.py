@@ -11641,7 +11641,47 @@ def sql_recursive_cte(spark, sf_dir):
     )
 
 
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    """,
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (|>, landed in Spark 4 from the GoogleSQL
+    proposal): the same filter→aggregate→having pipeline written in
+    dataflow order, each stage reading top-to-bottom the way the
+    reference's JSON spec reads — the SQL front end's answer to the
+    DataFrame chain. Catalyst compiles it to the identical plan as the
+    classic formulation, which the shared oracle pins down."""
+    c = _cat(spark, sf_dir)
+    c.orders.createOrReplaceTempView("pipe_orders")
+    return spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_orderstatus = 'O'
+        |> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS n, SUM(cents) AS sum_cents
+             GROUP BY o_orderpriority
+        |> WHERE n > 10
+        """
+    ).select("o_orderpriority", "n", "sum_cents")
+
+
 # NOTE: a Spark 4 StatefulProcessor operator (transformWithStateInPandas,
+# streaming/events.user_totals_tws) exists but is NOT registered as a
+# query: the API's Python runner requires protobuf, absent in this
+# container (tws_available() gates it; tests skip with that reason).
+# The applyInPandasWithState path (stream_stateful_custom) covers the
+# custom-stateful capability in the registry.
+
 # streaming/events.user_totals_tws) exists but is NOT registered as a
 # query: the API's Python runner requires protobuf, absent in this
 # container (tws_available() gates it; tests skip with that reason).
@@ -11762,7 +11802,7 @@ _PRIORITY = [
     "stream_python_datasource", "privacy_mask_columns",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean", "window_session_builtin", "fn_collation_lcase",
-    "sql_recursive_cte",
+    "sql_recursive_cte", "sql_pipe_syntax",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
