@@ -11642,6 +11642,72 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "sql_cbo_stats_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 5000
+    GROUP BY c.c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def sql_cbo_stats_join(spark, sf_dir):
+    """Cost-based optimization end-to-end: tables land in a real
+    catalog, ANALYZE TABLE ... FOR COLUMNS records row counts and
+    column min/max/ndv, and with spark.sql.cbo.enabled the planner
+    sizes the filtered dimension from STATISTICS (selectivity of
+    acctbal > 5000 against the recorded histogram bounds) instead of
+    raw file bytes — the decision data a 1000-table warehouse runs on.
+    The stats-visible plan property is pytest-asserted
+    (tests/test_operators.py::test_cbo_statistics_present); here the
+    oracle pins the result to the plain formulation."""
+    import uuid as _uuid
+
+    import tempfile
+
+    c = _cat(spark, sf_dir)
+    db = f"cbo_{_uuid.uuid4().hex[:8]}"
+    wh = tempfile.mkdtemp(prefix="cbo_wh_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{wh}'")
+    try:
+        c.orders.write.saveAsTable(f"{db}.orders_t")
+        c.customer.write.saveAsTable(f"{db}.customer_t")
+        spark.sql(
+            f"ANALYZE TABLE {db}.orders_t COMPUTE STATISTICS "
+            "FOR COLUMNS o_custkey, o_totalprice"
+        )
+        spark.sql(
+            f"ANALYZE TABLE {db}.customer_t COMPUTE STATISTICS "
+            "FOR COLUMNS c_custkey, c_acctbal, c_mktsegment"
+        )
+        prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            out = spark.sql(
+                f"""
+                SELECT c.c_mktsegment,
+                       COUNT(*) AS n_orders,
+                       SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                         AS sum_cents
+                FROM {db}.orders_t o
+                JOIN {db}.customer_t c ON o.o_custkey = c.c_custkey
+                WHERE c.c_acctbal > 5000
+                GROUP BY c.c_mktsegment ORDER BY c_mktsegment
+                """
+            )
+            # pin results before the finally drops the tables the
+            # plan reads (localCheckpoint returns the pinned frame)
+            out = out.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev)
+        return out
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+@query(
     "sql_pipe_syntax",
     oracle="""
     SELECT o_orderpriority,
@@ -11802,7 +11868,7 @@ _PRIORITY = [
     "stream_python_datasource", "privacy_mask_columns",
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean", "window_session_builtin", "fn_collation_lcase",
-    "sql_recursive_cte", "sql_pipe_syntax",
+    "sql_recursive_cte", "sql_pipe_syntax", "sql_cbo_stats_join",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

@@ -360,3 +360,30 @@ class TestKmvSketch:
         sb = kmv_sketch(b, "stratum", "uid", k=128)
         r = kmv_intersection_estimate(sa, sb, k=128).collect()[0]
         assert abs(r["jaccard_est"] - 1 / 3) < 0.15
+
+
+def test_cbo_statistics_present(spark, tmp_path):
+    """ANALYZE TABLE column statistics reach the optimizer: with CBO
+    on, the analyzed table's optimized plan carries an exact rowCount
+    (file-size estimation alone never produces one)."""
+    import uuid
+
+    db = f"cbo_test_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/wh'")
+    try:
+        spark.range(1234).selectExpr("id AS k", "id % 7 AS v").write.saveAsTable(
+            f"{db}.t"
+        )
+        spark.sql(f"ANALYZE TABLE {db}.t COMPUTE STATISTICS FOR COLUMNS k, v")
+        prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            df = spark.sql(f"SELECT * FROM {db}.t WHERE v = 3")
+            stats = df._jdf.queryExecution().optimizedPlan().stats()
+            assert stats.rowCount().isDefined(), str(stats)
+            # filtered estimate must be below the full table count
+            assert int(str(stats.rowCount().get())) <= 1234
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
