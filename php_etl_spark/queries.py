@@ -11642,6 +11642,62 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice > 300000 AND o_orderpriority = '1-URGENT'
+    """,
+)
+def sql_parameterized(spark, sf_dir):
+    """Named-parameter SQL binding (spark.sql(..., args={...})) — the
+    engine-native form of the reference's prepared statements
+    (db_select with bound params, /root/reference/sdk/lib/db.php:
+    216-230, S4): values bind as TYPED literals through the parser,
+    never string-interpolated, so there is no injection surface and
+    the optimizer constant-folds them like any literal (the pushed
+    filter in the scan carries the bound value)."""
+    c = _cat(spark, sf_dir)
+    c.orders.createOrReplaceTempView("param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM param_orders
+        WHERE o_totalprice > :minp AND o_orderpriority = :prio
+        """,
+        args={"minp": 300000, "prio": "1-URGENT"},
+    )
+
+
+@query(
+    "sink_parquet_bloom",
+    oracle="""
+    SELECT event_id, user_id FROM events WHERE user_id = 42
+    """,
+)
+def sink_parquet_bloom(spark, sf_dir):
+    """Parquet bloom-filter indexes at write time
+    (parquet.bloom.filter.enabled#column): point lookups on a
+    non-sorted, non-partitioned column skip row groups whose bloom
+    filter rules the value out — the third data-skipping layer after
+    partition pruning and min/max stats, and the only one that works
+    for high-cardinality point predicates on unclustered columns.
+    The filter's presence in the written footers is pytest-asserted
+    (tests/test_maintenance.py); the oracle pins read-back
+    correctness."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="bloom_") + "/events"
+    ev = _cat(spark, sf_dir).events.select("event_id", "user_id")
+    (
+        ev.write.option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "100000")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).filter(F.col("user_id") == 42)
+
+
+@query(
     "sql_cbo_stats_join",
     oracle="""
     SELECT c.c_mktsegment,
@@ -11869,6 +11925,7 @@ _PRIORITY = [
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean", "window_session_builtin", "fn_collation_lcase",
     "sql_recursive_cte", "sql_pipe_syntax", "sql_cbo_stats_join",
+    "sql_parameterized", "sink_parquet_bloom",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
