@@ -11642,6 +11642,47 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "table_repair_replica",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey <= 1000
+    """,
+)
+def table_repair_replica(spark, sf_dir):
+    """Anti-entropy replica repair (sources/maintenance.repair_table):
+    a parquet replica is deterministically corrupted (one key dropped,
+    one mutated), then synced against the source of truth by
+    per-bucket count+checksum digests — only the divergent buckets'
+    rows are rewritten (asserted in-query), and the oracle requires
+    the repaired replica to be value-identical to the source. The
+    Merkle-ish sync pattern: comparing a 100 TB replica costs two
+    aggregate scans and a kilobyte digest join; repairing one corrupt
+    bucket moves 1/n_buckets of the data."""
+    import tempfile
+
+    from php_etl_spark.sources.maintenance import repair_table
+
+    src = _cat(spark, sf_dir).customer.filter(
+        F.col("c_custkey") <= 1000
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="repair_") + "/replica"
+    src.filter(F.col("c_custkey") != 77).withColumn(
+        "bal_cents",
+        F.when(F.col("c_custkey") == 500, F.col("bal_cents") + 1).otherwise(
+            F.col("bal_cents")
+        ),
+    ).write.parquet(path)
+    stats = repair_table(spark, src, path, "c_custkey", n_buckets=32)
+    assert 0 < stats["buckets_divergent"] <= 2, stats
+    return spark.read.parquet(path)
+
+
+@query(
     "sql_parameterized",
     oracle="""
     SELECT o_orderkey, o_totalprice, o_orderpriority
@@ -11925,7 +11966,7 @@ _PRIORITY = [
     "stream_dedup_watermark", "agg_log_histogram_quantiles",
     "agg_geometric_mean", "window_session_builtin", "fn_collation_lcase",
     "sql_recursive_cte", "sql_pipe_syntax", "sql_cbo_stats_join",
-    "sql_parameterized", "sink_parquet_bloom",
+    "sql_parameterized", "sink_parquet_bloom", "table_repair_replica",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

@@ -118,3 +118,33 @@ def test_parquet_bloom_filter_written_in_footers(spark, tmp_path):
     assert delta >= 2048, f"bloom bytes missing (delta={delta})"
     back = spark.read.parquet(path_bloom).filter("k = 42").collect()
     assert [r.k for r in back] == [42]
+
+
+def test_repair_table_fixes_only_divergent_buckets(spark, tmp_path):
+    """Corrupt a slice of the replica: repair detects the divergent
+    buckets, rewrites only their rows, and the result equals the
+    source exactly; an already-synced replica repairs as a no-op."""
+    from php_etl_spark.sources.maintenance import repair_table
+
+    src = spark.range(2000).selectExpr("id AS k", "id * 3 AS v")
+    path = str(tmp_path / "replica")
+    src.write.parquet(path)
+    stats0 = repair_table(spark, src, path, "k", n_buckets=32)
+    assert stats0["buckets_divergent"] == 0 and stats0["rows_rewritten"] == 0
+
+    # corrupt two specific keys: one dropped, one mutated — only
+    # their hash buckets may be touched by the repair
+    broken = (
+        spark.read.parquet(path)
+        .filter("k != 77")
+        .withColumn("v", F.expr("CASE WHEN k = 500 THEN v + 1 ELSE v END"))
+    )
+    broken.write.mode("overwrite").parquet(str(tmp_path / "b"))
+    spark.read.parquet(str(tmp_path / "b")).write.mode("overwrite").parquet(path)
+
+    stats = repair_table(spark, src, path, "k", n_buckets=32)
+    assert 0 < stats["buckets_divergent"] <= 2
+    # bucket-scoped: ~2/32 of the table moves, never a full copy
+    assert stats["rows_rewritten"] <= 2000 * 4 // 32
+    got = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(i, 3 * i) for i in range(2000)]
