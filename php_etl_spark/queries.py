@@ -11642,6 +11642,67 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "agg_skew_metrics",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_c
+      FROM k
+    ), top10 AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS top10_rows FROM (
+        SELECT c FROM k ORDER BY c DESC, key LIMIT 10
+      )
+    )
+    SELECT n_keys, total, max_c,
+           CAST(floor(1000000.0 * max_c / total) AS BIGINT) AS top1_ppm,
+           CAST(floor(1000000.0 * top10_rows / total) AS BIGINT)
+             AS top10_ppm,
+           CAST(floor(1.0 * total / n_keys) AS BIGINT) AS mean_rows_per_key
+    FROM t, top10
+    """,
+)
+def agg_skew_metrics(spark, sf_dir):
+    """Join-key skew diagnostics for orders.o_custkey — the report
+    that DECIDES whether a join needs salting or AQE skew handling
+    before you pay for the wrong plan (the salted-join and skew-probe
+    machinery here is the cure; this is the thermometer): top-1 and
+    top-10 key share in ppm, key count, max and mean rows per key.
+    One groupBy + a 10-row top-k + a 1-row broadcast — the
+    diagnostic costs one aggregate scan at any scale."""
+    o = _cat(spark, sf_dir).orders
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("c")
+    )
+    t = k.agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_c"),
+    )
+    top10 = (
+        k.orderBy(F.desc("c"), "key")
+        .limit(10)
+        .agg(F.sum("c").alias("top10_rows"))
+    )
+    j = t.crossJoin(F.broadcast(top10))
+    return j.select(
+        "n_keys", "total", "max_c",
+        F.floor(1000000.0 * F.col("max_c") / F.col("total")).alias(
+            "top1_ppm"
+        ),
+        F.floor(1000000.0 * F.col("top10_rows") / F.col("total")).alias(
+            "top10_ppm"
+        ),
+        F.floor(1.0 * F.col("total") / F.col("n_keys")).alias(
+            "mean_rows_per_key"
+        ),
+    )
+
+
+@query(
     "table_repair_replica",
     oracle="""
     SELECT c_custkey, c_name,
@@ -11967,6 +12028,7 @@ _PRIORITY = [
     "agg_geometric_mean", "window_session_builtin", "fn_collation_lcase",
     "sql_recursive_cte", "sql_pipe_syntax", "sql_cbo_stats_join",
     "sql_parameterized", "sink_parquet_bloom", "table_repair_replica",
+    "agg_skew_metrics",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

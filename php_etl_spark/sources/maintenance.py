@@ -213,3 +213,39 @@ def repair_table(
         "buckets_divergent": len(bad),
         "rows_rewritten": n_rewritten,
     }
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 4,
+) -> dict[str, Any]:
+    """Partition-scoped OPTIMIZE for a hive-partitioned table: walk
+    the partition directories, bin-pack ONLY those whose file count
+    exceeds both ``min_files`` and their byte-justified target — each
+    partition rewrites through its own staged swap while every other
+    partition's files are untouched (and concurrently readable). This
+    is how compaction actually runs at 100 TB: the streaming-append
+    table has a few hot partitions accreting small files per trigger;
+    rewriting the whole table per maintenance cycle would dwarf the
+    ingest itself. Returns per-partition actions."""
+    actions: dict[str, Any] = {}
+    for entry in sorted(os.listdir(path)):
+        pdir = os.path.join(path, entry)
+        if not os.path.isdir(pdir) or "=" not in entry:
+            continue
+        n_files, total = dir_file_stats(pdir)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        if n_files < min_files or n_files <= n_out:
+            actions[entry] = {"files": n_files, "skipped": True}
+            continue
+        df = spark.read.parquet(pdir)
+        _staged_rewrite(df.repartition(n_out), pdir)
+        after, _ = dir_file_stats(pdir)
+        actions[entry] = {
+            "files": n_files,
+            "files_after": after,
+            "skipped": False,
+        }
+    return actions

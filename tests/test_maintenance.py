@@ -148,3 +148,31 @@ def test_repair_table_fixes_only_divergent_buckets(spark, tmp_path):
     assert stats["rows_rewritten"] <= 2000 * 4 // 32
     got = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
     assert got == [(i, 3 * i) for i in range(2000)]
+
+
+def test_compact_partitioned_touches_only_fragmented_partitions(spark, tmp_path):
+    from php_etl_spark.sources.maintenance import (
+        compact_partitioned,
+        dir_file_stats,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(4000).selectExpr("id AS k", "CAST(id % 2 AS STRING) AS p")
+    # p=0 fragmented (16 files), p=1 already packed (1 file)
+    df.filter("p = '0'").repartition(16).write.partitionBy("p").mode(
+        "append"
+    ).parquet(path)
+    df.filter("p = '1'").coalesce(1).write.partitionBy("p").mode(
+        "append"
+    ).parquet(path)
+    import os
+
+    before_p1 = sorted(os.listdir(os.path.join(path, "p=1")))
+    actions = compact_partitioned(spark, path, target_file_bytes=64 << 20)
+    assert actions["p=0"]["skipped"] is False
+    assert actions["p=0"]["files_after"] < actions["p=0"]["files"]
+    assert actions["p=1"]["skipped"] is True
+    # untouched partition keeps its exact files (no rewrite side effects)
+    assert sorted(os.listdir(os.path.join(path, "p=1"))) == before_p1
+    back = spark.read.parquet(path)
+    assert back.count() == 4000
