@@ -11642,6 +11642,88 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
+    rfm AS (
+      SELECT o_custkey AS c,
+             CAST(date_diff('day', MAX(o_orderdate), dmax) AS BIGINT) AS rec,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS mon
+      FROM orders, maxd GROUP BY o_custkey, dmax
+    ), cuts AS (
+      SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY rec) AS r50,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY freq) AS f50,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY mon) AS m50
+      FROM rfm
+    )
+    SELECT CASE WHEN rec <= r50 THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN freq > f50 THEN 2 ELSE 1 END AS f_score,
+           CASE WHEN mon > m50 THEN 2 ELSE 1 END AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mon) AS BIGINT) AS segment_cents
+    FROM rfm, cuts GROUP BY 1, 2, 3
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def agg_rfm_segmentation(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary), the classic
+    warehouse customer rollup: per-customer metrics in one pass,
+    median cut points from percentile_disc (stored values — no
+    interpolation ulp) riding a 1-row broadcast back onto the metric
+    table, then the 8 segments aggregate. No ntile(): a rank window
+    over all customers is one task at scale, while threshold scoring
+    against broadcast cuts is a narrow map. All integers."""
+    o = _cat(spark, sf_dir).orders
+    maxd = o.agg(F.max("o_orderdate").alias("dmax"))
+    rfm = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey", "dmax")
+        .agg(
+            F.datediff(F.first("dmax"), F.max("o_orderdate")).cast(
+                "long"
+            ).alias("rec"),
+            F.count("*").alias("freq"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("mon"),
+        )
+        .select("rec", "freq", "mon")
+    )
+    rfm.createOrReplaceTempView("rfm_t")
+    cuts = spark.sql(
+        """
+        SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY rec) AS BIGINT) AS r50,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY freq) AS BIGINT) AS f50,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY mon) AS BIGINT) AS m50
+        FROM rfm_t
+        """
+    )
+    j = rfm.crossJoin(F.broadcast(cuts))
+    return (
+        j.select(
+            F.when(F.col("rec") <= F.col("r50"), 2).otherwise(1).alias(
+                "r_score"
+            ),
+            F.when(F.col("freq") > F.col("f50"), 2).otherwise(1).alias(
+                "f_score"
+            ),
+            F.when(F.col("mon") > F.col("m50"), 2).otherwise(1).alias(
+                "m_score"
+            ),
+            "mon",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("mon").alias("segment_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@query(
     "agg_skew_metrics",
     oracle="""
     WITH k AS (
@@ -12028,7 +12110,7 @@ _PRIORITY = [
     "agg_geometric_mean", "window_session_builtin", "fn_collation_lcase",
     "sql_recursive_cte", "sql_pipe_syntax", "sql_cbo_stats_join",
     "sql_parameterized", "sink_parquet_bloom", "table_repair_replica",
-    "agg_skew_metrics",
+    "agg_skew_metrics", "agg_rfm_segmentation",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
