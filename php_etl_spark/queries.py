@@ -11642,6 +11642,62 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "agg_pareto_front",
+    oracle="""
+    WITH pts AS (
+      SELECT p_size AS s, CAST(round(p_retailprice * 100) AS BIGINT) AS pc,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT s, pc, n_parts FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.s <= p.s AND q.pc <= p.pc AND (q.s < p.s OR q.pc < p.pc)
+    )
+    ORDER BY s
+    """,
+)
+def agg_pareto_front(spark, sf_dir):
+    """2-D skyline (Pareto front): parts not dominated on (size,
+    price) — the multi-objective shortlist query (cheapest-and-
+    smallest). TWO-PHASE prefix-min instead of the O(n²) NOT-EXISTS
+    the oracle states: distinct points salt into buckets, each bucket
+    computes its local skyline with an ordered prefix-min window (a
+    globally non-dominated point is non-dominated in any subset, so
+    local skylines are a guaranteed superset), then one exact pass
+    over the bounded survivor set — the same subset-ordering argument
+    as cap_per_stratum, applied to dominance."""
+    from pyspark.sql.window import Window
+
+    p = _cat(spark, sf_dir).part
+    pts = p.groupBy(
+        F.col("p_size").alias("s"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("pc"),
+    ).agg(F.count("*").alias("n_parts"))
+    d = pts.withColumn(
+        "__b", F.pmod(F.xxhash64(F.col("s"), F.col("pc")), F.lit(32))
+    )
+    wl = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("s").asc(), F.col("pc").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = d.withColumn("__m", F.min("pc").over(wl)).filter(
+        F.col("__m").isNull() | (F.col("pc") < F.col("__m"))
+    )
+    wg = (
+        Window.orderBy(F.col("s").asc(), F.col("pc").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        local.withColumn("__g", F.min("pc").over(wg))
+        .filter(F.col("__g").isNull() | (F.col("pc") < F.col("__g")))
+        .select("s", "pc", "n_parts")
+        .orderBy("s")
+    )
+
+
+@query(
     "agg_rfm_segmentation",
     oracle="""
     WITH maxd AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
@@ -12110,7 +12166,7 @@ _PRIORITY = [
     "agg_geometric_mean", "window_session_builtin", "fn_collation_lcase",
     "sql_recursive_cte", "sql_pipe_syntax", "sql_cbo_stats_join",
     "sql_parameterized", "sink_parquet_bloom", "table_repair_replica",
-    "agg_skew_metrics", "agg_rfm_segmentation",
+    "agg_skew_metrics", "agg_rfm_segmentation", "agg_pareto_front",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
