@@ -11642,6 +11642,99 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "window_gap_duration_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(date_diff('second',
+                  LAG(ts) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id),
+                  ts) AS BIGINT) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(floor(ln(GREATEST(gap_s, 1)) / ln(2)) AS BIGINT)
+             AS gap_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM gaps WHERE gap_s IS NOT NULL AND gap_s >= 0
+    GROUP BY 1, 2 ORDER BY event_type, gap_bucket
+    """,
+)
+def window_gap_duration_stats(spark, sf_dir):
+    """Inter-event gap distribution per event type in log₂-second
+    buckets — the histogram that JUSTIFIES a session timeout (the
+    30-minute gap used by the sessionize family is wherever this
+    distribution's bimodal valley sits; shipping the evidence query
+    next to the operator is the difference between a magic number and
+    a measured one). Per-(user, type) lag window — keys are users, so
+    the windows parallelize — then the mergeable log-histogram
+    reduction."""
+    ev = _cat(spark, sf_dir).events
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gaps = ev.select("event_type", gap.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull() & (F.col("gap_s") >= 0)
+    )
+    bucket = F.floor(
+        F.log(F.greatest(F.col("gap_s"), F.lit(1))) / F.log(F.lit(2.0))
+    )
+    return (
+        gaps.groupBy("event_type", bucket.alias("gap_bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "gap_bucket")
+    )
+
+
+@query(
+    "agg_new_vs_returning",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+    ), daily AS (
+      SELECT DISTINCT CAST(e.ts AS DATE) AS day, e.user_id, first_seen.d0
+      FROM events e JOIN first_seen USING (user_id)
+    )
+    SELECT day,
+           CAST(COUNT(*) FILTER (WHERE day = d0) AS BIGINT) AS new_users,
+           CAST(COUNT(*) FILTER (WHERE day > d0) AS BIGINT)
+             AS returning_users
+    FROM daily GROUP BY day ORDER BY day
+    """,
+)
+def agg_new_vs_returning(spark, sf_dir):
+    """Daily active users split new vs returning — the growth
+    dashboard's first chart and the complement of the cohort queries:
+    first-seen dates come from one min aggregate joined back on
+    user_id, daily actives from a distinct, and the split is a
+    conditional count. Two shuffles on user_id, no window."""
+    ev = _cat(spark, sf_dir).events
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .join(first_seen, "user_id")
+    )
+    return (
+        daily.groupBy("day")
+        .agg(
+            F.count(F.when(F.col("day") == F.col("d0"), 1)).alias(
+                "new_users"
+            ),
+            F.count(F.when(F.col("day") > F.col("d0"), 1)).alias(
+                "returning_users"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
     "agg_pareto_front",
     oracle="""
     WITH pts AS (
@@ -12167,6 +12260,7 @@ _PRIORITY = [
     "sql_recursive_cte", "sql_pipe_syntax", "sql_cbo_stats_join",
     "sql_parameterized", "sink_parquet_bloom", "table_repair_replica",
     "agg_skew_metrics", "agg_rfm_segmentation", "agg_pareto_front",
+    "window_gap_duration_stats", "agg_new_vs_returning",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
