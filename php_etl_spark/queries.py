@@ -11642,6 +11642,84 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "dim_bitemporal_read",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_mktsegment AS belief_v1,
+           'PROMOTED' AS belief_v2
+    FROM customer WHERE c_custkey % 20 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000 AS entity_key, NULL AS belief_v1,
+           'NEW' AS belief_v2
+    FROM customer WHERE c_custkey % 10 = 5
+    """,
+)
+def dim_bitemporal_read(spark, sf_dir):
+    """BITEMPORAL dimension reads — business time × system time, the
+    two axes every audited warehouse eventually needs to separate:
+    SCD2 validity intervals answer 'what was true ON date B', the
+    versioned commit log answers 'what did the SYSTEM know at version
+    V'. Publish the dimension (v1), apply an SCD2 merge and publish
+    again (v2), then ask both versions about the same business date
+    (1997-07-01, after the merge's effective date): v1 still believes
+    the old segments — the change hadn't been RECORDED yet — while v2
+    carries the promotions and the new entities. The result is the
+    belief DIFF, i.e. exactly the audit question ('what changed in our
+    knowledge of that date?'); composition of operators/scd.py and
+    sources/versioned.py, no new machinery."""
+    import tempfile
+
+    from php_etl_spark.operators.scd import scd2_merge
+    from php_etl_spark.sources import versioned as V
+
+    cust = _cat(spark, sf_dir).customer
+    existing = cust.select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    ts = F.lit("1997-06-01").cast("date")
+    updates = (
+        cust.filter(F.col("c_custkey") % 20 == 0)
+        .select(
+            F.col("c_custkey").alias("entity_key"),
+            F.lit("PROMOTED").alias("segment"),
+            ts.alias("ts"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 5).select(
+                (F.col("c_custkey") + 1000000).alias("entity_key"),
+                F.lit("NEW").alias("segment"),
+                ts.alias("ts"),
+            )
+        )
+    )
+    path = tempfile.mkdtemp(prefix="bitemporal_") + "/dim"
+    V.publish(existing, path)  # system version 1
+    merged = scd2_merge(
+        existing, updates, keys=["entity_key"], tracked=["segment"]
+    )
+    V.publish(merged, path)  # system version 2
+
+    bdate = F.lit("1997-07-01").cast("date")
+
+    def belief(version: int):
+        d = V.read_version(spark, path, version)
+        return d.filter(
+            (F.col("valid_from") <= bdate)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > bdate))
+        ).select("entity_key", "segment")
+
+    b1 = belief(1).withColumnRenamed("segment", "belief_v1")
+    b2 = belief(2).withColumnRenamed("segment", "belief_v2")
+    return (
+        b1.join(b2, "entity_key", "full_outer")
+        .filter(~F.col("belief_v1").eqNullSafe(F.col("belief_v2")))
+        .select("entity_key", "belief_v1", "belief_v2")
+    )
+
+
+@query(
     "window_gap_duration_stats",
     oracle="""
     WITH gaps AS (
@@ -12261,6 +12339,7 @@ _PRIORITY = [
     "sql_parameterized", "sink_parquet_bloom", "table_repair_replica",
     "agg_skew_metrics", "agg_rfm_segmentation", "agg_pareto_front",
     "window_gap_duration_stats", "agg_new_vs_returning",
+    "dim_bitemporal_read",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
