@@ -11642,6 +11642,57 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "profile_schema_compat",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('n_nationkey', 'unchanged', 'bigint', 'bigint'),
+      ('n_name', 'removed', 'string', NULL),
+      ('n_regionkey', 'added', NULL, 'bigint'),
+      ('region_label', 'added', NULL, 'string')
+    ) AS t(column_name, status, old_type, new_type)
+    """,
+)
+def profile_schema_compat(spark, sf_dir):
+    """Schema-compatibility report between two versions of a table —
+    the contract check a consumer runs before switching to a
+    producer's new output (scan_schema_evolution shows Spark READING
+    drifted data; this CLASSIFIES the drift: added / removed /
+    retyped / unchanged per column). Computed from the parquet
+    footers' schemas only — no data read — and the report is
+    schema-sized. The oracle is the expected classification as a
+    literal table, so the classifier itself is what's under test."""
+    import tempfile
+
+    nat = _cat(spark, sf_dir).nation
+    base = tempfile.mkdtemp(prefix="compat_")
+    nat.select(
+        F.col("n_nationkey").cast("long"), "n_name"
+    ).write.parquet(base + "/v1")
+    nat.select(
+        F.col("n_nationkey").cast("long"),
+        F.col("n_regionkey").cast("long"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("region_label"),
+    ).write.parquet(base + "/v2")
+    old_s = {f.name: f.dataType.simpleString()
+             for f in spark.read.parquet(base + "/v1").schema.fields}
+    new_s = {f.name: f.dataType.simpleString()
+             for f in spark.read.parquet(base + "/v2").schema.fields}
+    rows = []
+    for name in sorted(set(old_s) | set(new_s)):
+        o, n = old_s.get(name), new_s.get(name)
+        status = (
+            "unchanged" if o == n
+            else "removed" if n is None
+            else "added" if o is None
+            else "retyped"
+        )
+        rows.append((name, status, o, n))
+    return spark.createDataFrame(
+        rows, "column_name string, status string, old_type string, new_type string"
+    )
+
+
+@query(
     "dim_bitemporal_read",
     oracle="""
     SELECT c_custkey AS entity_key, c_mktsegment AS belief_v1,
@@ -12339,7 +12390,7 @@ _PRIORITY = [
     "sql_parameterized", "sink_parquet_bloom", "table_repair_replica",
     "agg_skew_metrics", "agg_rfm_segmentation", "agg_pareto_front",
     "window_gap_duration_stats", "agg_new_vs_returning",
-    "dim_bitemporal_read",
+    "dim_bitemporal_read", "profile_schema_compat",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
