@@ -11642,6 +11642,88 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "agg_penny_allocation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ), o AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), w AS (
+      SELECT li.l_orderkey, li.l_linenumber, li.q, o.total,
+             SUM(q) OVER (PARTITION BY li.l_orderkey) AS sq
+      FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+    ), f AS (
+      SELECT l_orderkey, l_linenumber, total, sq,
+             (total * q) // sq AS base,
+             (total * q) % sq AS rem
+      FROM w
+    ), r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY rem DESC, l_linenumber) AS rk,
+             total - SUM(base) OVER (PARTITION BY l_orderkey) AS short
+      FROM f
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_cents
+    FROM r
+    """,
+)
+def agg_penny_allocation(spark, sf_dir):
+    """Largest-remainder penny allocation — the finance-ETL primitive
+    behind every 'distribute the invoice across its lines' rule:
+    order totals split across lineitems proportionally by quantity,
+    floored to integer cents, and the rounding shortfall (< n_lines
+    cents) goes to the largest remainders with a deterministic
+    tiebreak — so every order's allocations sum EXACTLY to its total
+    (asserted by construction; a proportional float split never
+    does). Pure integer arithmetic; windows partition by order key
+    (order-sized frames, millions of independent windows — the
+    parallel-friendly window shape)."""
+    from pyspark.sql.window import Window
+
+    li = _cat(spark, sf_dir).lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    o = _cat(spark, sf_dir).orders.filter(
+        F.col("o_orderkey") % 10 == 0
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total"),
+    )
+    w = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_linenumber", "q", "total"
+    )
+    wo = Window.partitionBy("l_orderkey")
+    f = w.withColumn("sq", F.sum("q").over(wo)).select(
+        "l_orderkey", "l_linenumber", "total", "sq",
+        F.expr("(total * q) DIV sq").alias("base"),
+        F.expr("(total * q) % sq").alias("rem"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(
+            F.desc("rem"), "l_linenumber"
+        )
+    )
+    r = f.withColumn("rk", rk).withColumn(
+        "short", F.col("total") - F.sum("base").over(wo)
+    )
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)
+        ).alias("alloc_cents"),
+    )
+
+
+@query(
     "profile_schema_compat",
     oracle="""
     SELECT * FROM (VALUES
@@ -12391,6 +12473,7 @@ _PRIORITY = [
     "agg_skew_metrics", "agg_rfm_segmentation", "agg_pareto_front",
     "window_gap_duration_stats", "agg_new_vs_returning",
     "dim_bitemporal_read", "profile_schema_compat",
+    "agg_penny_allocation",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
