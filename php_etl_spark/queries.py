@@ -11642,6 +11642,148 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "agg_weighted_median",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, v, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM h
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+             AS weighted_median_cents,
+           CAST(MIN(tw) AS BIGINT) AS total_weight
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag — the 'median
+    unit sold for' statistic, where the plain median answers 'median
+    line item'. Exact and scale-safe: collapse to the per-value WEIGHT
+    histogram first (map-side combined), then the running-weight
+    window runs over distinct values only — the same histogram-window
+    argument as Mann-Whitney, now with weights. The median is the
+    smallest value whose doubled cumulative weight reaches the total:
+    all integers, no interpolation."""
+    from pyspark.sql.window import Window
+
+    li = _cat(spark, sf_dir).lineitem
+    h = li.groupBy(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    wc = Window.partitionBy("l_returnflag").orderBy("v")
+    wt = Window.partitionBy("l_returnflag")
+    c = h.select(
+        "l_returnflag", "v", "w",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("v"))
+            ).alias("weighted_median_cents"),
+            F.min("tw").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "window_local_maxima",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), n AS (
+      SELECT day, c,
+             LAG(c) OVER (ORDER BY day) AS prev,
+             LEAD(c) OVER (ORDER BY day) AS nxt
+      FROM d
+    )
+    SELECT day, c FROM n
+    WHERE prev IS NOT NULL AND nxt IS NOT NULL
+      AND c > prev AND c > nxt
+    ORDER BY day
+    """,
+)
+def window_local_maxima(spark, sf_dir):
+    """Peak detection on the daily event-count series: strict local
+    maxima via lag/lead — the first derivative test every anomaly
+    timeline starts from (drawdown and SPC flag magnitude; this flags
+    SHAPE). The series is calendar-sized after the first reduction,
+    so the single-partition window is bounded by days, not data."""
+    ev = _cat(spark, sf_dir).events
+    from pyspark.sql.window import Window
+
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("day")
+    n = d.select(
+        "day", "c",
+        F.lag("c").over(w).alias("prev"),
+        F.lead("c").over(w).alias("nxt"),
+    )
+    return (
+        n.filter(
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("c") > F.col("prev"))
+            & (F.col("c") > F.col("nxt"))
+        )
+        .select("day", "c")
+        .orderBy("day")
+    )
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN CAST(l_quantity AS BIGINT) - 25 = 0 THEN NULL
+                ELSE CAST(round(l_extendedprice * 100) AS BIGINT)
+                     // (CAST(l_quantity AS BIGINT) - 25) END AS per_off25,
+           CASE WHEN l_tax = 0 THEN NULL
+                ELSE round(l_extendedprice / l_tax, 2) END AS price_per_tax
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def fn_try_arith(spark, sf_dir):
+    """try_* arithmetic — NULL-on-failure math (ANSI mode's answer to
+    the reference's error-swallowing ``@`` operators): try_divide
+    returns NULL where a raw division would raise under ANSI SQL
+    (integer division by the zero that appears whenever quantity hits
+    the 25 offset). The oracle spells out the CASE guard the try_
+    family replaces."""
+    li = _cat(spark, sf_dir).lineitem.filter(
+        F.col("l_orderkey") % 50 == 0
+    )
+    q = F.col("l_quantity").cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_off = F.expr(
+        "CAST(try_divide(CAST(round(l_extendedprice * 100) AS BIGINT), "
+        "CAST(l_quantity AS BIGINT) - 25) AS BIGINT)"
+    )
+    ppt = F.when(
+        F.col("l_tax") == 0, F.lit(None)
+    ).otherwise(F.round(F.col("l_extendedprice") / F.col("l_tax"), 2))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        per_off.alias("per_off25"),
+        ppt.alias("price_per_tax"),
+    )
+
+
+@query(
     "agg_penny_allocation",
     oracle="""
     WITH li AS (
@@ -12473,7 +12615,8 @@ _PRIORITY = [
     "agg_skew_metrics", "agg_rfm_segmentation", "agg_pareto_front",
     "window_gap_duration_stats", "agg_new_vs_returning",
     "dim_bitemporal_read", "profile_schema_compat",
-    "agg_penny_allocation",
+    "agg_penny_allocation", "agg_weighted_median", "window_local_maxima",
+    "fn_try_arith",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
