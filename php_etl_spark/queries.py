@@ -11642,6 +11642,55 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "scan_rowgroup_metadata",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY 1 ORDER BY event_type
+    """,
+)
+def scan_rowgroup_metadata(spark, sf_dir):
+    """Parquet metadata table (sources/maintenance.row_group_stats —
+    the Iceberg `files` table idea for plain parquet): per-row-group
+    counts and column min/max read from footers ON EXECUTORS via a
+    mapInPandas batch over the file list; the driver handles paths
+    only, no data is scanned. Events land hive-partitioned by type,
+    so rolling the row-group stats up per partition must reproduce
+    the data-level COUNT/MIN/MAX exactly — footer statistics ARE the
+    data's statistics, which is the whole premise of min/max file
+    skipping and what this query certifies."""
+    import tempfile
+
+    from php_etl_spark.sources.maintenance import row_group_stats
+
+    path = tempfile.mkdtemp(prefix="rgmeta_") + "/events"
+    ev = _cat(spark, sf_dir).events.select(
+        "event_type", "user_id", "event_id"
+    )
+    ev.repartition("event_type").write.partitionBy("event_type").parquet(
+        path
+    )
+    stats = row_group_stats(spark, path, ["user_id"])
+    etype = F.regexp_extract(
+        F.col("file_path"), r"event_type=([^/]+)/", 1
+    )
+    return (
+        stats.select(
+            etype.alias("event_type"), "n_rows", "min_user_id",
+            "max_user_id",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_user_id").alias("min_user"),
+            F.max("max_user_id").alias("max_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "agg_weighted_median",
     oracle="""
     WITH h AS (
@@ -12616,7 +12665,7 @@ _PRIORITY = [
     "window_gap_duration_stats", "agg_new_vs_returning",
     "dim_bitemporal_read", "profile_schema_compat",
     "agg_penny_allocation", "agg_weighted_median", "window_local_maxima",
-    "fn_try_arith",
+    "fn_try_arith", "scan_rowgroup_metadata",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",

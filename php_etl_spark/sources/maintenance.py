@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 import os
+from collections.abc import Sequence
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -249,3 +250,64 @@ def compact_partitioned(
             "skipped": False,
         }
     return actions
+
+
+def row_group_stats(
+    spark: SparkSession, path: str, columns: Sequence[str]
+) -> DataFrame:
+    """Parquet metadata TABLE: per-row-group row counts and column
+    min/max statistics, read from the footers on EXECUTORS — the
+    Iceberg `files`-metadata-table idea for plain parquet dirs. The
+    driver only lists file paths (layout-sized); a mapInPandas batch
+    job opens each footer with pyarrow where the file lives. This is
+    the introspection query behind data-skipping debugging ('why
+    didn't that file prune?') and layout audits (zorder/range
+    clustering quality), at the cost of a footer read per file —
+    never a data read."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    files = sorted(
+        os.path.join(root, f)
+        for root, _dirs, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    cols = list(columns)
+    paths_df = spark.createDataFrame(
+        [(p,) for p in files], "file_path string"
+    ).repartition(min(len(files), 32) or 1)
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            out = []
+            for p in b["file_path"]:
+                md = pq.ParquetFile(p).metadata
+                name_to_idx = {
+                    md.row_group(0).column(i).path_in_schema: i
+                    for i in range(md.num_columns)
+                }
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    row = {
+                        "file_path": p,
+                        "row_group": rg,
+                        "n_rows": g.num_rows,
+                    }
+                    for c in cols:
+                        st = g.column(name_to_idx[c]).statistics
+                        row[f"min_{c}"] = None if st is None else st.min
+                        row[f"max_{c}"] = None if st is None else st.max
+                    out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=["file_path", "row_group", "n_rows"]
+                + [f"{m}_{c}" for c in cols for m in ("min", "max")],
+            )
+
+    schema = "file_path string, row_group int, n_rows long, " + ", ".join(
+        f"min_{c} long, max_{c} long" for c in cols
+    )
+    return paths_df.mapInPandas(read_footers, schema)
