@@ -11642,6 +11642,87 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "agg_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS k,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM lineitem GROUP BY 1
+    ), t AS (SELECT CAST(SUM(r) AS BIGINT) AS total FROM rev),
+    c AS (
+      SELECT k, r,
+             CAST(SUM(r) OVER (ORDER BY r DESC, k) AS BIGINT) AS cum,
+             total
+      FROM rev, t
+    ), cls AS (
+      SELECT k, r,
+             CASE WHEN 10 * cum <= 8 * total THEN 'A'
+                  WHEN 20 * cum <= 19 * total THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM c
+    )
+    SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(r) AS BIGINT) AS class_cents
+    FROM cls GROUP BY abc ORDER BY abc
+    """,
+)
+def agg_abc_classification(spark, sf_dir):
+    """ABC (Pareto) inventory classes: parts covering the first 80% of
+    revenue are A, to 95% B, the tail C. The cumulative-by-rank sum is
+    the one-task trap (ORDER BY rev DESC over the whole catalog), so
+    it runs as the SEGMENTED two-phase prefix sum the boundary-sweep
+    query established: local cumsums within revenue bands (parallel) +
+    a band-count-sized offset table on a broadcast — identical result,
+    plan-parallel at any catalog size. Thresholds compare as integer
+    cross-products (10·cum ≤ 8·total), no division."""
+    from pyspark.sql.window import Window
+
+    li = _cat(spark, sf_dir).lineitem
+    rev = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("r")
+    )
+    t = rev.agg(F.sum("r").alias("total"))
+    banded = rev.withColumn("band", F.expr("r DIV 1000000"))
+    w_local = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("r"), "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = banded.withColumn("local_cum", F.sum("r").over(w_local))
+    band_tot = banded.groupBy("band").agg(F.sum("r").alias("bt"))
+    w_off = (
+        Window.orderBy(F.desc("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = band_tot.select(
+        "band",
+        F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off"),
+    )
+    c = (
+        local.join(F.broadcast(offsets), "band")
+        .crossJoin(F.broadcast(t))
+        .withColumn("cum", F.col("off") + F.col("local_cum"))
+    )
+    abc = (
+        F.when(10 * F.col("cum") <= 8 * F.col("total"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("total"), "B")
+        .otherwise("C")
+    )
+    return (
+        c.select(abc.alias("abc"), "r")
+        .groupBy("abc")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("r").alias("class_cents"),
+        )
+        .orderBy("abc")
+    )
+
+
+@query(
     "scan_rowgroup_metadata",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -12665,7 +12746,7 @@ _PRIORITY = [
     "window_gap_duration_stats", "agg_new_vs_returning",
     "dim_bitemporal_read", "profile_schema_compat",
     "agg_penny_allocation", "agg_weighted_median", "window_local_maxima",
-    "fn_try_arith", "scan_rowgroup_metadata",
+    "fn_try_arith", "scan_rowgroup_metadata", "agg_abc_classification",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
