@@ -11642,6 +11642,40 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "fn_datetime_month_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+             AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_diff('month', CAST(o_orderdate AS DATE),
+                          DATE '1998-01-01')
+                - CASE WHEN day(CAST(o_orderdate AS DATE)) > 1
+                       THEN 1 ELSE 0 END AS INT) AS whole_months_to_98
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def fn_datetime_month_arith(spark, sf_dir):
+    """Calendar-month arithmetic — the billing-cycle functions
+    (add_months clamps correctly at month ends where day arithmetic
+    can't, last_day anchors statements, whole-month differences drive
+    aging buckets). Completes the datetime family's month axis;
+    months_between's FRACTIONAL form is deliberately absent from the
+    published columns (its day-fraction convention differs between
+    engines — same class of exclusion as libm exp in the geomean)."""
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_orderkey") % 100 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.floor(
+            F.months_between(F.lit("1998-01-01").cast("date"), d)
+        ).cast("int").alias("whole_months_to_98"),
+    )
+
+
+@query(
     "agg_abc_classification",
     oracle="""
     WITH rev AS (
@@ -12747,6 +12781,7 @@ _PRIORITY = [
     "dim_bitemporal_read", "profile_schema_compat",
     "agg_penny_allocation", "agg_weighted_median", "window_local_maxima",
     "fn_try_arith", "scan_rowgroup_metadata", "agg_abc_classification",
+    "fn_datetime_month_arith",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
