@@ -11642,6 +11642,109 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "agg_aging_buckets",
+    oracle="""
+    WITH m AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+    aged AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             date_diff('day', CAST(o_orderdate AS DATE), ref_day) AS age_d
+      FROM orders, m WHERE o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus,
+           CASE WHEN age_d <= 30 THEN '0-30'
+                WHEN age_d <= 60 THEN '31-60'
+                WHEN age_d <= 90 THEN '61-90'
+                ELSE '90+' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS bucket_cents
+    FROM aged GROUP BY 1, 2 ORDER BY o_orderstatus, age_bucket
+    """,
+)
+def agg_aging_buckets(spark, sf_dir):
+    """Receivables aging: open orders bucketed by days outstanding
+    relative to the as-of date (the ledger report every finance close
+    runs). As-of rides a 1-row broadcast; buckets are fixed-boundary
+    CASE arms (data-independent, so the report is stable across
+    reruns); exact integer cents."""
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_orderstatus") != "F")
+    m = _cat(spark, sf_dir).orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("ref_day")
+    )
+    aged = o.crossJoin(F.broadcast(m)).select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.datediff(F.col("ref_day"), F.to_date("o_orderdate")).alias("age_d"),
+    )
+    bucket = (
+        F.when(F.col("age_d") <= 30, "0-30")
+        .when(F.col("age_d") <= 60, "31-60")
+        .when(F.col("age_d") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return (
+        aged.groupBy("o_orderstatus", bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("bucket_cents"),
+        )
+        .orderBy("o_orderstatus", "age_bucket")
+    )
+
+
+@query(
+    "event_impossible_sequences",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, first_purchase, first_view, n_purchases
+    FROM f
+    WHERE first_purchase IS NOT NULL
+      AND (first_view IS NULL OR first_purchase < first_view)
+    ORDER BY user_id
+    """,
+)
+def event_impossible_sequences(spark, sf_dir):
+    """Sequence-plausibility audit: users whose first purchase
+    precedes any view — the instrumentation-bug detector (dropped
+    events, clock skew, bot traffic) that belongs next to the funnel
+    queries, because a funnel silently UNDERCOUNTS exactly these
+    users. One conditional-min aggregate per user; no ordering, no
+    window — first-event comparisons are min() problems, not sort
+    problems."""
+    ev = _cat(spark, sf_dir).events
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+        F.count(
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+        ).alias("n_purchases"),
+    )
+    return (
+        f.filter(
+            F.col("first_purchase").isNotNull()
+            & (
+                F.col("first_view").isNull()
+                | (F.col("first_purchase") < F.col("first_view"))
+            )
+        )
+        .select("user_id", "first_purchase", "first_view", "n_purchases")
+        .orderBy("user_id")
+    )
+
+
+@query(
     "fn_datetime_month_arith",
     oracle="""
     SELECT o_orderkey,
@@ -12781,7 +12884,8 @@ _PRIORITY = [
     "dim_bitemporal_read", "profile_schema_compat",
     "agg_penny_allocation", "agg_weighted_median", "window_local_maxima",
     "fn_try_arith", "scan_rowgroup_metadata", "agg_abc_classification",
-    "fn_datetime_month_arith",
+    "fn_datetime_month_arith", "agg_aging_buckets",
+    "event_impossible_sequences",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
