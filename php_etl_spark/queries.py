@@ -11642,6 +11642,123 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "agg_survival_curve",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+               AS lt,
+             CASE WHEN MAX(CAST(ts AS DATE)) >
+                       (SELECT MAX(CAST(ts AS DATE)) FROM events)
+                       - INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END AS censored
+      FROM events GROUP BY 1
+    ), h AS (
+      SELECT lt, CAST(COUNT(*) AS BIGINT) AS ending,
+             CAST(SUM(1 - censored) AS BIGINT) AS deaths
+      FROM span GROUP BY 1
+    ), r AS (
+      SELECT lt, deaths,
+             CAST((SELECT COUNT(*) FROM span) AS BIGINT)
+               - CAST(COALESCE(SUM(ending) OVER (ORDER BY lt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS at_risk
+      FROM h
+    ), s AS (
+      SELECT lt, at_risk, deaths,
+             SUM(CASE WHEN deaths = 0 OR deaths = at_risk THEN 0
+                 ELSE CAST(floor(ln((at_risk - deaths) * 1.0 / at_risk)
+                                 * 1000000000) AS BIGINT) END)
+               OVER (ORDER BY lt) AS log_surv_nano,
+             MAX(CASE WHEN deaths = at_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY lt) AS died_out
+      FROM r
+    )
+    SELECT lt AS lifetime_days, at_risk, deaths,
+           CAST(CASE WHEN died_out = 1 THEN NULL ELSE log_surv_nano END
+                AS BIGINT) AS log_surv_nano
+    FROM s ORDER BY lt
+    """,
+)
+def agg_survival_curve(spark, sf_dir):
+    """Kaplan-Meier user-survival curve: lifetime = days between a
+    user's first and last event, right-censored when the user was
+    still active in the final week. S(t) = Π(1 - dᵢ/nᵢ) over event
+    times — a PRODUCT, so it publishes in the log domain with each
+    factor's ln quantized to integer nano-units (exact associative
+    cumulative sum; exp is the caller's one-liner — same libm-
+    divergence exclusion as the geometric mean). At-risk counts come
+    from the lifetime histogram's prefix sums; every window here runs
+    over distinct lifetimes (histogram-sized), not users. Survival
+    analysis as plain SQL — the retention curve with correct
+    censoring, which naive 'active after N days' retention gets
+    wrong."""
+    from pyspark.sql.window import Window
+
+    ev = _cat(spark, sf_dir).events
+    maxd = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    span = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_d"),
+            F.max(F.to_date("ts")).alias("last_d"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.datediff("last_d", "first_d").alias("lt"),
+            F.when(
+                F.col("last_d") > F.date_sub(F.col("maxd"), 7), 1
+            ).otherwise(0).alias("censored"),
+        )
+    )
+    h = span.groupBy("lt").agg(
+        F.count("*").alias("ending"),
+        F.sum(1 - F.col("censored")).alias("deaths"),
+    )
+    total = span.agg(F.count("*").alias("n_users"))
+    w_prev = Window.orderBy("lt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = h.crossJoin(F.broadcast(total)).select(
+        "lt",
+        "deaths",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("ending").over(w_prev), F.lit(0))
+        ).alias("at_risk"),
+    )
+    w_cum = Window.orderBy("lt")
+    factor = F.when(
+        (F.col("deaths") == 0) | (F.col("deaths") == F.col("at_risk")),
+        F.lit(0),
+    ).otherwise(
+        F.floor(
+            F.log(
+                (F.col("at_risk") - F.col("deaths"))
+                * 1.0
+                / F.col("at_risk")
+            )
+            * 1000000000
+        ).cast("long")
+    )
+    s = r.select(
+        "lt", "at_risk", "deaths",
+        F.sum(factor).over(w_cum).alias("log_surv_nano"),
+        F.max(
+            F.when(F.col("deaths") == F.col("at_risk"), 1).otherwise(0)
+        ).over(w_cum).alias("died_out"),
+    )
+    return s.select(
+        F.col("lt").alias("lifetime_days"),
+        "at_risk",
+        "deaths",
+        F.when(
+            F.col("died_out") == 1, F.lit(None).cast("long")
+        ).otherwise(F.col("log_surv_nano")).alias("log_surv_nano"),
+    ).orderBy("lifetime_days")
+
+
+@query(
     "agg_aging_buckets",
     oracle="""
     WITH m AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
@@ -12885,7 +13002,7 @@ _PRIORITY = [
     "agg_penny_allocation", "agg_weighted_median", "window_local_maxima",
     "fn_try_arith", "scan_rowgroup_metadata", "agg_abc_classification",
     "fn_datetime_month_arith", "agg_aging_buckets",
-    "event_impossible_sequences",
+    "event_impossible_sequences", "agg_survival_curve",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
