@@ -11642,6 +11642,62 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "hierarchy_cost_rollup",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey AS cur FROM customer
+      UNION ALL
+      SELECT node, cur // 8 AS cur FROM anc WHERE cur >= 8
+    ), roots AS (
+      SELECT node, MIN(cur) AS root FROM anc GROUP BY node
+    ), costs AS (
+      SELECT c_custkey AS node,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT CAST(r.root AS BIGINT) AS root,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(cents) AS BIGINT) AS subtree_cents
+    FROM roots r JOIN costs USING (node)
+    GROUP BY r.root ORDER BY root
+    """,
+)
+def hierarchy_cost_rollup(spark, sf_dir):
+    """Bill-of-materials-style subtree rollup: every node's cost
+    aggregates to its hierarchy root — tree_closure's pointer-doubling
+    resolves (node → root) in log-depth joins, then the rollup is one
+    groupBy(root); the oracle walks the same tree with a recursive
+    CTE. The composition pattern matters more than either piece: at
+    100 TB you resolve the hierarchy ONCE and join it to as many fact
+    rollups as needed, instead of re-recursing per report."""
+    from php_etl_spark.operators.graph import tree_closure
+
+    c = _cat(spark, sf_dir).customer
+    edges = c.select(
+        F.col("c_custkey").alias("child"),
+        F.when(
+            F.col("c_custkey") < 8, F.col("c_custkey")
+        ).otherwise(
+            F.floor(F.col("c_custkey") / 8).cast("long")
+        ).alias("parent"),
+    )
+    closure = tree_closure(edges, rounds=4).select("node", "root")
+    costs = c.select(
+        F.col("c_custkey").alias("node"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return (
+        closure.join(costs, "node")
+        .groupBy("root")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("cents").alias("subtree_cents"),
+        )
+        .orderBy("root")
+    )
+
+
+@query(
     "agg_survival_curve",
     oracle="""
     WITH span AS (
@@ -13003,6 +13059,7 @@ _PRIORITY = [
     "fn_try_arith", "scan_rowgroup_metadata", "agg_abc_classification",
     "fn_datetime_month_arith", "agg_aging_buckets",
     "event_impossible_sequences", "agg_survival_curve",
+    "hierarchy_cost_rollup",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
