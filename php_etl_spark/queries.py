@@ -11642,6 +11642,111 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "agg_activity_heatmap",
+    oracle="""
+    SELECT CAST(isodow(CAST(ts AS DATE)) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2 ORDER BY dow, hr
+    """,
+)
+def agg_activity_heatmap(spark, sf_dir):
+    """The day-of-week × hour activity heatmap (the load-profile
+    matrix capacity planning and send-time optimization read): 7×24
+    cells of event and unique-user counts. ISO weekday on both
+    engines (Spark's dayofweek is Sunday-1, so the expression maps it
+    to ISO Monday-1 explicitly — calendar-convention drift is the
+    classic silent cross-system bug, pinned here by the oracle)."""
+    ev = _cat(spark, sf_dir).events
+    iso_dow = ((F.dayofweek(F.to_date("ts")) + 5) % 7) + 1
+    return (
+        ev.groupBy(
+            iso_dow.alias("dow"), F.hour("ts").alias("hr")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hr")
+    )
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH freq AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest({_TOKS_SQL}) AS t FROM documents) GROUP BY 1
+    ), top AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, t) AS rk
+      FROM freq ORDER BY f DESC, t LIMIT 1000
+    ), q AS (
+      SELECT CAST(floor(ln(rk) * 1000000) AS BIGINT) AS x,
+             CAST(floor(ln(f) * 1000000) AS BIGINT) AS y
+      FROM top
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM q
+    )
+    SELECT n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             / 1000000 AS log_c
+    FROM m
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary: regress ln(freq) on
+    ln(rank) for the top-1000 tokens — the slope (≈ −1 for natural
+    language) is the one-number summary of lexical distribution that
+    flags machine-generated or templated corpora (their slopes
+    flatten). The rank window is vocabulary-top-k-sized; the
+    regression runs on nano-quantized logs via exact integer moments
+    (the corr_exact discipline), one double formula at the end."""
+    from pyspark.sql.window import Window
+
+    docs = _cat(spark, sf_dir).documents
+    freq = (
+        docs.select(F.explode(T.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("f"))
+    )
+    top = (
+        freq.orderBy(F.desc("f"), "t")
+        .limit(1000)
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("f"), "t"))
+        )
+    )
+    q = top.select(
+        F.floor(F.log("rk") * 1000000).cast("long").alias("x"),
+        F.floor(F.log("f") * 1000000).cast("long").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = q.agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "n",
+        slope.alias("zipf_slope"),
+        ((sy - slope * sx) / n / 1000000).alias("log_c"),
+    )
+
+
+@query(
     "hierarchy_cost_rollup",
     oracle="""
     WITH RECURSIVE anc AS (
@@ -13059,7 +13164,7 @@ _PRIORITY = [
     "fn_try_arith", "scan_rowgroup_metadata", "agg_abc_classification",
     "fn_datetime_month_arith", "agg_aging_buckets",
     "event_impossible_sequences", "agg_survival_curve",
-    "hierarchy_cost_rollup",
+    "hierarchy_cost_rollup", "agg_activity_heatmap", "text_zipf_fit",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
