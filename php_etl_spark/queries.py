@@ -11642,6 +11642,92 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "emb_outlier_centroid_dist",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 100000)
+                  AS BIGINT) AS qv
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q GROUP BY 1, 2
+    ), dots AS (
+      SELECT q.vec_id, q.label,
+             CAST(SUM(CAST(q.qv AS HUGEINT) * q.qv) AS DOUBLE) AS qq,
+             CAST(SUM(CAST(q.qv AS HUGEINT) * cent.s) AS DOUBLE) AS qs,
+             CAST(SUM(CAST(cent.s AS HUGEINT) * cent.s) AS DOUBLE) AS ss,
+             CAST(MIN(cent.n) AS BIGINT) AS n
+      FROM q JOIN cent USING (label, pos)
+      GROUP BY 1, 2
+    ), d AS (
+      SELECT vec_id, label,
+             qq - 2 * qs / n + ss / n / n AS dist2
+      FROM dots
+    ), r AS (
+      SELECT vec_id, label, dist2,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY dist2 DESC, vec_id) AS rk
+      FROM d
+    )
+    SELECT vec_id, label, dist2 FROM r WHERE rk <= 5
+    """,
+)
+def emb_outlier_centroid_dist(spark, sf_dir):
+    """Embedding outlier screen: the 5 vectors farthest from their
+    class centroid per label — the mislabeled-example detector every
+    embedding-based curation loop runs. Exactness without a second
+    pass: d² = Σq² − 2Σ(q·s)/n + Σs²/n² expands so every sum is an
+    exact INTEGER dot product against the centroid's raw sums (never
+    the fractional mean) and the division happens once in a fixed
+    double formula — bit-stable where a float mean-then-distance
+    accumulation isn't. Per-label top-k uses the bounded-rank shape.
+    Joins hit the (label, pos) centroid table, broadcastable at k
+    labels × d dims rows."""
+    from pyspark.sql.window import Window
+
+    e = _cat(spark, sf_dir).embeddings.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "ev")
+    )
+    q = e.select(
+        "vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("ev").cast("double") * 100000).cast("long").alias(
+            "qv"
+        ),
+    )
+    cent = q.groupBy("label", "pos").agg(
+        F.sum("qv").alias("s"), F.count("*").alias("n")
+    )
+    qd = F.col("qv").cast("decimal(38,0)")
+    sd = F.col("s").cast("decimal(38,0)")
+    dots = (
+        q.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(qd * qd).cast("double").alias("qq"),
+            F.sum(qd * sd).cast("double").alias("qs"),
+            F.sum(sd * sd).cast("double").alias("ss"),
+            F.min("n").alias("n"),
+        )
+    )
+    d2 = (
+        F.col("qq")
+        - 2 * F.col("qs") / F.col("n")
+        + F.col("ss") / F.col("n") / F.col("n")
+    )
+    r = dots.select("vec_id", "label", d2.alias("dist2")).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("label").orderBy(
+                F.desc("dist2"), "vec_id"
+            )
+        ),
+    )
+    return r.filter(F.col("rk") <= 5).select("vec_id", "label", "dist2")
+
+
+@query(
     "agg_activity_heatmap",
     oracle="""
     SELECT CAST(isodow(CAST(ts AS DATE)) AS INT) AS dow,
@@ -13165,6 +13251,7 @@ _PRIORITY = [
     "fn_datetime_month_arith", "agg_aging_buckets",
     "event_impossible_sequences", "agg_survival_curve",
     "hierarchy_cost_rollup", "agg_activity_heatmap", "text_zipf_fit",
+    "emb_outlier_centroid_dist",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
