@@ -11642,6 +11642,101 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "emb_knn_eval",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, label, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    ), norms AS (
+      SELECT vec_id, SUM(q * q) AS n2 FROM flat GROUP BY 1
+    ), dots AS (
+      SELECT qs.vec_id AS query_id, qs.label AS true_label,
+             c.vec_id AS neighbor_id, c.label AS nb_label,
+             SUM(qs.q * c.q) AS dot
+      FROM flat qs JOIN flat c ON qs.i = c.i
+        AND qs.vec_id % 20 = 0 AND c.vec_id <> qs.vec_id
+      GROUP BY 1, 2, 3, 4
+    ), ranked AS (
+      SELECT query_id, true_label, nb_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+               DESC, neighbor_id) AS rk
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    ), votes AS (
+      SELECT query_id, true_label, nb_label, COUNT(*) AS c
+      FROM ranked WHERE rk <= 5 GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT query_id, true_label, nb_label AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, nb_label) AS vr
+        FROM votes) WHERE vr = 1
+    )
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(COUNT(*) FILTER (WHERE predicted = true_label) AS BIGINT)
+             AS n_correct
+    FROM pred GROUP BY 1 ORDER BY label
+    """,
+)
+def emb_knn_eval(spark, sf_dir):
+    """k-NN label-agreement evaluation — the embedding-quality score
+    a curation loop watches (if 5-NN votes stop agreeing with labels,
+    either the embeddings or the labels degraded): every 20th vector
+    queries the corpus, its exact top-5 cosine neighbors (llm/
+    similarity.brute_force_topk — broadcast queries, integer-
+    quantized dots, no corpus shuffle) vote with a deterministic
+    tiebreak, and per-label accuracy comes back. ANN variants slot in
+    by swapping the neighbor function; the eval stays identical."""
+    emb = _cat(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    nn = S.brute_force_topk(emb, queries, k=5)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        nn.join(
+            labels.withColumnsRenamed(
+                {"vec_id": "neighbor_id", "label": "nb_label"}
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nb_label")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql.window import Window
+
+    pred = (
+        votes.withColumn(
+            "vr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("c"), "nb_label"
+                )
+            ),
+        )
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("nb_label").alias("predicted"))
+    )
+    truth = labels.withColumnsRenamed(
+        {"vec_id": "query_id", "label": "true_label"}
+    )
+    return (
+        pred.join(truth, "query_id")
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.count(
+                F.when(F.col("predicted") == F.col("true_label"), 1)
+            ).alias("n_correct"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
     "emb_outlier_centroid_dist",
     oracle="""
     WITH q AS (
@@ -13251,7 +13346,7 @@ _PRIORITY = [
     "fn_datetime_month_arith", "agg_aging_buckets",
     "event_impossible_sequences", "agg_survival_curve",
     "hierarchy_cost_rollup", "agg_activity_heatmap", "text_zipf_fit",
-    "emb_outlier_centroid_dist",
+    "emb_outlier_centroid_dist", "emb_knn_eval",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
