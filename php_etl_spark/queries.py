@@ -11642,6 +11642,54 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "set_except_all",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'N'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_except_all(spark, sf_dir):
+    """Bag-semantics EXCEPT ALL — multiset difference with
+    MULTIPLICITY (a supplier with 5 'N' lineitems and 2 'R' ones
+    survives 3 times), which is what reconciliation actually needs:
+    plain EXCEPT answers 'which keys', EXCEPT ALL answers 'how many
+    occurrences remain'. Engine-native exceptAll (hash-aggregated
+    counts under the hood), not a distinct-then-join emulation."""
+    li = _cat(spark, sf_dir).lineitem
+    n = li.filter(F.col("l_returnflag") == "N").select("l_suppkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return n.exceptAll(r)
+
+
+@query(
+    "fn_nulls_ordering",
+    oracle="""
+    SELECT c_custkey, seg_or_null FROM (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_or_null
+      FROM customer WHERE c_custkey <= 200
+    ) ORDER BY seg_or_null DESC NULLS FIRST, c_custkey
+    LIMIT 50
+    """,
+)
+def fn_nulls_ordering(spark, sf_dir):
+    """Explicit NULL placement in sort order (NULLS FIRST with a
+    descending key) — engines disagree on the DEFAULT (Spark sorts
+    nulls first ascending/last descending; others differ), so
+    portable pipelines must say it out loud; the LIMIT makes the
+    ordering semantics part of the VALUE, not just presentation."""
+    c = _cat(spark, sf_dir).customer.filter(F.col("c_custkey") <= 200)
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return (
+        c.select("c_custkey", seg.alias("seg_or_null"))
+        .orderBy(
+            F.col("seg_or_null").desc_nulls_first(), F.col("c_custkey")
+        )
+        .limit(50)
+    )
+
+
+@query(
     "emb_knn_eval",
     oracle="""
     WITH flat AS (
@@ -13346,7 +13394,8 @@ _PRIORITY = [
     "fn_datetime_month_arith", "agg_aging_buckets",
     "event_impossible_sequences", "agg_survival_curve",
     "hierarchy_cost_rollup", "agg_activity_heatmap", "text_zipf_fit",
-    "emb_outlier_centroid_dist", "emb_knn_eval",
+    "emb_outlier_centroid_dist", "emb_knn_eval", "set_except_all",
+    "fn_nulls_ordering",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
