@@ -516,6 +516,33 @@ AUDITS = {
          lambda p: "Join" not in p
          and p.split("== Initial Plan ==")[0].count("Window [") == 0),
     ],
+    "agg_abc_classification": [
+        ("segmented cumulative sum: local windows partition on the "
+         "revenue band, never one global ordered task over the catalog",
+         lambda p: "windowspecdefinition(band" in p),
+        ("band offset table rides a broadcast",
+         lambda p: "BroadcastHashJoin" in p or "BroadcastNestedLoop" in p),
+    ],
+    "agg_pareto_front": [
+        ("local skyline windows partition on the salt bucket",
+         lambda p: "windowspecdefinition(__b" in p),
+        ("global pass exists but runs over the bounded survivor set "
+         "(exactly two window nodes total)",
+         lambda p: p.split("== Initial Plan ==")[0].count("Window [") == 2),
+    ],
+    "agg_penny_allocation": [
+        ("all windows partition on the order key (order-sized frames)",
+         lambda p: "windowspecdefinition(l_orderkey" in p
+         and "windowspecdefinition()" not in p),
+        ("no cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "emb_outlier_centroid_dist": [
+        ("centroid table broadcasts to the per-vector join",
+         lambda p: "BroadcastHashJoin" in p),
+        ("top-k rank partitions per label",
+         lambda p: "windowspecdefinition(label" in p),
+    ],
     "zorder_layout": [
         ("ONE range exchange on the curve value — clustering costs a "
          "single shuffle, like any repartitionByRange write",

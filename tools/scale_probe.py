@@ -381,6 +381,63 @@ def main() -> int:
     )
     assert n_pruned == n_full == 49_001, (n_pruned, n_full)
 
+    # 11. two-phase Pareto front at 5M points: the salted local-
+    # skyline + bounded-global decomposition must be EXACT vs the
+    # naive single-window formulation, and parallel where the naive
+    # plan serializes the whole sort through one task.
+    from pyspark.sql.window import Window as _W
+
+    n_pts = min(args.rows // 2, 5_000_000)
+    pts = (
+        spark.range(n_pts)
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("x"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100_000)).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+
+    def naive_skyline():
+        w = _W.orderBy(F.col("x").asc(), F.col("y").asc()).rowsBetween(
+            _W.unboundedPreceding, -1
+        )
+        return sorted(
+            (r.x, r.y)
+            for r in pts.withColumn("m", F.min("y").over(w))
+            .filter(F.col("m").isNull() | (F.col("y") < F.col("m")))
+            .select("x", "y")
+            .collect()
+        )
+
+    def twophase_skyline():
+        d = pts.withColumn(
+            "b", F.pmod(F.xxhash64("x", "y"), F.lit(64))
+        )
+        wl = (
+            _W.partitionBy("b")
+            .orderBy(F.col("x").asc(), F.col("y").asc())
+            .rowsBetween(_W.unboundedPreceding, -1)
+        )
+        local = d.withColumn("m", F.min("y").over(wl)).filter(
+            F.col("m").isNull() | (F.col("y") < F.col("m"))
+        )
+        wg = _W.orderBy(F.col("x").asc(), F.col("y").asc()).rowsBetween(
+            _W.unboundedPreceding, -1
+        )
+        return sorted(
+            (r.x, r.y)
+            for r in local.withColumn("g", F.min("y").over(wg))
+            .filter(F.col("g").isNull() | (F.col("y") < F.col("g")))
+            .select("x", "y")
+            .collect()
+        )
+
+    naive = timed(f"pareto front, naive single window ({n_pts} pts)", naive_skyline)
+    two = timed("pareto front, salted two-phase", twophase_skyline)
+    assert naive == two, "two-phase skyline must be exact"
+
     print("scale probe OK")
     return 0
 
