@@ -11642,6 +11642,66 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "agg_time_to_convert",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS v0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p0
+      FROM events GROUP BY 1
+    ), conv AS (
+      SELECT CAST(date_diff('second', v0, p0) AS BIGINT) AS ttc_s
+      FROM f WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= v0
+    )
+    SELECT CAST(floor(ln(GREATEST(ttc_s, 1)) / ln(2)) AS BIGINT)
+             AS ttc_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(ttc_s) AS BIGINT) AS min_s,
+           CAST(MAX(ttc_s) AS BIGINT) AS max_s
+    FROM conv GROUP BY 1 ORDER BY ttc_bucket
+    """,
+)
+def agg_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution: seconds from a user's first view
+    to their first purchase, in log₂ buckets — the latency histogram
+    behind funnel SLAs and attribution-window choices (the 7-day
+    lookback in event_attribution is defensible exactly when this
+    distribution's mass sits inside it). First-event times are
+    conditional MINs (no ordering, no window); the histogram
+    reduction is the mergeable log-bucket pattern."""
+    ev = _cat(spark, sf_dir).events
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "v0"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p0"),
+    )
+    conv = f.filter(
+        F.col("v0").isNotNull()
+        & F.col("p0").isNotNull()
+        & (F.col("p0") >= F.col("v0"))
+    ).select(
+        (F.col("p0").cast("long") - F.col("v0").cast("long")).alias(
+            "ttc_s"
+        )
+    )
+    bucket = F.floor(
+        F.log(F.greatest(F.col("ttc_s"), F.lit(1))) / F.log(F.lit(2.0))
+    )
+    return (
+        conv.groupBy(bucket.alias("ttc_bucket"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.min("ttc_s").alias("min_s"),
+            F.max("ttc_s").alias("max_s"),
+        )
+        .orderBy("ttc_bucket")
+    )
+
+
+@query(
     "set_except_all",
     oracle="""
     SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'N'
@@ -13395,7 +13455,7 @@ _PRIORITY = [
     "event_impossible_sequences", "agg_survival_curve",
     "hierarchy_cost_rollup", "agg_activity_heatmap", "text_zipf_fit",
     "emb_outlier_centroid_dist", "emb_knn_eval", "set_except_all",
-    "fn_nulls_ordering",
+    "fn_nulls_ordering", "agg_time_to_convert",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
