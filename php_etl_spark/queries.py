@@ -11642,6 +11642,57 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "docs_decontaminate_apply",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS doc, source,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM (SELECT doc_id, source, {{toks}} AS ws FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+    ), droplist AS (
+      SELECT DISTINCT t.doc FROM
+        (SELECT * FROM sh WHERE source <> 'src0') t
+        JOIN (SELECT * FROM sh WHERE source = 'src0') e ON t.s = e.s
+      GROUP BY t.doc, e.doc HAVING COUNT(*) >= 5
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE source <> 'src0'
+      AND doc_id NOT IN (SELECT doc FROM droplist)
+    GROUP BY source ORDER BY source
+    """.replace("{toks}", _TOKS_SQL),
+)
+def docs_decontaminate_apply(spark, sf_dir):
+    """Decontamination APPLIED — the half the detector query leaves
+    out: contamination_ngram produces the drop-list (train docs
+    sharing ≥5 word-3-grams with the held-out split); this filters
+    the training corpus with it (one anti-join on the flagged ids,
+    never touching the text again) and publishes what survived per
+    source — the number that actually goes in the datasheet. The
+    drop-list is contaminated-docs-sized, so the anti-join broadcast
+    is tiny at any corpus scale."""
+    docs = _cat(spark, sf_dir).documents
+    train = docs.filter(F.col("source") != "src0")
+    evald = docs.filter(F.col("source") == "src0")
+    flagged = (
+        D.cross_corpus_overlap(train, evald, n=3, min_overlap=5)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    kept = train.join(F.broadcast(flagged), "doc_id", "left_anti")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "agg_time_to_convert",
     oracle="""
     WITH f AS (
@@ -13456,6 +13507,7 @@ _PRIORITY = [
     "hierarchy_cost_rollup", "agg_activity_heatmap", "text_zipf_fit",
     "emb_outlier_centroid_dist", "emb_knn_eval", "set_except_all",
     "fn_nulls_ordering", "agg_time_to_convert",
+    "docs_decontaminate_apply",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
