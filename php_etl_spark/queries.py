@@ -11642,6 +11642,97 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @query(
+    "corpus_datasheet",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             md5({_NORM_SQL}) AS h
+      FROM documents
+    ), dup AS (
+      SELECT h FROM base GROUP BY h HAVING COUNT(*) > 1
+    ), lang_terms AS (
+      SELECT source,
+             CAST(SUM(term) AS BIGINT) AS lang_entropy_nano
+      FROM (
+        SELECT source,
+               CAST(floor(-(c * 1.0 / t) * ln(c * 1.0 / t) * 1000000000)
+                    AS BIGINT) AS term
+        FROM (
+          SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c,
+                 SUM(COUNT(*)) OVER (PARTITION BY source) AS t
+          FROM base GROUP BY source, lang
+        )
+      ) GROUP BY source
+    )
+    SELECT base.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) FILTER (WHERE dup.h IS NOT NULL) AS BIGINT)
+             AS n_dup_docs,
+           MIN(lang_entropy_nano) AS lang_entropy_nano
+    FROM base
+    LEFT JOIN dup ON base.h = dup.h
+    JOIN lang_terms ON lang_terms.source = base.source
+    GROUP BY base.source ORDER BY base.source
+    """,
+)
+def corpus_datasheet(spark, sf_dir):
+    """The corpus DATASHEET: one row per source with document and
+    token counts, exact-duplicate involvement, and language-mix
+    entropy — the summary table a dataset release publishes and a
+    mix-planning meeting argues over, assembled from the suite's own
+    primitives (normalized-hash dedup keys, the tokenizer, and
+    nano-quantized entropy terms so the Shannon sum is an exact
+    integer). Three aggregate passes over the corpus, a duplicate-
+    hash semi-structure, and a source×lang entropy table that is
+    mix-sized, not data-sized."""
+    from pyspark.sql.window import Window
+
+    docs = _cat(spark, sf_dir).documents
+    base = docs.select(
+        "doc_id", "source", "lang",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        F.md5(T.normalize("text")).alias("h"),
+    )
+    dup = (
+        base.groupBy("h").agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h", F.lit(1).alias("__dup"))
+    )
+    sl = base.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    wt = Window.partitionBy("source")
+    term = F.floor(
+        -(F.col("c") * 1.0 / F.col("t"))
+        * F.log(F.col("c") * 1.0 / F.col("t"))
+        * 1000000000
+    ).cast("long")
+    lang_terms = (
+        sl.withColumn("t", F.sum("c").over(wt))
+        .select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(F.sum("term").alias("lang_entropy_nano"))
+    )
+    return (
+        base.join(F.broadcast(dup), "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.count(F.when(F.col("__dup").isNotNull(), 1)).alias(
+                "n_dup_docs"
+            ),
+        )
+        .join(F.broadcast(lang_terms), "source")
+        .select(
+            "source", "n_docs", "total_tokens", "n_dup_docs",
+            "lang_entropy_nano",
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "docs_decontaminate_apply",
     oracle=f"""
     WITH sh AS (
@@ -13507,7 +13598,7 @@ _PRIORITY = [
     "hierarchy_cost_rollup", "agg_activity_heatmap", "text_zipf_fit",
     "emb_outlier_centroid_dist", "emb_knn_eval", "set_except_all",
     "fn_nulls_ordering", "agg_time_to_convert",
-    "docs_decontaminate_apply",
+    "docs_decontaminate_apply", "corpus_datasheet",
     # TPC-H-shape tail
     "join_priority_q3", "agg_forecast_q6", "join_profit_q9",
     "agg_share_threshold_q11", "agg_conditional_q12", "agg_ratio_q14",
