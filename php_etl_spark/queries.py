@@ -13466,11 +13466,312 @@ def sql_pipe_syntax(spark, sf_dir):
 # The applyInPandasWithState path (stream_stateful_custom) covers the
 # custom-stateful capability in the registry.
 
-# streaming/events.user_totals_tws) exists but is NOT registered as a
-# query: the API's Python runner requires protobuf, absent in this
-# container (tws_available() gates it; tests skip with that reason).
-# The applyInPandasWithState path (stream_stateful_custom) covers the
-# custom-stateful capability in the registry.
+
+# ---------------------------------------------------------------------------
+# Geospatial family (functions/geo.py): grid-bucketed proximity joins,
+# Morton/geohash locality keys, exact integer point-in-polygon,
+# trajectory accumulation. The test tables carry no coordinates, so
+# points derive deterministically from integer keys — the SAME SQL
+# fragment (generated by the geo helpers) runs on both engines.
+# ---------------------------------------------------------------------------
+
+from php_etl_spark.functions import geo as GEO  # noqa: E402
+
+_GLAT_CUST = "(c_custkey * 2654435761) % 180000000 - 90000000"
+_GLON_CUST = (
+    "((c_custkey * 40503) % 360000000) * 2654435761 % 360000000 - 180000000"
+)
+
+
+def _cust_points(spark, sf_dir):
+    c = _cat(spark, sf_dir).customer
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        GEO.synth_lat_micro("c_custkey").alias("glat"),
+        GEO.synth_lon_micro("c_custkey").alias("glon"),
+    )
+
+
+@query(
+    "geo_grid_knn",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             {_GLAT_CUST} AS glat, {_GLON_CUST} AS glon
+      FROM customer
+    ), cells AS (
+      SELECT *, CAST(floor((glon + 180000000) / 8388608) AS BIGINT) AS cx,
+                CAST(floor((glat + 90000000) / 8388608) AS BIGINT) AS cy
+      FROM pts
+    ), cand AS (
+      SELECT q.id AS query_id, p.id AS neighbor_id,
+             CAST(round(sqrt(CAST(
+               (q.glat - p.glat) * (q.glat - p.glat)
+               + (q.glon - p.glon) * (q.glon - p.glon) AS DOUBLE)))
+               AS BIGINT) AS dist_micro
+      FROM cells q JOIN cells p
+        ON p.cx BETWEEN q.cx - 1 AND q.cx + 1
+       AND p.cy BETWEEN q.cy - 1 AND q.cy + 1
+       AND p.id <> q.id
+      WHERE q.id % 20 = 0
+    )
+    SELECT query_id, neighbor_id, dist_micro, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY dist_micro, neighbor_id) AS rn
+      FROM cand
+    ) WHERE rn <= 3
+    """,
+)
+def geo_grid_knn(spark, sf_dir):
+    """Grid-bucketed k-nearest-neighbor proximity join (k=3 within the
+    3x3 cell neighborhood): every customer point lands in an
+    8.39e6-micro-degree grid cell; each query point (every 20th key)
+    explodes to its 9 neighboring cell keys and EQUI-joins the
+    corpus on the cell key — candidates are neighborhood-local, never
+    the all-pairs cross join the oracle runs. Distances are exact
+    int64 sums of squares under a correctly-rounded sqrt, so ranks
+    are engine-reproducible. At 100 TB this is the scale shape for
+    geo matching: one shuffle on the cell key, per-cell candidate
+    lists bounded by point density (pick cell size accordingly), and
+    the 9x explode on the (much smaller) query side only."""
+    pts = _cust_points(spark, sf_dir)
+    cx, cy = GEO.grid_cell(F.col("glat"), F.col("glon"), 8388608)
+    cells = pts.select("*", cx.alias("cx"), cy.alias("cy"))
+    nine = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    q = (
+        cells.filter(F.col("id") % 20 == 0)
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("glat").alias("qlat"),
+            F.col("glon").alias("qlon"),
+            "cx", "cy",
+            F.explode(nine).alias("o"),
+        )
+        .select(
+            "query_id", "qlat", "qlon",
+            (F.col("cx") + F.col("o.dx")).alias("jx"),
+            (F.col("cy") + F.col("o.dy")).alias("jy"),
+        )
+    )
+    cand = q.join(
+        cells.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("glat").alias("nlat"),
+            F.col("glon").alias("nlon"),
+            F.col("cx").alias("jx"),
+            F.col("cy").alias("jy"),
+        ),
+        ["jx", "jy"],
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    dist = GEO.planar_dist_micro(
+        F.col("qlat"), F.col("qlon"), F.col("nlat"), F.col("nlon")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_micro", "neighbor_id")
+    return (
+        cand.select("query_id", "neighbor_id", dist.alias("dist_micro"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "geo_morton_geohash",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             {_GLAT_CUST} AS glat, {_GLON_CUST} AS glon
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT id, {GEO.morton30_sql('glat', 'glon')} AS morton30,
+           {GEO.geohash6_sql(GEO.morton30_sql('glat', 'glon'))} AS geohash6
+    FROM pts
+    """,
+)
+def geo_morton_geohash(spark, sf_dir):
+    """Locality-preserving spatial keys: the 30-bit Morton (Z-order)
+    code of each point's 15-bit lat/lon quantization, plus its
+    6-character base32 geohash (the SAME bits, re-grouped 5 at a
+    time). The bit-spread cascade is pure int64 masking — the
+    generated SQL fragment is shared verbatim between the Spark plan
+    and the DuckDB oracle, so the codes agree bit-for-bit. These keys
+    are what a 100 TB table sorts/ranges-partitions on so that
+    spatially-near rows co-locate in the same parquet row groups
+    (sink_range_clustered / sink_zorder_clustered apply the layout);
+    prefix-grouping geohashes gives hierarchical spatial rollups for
+    free."""
+    pts = _cust_points(spark, sf_dir).filter(F.col("id") % 10 == 0)
+    morton = GEO.morton30_sql("glat", "glon")
+    return pts.select(
+        "id",
+        F.expr(morton).alias("morton30"),
+        F.expr(GEO.geohash6_sql(morton)).alias("geohash6"),
+    )
+
+
+@query(
+    "geo_haversine_broadcast",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey, c_nationkey,
+             {_GLAT_CUST} AS glat, {_GLON_CUST} AS glon
+      FROM customer WHERE c_custkey % 7 = 0
+    ), cap AS (
+      SELECT n_nationkey, n_name,
+             (n_nationkey * 2654435761) % 180000000 - 90000000 AS nlat,
+             ((n_nationkey * 40503) % 360000000) * 2654435761
+               % 360000000 - 180000000 AS nlon
+      FROM nation
+    )
+    SELECT c_custkey, n_name,
+           CAST(round(12742000.0 * asin(least(sqrt(
+             sin((nlat - glat) * (3.141592653589793 / 180000000.0) / 2.0)
+               * sin((nlat - glat) * (3.141592653589793 / 180000000.0) / 2.0)
+             + cos(glat * (3.141592653589793 / 180000000.0))
+               * cos(nlat * (3.141592653589793 / 180000000.0))
+               * sin((nlon - glon) * (3.141592653589793 / 180000000.0) / 2.0)
+               * sin((nlon - glon) * (3.141592653589793 / 180000000.0) / 2.0)
+           ), 1.0))) AS BIGINT) AS dist_m
+    FROM cust JOIN cap ON c_nationkey = n_nationkey
+    """,
+)
+def geo_haversine_broadcast(spark, sf_dir):
+    """Great-circle distance from each (7th) customer to their
+    nation's synthetic capital: the canonical broadcast geo join — a
+    25-row dimension of capitals rides to every executor, distance is
+    a narrow per-row expression, no shuffle of the fact side at all.
+    Haversine is the single float path in the geo family; meters
+    rounding sits ~9 orders of magnitude above libm's ulp-level
+    sin/cos slack, so values hash identically across engines (the
+    float expression text mirrors functions/geo.haversine_m
+    operation-for-operation)."""
+    cat = _cat(spark, sf_dir)
+    cust = cat.customer.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_nationkey",
+        GEO.synth_lat_micro("c_custkey").alias("glat"),
+        GEO.synth_lon_micro("c_custkey").alias("glon"),
+    )
+    cap = cat.nation.select(
+        "n_nationkey", "n_name",
+        GEO.synth_lat_micro("n_nationkey").alias("nlat"),
+        GEO.synth_lon_micro("n_nationkey").alias("nlon"),
+    )
+    dist = GEO.haversine_m(
+        F.col("glat"), F.col("glon"), F.col("nlat"), F.col("nlon")
+    )
+    return (
+        cust.join(
+            F.broadcast(cap), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("c_custkey", "n_name", dist.alias("dist_m"))
+    )
+
+
+_FENCE = [
+    (-30_000_000, -60_000_000),
+    (-30_000_000, 60_000_000),
+    (30_000_000, 90_000_000),
+    (60_000_000, 0),
+    (30_000_000, -90_000_000),
+]
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_mktsegment,
+             {_GLAT_CUST} AS glat, {_GLON_CUST} AS glon
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN
+             {GEO.convex_contains_sql('glat', 'glon', _FENCE)}
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+           COUNT(*) AS n_total
+    FROM pts GROUP BY c_mktsegment
+    """,
+)
+def geo_point_in_polygon(spark, sf_dir):
+    """Geofencing: customers tested against a convex pentagon fence
+    (CCW vertices in micro-degrees) with one exact int64 cross
+    product per edge — the unrolled half-plane test, no floats, no
+    iteration, fully inside whole-stage codegen. Aggregated to
+    inside/total counts per market segment. At scale the fence (or a
+    fence TABLE) is broadcast and the test is a narrow map; for
+    concave/multi-polygon fences the same pattern composes a
+    triangulation (OR over convex pieces). The generated predicate
+    text is shared verbatim with the oracle."""
+    cust = _cat(spark, sf_dir).customer.select(
+        "c_mktsegment",
+        GEO.synth_lat_micro("c_custkey").alias("glat"),
+        GEO.synth_lon_micro("c_custkey").alias("glon"),
+    )
+    inside = F.expr(GEO.convex_contains_sql("glat", "glon", _FENCE))
+    return cust.groupBy("c_mktsegment").agg(
+        F.sum(F.when(inside, 1).otherwise(0)).alias("n_inside"),
+        F.count("*").alias("n_total"),
+    )
+
+
+@query(
+    "geo_trajectory_length",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             (event_id * 2654435761) % 180000000 - 90000000 AS glat,
+             ((event_id * 40503) % 360000000) * 2654435761
+               % 360000000 - 180000000 AS glon
+      FROM events
+    ), s AS (
+      SELECT user_id,
+             lag(glat) OVER w AS plat, lag(glon) OVER w AS plon,
+             glat, glon
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(plat) AS n_segments,
+           CAST(COALESCE(SUM(CAST(round(sqrt(CAST(
+             (glat - plat) * (glat - plat)
+             + (glon - plon) * (glon - plon) AS DOUBLE))) AS BIGINT)), 0)
+             AS BIGINT) AS path_micro
+    FROM s GROUP BY user_id
+    """,
+)
+def geo_trajectory_length(spark, sf_dir):
+    """Per-user trajectory length: each event carries a key-derived
+    point; consecutive points (ordered by ts, event_id) contribute one
+    planar segment, each ROUNDED TO INTEGER micro-degrees before the
+    per-user sum — so the aggregate is an exact int64 sum, stable
+    under any partitioning. One lag window per user (partition-
+    bounded) plus one aggregation; the movement-analytics shape
+    (distance travelled, GPS-track mileage) with no driver loop. At
+    100 TB user_id partitions the window naturally; a single hot user
+    would need the segmented two-phase split agg_max_concurrent
+    demonstrates."""
+    ev = _cat(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id",
+        GEO.synth_lat_micro("event_id").alias("glat"),
+        GEO.synth_lon_micro("event_id").alias("glon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.lag("glat").over(w).alias("plat"),
+        F.lag("glon").over(w).alias("plon"),
+        "glat", "glon",
+    )
+    dist = GEO.planar_dist_micro(
+        F.col("glat"), F.col("glon"), F.col("plat"), F.col("plon")
+    )
+    return seg.groupBy("user_id").agg(
+        F.count("plat").alias("n_segments"),
+        F.coalesce(F.sum(dist), F.lit(0)).cast("long").alias("path_micro"),
+    )
 
 
 # ---------------------------------------------------------------------------
