@@ -213,3 +213,89 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.array_distinct(lines)).alias("n_unique_lines"),
         F.when(n_toks > 0, top_run / n_toks).otherwise(F.lit(0.0)).alias("top_word_ratio"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_freq: int = 2,
+) -> tuple[list[dict], DataFrame]:
+    """Byte-pair-encoding merge training over the corpus — the
+    tokenizer-construction loop (Sennrich et al. 2016), Spark-first.
+
+    The corpus is first collapsed to its WORD-FREQUENCY table
+    (vocab-sized, Zipf-bounded), so every merge round costs one pass
+    over the vocabulary regardless of corpus size — the same move
+    production BPE trainers make. Each round:
+
+    1. adjacent symbol pairs come from a narrow ``zip_with`` of each
+       word's symbol array with its own tail (columnar, no Python);
+    2. the winning pair is the max-frequency pair (ties broken by
+       lexicographic pair order, so training is DETERMINISTIC) —
+       a 1-row ``limit(1).collect()``, the only driver traffic;
+    3. the merge applies vocabulary-wide as a left-to-right
+       ``aggregate`` fold over each symbol array (greedy non-
+       overlapping replacement, standard BPE apply semantics);
+    4. the state materializes (php_etl_spark.materialize) to truncate
+       lineage, exactly like the k-means / PageRank loops.
+
+    Stops early when no pair reaches ``min_freq``. Returns the merge
+    table (rank, left, right, merged, freq) and the final symbolized
+    vocabulary DataFrame ``(w, syms, f)``.
+    """
+    from php_etl_spark.materialize import materialize
+
+    wf = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    state = wf.select(
+        "w", "f", F.split("w", "").alias("syms")
+    )
+    state = materialize(state)
+
+    def _pairs(frame: DataFrame) -> DataFrame:
+        n = F.size("syms")
+        zipped = F.zip_with(
+            F.slice("syms", 1, F.greatest(n - 1, F.lit(0))),
+            F.slice("syms", 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        return (
+            frame.select(F.explode(zipped).alias("p"), "f")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("f").alias("freq"))
+        )
+
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            _pairs(state)
+            .orderBy(F.desc("freq"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["freq"] < min_freq:
+            break
+        a, b, freq = best[0]["a"], best[0]["b"], best[0]["freq"]
+        merged = a + b
+        merges.append(
+            {"rank": rank, "left": a, "right": b,
+             "merged": merged, "freq": int(freq)}
+        )
+        folded = F.aggregate(
+            F.col("syms"),
+            F.expr("CAST(array() AS ARRAY<STRING>)"),
+            lambda acc, x: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        state = materialize(state.select("w", "f", folded.alias("syms")))
+    return merges, state

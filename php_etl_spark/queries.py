@@ -13774,6 +13774,188 @@ def geo_trajectory_length(spark, sf_dir):
     )
 
 
+@query(
+    "agg_bootstrap_ci",
+    oracle="""
+    WITH vals AS (
+      SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey ORDER BY c_custkey) - 1 AS rn
+      FROM customer
+    ), counts AS (
+      SELECT c_nationkey, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s_all
+      FROM vals GROUP BY 1
+    ), draws AS (
+      SELECT c.c_nationkey, c.n, b.b,
+             ((b.b * 1000003 + i.i) * 2654435761) % c.n AS rn
+      FROM counts c,
+           (SELECT unnest(generate_series(1, 200)) AS b) b,
+           LATERAL (SELECT unnest(generate_series(
+             0, CAST(c.n AS INT) - 1)) AS i) i
+    ), res AS (
+      SELECT d.c_nationkey, d.b, d.n, CAST(SUM(v.v) AS BIGINT) AS s
+      FROM draws d
+      JOIN vals v ON v.c_nationkey = d.c_nationkey AND v.rn = d.rn
+      GROUP BY 1, 2, 3
+    ), means AS (
+      SELECT c_nationkey, b,
+             CAST(round(s * 1000000.0 / n) AS BIGINT) AS m
+      FROM res
+    ), ranked AS (
+      SELECT c_nationkey, m,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey ORDER BY m, b) AS r
+      FROM means
+    )
+    SELECT k.c_nationkey, k.n,
+           CAST(round(k.s_all * 1000000.0 / k.n) AS BIGINT) AS mean_micro,
+           MAX(CASE WHEN r.r = 5 THEN r.m END) AS boot_lo_micro,
+           MAX(CASE WHEN r.r = 196 THEN r.m END) AS boot_hi_micro
+    FROM counts k JOIN ranked r ON r.c_nationkey = k.c_nationkey
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)
+def agg_bootstrap_ci(spark, sf_dir):
+    """Bootstrap 95% confidence interval for the per-nation mean
+    account balance, B=200 hash-seeded resamples — uncertainty
+    quantification as a JOIN, not a driver loop: the resample index
+    stream idx(b,i) = ((b*1000003+i)*Knuth) mod n is pure key
+    arithmetic, so 'draw with replacement' is an equi-join of the
+    (group, b, idx) spine against row-numbered values, deterministic
+    under any partitioning (no RNG state, re-runs reproduce). Per-
+    resample sums are exact int64; the CI bounds are the 5th/196th
+    order statistics of the 200 resample means (2.5%/97.5%), taken by
+    a per-group rank window over exactly B rows. Scale: data inflation
+    is B x group-rows, bounded and explicit; each group's rank window
+    holds B rows regardless of data size."""
+    cust = _cat(spark, sf_dir).customer
+    w_rn = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    vals = cust.select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v"),
+        (F.row_number().over(w_rn) - 1).alias("rn"),
+    )
+    counts = vals.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s_all")
+    )
+    draws = (
+        counts.select(
+            "c_nationkey", "n",
+            F.explode(F.sequence(F.lit(1), F.lit(200))).alias("b"),
+        )
+        .select(
+            "c_nationkey", "n", "b",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
+        )
+        .select(
+            "c_nationkey", "n", "b",
+            (
+                (F.col("b") * 1000003 + F.col("i")) * F.lit(2654435761)
+                % F.col("n")
+            ).alias("rn"),
+        )
+    )
+    res = draws.join(vals, ["c_nationkey", "rn"]).groupBy(
+        "c_nationkey", "b", "n"
+    ).agg(F.sum("v").alias("s"))
+    means = res.select(
+        "c_nationkey", "b",
+        F.round(F.col("s") * 1000000.0 / F.col("n")).cast("long").alias("m"),
+    )
+    w_r = Window.partitionBy("c_nationkey").orderBy("m", "b")
+    ranked = means.withColumn("r", F.row_number().over(w_r))
+    ci = ranked.groupBy("c_nationkey").agg(
+        F.max(F.when(F.col("r") == 5, F.col("m"))).alias("boot_lo_micro"),
+        F.max(F.when(F.col("r") == 196, F.col("m"))).alias("boot_hi_micro"),
+    )
+    return (
+        counts.select(
+            "c_nationkey", "n",
+            F.round(F.col("s_all") * 1000000.0 / F.col("n"))
+            .cast("long")
+            .alias("mean_micro"),
+        )
+        .join(ci, "c_nationkey")
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "agg_dp_noisy_counts",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS seed
+      FROM orders GROUP BY 1
+    ), u AS (
+      SELECT o_orderpriority, n,
+             ((seed * 2654435761) % 1999999 - 999999.0) / 1000000.0 AS u
+      FROM g
+    )
+    SELECT o_orderpriority,
+           CAST(n + round(-2.0 * sign(u) * ln(1.0 - abs(u))) AS BIGINT)
+             AS noisy_n
+    FROM u ORDER BY o_orderpriority
+    """,
+)
+def agg_dp_noisy_counts(spark, sf_dir):
+    """Differentially-private release shape: per-priority order counts
+    with Laplace(b=2) noise (epsilon=0.5 at sensitivity 1) added via
+    the inverse-CDF transform noise = -b*sign(u)*ln(1-|u|) on a
+    DETERMINISTIC uniform u in (-1,1) derived from the group key — so
+    the release is reproducible and oracle-checkable while exercising
+    the exact mechanism a real pipeline would seed from a secret. The
+    noise is a per-group scalar expression on the aggregated frame
+    (group-cardinality rows), zero extra passes over the data; ln's
+    sub-ulp libm slack is absorbed by integer rounding of a ~O(10)
+    value. True counts never appear in the output schema."""
+    g = (
+        _cat(spark, sf_dir)
+        .orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "seed", F.substring("o_orderpriority", 1, 1).cast("long")
+        )
+    )
+    u = (
+        (F.col("seed") * F.lit(2654435761)) % F.lit(1999999) - F.lit(999999.0)
+    ) / F.lit(1000000.0)
+    noise = F.round(
+        F.lit(-2.0) * F.signum(u) * F.log(F.lit(1.0) - F.abs(u))
+    )
+    return (
+        g.select(
+            "o_orderpriority",
+            (F.col("n") + noise).cast("long").alias("noisy_n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("text_bpe_train")
+def text_bpe_train(spark, sf_dir):
+    """Full BPE merge-loop training (8 merges) over the corpus
+    (llm/text.bpe_train): each round counts adjacent symbol pairs on
+    the vocab-sized word-frequency table, picks the deterministic
+    argmax (1-row driver traffic), and applies the merge vocabulary-
+    wide as a columnar fold — the Sennrich tokenizer-training loop
+    with k-means-style materialize-per-round lineage control. Rows-
+    only: the loop is iterative (each round's input is the previous
+    round's output), not SQL-expressible; exact parity with a pure-
+    Python BPE reference is pytest-asserted (tests/test_llm.py), and
+    the single-round pair statistics are oracle-checked by
+    text_bpe_pair_counts."""
+    docs = _cat(spark, sf_dir).documents
+    merges, _state = T.bpe_train(docs, n_merges=8)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+            for m in merges
+        ],
+        "rank INT, left STRING, right STRING, merged STRING, freq BIGINT",
+    ).orderBy("rank")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------

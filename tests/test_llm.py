@@ -849,3 +849,87 @@ def test_logreg_deterministic_across_runs(spark):
     m1 = train_logreg(df, ["a"], "y", iterations=10)
     m2 = train_logreg(df, ["a"], "y", iterations=10)
     assert m1["weights"] == m2["weights"] and m1["losses"] == m2["losses"]
+
+
+class TestBpeTrain:
+    """llm/text.bpe_train vs a pure-Python BPE reference."""
+
+    @staticmethod
+    def _bpe_py(word_freqs, n_merges, min_freq=2):
+        state = {tuple(w): f for w, f in word_freqs.items()}
+        merges = []
+        for rank in range(1, n_merges + 1):
+            counts = {}
+            for syms, f in state.items():
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + f
+            if not counts:
+                break
+            (a, b), freq = sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )[0]
+            if freq < min_freq:
+                break
+            merged = a + b
+            merges.append((rank, a, b, merged, freq))
+            new_state = {}
+            for syms, f in state.items():
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = merged
+                    else:
+                        out.append(s)
+                key = tuple(out)
+                new_state[key] = new_state.get(key, 0) + f
+            state = new_state
+        return merges, state
+
+    def test_matches_python_reference(self, spark, catalog):
+        from php_etl_spark.llm.text import bpe_train, tokens as toks_col
+
+        docs = catalog.documents.limit(120)
+        merges, state = bpe_train(docs, n_merges=5)
+
+        wf = (
+            docs.select(F.explode(toks_col("text")).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("f"))
+            .collect()
+        )
+        ref_merges, ref_state = self._bpe_py(
+            {r["w"]: r["f"] for r in wf}, n_merges=5
+        )
+        assert [
+            (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+            for m in merges
+        ] == ref_merges
+
+        got = {
+            r["w"]: tuple(r["syms"])
+            for r in state.collect()
+        }
+        # the reference keys by symbol tuple with summed freq; re-derive
+        # the per-word symbolization instead for an exact comparison
+        for w, syms in got.items():
+            out = list(w)
+            for _, a, b, merged, _f in ref_merges:
+                folded = []
+                for s in out:
+                    if folded and folded[-1] == a and s == b:
+                        folded[-1] = merged
+                    else:
+                        folded.append(s)
+                out = folded
+            assert tuple(out) == syms, w
+
+    def test_merge_loop_stops_below_min_freq(self, spark):
+        df = spark.createDataFrame(
+            [("aa bb aa",), ("aa cc",)], ["text"]
+        )
+        from php_etl_spark.llm.text import bpe_train
+
+        merges, _ = bpe_train(df, n_merges=10, min_freq=3)
+        # only (a,a) reaches freq 3 (aa appears 3x); everything else
+        # stays below the cutoff, so the loop stops early
+        assert [m["merged"] for m in merges] == ["aa"]
