@@ -14025,6 +14025,10 @@ DRIVER_GREEN = [
 _PRIORITY = [
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
+    # round-4 fresh families (newest code = highest residual risk)
+    "geo_grid_knn", "geo_morton_geohash", "geo_haversine_broadcast",
+    "geo_point_in_polygon", "geo_trajectory_length", "agg_bootstrap_ci",
+    "agg_dp_noisy_counts", "text_bpe_train",
     # verdict-named oldest debt
     "agg_pivot", "agg_retention_cohorts", "dim_scd2_merge",
     "emb_kmeans_codebook", "emb_kmeans_seeds", "emb_pq_train",
