@@ -563,6 +563,44 @@ AUDITS = {
         ("first-seen reduction combines map-side",
          lambda p: "partial_min" in p or "HashAggregate" in p),
     ],
+    "geo_grid_knn": [
+        ("candidates come from an EQUI-join on cell keys, never a "
+         "cartesian / nested-loop pairing",
+         lambda p: ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+                    or "BroadcastHashJoin" in p)
+         and "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("distance + cell arithmetic stays in codegen (no Python eval)",
+         lambda p: "EvalPython" not in p and has_codegen(p)),
+    ],
+    "geo_haversine_broadcast": [
+        ("25-row capital dim broadcasts; the customer side never "
+         "shuffles for the join",
+         lambda p: "BroadcastHashJoin" in p
+         and p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") == 0),
+        ("trig distance inlined as JVM expressions",
+         lambda p: "EvalPython" not in p),
+    ],
+    "geo_morton_geohash": [
+        ("bit-interleave runs as JVM shift/mask arithmetic in a "
+         "single projected scan — no join, no shuffle, no Python",
+         lambda p: "EvalPython" not in p
+         and "Exchange" not in p.split("== Initial Plan ==")[0]),
+    ],
+    "geo_point_in_polygon": [
+        ("five unrolled integer cross products + aggregation, fully "
+         "map-side-combinable (partial aggregate before the shuffle)",
+         lambda p: "partial" in p.lower() and "EvalPython" not in p),
+    ],
+    "agg_bootstrap_ci": [
+        ("resampling is an equi-join of the index spine against "
+         "row-numbered values — no nested loop",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("per-resample sums reduce map-side before the group shuffle",
+         lambda p: "partial_sum" in p or "partial" in p.lower()),
+    ],
 }
 
 

@@ -438,6 +438,52 @@ def main() -> int:
     two = timed("pareto front, salted two-phase", twophase_skyline)
     assert naive == two, "two-phase skyline must be exact"
 
+    # 10. geo grid-KNN: candidate generation must be density-bounded
+    # (~rows x 9 x pts-per-cell), never the all-pairs quadratic. 2M
+    # uniform points, cell sized for ~1-2 points per cell.
+    from php_etl_spark.functions import geo as _geo
+
+    n_geo = 2_000_000
+    cell_side = 200_000  # micro-degrees
+    pts = (
+        spark.range(n_geo)
+        .select(
+            F.col("id"),
+            _geo.synth_lat_micro("id").alias("glat"),
+            _geo.synth_lon_micro("id").alias("glon"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    gx, gy = _geo.grid_cell(F.col("glat"), F.col("glon"), cell_side)
+    cells = pts.select("id", "glat", "glon", gx.alias("cx"), gy.alias("cy"))
+    nine = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = cells.select(
+        F.col("id").alias("qid"), "cx", "cy", F.explode(nine).alias("o")
+    ).select(
+        "qid",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    cand = probes.join(
+        cells.select(
+            F.col("id").alias("nid"),
+            F.col("cx").alias("jx"),
+            F.col("cy").alias("jy"),
+        ),
+        ["jx", "jy"],
+    ).filter(F.col("nid") != F.col("qid"))
+    n_cand = timed(f"geo grid-KNN candidate pairs ({n_geo} pts, all queries)", cand.count)
+    # uniform density ~1.2 pts/cell -> expect ~9 * 1.2 * N pairs; the
+    # assertion caps at 50x rows, leagues below the 4e12 all-pairs
+    assert n_cand < n_geo * 50, f"candidate blowup: {n_cand}"
+    print(f"  candidates/point: {n_cand / n_geo:.1f} (all-pairs would be {n_geo - 1})")
+
     print("scale probe OK")
     return 0
 
