@@ -13956,6 +13956,310 @@ def text_bpe_train(spark, sf_dir):
     ).orderBy("rank")
 
 
+@query(
+    "sim_sparse_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({{toks}}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    idf AS (
+      SELECT term, CAST(round(ln(
+               (SELECT CAST(n_docs AS DOUBLE) FROM n) / COUNT(*)
+             ) * 1000) AS BIGINT) AS widf
+      FROM tf GROUP BY term HAVING COUNT(*) <= 100
+    ), w AS (
+      SELECT doc_id, tf.term, tf * widf AS w
+      FROM tf JOIN idf ON tf.term = idf.term
+    ), norms AS (
+      SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+      FROM w GROUP BY 1
+    ), dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(round(CAST(dot AS DOUBLE) * 1000000.0
+                      / (na.nrm * nb.nrm)) AS BIGINT) AS cos_micro
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    ORDER BY cos_micro DESC, doc_a, doc_b LIMIT 20
+    """.replace("{toks}", _TOKS_SQL),
+)
+def sim_sparse_tfidf_topk(spark, sf_dir):
+    """Sparse TF-IDF cosine top-k document pairs — the classic
+    lexical similarity search, term-partitioned: weighted posting
+    lists self-join on the TERM (an equi-join whose cost is
+    Σ df(term)², bounded by the df<=100 cutoff exactly like the
+    Jaccard/containment inverted indexes — never an all-pairs doc
+    cross join). IDF weights quantize to integer MILLI-nats so every
+    dot product and squared norm is an EXACT int64 sum (stable under
+    any partitioning); the only floats are one sqrt per doc and one
+    final division per pair, both deterministic. Complements the
+    dense-embedding paths (sim_topk_bruteforce / LSH / IVF / PQ) with
+    the sparse lexical modality a hybrid retriever needs
+    (sim_hybrid_rrf fuses the two)."""
+    docs = _cat(spark, sf_dir).documents
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 100)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * 1000
+            )
+            .cast("long")
+            .alias("widf"),
+        )
+    )
+    w = tf.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("widf")).alias("w")
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("dot").cast("double")
+                * 1000000.0
+                / (F.col("na") * F.col("nb"))
+            )
+            .cast("long")
+            .alias("cos_micro"),
+        )
+        .orderBy(F.desc("cos_micro"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query(
+    "entity_resolution_clusters",
+    oracle="""
+    WITH RECURSIVE typos AS (
+      SELECT c_custkey + 1000000 AS id,
+             substr(c_name, 1, 9) || substr(c_name, 11) AS name
+      FROM customer WHERE c_custkey % 5 = 0
+    ), masters AS (
+      SELECT c_custkey AS id, c_name AS name FROM customer
+    ), edges0 AS (
+      SELECT t.id AS a, m.id AS b
+      FROM typos t, masters m
+      WHERE levenshtein(t.name, m.name) <= 1
+    ), edges AS (
+      SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0
+    ), nodes AS (
+      SELECT DISTINCT a AS node FROM edges
+    ), reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    )
+    SELECT node AS doc, MIN(r) AS cluster
+    FROM reach GROUP BY node
+    """,
+)
+def entity_resolution_clusters(spark, sf_dir):
+    """End-to-end entity resolution: dirty records (customer names
+    with a deleted character, offset ids) link to the master list via
+    deletion-signature fuzzy blocking (operators/joins.fuzzy_join —
+    equi-join on SymSpell signatures, exact recall at distance 1, no
+    cross join), and the match graph collapses to entities via
+    min-label connected components (llm/dedup.duplicate_clusters —
+    pointer-style propagation, rounds ∝ component diameter,
+    materialize() per round). Ambiguous typos that sit at distance 1
+    from SEVERAL masters merge those masters into one entity — the
+    transitive-closure semantics record linkage actually wants. The
+    oracle recomputes the closure as a recursive CTE over the naive
+    cross-join edge set."""
+    from php_etl_spark.operators.joins import fuzzy_join
+
+    cust = _cat(spark, sf_dir).customer
+    typos = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("typo_id"),
+        F.concat(
+            F.substring("c_name", 1, 9), F.substring("c_name", 11, 1000)
+        ).alias("typo_name"),
+    )
+    masters = cust.select("c_custkey", "c_name")
+    edges = fuzzy_join(
+        typos, masters, "typo_id", "typo_name", "c_custkey", "c_name"
+    ).select(
+        F.col("typo_id").alias("doc_a"), F.col("c_custkey").alias("doc_b")
+    )
+    return D.duplicate_clusters(edges)
+
+
+@query(
+    "ts_seasonal_anomaly",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, event_type, EXTRACT(hour FROM ts) AS hr,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), s AS (
+      SELECT event_type, hr, COUNT(*) AS n,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM v GROUP BY 1, 2
+    )
+    SELECT v.event_id, v.event_type, v.hr, v.c
+    FROM v JOIN s ON v.event_type = s.event_type AND v.hr = s.hr
+    WHERE n >= 2
+      AND (v.c * n - s1) * (v.c * n - s1) > 9 * (n * s2 - s1 * s1)
+    ORDER BY v.event_id
+    """,
+)
+def ts_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-baseline anomaly screen: events whose value deviates
+    more than 3 sigma from their (event_type, hour-of-day) seasonal
+    cohort. The 3-sigma test is ENTIRELY exact integer arithmetic —
+    cross-multiplying (c - mu)^2 > 9 sigma^2 by n^2 gives
+    (c*n - s1)^2 > 9*(n*s2 - s1^2) on exact int64 count/sum/
+    sum-of-squares — no float anywhere, so the flag set is identical
+    on every engine and partitioning. One aggregation builds the
+    24x|types| seasonal profile (broadcast-sized), one join scores
+    the stream against it. Int64 headroom: cents<=1e6 and cohort
+    n<=1e9 keep every product under 2^63; beyond that, promote the
+    cross-multiplied test to DECIMAL(38,0) — same shape."""
+    ev = _cat(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_id", "event_type",
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    s = v.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    dev = F.col("c") * F.col("n") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        v.join(F.broadcast(s), ["event_type", "hr"])
+        .filter((F.col("n") >= 2) & (dev * dev > 9 * var_n2))
+        .select("event_id", "event_type", "hr", "c")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "stream_geofence_alerts",
+    oracle=f"""
+    WITH p AS (
+      SELECT ts, event_type,
+             (event_id * 2654435761) % 180000000 - 90000000 AS glat,
+             ((event_id * 40503) % 360000000) * 2654435761
+               % 360000000 - 180000000 AS glon
+      FROM events
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n_alerts
+    FROM p
+    WHERE {GEO.convex_contains_sql('glat', 'glon', _FENCE)}
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_geofence_alerts(spark, sf_dir):
+    """Streaming geofencing: the event stream carries key-derived
+    coordinates; the exact-integer pentagon containment test
+    (functions/geo.convex_contains_sql — same predicate text as the
+    oracle) gates rows BEFORE any state is built, then a watermarked
+    tumbling hourly window counts in-fence events per type. The
+    narrow geo filter ahead of the stateful aggregation is the scale
+    property: state size ∝ in-fence traffic only, and the predicate
+    pushes into the stateless micro-batch map. Real streaming
+    execution (readStream → availableNow → file sink)."""
+    from php_etl_spark.streaming.events import events_stream, run_to_files
+
+    sdf = events_stream(spark, sf_dir)
+    pts = sdf.select(
+        "ts", "event_type",
+        GEO.synth_lat_micro("event_id").alias("glat"),
+        GEO.synth_lon_micro("event_id").alias("glon"),
+    )
+    inside = pts.filter(
+        F.expr(GEO.convex_contains_sql("glat", "glon", _FENCE))
+    )
+    agg = (
+        inside.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_alerts"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "n_alerts",
+        )
+    )
+    return run_to_files(agg, "complete")
+
+
+@query("text_bpe_apply")
+def text_bpe_apply(spark, sf_dir):
+    """Tokenizer application: train 8 BPE merges (llm/text.bpe_train),
+    then score the corpus with the trained vocabulary — per source:
+    token count, pre-merge symbol count (characters), post-merge
+    subword count, and the compression ratio in milli. The trained
+    symbolization lives on the vocab-sized word table; scoring is one
+    equi-join of the token stream against it (each word looked up,
+    never re-segmented per occurrence). Rows-only: the result depends
+    on the iterative merge loop (pytest-pinned against a pure-Python
+    BPE); the one-round statistics are oracle-checked by
+    text_bpe_pair_counts."""
+    docs = _cat(spark, sf_dir).documents
+    _merges, state = T.bpe_train(docs, n_merges=8)
+    sizes = state.select("w", F.size("syms").alias("n_sub"))
+    toks = docs.select("source", F.explode(T.tokens("text")).alias("w"))
+    return (
+        toks.join(sizes, "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.length("w")).alias("n_chars_sym"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+        .select(
+            "source", "n_tokens", "n_chars_sym", "n_subwords",
+            F.round(F.col("n_subwords") * 1000.0 / F.col("n_chars_sym"))
+            .cast("long")
+            .alias("compression_milli"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -14028,7 +14332,9 @@ _PRIORITY = [
     # round-4 fresh families (newest code = highest residual risk)
     "geo_grid_knn", "geo_morton_geohash", "geo_haversine_broadcast",
     "geo_point_in_polygon", "geo_trajectory_length", "agg_bootstrap_ci",
-    "agg_dp_noisy_counts", "text_bpe_train",
+    "agg_dp_noisy_counts", "text_bpe_train", "sim_sparse_tfidf_topk",
+    "entity_resolution_clusters", "ts_seasonal_anomaly",
+    "stream_geofence_alerts", "text_bpe_apply",
     # verdict-named oldest debt
     "agg_pivot", "agg_retention_cohorts", "dim_scd2_merge",
     "emb_kmeans_codebook", "emb_kmeans_seeds", "emb_pq_train",
