@@ -458,53 +458,82 @@ def simhash_pairs(
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over the duplicate-pair graph — the step
     that turns pairwise near-dup hits into keep/drop decisions (one
-    representative per component). Iterative min-label propagation:
-    each round every node adopts the smallest label in its
-    neighborhood; rounds ∝ component diameter (near-dup components
-    are shallow — a handful of rounds in practice). Each round is one
-    join + one aggregate, shuffling ∝ edges; materialize() truncates
-    the growing lineage so round N doesn't replay rounds 1..N-1.
+    representative per component). Alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC\'14): each round every node hangs its larger
+    (large-star) / not-larger (small-star) neighbors off the minimum
+    of its neighborhood, so components contract toward their minimum
+    node in O(log^2 n) rounds REGARDLESS of diameter — long chains
+    (spatial DBSCAN clusters, linked entity graphs) converge in a
+    handful of rounds where plain min-label propagation needs
+    diameter rounds. Each star op is one aggregate + one join over
+    the current edge set; materialize() truncates lineage per round.
+    Edges stay canonical (src > dst), so convergence is a cheap
+    set-equality probe.
 
     Input: (doc_a, doc_b) pairs. Output: (doc, cluster) where cluster
-    is the component's minimum doc id (so ``doc == cluster`` marks the
-    canonical keeper).
+    is the component\'s minimum doc id (so ``doc == cluster`` marks
+    the canonical keeper).
     """
-    edges = materialize(
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    def _mins(sym_e: DataFrame) -> DataFrame:
+        return (
+            sym_e.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym_e = _sym(e)
+        js = sym_e.join(_mins(sym_e), "src")
+        return (
+            js.filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        sym_e = _sym(e)
+        mins = _mins(sym_e)
+        js = sym_e.join(mins, "src")
+        return (
+            js.filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(mins.select(F.col("src"), F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    base = materialize(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
+    all_nodes = materialize(_sym(base).select(F.col("src").alias("node")).distinct())
+    edges = base
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        updated = materialize(
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        new_edges = materialize(_small_star(_large_star(edges)))
+        gone = edges.exceptAll(new_edges).limit(1).count()
+        added = new_edges.exceptAll(edges).limit(1).count()
+        edges = new_edges
+        if gone == 0 and added == 0:
             break
-    return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster"))
+    final_mins = _mins(_sym(edges)).select(
+        F.col("src").alias("node"), F.col("m").alias("cluster")
+    )
+    return (
+        all_nodes.join(final_mins, "node", "left")
+        .select(
+            F.col("node").alias("doc"),
+            F.coalesce("cluster", "node").alias("cluster"),
+        )
+    )
 
 
 def cross_corpus_overlap(

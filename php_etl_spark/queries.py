@@ -14260,6 +14260,253 @@ def text_bpe_apply(spark, sf_dir):
     )
 
 
+@query(
+    "geo_dbscan_clusters",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey AS id,
+             {_GLAT_CUST} AS glat, {_GLON_CUST} AS glon
+      FROM customer
+      WHERE c_custkey % GREATEST(1, CAST(ceil(
+        (SELECT COUNT(*) FROM customer) / 1500.0) AS BIGINT)) = 0
+    ), prs AS (
+      SELECT a.id AS a, b.id AS b
+      FROM pts a JOIN pts b ON a.id <> b.id
+      WHERE (a.glat - b.glat) * (a.glat - b.glat)
+            + (a.glon - b.glon) * (a.glon - b.glon)
+            <= 70368744177664
+    ), deg AS (
+      SELECT a, COUNT(*) AS n FROM prs GROUP BY a
+    ), cores AS (
+      SELECT a AS id FROM deg WHERE n >= 3
+    ), edges AS (
+      SELECT p.a, p.b FROM prs p
+      JOIN cores ca ON ca.id = p.a
+      JOIN cores cb ON cb.id = p.b
+    ), reach(node, r) AS (
+      SELECT id, id FROM cores
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ), core_clusters AS (
+      SELECT node AS id, MIN(r) AS cluster FROM reach GROUP BY node
+    ), border AS (
+      SELECT p.a AS id, MIN(cc.cluster) AS cluster
+      FROM prs p
+      JOIN core_clusters cc ON cc.id = p.b
+      WHERE p.a NOT IN (SELECT id FROM cores)
+      GROUP BY p.a
+    )
+    SELECT id, 'core' AS role, cluster FROM core_clusters
+    UNION ALL
+    SELECT id, 'border' AS role, cluster FROM border
+    """,
+)
+def geo_dbscan_clusters(spark, sf_dir):
+    """Distributed DBSCAN over the customer points (eps = one grid
+    cell = 8.39e6 micro-deg, minPts = 4 incl. self): neighbor pairs
+    come from the SAME 3x3 cell-key equi-join as geo_grid_knn — with
+    eps equal to the cell side, every within-eps pair is provably in
+    the neighborhood, so recall is exact without an all-pairs join.
+    The eps test compares SQUARED integer distances (no sqrt at all).
+    Core points (>= 3 neighbors) cluster by min-label connected
+    components over core-core edges (llm/dedup.duplicate_clusters —
+    rounds ~ component diameter); border points adopt the MINIMUM
+    neighboring core's cluster (deterministic, unlike textbook
+    first-come assignment); noise points are absent from the output.
+    The oracle recomputes everything from the naive cross join plus a
+    recursive closure CTE.
+
+    The query runs on a ~1500-point deterministic key-sample (modulus
+    derived from the table count) so point DENSITY — hence component
+    structure — is scale-invariant: with eps fixed, 10x the data
+    percolates into one giant component, which is a property of the
+    parameterization, not the operator, and would blow up the O(m^2)
+    recursive-CTE oracle. The operator itself (grid candidate join +
+    min-label rounds) is the 100 TB path; size closure rounds to the
+    expected component diameter."""
+    cust = _cat(spark, sf_dir).customer
+    n_pts = cust.agg(F.count("*").alias("n_all"))
+    kmod = F.greatest(F.lit(1), F.ceil(F.col("n_all") / 1500.0))
+    pts = (
+        cust.crossJoin(F.broadcast(n_pts))
+        .filter(F.col("c_custkey") % kmod == 0)
+        .select(
+            F.col("c_custkey").alias("id"),
+            GEO.synth_lat_micro("c_custkey").alias("glat"),
+            GEO.synth_lon_micro("c_custkey").alias("glon"),
+        )
+    )
+    eps = 8388608
+    cx, cy = GEO.grid_cell(F.col("glat"), F.col("glon"), eps)
+    cells = pts.select("id", "glat", "glon", cx.alias("cx"), cy.alias("cy"))
+    nine = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    q = cells.select(
+        F.col("id").alias("a"),
+        F.col("glat").alias("alat"),
+        F.col("glon").alias("alon"),
+        "cx", "cy",
+        F.explode(nine).alias("o"),
+    ).select(
+        "a", "alat", "alon",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    d2 = (
+        (F.col("alat") - F.col("blat")) * (F.col("alat") - F.col("blat"))
+        + (F.col("alon") - F.col("blon")) * (F.col("alon") - F.col("blon"))
+    )
+    prs = (
+        q.join(
+            cells.select(
+                F.col("id").alias("b"),
+                F.col("glat").alias("blat"),
+                F.col("glon").alias("blon"),
+                F.col("cx").alias("jx"),
+                F.col("cy").alias("jy"),
+            ),
+            ["jx", "jy"],
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(d2 <= F.lit(eps * eps))
+        .select("a", "b")
+    )
+    from php_etl_spark.materialize import materialize
+
+    prs = materialize(prs)
+    cores = prs.groupBy("a").agg(F.count("*").alias("n")).filter(
+        F.col("n") >= 3
+    ).select(F.col("a").alias("id"))
+    edges = (
+        prs.join(cores.select(F.col("id").alias("a")), "a")
+        .join(cores.select(F.col("id").alias("b")), "b")
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+    )
+    closed = D.duplicate_clusters(edges).select(
+        F.col("doc").alias("id"), "cluster"
+    )
+    isolated = cores.join(closed, "id", "left_anti").select(
+        "id", F.col("id").alias("cluster")
+    )
+    core_clusters = closed.unionByName(isolated)
+    border = (
+        prs.join(cores.select(F.col("id").alias("a")), "a", "left_anti")
+        .join(
+            core_clusters.select(
+                F.col("id").alias("b"), F.col("cluster")
+            ),
+            "b",
+        )
+        .groupBy("a")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("a").alias("id"), "cluster")
+    )
+    return core_clusters.select(
+        "id", F.lit("core").alias("role"), "cluster"
+    ).unionByName(
+        border.select("id", F.lit("border").alias("role"), "cluster")
+    )
+
+
+@query(
+    "agg_anova_f",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority AS g, CAST(round(o_totalprice) AS BIGINT) AS v
+      FROM orders
+    ), grp AS (
+      SELECT g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+             CAST(round(CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)
+                        / COUNT(*)) AS BIGINT) AS t
+      FROM x GROUP BY g
+    ), tot AS (
+      SELECT COUNT(*) AS big_n, CAST(SUM(v) AS BIGINT) AS big_s,
+             CAST(SUM(v * v) AS BIGINT) AS q
+      FROM x
+    ), parts AS (
+      SELECT (SELECT COUNT(*) FROM grp) AS k,
+             (SELECT CAST(SUM(t) AS BIGINT) FROM grp) AS a,
+             big_n, q,
+             CAST(round(CAST(big_s AS DOUBLE) * CAST(big_s AS DOUBLE)
+                        / big_n) AS BIGINT) AS b
+      FROM tot
+    )
+    SELECT k, big_n AS n, a - b AS ssb, q - a AS ssw,
+           CAST(round(CAST((a - b) AS DOUBLE) * (big_n - k)
+                      / (CAST((q - a) AS DOUBLE) * (k - 1)) * 1000)
+                AS BIGINT) AS f_milli
+    FROM parts
+    """,
+)
+def agg_anova_f(spark, sf_dir):
+    """One-way ANOVA F statistic for order value across priority
+    classes — the between/within variance-ratio screen completing the
+    hypothesis-test family (t-test, Mann-Whitney, KS, chi-square).
+    Everything reduces to exact int64 aggregates (n, sum, sum-of-
+    squares in whole dollars); each group's s^2/n term rounds to an
+    integer ONCE (correctly-rounded IEEE ops, engine-identical) so
+    the cross-group sums stay exact, and the final F assembles from
+    those integers in one deterministic scalar expression. Two
+    aggregation passes (per-group + total), both map-side
+    combinable; the F assembly runs on a k-row frame."""
+    x = _cat(spark, sf_dir).orders.select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice")).cast("long").alias("v"),
+    )
+    grp = x.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+    ).select(
+        "g", "n", "s",
+        F.round(
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n")
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    tot = x.agg(
+        F.count("*").alias("big_n"),
+        F.sum("v").alias("big_s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    parts = (
+        grp.agg(
+            F.count("*").alias("k"), F.sum("t").alias("a")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k", "a", "big_n", "q",
+            F.round(
+                F.col("big_s").cast("double")
+                * F.col("big_s").cast("double")
+                / F.col("big_n")
+            )
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    return parts.select(
+        "k",
+        F.col("big_n").alias("n"),
+        (F.col("a") - F.col("b")).alias("ssb"),
+        (F.col("q") - F.col("a")).alias("ssw"),
+        F.round(
+            (F.col("a") - F.col("b")).cast("double")
+            * (F.col("big_n") - F.col("k"))
+            / ((F.col("q") - F.col("a")).cast("double") * (F.col("k") - 1))
+            * 1000
+        )
+        .cast("long")
+        .alias("f_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
