@@ -47,6 +47,10 @@ HEADLINE = [
     # BASELINE.md
     "docs_dsir_weights",    # LLM: hashed-unigram importance weights
     "text_bpe_pair_counts",  # LLM: BPE merge-iteration pair counting
+    # round-4 second batch: the geo family's join shape and the sparse
+    # lexical similarity path — first-run baselines in BASELINE.md
+    "geo_grid_knn",         # geo: cell-bucketed proximity join + top-k
+    "sim_sparse_tfidf_topk",  # LLM: df-bounded inverted-index cosine
 ]
 
 
