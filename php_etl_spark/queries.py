@@ -14507,6 +14507,48 @@ def agg_anova_f(spark, sf_dir):
     )
 
 
+@query(
+    "geo_geohash_rollup",
+    oracle=f"""
+    WITH g AS (
+      SELECT {GEO.geohash6_sql(GEO.morton30_sql(_GLAT_CUST, _GLON_CUST))}
+               AS gh
+      FROM customer
+    ), p AS (
+      SELECT substr(gh, 1, 2) AS gh2, substr(gh, 1, 3) AS gh3 FROM g
+    )
+    SELECT gh2, gh3, COUNT(*) AS n
+    FROM p
+    GROUP BY GROUPING SETS ((gh2), (gh2, gh3))
+    HAVING COUNT(*) >= 3
+    """,
+)
+def geo_geohash_rollup(spark, sf_dir):
+    """Hierarchical spatial rollup on geohash prefixes: because a
+    geohash PREFIX is a coarser cell that contains all its extensions,
+    one GROUPING SETS pass produces point counts at two zoom levels
+    (2-char ~ 1250 km and 3-char ~ 156 km cells) without re-bucketing
+    the data per level — the heat-map/zoom aggregation a tile server
+    runs, and the reason Z-order string keys beat raw (lat, lon) pairs
+    for aggregation: containment is string-prefix truncation, which
+    Catalyst folds into ONE shuffle for all levels (partial aggregates
+    combine map-side). The HAVING floor keeps only occupied cells."""
+    cust = _cat(spark, sf_dir).customer.select(
+        GEO.synth_lat_micro("c_custkey").alias("glat"),
+        GEO.synth_lon_micro("c_custkey").alias("glon"),
+    )
+    morton = GEO.morton30_sql("glat", "glon")
+    g = cust.select(F.expr(GEO.geohash6_sql(morton)).alias("gh")).select(
+        F.substring("gh", 1, 2).alias("gh2"),
+        F.substring("gh", 1, 3).alias("gh3"),
+    )
+    return (
+        g.groupingSets([["gh2"], ["gh2", "gh3"]], "gh2", "gh3")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
