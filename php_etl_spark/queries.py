@@ -14623,7 +14623,8 @@ _PRIORITY = [
     "geo_point_in_polygon", "geo_trajectory_length", "agg_bootstrap_ci",
     "agg_dp_noisy_counts", "text_bpe_train", "sim_sparse_tfidf_topk",
     "entity_resolution_clusters", "ts_seasonal_anomaly",
-    "stream_geofence_alerts", "text_bpe_apply",
+    "stream_geofence_alerts", "text_bpe_apply", "geo_dbscan_clusters",
+    "agg_anova_f", "geo_geohash_rollup",
     # verdict-named oldest debt
     "agg_pivot", "agg_retention_cohorts", "dim_scd2_merge",
     "emb_kmeans_codebook", "emb_kmeans_seeds", "emb_pq_train",
