@@ -8294,7 +8294,11 @@ def window_running_distinct(spark, sf_dir):
     sum of flags with a second. Two window passes, both partitioned by
     user (the second reuses the first's partitioning, so one shuffle
     reaches the exchange); event_id tiebreak makes equal-timestamp
-    ordering deterministic."""
+    ordering deterministic. Parallelism tracks |users|; a single
+    pathological hot user would take the segmented two-phase prefix
+    sum demonstrated by agg_max_concurrent (time-bucketed partials +
+    broadcast offsets), which composes with the same first-seen
+    flags."""
     from pyspark.sql import Window as W
 
     ev = _cat(spark, sf_dir).events
@@ -14549,6 +14553,50 @@ def geo_geohash_rollup(spark, sf_dir):
     )
 
 
+@query(
+    "stream_topk_per_window",
+    oracle="""
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS window_start, user_id,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY window_start ORDER BY n DESC, user_id) AS rn
+      FROM c
+    )
+    SELECT window_start, user_id, n, rn FROM r WHERE rn <= 3
+    """,
+)
+def stream_topk_per_window(spark, sf_dir):
+    """Trending top-k: the 3 most active users of every event-time
+    hour. The streaming half is a watermarked tumbling count per
+    (window, user) — per-key state the engine maintains incrementally;
+    the RANK half runs on the sink output (the serving-layer shape:
+    ranking is not an incremental streaming operator, so production
+    systems rank in foreachBatch or at read time — here on the
+    written files, which after availableNow hold exactly the final
+    state). Deterministic (n DESC, user_id) tiebreak."""
+    from php_etl_spark.streaming.events import events_stream, run_to_files
+
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "user_id", "n"
+        )
+    )
+    out = run_to_files(agg, "complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), "user_id"
+    )
+    return out.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -14667,8 +14715,7 @@ _PRIORITY = [
     "ml_logreg_quality", "ml_linreg_normal_eq", "fn_variant_json",
     "scan_xml_roundtrip", "scan_python_datasource",
     "stream_python_datasource", "privacy_mask_columns",
-    "stream_dedup_watermark", "agg_log_histogram_quantiles",
-    "agg_geometric_mean", "window_session_builtin", "fn_collation_lcase",
+    "window_session_builtin", "fn_collation_lcase",
     "sql_recursive_cte", "sql_pipe_syntax", "sql_cbo_stats_join",
     "sql_parameterized", "sink_parquet_bloom", "table_repair_replica",
     "agg_skew_metrics", "agg_rfm_segmentation", "agg_pareto_front",
@@ -14700,7 +14747,7 @@ _PRIORITY = [
     "join_nullsafe", "agg_bool", "sort_global_rank", "fn_array_hof",
     "fn_datetime_extract", "fn_case_chain", "fn_null_handling",
     "fn_string_pad", "join_bloom_pruned", "scan_schema_evolution",
-    "window_funnel", "window_islands", "agg_histogram", "profile_table",
+    "window_funnel", "window_islands", "profile_table",
     "join_fuzzy_match", "validate_constraints_report", "join_point_in_time",
     "agg_gapfill_timeseries", "set_union_by_name", "join_salted_skew",
     "stream_jdbc_upsert", "text_top_tokens", "text_tfidf_topk",

@@ -350,3 +350,79 @@ def test_mannwhitney_histogram_equals_bruteforce(spark, xs, ys):
         1 for x in xs for y in ys if x == y
     )
     assert got == brute
+
+
+# ---------------------------------------------------------------------------
+# Geo properties: the SQL-fragment encoders against Python models over
+# hypothesis-generated micro-degree coordinates
+# ---------------------------------------------------------------------------
+
+from php_etl_spark.functions import geo as _geo  # noqa: E402
+
+lat_micro = st.integers(min_value=-90_000_000, max_value=89_999_999)
+lon_micro = st.integers(min_value=-180_000_000, max_value=179_999_999)
+
+
+def _py_spread15(v: int) -> int:
+    v &= 0x7FFF
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+def _py_morton30(lat: int, lon: int) -> int:
+    import math
+
+    ix = math.floor((lon + 180_000_000) * 32768.0 / 360_000_000)
+    iy = math.floor((lat + 90_000_000) * 32768.0 / 180_000_000)
+    return _py_spread15(iy) | (_py_spread15(ix) << 1)
+
+
+@PROP
+@given(pts=st.lists(st.tuples(lat_micro, lon_micro), min_size=1, max_size=6))
+def test_morton_and_geohash_match_python_model(spark, pts):
+    df = spark.createDataFrame(pts, "glat LONG, glon LONG")
+    m = _geo.morton30_sql("glat", "glon")
+    rows = df.select(
+        "glat", "glon",
+        F.expr(m).alias("m"),
+        F.expr(_geo.geohash6_sql(m)).alias("gh"),
+    ).collect()
+    for r in rows:
+        ref = _py_morton30(r["glat"], r["glon"])
+        assert r["m"] == ref
+        assert r["gh"] == "".join(
+            _geo.GEOHASH32[(ref >> (25 - 5 * i)) & 31] for i in range(6)
+        )
+
+
+@PROP
+@given(
+    pts=st.lists(st.tuples(lat_micro, lon_micro), min_size=1, max_size=6),
+    tri=st.tuples(lat_micro, lon_micro, st.integers(1, 60_000_000)),
+)
+def test_convex_contains_matches_python_model(spark, pts, tri):
+    # right triangle anchored at (y0, x0), CCW, clamped to the globe
+    y0, x0, s = tri
+    y1 = min(y0 + s, 89_999_999)
+    x1 = min(x0 + s, 179_999_999)
+    verts = [(y0, x0), (y0, x1), (y1, x0)]
+
+    def py_contains(lat, lon):
+        n = len(verts)
+        for i in range(n):
+            ay, ax = verts[i]
+            by, bx = verts[(i + 1) % n]
+            if (bx - ax) * (lat - ay) - (by - ay) * (lon - ax) < 0:
+                return False
+        return True
+
+    df = spark.createDataFrame(pts, "glat LONG, glon LONG")
+    rows = df.select(
+        "glat", "glon",
+        F.expr(_geo.convex_contains_sql("glat", "glon", verts)).alias("c"),
+    ).collect()
+    for r in rows:
+        assert r["c"] == py_contains(r["glat"], r["glon"])
