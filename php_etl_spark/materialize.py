@@ -55,7 +55,20 @@ def materialize(df: DataFrame) -> DataFrame:
     if mode == "persist":
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         out.count()  # eager: populate before callers branch
-        return out
+        # persist() pins BLOCKS but keeps the full logical plan;
+        # operators that reference each round's result several times
+        # (star-contraction reads the edge set ~4x per round) grow the
+        # plan exponentially and OOM the ANALYZER long before any data
+        # does. Rebuilding the frame over the persisted RDD truncates
+        # the SQL lineage while the persisted blocks (and their
+        # recompute-on-executor-loss lineage) stay in force. The RDD
+        # boundary costs a JVM→Python→JVM row round-trip on first
+        # evaluation — fine for the edge-set-sized frames iterative
+        # operators pin; for very large frames with deep lineage use
+        # mode "checkpoint" instead.
+        rebuilt = df.sparkSession.createDataFrame(out.rdd, out.schema)
+        rebuilt._php_etl_persisted_source = out  # for unmaterialize()
+        return rebuilt
     spark = df.sparkSession
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
@@ -73,6 +86,9 @@ def unmaterialize(df: DataFrame) -> None:
     modes — localCheckpoint/checkpoint blocks age out with the
     session/dir)."""
     try:
+        src = getattr(df, "_php_etl_persisted_source", None)
+        if src is not None:
+            src.unpersist()
         df.unpersist()
     except Exception:  # noqa: BLE001 — never fail a pipeline on cleanup
         pass

@@ -14597,6 +14597,94 @@ def stream_topk_per_window(spark, sf_dir):
     )
 
 
+@query(
+    "geo_staypoints",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             (event_id * 2654435761) % 180000000 - 90000000 AS glat,
+             ((event_id * 40503) % 360000000) * 2654435761
+               % 360000000 - 180000000 AS glon
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, glat, glon,
+             lag(glat) OVER w AS plat, lag(glon) OVER w AS plon
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), f AS (
+      SELECT user_id, ts, event_id, glat, glon,
+             CASE WHEN plat IS NULL THEN 1
+                  WHEN (glat - plat) * (glat - plat)
+                       + (glon - plon) * (glon - plon)
+                       > 2500000000000000 THEN 1
+                  ELSE 0 END AS brk
+      FROM s
+    ), g AS (
+      SELECT user_id, ts, glat, glon,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM f
+    )
+    SELECT user_id, island, COUNT(*) AS n_points,
+           CAST(SUM(glat) AS BIGINT) // COUNT(*) AS center_lat,
+           CAST(SUM(glon) AS BIGINT) // COUNT(*) AS center_lon,
+           CAST(round(epoch(MAX(ts) - MIN(ts))) AS BIGINT) AS dwell_s
+    FROM g GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def geo_staypoints(spark, sf_dir):
+    """Stay-point detection (the GPS-trace primitive behind visit/
+    dwell analytics, Zheng et al.'s GeoLife recipe): a stay is a
+    maximal run of consecutive points per user that each move less
+    than R=50e6 micro-deg from their predecessor. One lag window
+    flags run breaks with an exact squared-integer distance test, a
+    running sum turns flags into island ids (the gaps-and-islands
+    pattern window_islands uses for sessions, here keyed by MOTION
+    instead of time), and one aggregation emits per-stay point
+    counts, integer centroids (truncating div on exact sums — both
+    engines truncate toward zero), and dwell seconds. Two windows +
+    one agg, all partitioned by user; no joins at all."""
+    ev = _cat(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id",
+        GEO.synth_lat_micro("event_id").alias("glat"),
+        GEO.synth_lon_micro("event_id").alias("glon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "ts", "event_id", "glat", "glon",
+        F.lag("glat").over(w).alias("plat"),
+        F.lag("glon").over(w).alias("plon"),
+    )
+    d2 = (
+        (F.col("glat") - F.col("plat")) * (F.col("glat") - F.col("plat"))
+        + (F.col("glon") - F.col("plon")) * (F.col("glon") - F.col("plon"))
+    )
+    brk = (
+        F.when(F.col("plat").isNull(), 1)
+        .when(d2 > F.lit(2500000000000000), 1)
+        .otherwise(0)
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = s.select(
+        "user_id", "ts", "glat", "glon",
+        F.sum(brk).over(w_run).alias("island"),
+    )
+    return (
+        g.groupBy("user_id", "island")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.expr("sum(glat) div count(*)").alias("center_lat"),
+            F.expr("sum(glon) div count(*)").alias("center_lon"),
+            F.round(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / 1000000.0
+            )
+            .cast("long")
+            .alias("dwell_s"),
+        )
+        .filter(F.col("n_points") >= 3)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------

@@ -31,11 +31,17 @@ def test_persist_mode(spark, _restore_mode):
     spark.conf.set(CONF_KEY, "persist")
     df = _frame(spark)
     out = materialize(df)
-    # eagerly populated and answerable from the cache
-    assert out.storageLevel.useMemory or out.storageLevel.useDisk
+    # blocks are pinned on the persisted source frame; the returned
+    # frame is rebuilt over its RDD so the SQL lineage is truncated
+    # (iterative operators would otherwise grow the plan
+    # exponentially and OOM the analyzer)
+    src = out._php_etl_persisted_source
+    assert src.storageLevel.useMemory or src.storageLevel.useDisk
     assert out.count() == 100
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Range" not in plan
     unmaterialize(out)
-    assert not (out.storageLevel.useMemory or out.storageLevel.useDisk)
+    assert not (src.storageLevel.useMemory or src.storageLevel.useDisk)
 
 
 def test_checkpoint_mode(spark, _restore_mode, tmp_path):
