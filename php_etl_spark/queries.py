@@ -14685,6 +14685,78 @@ def geo_staypoints(spark, sf_dir):
     )
 
 
+@query(
+    "agg_cusum_changepoints",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), m AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) // COUNT(*) AS target
+      FROM x GROUP BY 1
+    ), cum AS (
+      SELECT x.event_type, ts, event_id, c, target,
+             SUM(c - target) OVER w AS csum
+      FROM x JOIN m ON x.event_type = m.event_type
+      WINDOW w AS (PARTITION BY x.event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT event_type, ts, event_id, c,
+             CAST(csum AS BIGINT)
+               - LEAST(0, CAST(MIN(csum) OVER (PARTITION BY event_type
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT)) AS cusum_stat
+      FROM cum
+    )
+    SELECT event_type, event_id, c, cusum_stat
+    FROM s WHERE cusum_stat > 100000
+    """,
+)
+def agg_cusum_changepoints(spark, sf_dir):
+    """One-sided CUSUM upward-drift detection per event type — the
+    sequential change-point monitor behind data-quality drift alarms
+    (Page 1954). The textbook recursion S_k = max(0, S_{k-1} + x_k -
+    target) looks like an unwindowable scan fold, but it equals
+    C_k - min(0, min_{j<=k} C_j) for the plain cumulative sum C (the
+    0 is the empty prefix C_0) — so it
+    computes as TWO stacked windows over the same (type, time)
+    ordering (one exchange: the second window reuses the first's
+    partitioning). All arithmetic is exact int64 cents against the
+    per-type integer mean, so flagged rows are engine-identical. At
+    100 TB the per-type windows take the same segmented two-phase
+    split agg_max_concurrent demonstrates."""
+    ev = _cat(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    x = ev.select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    m = x.groupBy("event_type").agg(
+        F.expr("sum(c) div count(*)").alias("target")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        x.join(F.broadcast(m), "event_type")
+        .select(
+            "event_type", "ts", "event_id", "c",
+            F.sum(F.col("c") - F.col("target")).over(w).alias("csum"),
+        )
+    )
+    s = cum.select(
+        "event_type", "event_id", "c",
+        (
+            F.col("csum")
+            - F.least(F.lit(0), F.min("csum").over(w))
+        ).alias("cusum_stat"),
+    )
+    return s.filter(F.col("cusum_stat") > 100000)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -14760,7 +14832,8 @@ _PRIORITY = [
     "agg_dp_noisy_counts", "text_bpe_train", "sim_sparse_tfidf_topk",
     "entity_resolution_clusters", "ts_seasonal_anomaly",
     "stream_geofence_alerts", "text_bpe_apply", "geo_dbscan_clusters",
-    "agg_anova_f", "geo_geohash_rollup",
+    "agg_anova_f", "geo_geohash_rollup", "geo_staypoints",
+    "stream_topk_per_window", "agg_cusum_changepoints",
     # verdict-named oldest debt
     "agg_pivot", "agg_retention_cohorts", "dim_scd2_merge",
     "emb_kmeans_codebook", "emb_kmeans_seeds", "emb_pq_train",
