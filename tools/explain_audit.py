@@ -593,6 +593,30 @@ AUDITS = {
          "map-side-combinable (partial aggregate before the shuffle)",
          lambda p: "partial" in p.lower() and "EvalPython" not in p),
     ],
+    "geo_dbscan_clusters": [
+        ("neighbor pairs come from cell-key equi-joins; nothing "
+         "degenerates to a cartesian pairing",
+         lambda p: "CartesianProduct" not in p),
+        ("squared-distance eps test stays in codegen",
+         lambda p: "EvalPython" not in p),
+    ],
+    "geo_staypoints": [
+        ("windows + one aggregation, no joins at all",
+         lambda p: "Join" not in p.split("== Initial Plan ==")[0]
+         or "BroadcastHashJoin" not in p),
+        ("one exchange serves both stacked windows and the "
+         "aggregation (same user partitioning reused)",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 2),
+    ],
+    "agg_cusum_changepoints": [
+        ("two stacked windows share one (type, time) exchange",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 2),
+        ("per-type mean broadcasts; exact integer arithmetic in "
+         "codegen",
+         lambda p: "BroadcastHashJoin" in p and "EvalPython" not in p),
+    ],
     "agg_bootstrap_ci": [
         ("resampling is an equi-join of the index spine against "
          "row-numbered values — no nested loop",
