@@ -426,3 +426,48 @@ def test_convex_contains_matches_python_model(spark, pts, tri):
     ).collect()
     for r in rows:
         assert r["c"] == py_contains(r["glat"], r["glon"])
+
+
+# ---------------------------------------------------------------------------
+# Connected components: star contraction vs union-find on random graphs
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_star_contraction_matches_union_find(spark, edges):
+    from php_etl_spark.llm.dedup import duplicate_clusters
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["doc"]: r["cluster"] for r in duplicate_clusters(df).collect()
+    }
+    assert got == truth
