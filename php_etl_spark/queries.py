@@ -14757,6 +14757,108 @@ def agg_cusum_changepoints(spark, sf_dir):
     return s.filter(F.col("cusum_stat") > 100000)
 
 
+_PENTA = [
+    (0, 0, 20_000_000),
+    (1, 19_021_130, 6_180_340),
+    (2, 11_755_705, -16_180_340),
+    (3, -11_755_705, -16_180_340),
+    (4, -19_021_130, 6_180_340),
+]
+
+
+@query(
+    "geo_multi_fence_join",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey AS id,
+             {_GLAT_CUST} AS glat, {_GLON_CUST} AS glon
+      FROM customer
+    ), fences AS (
+      SELECT n_nationkey AS fence_id,
+             (n_nationkey * 2654435761) % 120000000 - 60000000 AS cy,
+             ((n_nationkey * 40503) % 300000000) * 2654435761
+               % 300000000 - 150000000 AS cx
+      FROM nation
+    ), offs(i, dy, dx) AS (
+      VALUES {", ".join(f"({i}, {dy}, {dx})" for i, dy, dx in _PENTA)}
+    ), edges AS (
+      SELECT f.fence_id,
+             f.cy + a.dy AS ay, f.cx + a.dx AS ax,
+             f.cy + b.dy AS by, f.cx + b.dx AS bx
+      FROM fences f, offs a JOIN offs b ON b.i = (a.i + 1) % 5
+    )
+    SELECT c.id, e.fence_id
+    FROM cust c, edges e
+    GROUP BY c.id, e.fence_id, c.glat, c.glon
+    HAVING BOOL_AND(
+      (e.bx - e.ax) * (c.glat - e.ay)
+      - (e.by - e.ay) * (c.glon - e.ax) >= 0)
+    """,
+)
+def geo_multi_fence_join(spark, sf_dir):
+    """Geofence JOIN against a fence TABLE (25 pentagon fences derived
+    from nation keys) — the many-fences generalization of
+    geo_point_in_polygon. Fences live as 5 relational EDGE rows each
+    (consecutive-offset self-join on the literal CCW pentagon offsets
+    — no array types anywhere), the 125-row edge dim broadcasts, and
+    containment is BOOL_AND over the five exact integer cross
+    products per (point, fence) group. Every arithmetic step is
+    int64. This broadcast shape is right up to ~10^5 fences; for
+    millions of fences, bucket fence bounding boxes onto the same
+    grid cells geo_grid_knn uses and equi-join on the cell key before
+    the exact test — identical semantics, density-bounded candidates."""
+    cat = _cat(spark, sf_dir)
+    cust = cat.customer.select(
+        F.col("c_custkey").alias("id"),
+        GEO.synth_lat_micro("c_custkey").alias("glat"),
+        GEO.synth_lon_micro("c_custkey").alias("glon"),
+    )
+    fences = cat.nation.select(
+        F.col("n_nationkey").alias("fence_id"),
+        (
+            (F.col("n_nationkey") * F.lit(2654435761)) % F.lit(120_000_000)
+            - F.lit(60_000_000)
+        ).alias("cy"),
+        (
+            (F.col("n_nationkey") * F.lit(40503) % F.lit(300_000_000))
+            * F.lit(2654435761)
+            % F.lit(300_000_000)
+            - F.lit(150_000_000)
+        ).alias("cx"),
+    )
+    offs = spark.createDataFrame(_PENTA, "i INT, dy LONG, dx LONG")
+    edges = (
+        fences.crossJoin(
+            offs.alias("a").join(
+                offs.select(
+                    F.col("i").alias("bi"),
+                    F.col("dy").alias("bdy"),
+                    F.col("dx").alias("bdx"),
+                ),
+                F.col("bi") == (F.col("a.i") + 1) % 5,
+            )
+        )
+        .select(
+            "fence_id",
+            (F.col("cy") + F.col("a.dy")).alias("ay"),
+            (F.col("cx") + F.col("a.dx")).alias("ax"),
+            (F.col("cy") + F.col("bdy")).alias("by"),
+            (F.col("cx") + F.col("bdx")).alias("bx"),
+        )
+    )
+    cross = (
+        (F.col("bx") - F.col("ax")) * (F.col("glat") - F.col("ay"))
+        - (F.col("by") - F.col("ay")) * (F.col("glon") - F.col("ax"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(edges))
+        .groupBy("id", "fence_id", "glat", "glon")
+        .agg(F.bool_and(cross >= 0).alias("inside"))
+        .filter("inside")
+        .select("id", "fence_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -14834,6 +14936,7 @@ _PRIORITY = [
     "stream_geofence_alerts", "text_bpe_apply", "geo_dbscan_clusters",
     "agg_anova_f", "geo_geohash_rollup", "geo_staypoints",
     "stream_topk_per_window", "agg_cusum_changepoints",
+    "geo_multi_fence_join",
     # verdict-named oldest debt
     "agg_pivot", "agg_retention_cohorts", "dim_scd2_merge",
     "emb_kmeans_codebook", "emb_kmeans_seeds", "emb_pq_train",
