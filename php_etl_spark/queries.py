@@ -14767,7 +14767,7 @@ _PENTA = [
 
 
 @query(
-    "geo_multi_fence_join",
+    "geo_multi_fence_join", "sim_ann_ivfpq",
     oracle=f"""
     WITH cust AS (
       SELECT c_custkey AS id,
@@ -14859,6 +14859,22 @@ def geo_multi_fence_join(spark, sf_dir):
     )
 
 
+@query("sim_ann_ivfpq")
+def sim_ann_ivfpq(spark, sf_dir):
+    """Full IVF-PQ ANN (llm/similarity.ann_topk_ivfpq — the FAISS
+    ``IVFx,PQm`` recipe): coarse inverted file gates each query to
+    nprobe cells via an EQUI-JOIN on the cell key, product-quantized
+    RESIDUAL codes score by broadcast ADC lookup tables, and the
+    shortlist rescores exactly. Completes the ANN ladder
+    (brute-force → LSH → IVF → PQ/ADC → IVF-PQ). Rows-only:
+    approximate by construction; recall floors, probe monotonicity,
+    and run-to-run determinism are pytest-asserted
+    (tests/test_llm.py)."""
+    emb = _cat(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ann_topk_ivfpq(emb, q, k=5, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -14936,7 +14952,7 @@ _PRIORITY = [
     "stream_geofence_alerts", "text_bpe_apply", "geo_dbscan_clusters",
     "agg_anova_f", "geo_geohash_rollup", "geo_staypoints",
     "stream_topk_per_window", "agg_cusum_changepoints",
-    "geo_multi_fence_join",
+    "geo_multi_fence_join", "sim_ann_ivfpq",
     # verdict-named oldest debt
     "agg_pivot", "agg_retention_cohorts", "dim_scd2_merge",
     "emb_kmeans_codebook", "emb_kmeans_seeds", "emb_pq_train",

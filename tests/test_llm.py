@@ -933,3 +933,51 @@ class TestBpeTrain:
         # only (a,a) reaches freq 3 (aa appears 3x); everything else
         # stays below the cutoff, so the loop stops early
         assert [m["merged"] for m in merges] == ["aa"]
+
+
+class TestIvfPq:
+    """IVF-PQ composition: recall floors, probe monotonicity,
+    determinism."""
+
+    def _recall(self, spark, catalog, **kw):
+        from php_etl_spark.llm.similarity import (
+            ann_topk_ivfpq,
+            brute_force_topk,
+        )
+
+        emb = catalog.embeddings
+        q = emb.filter(F.col("vec_id") % 50 == 0)
+        got: dict[int, list[int]] = {}
+        for r in ann_topk_ivfpq(emb, q, k=5, **kw).collect():
+            got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        ref: dict[int, list[int]] = {}
+        for r in brute_force_topk(emb, q, k=5).collect():
+            ref.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        per_q = [
+            len(set(got.get(qid, [])) & set(v)) / len(v)
+            for qid, v in ref.items()
+        ]
+        return sum(per_q) / len(per_q)
+
+    def test_recall_floor_and_probe_monotonicity(self, spark, catalog):
+        r_narrow = self._recall(spark, catalog, nprobe=1)
+        r_mid = self._recall(spark, catalog, nprobe=3)
+        r_full = self._recall(spark, catalog, nprobe=8, oversample=20)
+        assert r_mid >= 0.3  # honest ANN floor at nprobe=3/8
+        # more probes never hurt (same PQ error, strictly larger
+        # candidate pool)
+        assert r_full >= r_narrow
+        assert r_full >= 0.5
+
+    def test_deterministic_across_runs(self, spark, catalog):
+        from php_etl_spark.llm.similarity import ann_topk_ivfpq
+
+        emb = catalog.embeddings
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        a = sorted(
+            map(tuple, ann_topk_ivfpq(emb, q, k=3, nprobe=2).collect())
+        )
+        b = sorted(
+            map(tuple, ann_topk_ivfpq(emb, q, k=3, nprobe=2).collect())
+        )
+        assert a == b and len(a) > 0
