@@ -14767,7 +14767,7 @@ _PENTA = [
 
 
 @query(
-    "geo_multi_fence_join", "sim_ann_ivfpq",
+    "geo_multi_fence_join",
     oracle=f"""
     WITH cust AS (
       SELECT c_custkey AS id,
