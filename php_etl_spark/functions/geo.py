@@ -154,3 +154,33 @@ def convex_contains_sql(
         )
         terms.append(f"{cross} >= 0")
     return "(" + " AND ".join(terms) + ")"
+
+
+def bbox_cells(
+    lat_lo: Column,
+    lat_hi: Column,
+    lon_lo: Column,
+    lon_hi: Column,
+    cell_micro: int,
+) -> Column:
+    """Array of (cx, cy) grid cells covering a bounding box — the
+    spatial-index side of a grid join: explode this over a geometry
+    table (fences, regions) and EQUI-join points on their single
+    cell. Any point inside the geometry lies inside its bbox, whose
+    covering cells are all emitted, so recall is exact. Cell count
+    per geometry is bounded by (bbox/cell + 1)^2 — size the cell to
+    the typical geometry, exactly like geo_grid_knn sizes it to point
+    density."""
+    cx_lo = F.floor((lon_lo + F.lit(LON_SPAN // 2)) / F.lit(cell_micro))
+    cx_hi = F.floor((lon_hi + F.lit(LON_SPAN // 2)) / F.lit(cell_micro))
+    cy_lo = F.floor((lat_lo + F.lit(LAT_SPAN // 2)) / F.lit(cell_micro))
+    cy_hi = F.floor((lat_hi + F.lit(LAT_SPAN // 2)) / F.lit(cell_micro))
+    return F.flatten(
+        F.transform(
+            F.sequence(cx_lo, cx_hi),
+            lambda x: F.transform(
+                F.sequence(cy_lo, cy_hi),
+                lambda y: F.struct(x.alias("cx"), y.alias("cy")),
+            ),
+        )
+    )

@@ -14875,6 +14875,101 @@ def sim_ann_ivfpq(spark, sf_dir):
     return S.ann_topk_ivfpq(emb, q, k=5, nprobe=3)
 
 
+@query("geo_fence_grid_join", oracle=None)
+def geo_fence_grid_join(spark, sf_dir):
+    """The INDEXED form of geo_multi_fence_join (same fences, same
+    answer — the oracle is shared verbatim): instead of broadcasting
+    every fence edge to every point, each fence explodes to the grid
+    cells covering its bounding box (functions/geo.bbox_cells, exact
+    recall: geometry ⊆ bbox ⊆ covered cells) and points EQUI-join on
+    their single cell key — candidate pairs ∝ cell co-occupancy, not
+    |points| × |fences|. The exact five-cross-product test then runs
+    only on candidates. This is the shape that survives millions of
+    fences where the broadcast variant stops fitting; the naive/
+    indexed pair mirrors jaccard-vs-LSH and brute-force-vs-IVF. The
+    1M-point × 2k-fence cost ratio is asserted in
+    tools/scale_probe.py."""
+    cat = _cat(spark, sf_dir)
+    cust = cat.customer.select(
+        F.col("c_custkey").alias("id"),
+        GEO.synth_lat_micro("c_custkey").alias("glat"),
+        GEO.synth_lon_micro("c_custkey").alias("glon"),
+    )
+    fences = cat.nation.select(
+        F.col("n_nationkey").alias("fence_id"),
+        (
+            (F.col("n_nationkey") * F.lit(2654435761)) % F.lit(120_000_000)
+            - F.lit(60_000_000)
+        ).alias("cy"),
+        (
+            (F.col("n_nationkey") * F.lit(40503) % F.lit(300_000_000))
+            * F.lit(2654435761)
+            % F.lit(300_000_000)
+            - F.lit(150_000_000)
+        ).alias("cx"),
+    )
+    cell = 1 << 25
+    # fence side of the index: bbox (center ± max offset) → cells
+    fcells = fences.select(
+        "fence_id",
+        F.col("cy").alias("fcy"),
+        F.col("cx").alias("fcx"),
+    ).join(
+        fences.select(
+            "fence_id",
+            F.explode(
+                GEO.bbox_cells(
+                    F.col("cy") - 19_021_130,
+                    F.col("cy") + 19_021_130,
+                    F.col("cx") - 20_000_000,
+                    F.col("cx") + 20_000_000,
+                    cell,
+                )
+            ).alias("c"),
+        ).select(
+            "fence_id",
+            F.col("c.cx").alias("jcx"),
+            F.col("c.cy").alias("jcy"),
+        ),
+        "fence_id",
+    )
+    pcx, pcy = GEO.grid_cell(F.col("glat"), F.col("glon"), cell)
+    pts = cust.select(
+        "id", "glat", "glon", pcx.alias("jcx"), pcy.alias("jcy")
+    )
+    cand = pts.join(fcells, ["jcx", "jcy"]).select(
+        "id", "glat", "glon", "fence_id", "fcy", "fcx"
+    )
+    offs = spark.createDataFrame(_PENTA, "i INT, dy LONG, dx LONG")
+    edges = offs.alias("a").join(
+        offs.select(
+            F.col("i").alias("bi"),
+            F.col("dy").alias("bdy"),
+            F.col("dx").alias("bdx"),
+        ),
+        F.col("bi") == (F.col("a.i") + 1) % 5,
+    ).select(
+        F.col("a.dy").alias("ady"), F.col("a.dx").alias("adx"),
+        F.col("bdy"), F.col("bdx"),
+    )
+    cross = (
+        (F.col("fcx") + F.col("bdx") - (F.col("fcx") + F.col("adx")))
+        * (F.col("glat") - (F.col("fcy") + F.col("ady")))
+        - (F.col("fcy") + F.col("bdy") - (F.col("fcy") + F.col("ady")))
+        * (F.col("glon") - (F.col("fcx") + F.col("adx")))
+    )
+    return (
+        cand.crossJoin(F.broadcast(edges))
+        .groupBy("id", "fence_id", "glat", "glon")
+        .agg(F.bool_and(cross >= 0).alias("inside"))
+        .filter("inside")
+        .select("id", "fence_id")
+    )
+
+
+ORACLES["geo_fence_grid_join"] = ORACLES["geo_multi_fence_join"]
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -14952,7 +15047,7 @@ _PRIORITY = [
     "stream_geofence_alerts", "text_bpe_apply", "geo_dbscan_clusters",
     "agg_anova_f", "geo_geohash_rollup", "geo_staypoints",
     "stream_topk_per_window", "agg_cusum_changepoints",
-    "geo_multi_fence_join", "sim_ann_ivfpq",
+    "geo_multi_fence_join", "sim_ann_ivfpq", "geo_fence_grid_join",
     # verdict-named oldest debt
     "agg_pivot", "agg_retention_cohorts", "dim_scd2_merge",
     "emb_kmeans_codebook", "emb_kmeans_seeds", "emb_pq_train",

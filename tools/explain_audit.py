@@ -617,6 +617,15 @@ AUDITS = {
          "codegen",
          lambda p: "BroadcastHashJoin" in p and "EvalPython" not in p),
     ],
+    "geo_fence_grid_join": [
+        ("points meet fences through an EQUI-join on the bbox cell "
+         "key — no cartesian, no nested loop against the fence set",
+         lambda p: ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+                    or "BroadcastHashJoin" in p)
+         and "CartesianProduct" not in p),
+        ("containment cross products stay in codegen",
+         lambda p: "EvalPython" not in p),
+    ],
     "agg_bootstrap_ci": [
         ("resampling is an equi-join of the index spine against "
          "row-numbered values — no nested loop",

@@ -506,6 +506,59 @@ def main() -> int:
     assert wrong == 0, f"{wrong} nodes missed the component minimum"
     print(f"  all {n_chain} labels == path minimum (diameter {n_chain - 1})")
 
+    # 12. grid-indexed fence join at 1M points x 2000 city-scale
+    # fences (pentagon radius 2e6 micro-deg — the many-small-fences
+    # regime the index exists for): the bbox-cell index must keep
+    # candidate pairs at cell co-occupancy, far below the 2e9
+    # all-pairs the broadcast variant would test. (Continent-sized
+    # fences that blanket the globe 20x over are fundamentally
+    # join-dense — no index helps; sizing cells to the geometry is
+    # the operator contract.)
+    n_fp, n_fences = 1_000_000, 2_000
+    cellf = 1 << 22  # ~4.2e6 micro-deg cells sized to the fences
+    fpts = (
+        spark.range(n_fp)
+        .select(
+            F.col("id"),
+            _geo.synth_lat_micro("id").alias("glat"),
+            _geo.synth_lon_micro("id").alias("glon"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fdim = spark.range(n_fences).select(
+        F.col("id").alias("fence_id"),
+        ((F.col("id") * 2654435761) % 120_000_000 - 60_000_000).alias("fcy"),
+        (
+            (F.col("id") * 40503 % 300_000_000) * 2654435761 % 300_000_000
+            - 150_000_000
+        ).alias("fcx"),
+    )
+    fcells = fdim.select(
+        "fence_id",
+        F.explode(
+            _geo.bbox_cells(
+                F.col("fcy") - 1_902_113,
+                F.col("fcy") + 1_902_113,
+                F.col("fcx") - 2_000_000,
+                F.col("fcx") + 2_000_000,
+                cellf,
+            )
+        ).alias("c"),
+    ).select("fence_id", F.col("c.cx").alias("jcx"), F.col("c.cy").alias("jcy"))
+    pcx, pcy = _geo.grid_cell(F.col("glat"), F.col("glon"), cellf)
+    fp = fpts.select("id", pcx.alias("jcx"), pcy.alias("jcy"))
+    n_fcand = timed(
+        f"fence grid-join candidates ({n_fp} pts x {n_fences} fences)",
+        fp.join(fcells, ["jcx", "jcy"]).count,
+    )
+    naive_pairs = n_fp * n_fences
+    assert n_fcand < naive_pairs // 50, (n_fcand, naive_pairs)
+    print(
+        f"  candidates {n_fcand:,} = "
+        f"{100.0 * n_fcand / naive_pairs:.2f}% of the "
+        f"{naive_pairs:,} all-pairs tests"
+    )
+
     print("scale probe OK")
     return 0
 
