@@ -14970,6 +14970,59 @@ def geo_fence_grid_join(spark, sf_dir):
 ORACLES["geo_fence_grid_join"] = ORACLES["geo_multi_fence_join"]
 
 
+@query(
+    "emb_pool_mean",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id // 4 AS parent_id, i.i AS pos, embedding[i.i] AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(
+             1, len(embedding))) AS i) i
+    ), dims AS (
+      SELECT parent_id, pos,
+             CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1000000)
+                           AS BIGINT)) AS BIGINT)
+               // COUNT(*) AS mq
+      FROM flat GROUP BY 1, 2
+    )
+    SELECT parent_id,
+           COUNT(*) AS dim,
+           CAST(SUM(mq * mq) AS BIGINT) AS sq_norm_q
+    FROM dims GROUP BY parent_id
+    """,
+)
+def emb_pool_mean(spark, sf_dir):
+    """Chunk-to-document embedding pooling: chunk vectors (vec_id div
+    4 simulates the chunk→parent mapping a chunked corpus carries)
+    mean-pool into one parent vector. Components quantize to exact
+    1e6-scale integers BEFORE the mean, so the per-dimension sums are
+    exact int64 and the pooled component is a truncating integer
+    division — bit-identical on both engines at any partitioning (a
+    float mean would drift with reduction order). One explode + two
+    aggregations; emitted as (parent, dim, exact squared norm) so the
+    hashable output stays scalar-typed. The pooled table is what
+    feeds doc-level ANN after chunk-level embedding — the standard
+    long-document retrieval shape."""
+    emb = _cat(spark, sf_dir).embeddings
+    flat = emb.select(
+        F.expr("vec_id div 4").alias("parent_id"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+            )
+        ).alias("pos0", "q"),
+    )
+    dims = (
+        flat.groupBy("parent_id", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.expr("sum(q) div count(*)").alias("mq"))
+    )
+    return dims.groupBy("parent_id").agg(
+        F.count("*").alias("dim"),
+        F.sum(F.col("mq") * F.col("mq")).alias("sq_norm_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -15048,6 +15101,7 @@ _PRIORITY = [
     "agg_anova_f", "geo_geohash_rollup", "geo_staypoints",
     "stream_topk_per_window", "agg_cusum_changepoints",
     "geo_multi_fence_join", "sim_ann_ivfpq", "geo_fence_grid_join",
+    "emb_pool_mean",
     # verdict-named oldest debt
     "agg_pivot", "agg_retention_cohorts", "dim_scd2_merge",
     "emb_kmeans_codebook", "emb_kmeans_seeds", "emb_pq_train",
