@@ -63,3 +63,18 @@ def test_oracle_result_types_lint():
         timeout=300,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_rotation_priority_list_is_clean():
+    """Every rotation-priority key must exist in the registry and
+    appear exactly once — a typo or duplicate silently burns a slot
+    of the driver's 50-key correctness window."""
+    from php_etl_spark.queries import DRIVER_GREEN, QUERIES, _PRIORITY
+
+    assert len(_PRIORITY) == len(set(_PRIORITY)), sorted(
+        k for k in set(_PRIORITY) if _PRIORITY.count(k) > 1
+    )
+    missing = [k for k in _PRIORITY if k not in QUERIES]
+    assert not missing, missing
+    missing_green = [k for k in DRIVER_GREEN if k not in QUERIES]
+    assert not missing_green, missing_green
