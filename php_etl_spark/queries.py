@@ -15023,6 +15023,90 @@ def emb_pool_mean(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_budget_waterfill",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CAST(SUM(len({{toks}})) AS BIGINT) AS demand
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(demand) AS BIGINT) AS t, COUNT(*) AS n FROM d
+    ), ranked AS (
+      SELECT source, demand,
+             ROW_NUMBER() OVER (ORDER BY demand, source) AS rn,
+             CAST(SUM(demand) OVER (ORDER BY demand, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS p
+      FROM d
+    ), seg AS (
+      SELECT r.rn, r.demand, r.p - r.demand AS p_prev,
+             (SELECT n FROM tot) - r.rn + 1 AS slots,
+             (SELECT t FROM tot) // 2 AS budget,
+             COALESCE(LAG(r.demand) OVER (ORDER BY r.rn), 0) AS d_prev
+      FROM ranked r
+    ), pick AS (
+      SELECT (budget - p_prev) // slots AS level
+      FROM seg
+      WHERE d_prev * slots <= budget - p_prev
+        AND budget - p_prev < demand * slots
+    )
+    SELECT source, demand,
+           CAST(LEAST(demand, (SELECT level FROM pick)) AS BIGINT)
+             AS alloc
+    FROM ranked ORDER BY source
+    """.replace("{toks}", _TOKS_SQL),
+)
+def corpus_budget_waterfill(spark, sf_dir):
+    """Water-filling token-budget allocation across sources: spend a
+    B = 50%-of-corpus token budget so every source gets
+    min(demand, L) with a common level L chosen s.t. the total hits
+    B — the max-min-fair mix that caps dominant sources without
+    starving small ones (the allocation rule behind balanced
+    pretraining mixes; temperature mixing reweights, water-filling
+    CAPS). No iterative level search: with demands sorted ascending,
+    L lies in the unique segment where
+    d_{{i-1}}·slots ≤ B − prefix_{{i-1}} < d_i·slots — a pure-integer
+    validity test over one window pass, then L = (B − prefix) div
+    slots. Per-source demands aggregate distributed; the level pick
+    runs on the |sources|-row frame."""
+    docs = _cat(spark, sf_dir).documents
+    d = docs.select("source", T.token_count("text").alias("nt")).groupBy(
+        "source"
+    ).agg(F.sum("nt").alias("demand"))
+    tot = d.agg(
+        F.sum("demand").alias("t"), F.count("*").alias("n")
+    )
+    w = Window.orderBy("demand", "source")
+    ranked = d.select(
+        "source", "demand",
+        F.row_number().over(w).alias("rn"),
+        F.sum("demand")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("p"),
+        F.coalesce(F.lag("demand").over(w), F.lit(0)).alias("d_prev"),
+    )
+    seg = ranked.crossJoin(F.broadcast(tot)).select(
+        "rn", "demand",
+        (F.col("p") - F.col("demand")).alias("p_prev"),
+        (F.col("n") - F.col("rn") + 1).alias("slots"),
+        F.expr("t div 2").alias("budget"),
+        "d_prev",
+    )
+    pick = seg.filter(
+        (F.col("d_prev") * F.col("slots") <= F.col("budget") - F.col("p_prev"))
+        & (F.col("budget") - F.col("p_prev") < F.col("demand") * F.col("slots"))
+    ).select(F.expr("(budget - p_prev) div slots").alias("level"))
+    return (
+        ranked.crossJoin(F.broadcast(pick))
+        .select(
+            "source", "demand",
+            F.least(F.col("demand"), F.col("level")).alias("alloc"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -15101,7 +15185,7 @@ _PRIORITY = [
     "agg_anova_f", "geo_geohash_rollup", "geo_staypoints",
     "stream_topk_per_window", "agg_cusum_changepoints",
     "geo_multi_fence_join", "sim_ann_ivfpq", "geo_fence_grid_join",
-    "emb_pool_mean",
+    "emb_pool_mean", "corpus_budget_waterfill",
     # verdict-named oldest debt
     "agg_pivot", "agg_retention_cohorts", "dim_scd2_merge",
     "emb_kmeans_codebook", "emb_kmeans_seeds", "emb_pq_train",
