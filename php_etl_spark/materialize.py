@@ -53,22 +53,25 @@ def materialize(df: DataFrame) -> DataFrame:
     if mode == "local":
         return df.localCheckpoint(eager=True)
     if mode == "persist":
-        out = df.persist(StorageLevel.MEMORY_AND_DISK)
-        out.count()  # eager: populate before callers branch
         # persist() pins BLOCKS but keeps the full logical plan;
         # operators that reference each round's result several times
         # (star-contraction reads the edge set ~4x per round) grow the
         # plan exponentially and OOM the ANALYZER long before any data
-        # does. Rebuilding the frame over the persisted RDD truncates
-        # the SQL lineage while the persisted blocks (and their
-        # recompute-on-executor-loss lineage) stay in force. The RDD
-        # boundary costs a JVM→Python→JVM row round-trip on first
-        # evaluation — fine for the edge-set-sized frames iterative
-        # operators pin; for very large frames with deep lineage use
-        # mode "checkpoint" instead.
-        rebuilt = df.sparkSession.createDataFrame(out.rdd, out.schema)
-        rebuilt._php_etl_persisted_source = out  # for unmaterialize()
-        return rebuilt
+        # does. Rebuilding the frame over the RDD truncates the SQL
+        # lineage (the plan becomes a LogicalRDD scan), and persisting
+        # the REBUILT frame pins its blocks so the JVM→Python→JVM row
+        # round-trip at the RDD boundary happens exactly once, in the
+        # eager count below — not on every downstream action (r4 had it
+        # per-evaluation: the persist sat on the source frame, so each
+        # action re-serialized every row from the persisted blocks).
+        # On executor loss, lost blocks recompute from the full lineage
+        # including the round-trip — same guarantee, slower rebuild;
+        # for very deep lineage use mode "checkpoint" instead.
+        rebuilt = df.sparkSession.createDataFrame(df.rdd, df.schema)
+        out = rebuilt.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()  # eager: populate before callers branch
+        out._php_etl_persisted_source = out  # for unmaterialize()
+        return out
     spark = df.sparkSession
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:

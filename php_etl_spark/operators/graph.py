@@ -364,3 +364,54 @@ def label_propagation(
             .select("node", (-F.col("best.neg_label")).alias("label"))
         )
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    a: str,
+    b: str,
+    k: int,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    distributed formulation of Montresor et al. 2013): repeatedly
+    delete every node whose degree in the REMAINING graph is < k until
+    none is, and return the survivors with their in-core degree — the
+    standard density filter for "well-connected" entities (spam rings,
+    co-purchase cores, dedup-cluster hubs).
+
+    Each round is two joins keyed on node id: a degree aggregate
+    (map-side combined) and a semi-join keeping only edges whose BOTH
+    endpoints survive. Work per round ∝ remaining edges, and the edge
+    set only shrinks, so total work is O(rounds × core-candidate
+    edges), not O(rounds × original edges). The edge frame is
+    re-materialized per round (lineage truncation — same reason as
+    pagerank); the only driver round-trip is the one-boolean
+    "did anything peel" check. Peeling removes ≥1 node per non-final
+    round, and real graphs converge in a few rounds (degeneracy
+    ordering peels in waves, not one by one); ``max_rounds`` is a
+    backstop, after which the current (superset) core is returned.
+    """
+    und = materialize(undirected_edges(edges, a, b))
+    sym = None
+    for _ in range(max_rounds):
+        sym = und.select(
+            F.col("u").alias("node"), F.col("v").alias("peer")
+        ).unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("peer")))
+        deg = sym.groupBy("node").agg(F.count("*").alias("degree"))
+        weak = deg.filter(F.col("degree") < k).select("node")
+        if weak.isEmpty():
+            break
+        survivors = deg.filter(F.col("degree") >= k).select("node")
+        und = materialize(
+            und.join(
+                survivors, und["u"] == survivors["node"], "left_semi"
+            ).join(survivors, und["v"] == survivors["node"], "left_semi")
+        )
+    return (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

@@ -146,3 +146,41 @@ def test_label_propagation_two_cliques(spark):
     edges = spark.createDataFrame(tri, ["a", "b"])
     got = {r.node: r.label for r in G.label_propagation(edges, "a", "b", iterations=3).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 20: 10, 30: 10}
+
+
+def test_k_core_matches_reference_peel(spark):
+    # barbell-ish: a 4-clique (core-3), a triangle (core-2), a tail
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),   # 4-clique
+        (4, 5), (5, 6), (6, 7),                           # tail
+        (10, 11), (11, 12), (10, 12),                     # triangle
+    ]
+    df = spark.createDataFrame(edges, ["a", "b"])
+
+    def ref_k_core(pairs, k):
+        from collections import defaultdict
+        adj = defaultdict(set)
+        for u, v in pairs:
+            adj[u].add(v)
+            adj[v].add(u)
+        alive = set(adj)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(alive):
+                if len(adj[n] & alive) < k:
+                    alive.discard(n)
+                    changed = True
+        return alive
+
+    for k in (2, 3):
+        got = {r.node: r.degree for r in G.k_core(df, "a", "b", k).collect()}
+        want = ref_k_core(edges, k)
+        assert set(got) == want, (k, got, want)
+        # in-core degree invariant: every survivor has >= k core peers
+        assert all(d >= k for d in got.values()), (k, got)
+
+
+def test_k_core_empty_when_graph_too_sparse(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["a", "b"])
+    assert G.k_core(df, "a", "b", k=3).count() == 0

@@ -65,6 +65,40 @@ def test_oracle_result_types_lint():
     assert proc.returncode == 0, proc.stdout + proc.stderr
 
 
+def test_lint_detects_known_hugeint():
+    """The lint must actually FIRE on an uncast SUM(BIGINT): round 4
+    shipped a vacuous lint that string-matched 'HUGEINT' against DBAPI
+    cursor.description (which reports 'NUMBER' for all numerics), so
+    geo_staypoints sailed through with a HUGEINT window-sum column.
+    Guard the detection path itself, not just the registry sweep."""
+    import os
+    import sys
+
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    from lint_oracles import flagged_columns
+
+    con = duckdb.connect()
+    hits = flagged_columns(
+        con, "SELECT SUM(x) AS s FROM (VALUES (CAST(1 AS BIGINT))) t(x)"
+    )
+    assert hits == [("s", "HUGEINT")], hits
+    # ... and must NOT fire once the house-style cast is applied
+    assert not flagged_columns(
+        con,
+        "SELECT CAST(SUM(x) AS BIGINT) AS s "
+        "FROM (VALUES (CAST(1 AS BIGINT))) t(x)",
+    )
+    # window sums are the same trap (the r4 geo_staypoints bug)
+    assert flagged_columns(
+        con,
+        "SELECT SUM(x) OVER (ORDER BY x) AS island "
+        "FROM (VALUES (CAST(1 AS BIGINT))) t(x)",
+    ) == [("island", "HUGEINT")]
+
+
 def test_rotation_priority_list_is_clean():
     """Every rotation-priority key must exist in the registry and
     appear exactly once — a typo or duplicate silently burns a slot

@@ -43,6 +43,19 @@ FLAGGED = ("HUGEINT",)
 ALLOW: dict[str, set[str]] = {}
 
 
+def flagged_columns(con, sql: str) -> list[tuple[str, str]]:
+    """(column, duckdb_logical_type) pairs whose type the driver hasher
+    canonicalizes differently from Spark. Raises if the SQL does not
+    plan. Uses DESCRIBE — the DBAPI cursor.description path reports the
+    generic "NUMBER" for every numeric and never matches."""
+    cols = con.execute(f"DESCRIBE (SELECT * FROM ({sql}))").fetchall()
+    return [
+        (row[0], str(row[1]).upper())
+        for row in cols
+        if any(f in str(row[1]).upper() for f in FLAGGED)
+    ]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -63,21 +76,14 @@ def main() -> int:
         if sql is None:
             continue
         try:
-            # LIMIT 0 wrap: types come from the planner, zero rows run
-            cur = con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
+            hits = flagged_columns(con, sql)
         except Exception as exc:  # noqa: BLE001 — lint must report all
             bad += 1
             print(f"FAIL  {name}: oracle does not execute: "
                   f"{str(exc).splitlines()[0][:120]}")
             continue
-        for col, dtype in zip(
-            [d[0] for d in cur.description],
-            [d[1] for d in cur.description],
-        ):
-            type_name = str(dtype).upper()
-            if any(f in type_name for f in FLAGGED) and col not in ALLOW.get(
-                name, set()
-            ):
+        for col, type_name in hits:
+            if col not in ALLOW.get(name, set()):
                 bad += 1
                 print(
                     f"FAIL  {name}: column `{col}` is {type_name} — "
