@@ -15505,6 +15505,274 @@ def graph_k_core(spark, sf_dir):
     return core.orderBy("node")
 
 
+@query(
+    "sim_maxsim_late_interaction",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, label, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    ), dots AS (
+      SELECT qs.vec_id AS qtok, c.label, c.vec_id AS ctok,
+             CAST(SUM(qs.q * c.q) AS BIGINT) AS dot
+      FROM flat qs JOIN flat c ON qs.i = c.i
+        AND qs.vec_id < 8 AND c.vec_id >= 8
+      GROUP BY 1, 2, 3
+    ), best AS (
+      SELECT qtok, label, MAX(dot) AS best_dot
+      FROM dots GROUP BY qtok, label
+    )
+    SELECT label, CAST(SUM(best_dot) AS BIGINT) AS maxsim
+    FROM best GROUP BY label ORDER BY maxsim DESC, label
+    """,
+)
+def sim_maxsim_late_interaction(spark, sf_dir):
+    """Late-interaction retrieval scoring (the ColBERT MaxSim
+    operator, Khattab & Zaharia 2020): the query is a SET of token
+    vectors (vec_id < 8), each document a set of token vectors
+    (grouped by label); score(doc) = Σ_q max_t <q, t> — each query
+    token matches its best document token, so fine-grained term
+    interaction survives where a single pooled vector would blur it.
+    Dots ride the house integer quantization (×1e6 per side), so max
+    and sum are EXACT integer ops — bit-identical ranking on every
+    engine, no float tie ambiguity. Plan: the ≤8-row query token set
+    broadcasts; each candidate token row computes 8 integer dots
+    (zip_with, JVM-side), one (label, qtok) max aggregate, one label
+    sum — cost linear in corpus tokens, no corpus self-join. The
+    same shape scales to real ColBERT by bucketing candidates with
+    an ANN prefilter per query token (sim_ann_* provide that)."""
+    emb = _cat(spark, sf_dir).embeddings
+    prepared = emb.select(
+        "vec_id", "label", S.quantize(F.col("embedding")).alias("qv")
+    )
+    qtoks = prepared.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qtok"), F.col("qv").alias("q_qv")
+    )
+    cands = prepared.filter(F.col("vec_id") >= 8)
+    dots = cands.crossJoin(F.broadcast(qtoks)).select(
+        "qtok", "label",
+        S.dot_q(F.col("q_qv"), F.col("qv")).alias("dot"),
+    )
+    best = dots.groupBy("qtok", "label").agg(F.max("dot").alias("best_dot"))
+    return (
+        best.groupBy("label")
+        .agg(F.sum("best_dot").cast("long").alias("maxsim"))
+        .orderBy(F.col("maxsim").desc(), "label")
+    )
+
+
+@query(
+    "ml_gbdt_histogram",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CAST(l_quantity AS BIGINT) AS qty_bin,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_bin
+      FROM lineitem
+    ), long AS (
+      SELECT 'qty' AS feature, qty_bin AS bin, y FROM base
+      UNION ALL
+      SELECT 'disc' AS feature, disc_bin AS bin, y FROM base
+    )
+    SELECT feature, bin, COUNT(*) AS n,
+           CAST(SUM(1 - 2 * y) AS BIGINT) AS sum_g_half
+    FROM long GROUP BY feature, bin ORDER BY feature, bin
+    """,
+)
+def ml_gbdt_histogram(spark, sf_dir):
+    """Gradient-histogram construction — THE distributed primitive of
+    GBDT training (XGBoost/LightGBM: every split search reduces to
+    per-(feature, bin) gradient/hessian sums; workers build local
+    histograms, an all-reduce merges them — here the merge is Spark's
+    map-side-combined aggregate). First boosting round of logistic
+    loss from p=0.5: gradient g = p − y = ±1/2, hessian h = p(1−p) =
+    1/4 — so Σg rides EXACTLY as the integer Σ(1−2y) in half-units
+    and Σh is n/4, recoverable from the count; nothing floats, any
+    engine bins identically. Features: integer quantity (natural
+    bins) and discount in percent. One unpivot (×2 rows) + one
+    aggregate; histogram size = |features|×|bins|, independent of
+    row count — the reason the pattern scales to 100 TB."""
+    li = _cat(spark, sf_dir).lineitem
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.col("l_quantity").cast("long").alias("qty_bin"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_bin"),
+    )
+    long = base.selectExpr(
+        "stack(2, 'qty', qty_bin, 'disc', disc_bin) AS (feature, bin)", "y"
+    )
+    return (
+        long.groupBy("feature", "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.lit(1) - F.lit(2) * F.col("y")).cast("long").alias("sum_g_half"),
+        )
+        .orderBy("feature", "bin")
+    )
+
+
+@query(
+    "fn_ip_cidr",
+    oracle="""
+    WITH ip AS (
+      SELECT user_id,
+             CAST((user_id * 2654435761) % 4294967296 AS BIGINT) AS ip32
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT user_id, ip32,
+           CAST(ip32 // 16777216 AS VARCHAR) || '.' ||
+           CAST((ip32 // 65536) % 256 AS VARCHAR) || '.' ||
+           CAST((ip32 // 256) % 256 AS VARCHAR) || '.' ||
+           CAST(ip32 % 256 AS VARCHAR) AS ip_str,
+           (ip32 // 16777216 = 10
+            OR ip32 // 1048576 = 2753
+            OR ip32 // 65536 = 49320) AS is_private,
+           CAST(ip32 - ip32 % 256 AS BIGINT) AS subnet24
+    FROM ip
+    """,
+)
+def fn_ip_cidr(spark, sf_dir):
+    """IPv4 parsing and CIDR membership as pure integer arithmetic —
+    the log-enrichment primitive (geo/abuse joins key on subnets):
+    dotted-quad rendering by div/mod 256, RFC-1918 private-range tests
+    as prefix equality (10/8 ⇔ ip>>24 = 10; 172.16/12 ⇔ ip>>20 =
+    2753; 192.168/16 ⇔ ip>>16 = 49320), and the /24 subnet key for
+    aggregation joins. Addresses derive from user_id by Knuth hash so
+    the fixture needs no IP column. Integer div/mod only — engine-
+    and partitioning-exact, and a /24 rollup shuffles on a BIGINT,
+    never a string."""
+    ev = _cat(spark, sf_dir).events.select("user_id").distinct()
+    ip32 = (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return ev.select(
+        "user_id", ip32.alias("ip32")
+    ).select(
+        "user_id", "ip32",
+        F.concat_ws(
+            ".",
+            F.expr("ip32 div 16777216"),
+            F.expr("(ip32 div 65536) % 256"),
+            F.expr("(ip32 div 256) % 256"),
+            F.col("ip32") % 256,
+        ).alias("ip_str"),
+        (
+            (F.expr("ip32 div 16777216") == 10)
+            | (F.expr("ip32 div 1048576") == 2753)
+            | (F.expr("ip32 div 65536") == 49320)
+        ).alias("is_private"),
+        (F.col("ip32") - F.col("ip32") % 256).alias("subnet24"),
+    )
+
+
+@query(
+    "text_keyword_rake",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS token
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+    ), flagged AS (
+      SELECT doc_id, pos, token,
+             CASE WHEN token IN
+               ('the','a','of','and','is','to','in') THEN 1 ELSE 0 END AS stop
+      FROM tok
+    ), islands AS (
+      SELECT doc_id, pos, token, stop,
+             CAST(SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+               AS island
+      FROM flagged
+    ), phrases AS (
+      SELECT doc_id, island,
+             string_agg(token, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM islands WHERE stop = 0
+      GROUP BY doc_id, island
+    ), tok_stats AS (
+      SELECT token, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+      FROM islands JOIN phrases USING (doc_id, island)
+      WHERE stop = 0
+      GROUP BY token
+    ), phrase_scored AS (
+      SELECT p.phrase,
+             COUNT(*) AS n_occurrences,
+             CAST(MIN(sd) AS BIGINT) AS sum_deg,
+             CAST(MIN(sf) AS BIGINT) AS sum_freq
+      FROM (
+        SELECT i.doc_id, i.island, p.phrase,
+               SUM(ts.deg) AS sd, SUM(ts.freq) AS sf
+        FROM islands i
+        JOIN phrases p USING (doc_id, island)
+        JOIN tok_stats ts ON ts.token = i.token
+        WHERE i.stop = 0
+        GROUP BY 1, 2, 3
+      ) p
+      GROUP BY p.phrase
+    )
+    SELECT phrase, n_occurrences, sum_deg, sum_freq,
+           CAST(round(1000.0 * sum_deg / sum_freq) AS BIGINT) AS score_milli
+    FROM phrase_scored
+    ORDER BY score_milli DESC, phrase LIMIT 100
+    """,
+)
+def text_keyword_rake(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010), integerized:
+    candidate phrases are maximal stopword-free token runs (the same
+    gaps-and-islands window used for sessions, keyed here by stopword
+    hits); corpus-level token degree (Σ length of phrases containing
+    the token) and frequency aggregate once; a phrase scores by its
+    tokens' summed degree over summed frequency — ONE division of two
+    exact integers, rounded at milli grain, instead of RAKE's
+    per-token float ratios summed in arbitrary order (which no two
+    engines reduce identically). Top-100 with deterministic
+    tiebreak. Two shuffles over tokens (islands window + stats join);
+    phrase table ∝ corpus tokens, stats table ∝ vocabulary."""
+    docs = _cat(spark, sf_dir).documents
+    tok = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    stop = F.when(
+        F.col("token").isin("the", "a", "of", "and", "is", "to", "in"), 1
+    ).otherwise(0)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = tok.select(
+        "doc_id", "pos", "token", stop.alias("stop")
+    ).withColumn("island", F.sum("stop").over(w).cast("long"))
+    body = islands.filter(F.col("stop") == 0)
+    phrases = body.groupBy("doc_id", "island").agg(
+        F.concat_ws(
+            " ", F.transform(F.array_sort(
+                F.collect_list(F.struct("pos", "token"))
+            ), lambda s: s["token"])
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    tok_stats = (
+        body.join(phrases, ["doc_id", "island"])
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"), F.sum("plen").cast("long").alias("deg"))
+    )
+    per_occurrence = (
+        body.join(phrases, ["doc_id", "island"])
+        .join(tok_stats, "token")
+        .groupBy("doc_id", "island", "phrase")
+        .agg(F.sum("deg").alias("sd"), F.sum("freq").alias("sf"))
+    )
+    scored = per_occurrence.groupBy("phrase").agg(
+        F.count("*").alias("n_occurrences"),
+        F.min("sd").cast("long").alias("sum_deg"),
+        F.min("sf").cast("long").alias("sum_freq"),
+    )
+    return (
+        scored.select(
+            "phrase", "n_occurrences", "sum_deg", "sum_freq",
+            F.round(F.lit(1000.0) * F.col("sum_deg") / F.col("sum_freq"))
+            .cast("long").alias("score_milli"),
+        )
+        .orderBy(F.col("score_milli").desc(), "phrase")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -15583,6 +15851,8 @@ _PRIORITY = [
     "ml_kfold_assign", "ml_feature_hashing", "ml_negative_sampling",
     "privacy_l_diversity", "agg_hhi_concentration",
     "ts_seasonal_decompose", "dedup_url_canonical", "graph_k_core",
+    "sim_maxsim_late_interaction", "ml_gbdt_histogram", "fn_ip_cidr",
+    "text_keyword_rake",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)
