@@ -15773,6 +15773,239 @@ def text_keyword_rake(spark, sf_dir):
     )
 
 
+@query(
+    "ml_confusion_matrix",
+    oracle=f"""
+    WITH pred AS (
+      SELECT doc_id, lang AS actual,
+        CASE WHEN best > 0 AND s_en = best THEN 'en'
+             WHEN best > 0 AND s_fr = best THEN 'fr'
+             WHEN best > 0 AND s_de = best THEN 'de'
+             WHEN best > 0 AND s_es = best THEN 'es'
+             ELSE 'und' END AS predicted
+      FROM (
+        SELECT doc_id, lang, s_en, s_fr, s_de, s_es,
+               greatest(s_en, s_fr, s_de, s_es) AS best
+        FROM (
+          SELECT doc_id, lang,
+            len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+            len(list_filter(toks, x -> list_contains(['le','la','et','des','une'], x))) AS s_fr,
+            len(list_filter(toks, x -> list_contains(['der','die','und','nicht','ein'], x))) AS s_de,
+            len(list_filter(toks, x -> list_contains(['el','los','y','una','que'], x))) AS s_es
+          FROM (SELECT doc_id, lang, {{toks}} AS toks FROM documents)
+        )
+      )
+    ), cells AS (
+      SELECT actual, predicted, COUNT(*) AS n
+      FROM pred GROUP BY actual, predicted
+    )
+    SELECT c.actual, c.predicted, c.n,
+           CAST(round(1000.0 * c.n /
+             SUM(c.n) OVER (PARTITION BY c.actual)) AS BIGINT) AS recall_milli,
+           CAST(round(1000.0 * c.n /
+             SUM(c.n) OVER (PARTITION BY c.predicted)) AS BIGINT)
+             AS precision_milli
+    FROM cells c
+    """.replace("{toks}", _TOKS_SQL),
+)
+def ml_confusion_matrix(spark, sf_dir):
+    """Confusion matrix of the engine's OWN language-id classifier
+    against the fixture's gold labels — the eval loop closed inside
+    the engine (a quality gate retrains lang-id markers, re-runs this,
+    and diffs the diagonal). Each cell carries its class-conditional
+    recall (n / row total) and precision (n / column total) at milli
+    grain — one integer-count division each, so the whole report is
+    engine-exact. Predictions are a narrow JVM map; the matrix is one
+    aggregate; the per-class margins are windows over the
+    |classes|²-row matrix, not the corpus."""
+    docs = _cat(spark, sf_dir).documents
+    pred = docs.select(
+        F.col("lang").alias("actual"),
+        T.language_id("text").alias("predicted"),
+    )
+    cells = pred.groupBy("actual", "predicted").agg(F.count("*").alias("n"))
+    w_act = Window.partitionBy("actual")
+    w_pred = Window.partitionBy("predicted")
+    return cells.select(
+        "actual", "predicted", "n",
+        F.round(F.lit(1000.0) * F.col("n") / F.sum("n").over(w_act))
+        .cast("long").alias("recall_milli"),
+        F.round(F.lit(1000.0) * F.col("n") / F.sum("n").over(w_pred))
+        .cast("long").alias("precision_milli"),
+    )
+
+
+@query(
+    "ml_auc_rank",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CAST(round(l_discount * 100) AS BIGINT) * 10
+               + CAST(concat('0x', substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || ':' ||
+                   CAST(l_linenumber AS VARCHAR)), 1, 4)) AS BIGINT) % 10
+               AS score
+      FROM lineitem
+    ), grp AS (
+      SELECT score, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM scored GROUP BY score
+    ), ranked AS (
+      SELECT score, n, n_pos,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM grp
+    ), tot AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS p,
+             CAST(SUM(n - n_pos) AS BIGINT) AS neg,
+             CAST(SUM(n_pos * (2 * cum_before + n + 1)) AS BIGINT)
+               AS two_ranksum
+      FROM ranked
+    )
+    SELECT p AS n_pos, neg AS n_neg,
+           CAST(round(1e6 * (two_ranksum - p * (p + 1))
+                / (2.0 * p * neg)) AS BIGINT) AS auc_ppm
+    FROM tot
+    """,
+)
+def ml_auc_rank(spark, sf_dir):
+    """ROC-AUC at scale via the rank-sum identity (AUC = U/(P·N),
+    Mann–Whitney) WITHOUT a global sort: scores aggregate to a
+    per-distinct-score (count, positives) table first — the big
+    shuffle, map-side combined — and tie-averaged ranks come from a
+    running sum over that |distinct scores|-row frame (a tie group's
+    average rank is cum_before + (n+1)/2; kept integer by carrying
+    2×ranksum). One final division → ppm. A naive row_number() AUC
+    would ORDER BY score over every row in one partition — this shape
+    is how AUC survives 100 TB. The score is a deterministic
+    discount-plus-hash-noise stand-in for a model margin."""
+    li = _cat(spark, sf_dir).lineitem
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    noise = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))),
+                1, 4,
+            ), 16, 10,
+        ).cast("long") % 10
+    )
+    score = F.round(F.col("l_discount") * 100).cast("long") * 10 + noise
+    grp = (
+        li.select(y.alias("y"), score.alias("score"))
+        .groupBy("score")
+        .agg(F.count("*").alias("n"), F.sum("y").cast("long").alias("n_pos"))
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grp.select(
+        "score", "n", "n_pos",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    tot = ranked.agg(
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("long").alias("neg"),
+        F.sum(
+            F.col("n_pos") * (F.lit(2) * F.col("cum_before") + F.col("n") + 1)
+        ).cast("long").alias("two_ranksum"),
+    )
+    return tot.select(
+        F.col("p").alias("n_pos"),
+        F.col("neg").alias("n_neg"),
+        F.round(
+            F.lit(1e6)
+            * (F.col("two_ranksum") - F.col("p") * (F.col("p") + 1))
+            / (F.lit(2.0) * F.col("p") * F.col("neg"))
+        ).cast("long").alias("auc_ppm"),
+    )
+
+
+@query(
+    "ml_target_encoding",
+    oracle="""
+    WITH rows_ AS (
+      SELECT o_orderkey, c_mktsegment,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ), enc AS (
+      SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sum_y
+      FROM rows_ GROUP BY c_mktsegment
+    )
+    SELECT o_orderkey, r.c_mktsegment, r.y,
+           CAST(round(1000.0 * (e.sum_y - r.y) / (e.n - 1)) AS BIGINT)
+             AS loo_enc_milli
+    FROM rows_ r JOIN enc e ON e.c_mktsegment = r.c_mktsegment
+    WHERE e.n > 1
+    """,
+)
+def ml_target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding — the high-cardinality
+    categorical featurizer: replace a category with the label mean of
+    the OTHER rows sharing it ((Σy − own)/(n−1)), which is what stops
+    the encoding from leaking each row's own label into its feature.
+    Two-phase: per-category (n, Σy) aggregates once (map-side
+    combined), broadcasts back onto the rows, and each row does one
+    exact-integer division at milli grain — no per-row window, no
+    second shuffle when the category table is dim-sized."""
+    cat = _cat(spark, sf_dir)
+    rows_ = cat.orders.join(
+        cat.customer, F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        "o_orderkey", "c_mktsegment",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    enc = rows_.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.sum("y").cast("long").alias("sum_y")
+    )
+    return (
+        rows_.join(F.broadcast(enc.filter(F.col("n") > 1)), "c_mktsegment")
+        .select(
+            "o_orderkey", "c_mktsegment", "y",
+            F.round(
+                F.lit(1000.0) * (F.col("sum_y") - F.col("y")) / (F.col("n") - 1)
+            ).cast("long").alias("loo_enc_milli"),
+        )
+    )
+
+
+@query(
+    "privacy_clipped_contributions",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id, LEAST(COUNT(*), 5) AS clipped
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(SUM(clipped) AS BIGINT) AS clipped_sum,
+           CAST(SUM(clipped) AS BIGINT)
+             + CAST(concat('0x', substr(md5(event_type), 1, 4)) AS BIGINT) % 7
+             - 3 AS dp_sum
+    FROM per_user GROUP BY event_type
+    """,
+)
+def privacy_clipped_contributions(spark, sf_dir):
+    """User-level DP accounting, part 1: SENSITIVITY BOUNDING. Before
+    any noise is meaningful, each user's contribution to a statistic
+    must be capped — here each user counts at most C=5 events per
+    type, so one user entering/leaving moves the sum by ≤5 and
+    Laplace(5/ε) calibrates. Two map-side-combined aggregates (per
+    (type, user) clip, then per type); the released value adds a
+    hash-derived stand-in perturbation in [−3, 3] — deterministic so
+    the cross-engine gate can hash-match; a production release swaps
+    the hash for calibrated Laplace/Gaussian draws (the
+    agg_dp_noisy_counts pattern, same plan shape)."""
+    ev = _cat(spark, sf_dir).events
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.least(F.count("*"), F.lit(5)).alias("clipped")
+    )
+    noise = (
+        F.conv(F.substring(F.md5("event_type"), 1, 4), 16, 10).cast("long") % 7
+        - 3
+    )
+    return per_user.groupBy("event_type").agg(
+        F.sum("clipped").cast("long").alias("clipped_sum"),
+        (F.sum("clipped").cast("long") + noise).alias("dp_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -15852,7 +16085,8 @@ _PRIORITY = [
     "privacy_l_diversity", "agg_hhi_concentration",
     "ts_seasonal_decompose", "dedup_url_canonical", "graph_k_core",
     "sim_maxsim_late_interaction", "ml_gbdt_histogram", "fn_ip_cidr",
-    "text_keyword_rake",
+    "text_keyword_rake", "ml_confusion_matrix", "ml_auc_rank",
+    "ml_target_encoding", "privacy_clipped_contributions",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)

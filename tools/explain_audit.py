@@ -86,6 +86,29 @@ AUDITS = {
         ("single full-outer join (SortMergeJoin FullOuter)",
          lambda p: "FullOuter" in p),
     ],
+    "sim_maxsim_late_interaction": [
+        ("query token set broadcast; corpus side never shuffled pre-score",
+         lambda p: "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p),
+        ("no unconditioned cartesian", lambda p: "CartesianProduct" not in p),
+        ("integer dot/max/sum in codegen", has_codegen),
+    ],
+    "ts_seasonal_decompose": [
+        ("24x|types| seasonal profile broadcast onto the stream",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no window over the raw event stream", lambda p: "Window" not in p),
+    ],
+    "ml_gbdt_histogram": [
+        ("one shuffle total: histogram agg is map-side combined",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 1),
+        ("column-pruned scan (3 of 16 lineitem cols)",
+         lambda p: all(n <= 3 for n in read_schema_cols(p))),
+    ],
+    "ml_negative_sampling": [
+        ("exclusion is a real anti join keyed on (supplier, item)",
+         lambda p: "LeftAnti" in p),
+        ("no unconditioned cartesian", lambda p: "CartesianProduct" not in p),
+    ],
     "scan_lineitem": [
         ("filter pushed to parquet scan", has_pushed_filter),
         ("column-pruned scan (<=6 of 16 lineitem cols)",
