@@ -51,6 +51,10 @@ HEADLINE = [
     # lexical similarity path — first-run baselines in BASELINE.md
     "geo_grid_knn",         # geo: cell-bucketed proximity join + top-k
     "sim_sparse_tfidf_topk",  # LLM: df-bounded inverted-index cosine
+    # round-5 additions: ML-eval + late-interaction retrieval — first-
+    # run baselines in BASELINE.md
+    "ml_auc_rank",          # rank-sum AUC, no global sort
+    "sim_maxsim_late_interaction",  # ColBERT MaxSim, integer dots
 ]
 
 

@@ -16006,6 +16006,161 @@ def privacy_clipped_contributions(spark, sf_dir):
     )
 
 
+@query(
+    "ml_quantile_binning",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+    ), cuts AS (
+      SELECT quantile_cont(c, 0.25) AS q1,
+             quantile_cont(c, 0.50) AS q2,
+             quantile_cont(c, 0.75) AS q3
+      FROM cents
+    )
+    SELECT bin, COUNT(*) AS n,
+           CAST(MIN(c) AS BIGINT) AS min_cents,
+           CAST(MAX(c) AS BIGINT) AS max_cents
+    FROM (
+      SELECT c, CASE WHEN c <= (SELECT q1 FROM cuts) THEN 0
+                     WHEN c <= (SELECT q2 FROM cuts) THEN 1
+                     WHEN c <= (SELECT q3 FROM cuts) THEN 2
+                     ELSE 3 END AS bin
+      FROM cents
+    ) GROUP BY bin ORDER BY bin
+    """,
+)
+def ml_quantile_binning(spark, sf_dir):
+    """Quantile feature discretization (the equal-frequency binning
+    every tabular-ML pipeline and every GBDT 'global' bin-finder
+    runs): exact interpolated quartile cutpoints over integer cents
+    (halves — exact doubles, so the cut comparison is engine-exact),
+    broadcast back, one CASE per row, one aggregate to verify bin
+    balance. Two passes over the column (cutpoint aggregate + assign)
+    and a 1-row broadcast — at 100 TB the first pass would swap in a
+    mergeable quantile sketch (agg_approx_percentile_sketch) with the
+    same downstream shape."""
+    li = _cat(spark, sf_dir).lineitem
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    cuts = cents.agg(
+        F.expr("percentile(c, 0.25)").alias("q1"),
+        F.expr("percentile(c, 0.50)").alias("q2"),
+        F.expr("percentile(c, 0.75)").alias("q3"),
+    )
+    binned = cents.crossJoin(F.broadcast(cuts)).select(
+        "c",
+        F.when(F.col("c") <= F.col("q1"), 0)
+        .when(F.col("c") <= F.col("q2"), 1)
+        .when(F.col("c") <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "ml_learning_curve",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CAST(round(l_discount * 100) AS BIGINT) * 10
+               + CAST(concat('0x', substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || ':' ||
+                   CAST(l_linenumber AS VARCHAR)), 1, 4)) AS BIGINT) % 10
+               AS score,
+             CAST(concat('0x', substr(md5(
+                 CAST(l_orderkey AS VARCHAR) || ':' ||
+                 CAST(l_linenumber AS VARCHAR)), 5, 4)) AS BIGINT) % 100
+               AS gate
+      FROM lineitem
+    ), fracs AS (
+      SELECT unnest([10, 25, 50, 100]) AS frac_pct
+    ), grp AS (
+      SELECT f.frac_pct, s.score, COUNT(*) AS n,
+             CAST(SUM(s.y) AS BIGINT) AS n_pos
+      FROM scored s JOIN fracs f ON s.gate < f.frac_pct
+      GROUP BY f.frac_pct, s.score
+    ), ranked AS (
+      SELECT frac_pct, score, n, n_pos,
+             CAST(COALESCE(SUM(n) OVER (PARTITION BY frac_pct ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM grp
+    )
+    SELECT frac_pct,
+           CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n - n_pos) AS BIGINT) AS n_neg,
+           CAST(round(1e6 *
+             (CAST(SUM(n_pos * (2 * cum_before + n + 1)) AS BIGINT)
+              - CAST(SUM(n_pos) AS BIGINT) * (CAST(SUM(n_pos) AS BIGINT) + 1))
+             / (2.0 * CAST(SUM(n_pos) AS BIGINT)
+                * CAST(SUM(n - n_pos) AS BIGINT))) AS BIGINT) AS auc_ppm
+    FROM ranked GROUP BY frac_pct ORDER BY frac_pct
+    """,
+)
+def ml_learning_curve(spark, sf_dir):
+    """Learning-curve harness: the rank-sum AUC of ml_auc_rank
+    evaluated at nested 10/25/50/100% hash-gated subsets IN ONE PLAN —
+    the subset membership test rides as a theta-join against a 4-row
+    fraction table (each row lands in every subset whose threshold
+    exceeds its hash gate, so the four 'experiments' share one scan
+    and one shuffle instead of four jobs). Nested-by-construction
+    gates (gate < 10 ⊂ gate < 25 ⊂ …) make the curve monotone in data
+    volume, which is the property an ablation actually wants. Entirely
+    integer until one ppm division per fraction."""
+    li = _cat(spark, sf_dir).lineitem
+    h = F.md5(F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber")))
+    scored = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        (
+            F.round(F.col("l_discount") * 100).cast("long") * 10
+            + F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 10
+        ).alias("score"),
+        (F.conv(F.substring(h, 5, 4), 16, 10).cast("long") % 100).alias("gate"),
+    )
+    fracs = spark.createDataFrame([(10,), (25,), (50,), (100,)], ["frac_pct"])
+    grp = (
+        scored.join(F.broadcast(fracs), F.col("gate") < F.col("frac_pct"))
+        .groupBy("frac_pct", "score")
+        .agg(F.count("*").alias("n"), F.sum("y").cast("long").alias("n_pos"))
+    )
+    w = (
+        Window.partitionBy("frac_pct")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = grp.select(
+        "frac_pct", "score", "n", "n_pos",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    agg = ranked.groupBy("frac_pct").agg(
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("long").alias("neg"),
+        F.sum(
+            F.col("n_pos") * (F.lit(2) * F.col("cum_before") + F.col("n") + 1)
+        ).cast("long").alias("two_ranksum"),
+    )
+    return agg.select(
+        "frac_pct",
+        F.col("p").alias("n_pos"),
+        F.col("neg").alias("n_neg"),
+        F.round(
+            F.lit(1e6)
+            * (F.col("two_ranksum") - F.col("p") * (F.col("p") + 1))
+            / (F.lit(2.0) * F.col("p") * F.col("neg"))
+        ).cast("long").alias("auc_ppm"),
+    ).orderBy("frac_pct")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -16087,6 +16242,7 @@ _PRIORITY = [
     "sim_maxsim_late_interaction", "ml_gbdt_histogram", "fn_ip_cidr",
     "text_keyword_rake", "ml_confusion_matrix", "ml_auc_rank",
     "ml_target_encoding", "privacy_clipped_contributions",
+    "ml_quantile_binning", "ml_learning_curve",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)

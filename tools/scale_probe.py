@@ -559,6 +559,35 @@ def main() -> int:
         f"{naive_pairs:,} all-pairs tests"
     )
 
+    # ---- k-core peeling: dense core + 200k-node sparse periphery ----
+    # 1k-node core where every node carries ~20 in-core edges, plus a
+    # 200k-node chain (degree <= 2). With k=3 the whole chain peels in
+    # ONE wave (every chain node is simultaneously under-degree), so
+    # rounds stay O(1) even though the periphery is 200x the core —
+    # the property that keeps peeling from serializing at 100 TB.
+    from php_etl_spark.operators.graph import k_core
+
+    n_core, n_chain = 1_000, 200_000
+    core_e = (
+        spark.range(n_core * 10)
+        .select(
+            (F.col("id") % n_core).alias("u"),
+            ((F.col("id") % n_core + (F.col("id") / n_core).cast("long") * 37 + 1)
+             % n_core).alias("v"),
+        )
+    )
+    chain_e = spark.range(n_chain - 1).select(
+        (F.col("id") + n_core).alias("u"), (F.col("id") + n_core + 1).alias("v")
+    )
+    t0 = time.time()
+    core_nodes = k_core(core_e.unionAll(chain_e), "u", "v", k=3)
+    n_in_core = core_nodes.count()
+    print(f"  k-core(3) over {n_core*10 + n_chain - 1:,} edges: "
+          f"{n_in_core:,} core nodes in {time.time()-t0:.1f}s")
+    assert n_in_core <= n_core, n_in_core
+    assert core_nodes.filter(F.col("node") >= n_core).count() == 0
+    assert core_nodes.agg(F.min("degree")).first()[0] >= 3
+
     print("scale probe OK")
     return 0
 
