@@ -415,3 +415,53 @@ def k_core(
         .agg(F.count("*").alias("degree"))
         .filter(F.col("degree") >= k)
     )
+
+
+def clustering_coefficient(edges: DataFrame, a: str, b: str) -> DataFrame:
+    """Per-node local clustering coefficient: cc(v) = closed neighbor
+    pairs / possible neighbor pairs = 2·t(v) / (d(v)·(d(v)−1)), the
+    Watts–Strogatz local density measure (hub ego-nets that are
+    cliques vs stars — spam/bot detection, community seeding).
+
+    Wedge enumeration joins the adjacency list with itself on the
+    center node (each unordered neighbor pair once via x < y) and
+    closes wedges with a LEFT SEMI join against the canonical edge
+    set — the same keyed-join discipline as triangle_count, but
+    grouped by center so each node keeps its own triangle count. Join
+    volume is Σ d(v)² — callers cap degree upstream on power-law
+    graphs (the triangle count's degree-orientation trick does not
+    apply, because wedges at the CENTER are exactly what cc needs);
+    at web scale the standard move is wedge sampling per node, same
+    downstream shape. Returns (node, degree, triangles, cc_milli)
+    for nodes with degree ≥ 2; the single division happens once per
+    node and rounds at milli grain, so results hash identically
+    across engines."""
+    und = undirected_edges(edges, a, b)
+    adj = und.select(
+        F.col("u").alias("node"), F.col("v").alias("peer")
+    ).unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("peer")))
+    deg = adj.groupBy("node").agg(F.count("*").alias("degree"))
+    x = adj.select("node", F.col("peer").alias("x"))
+    y = adj.select("node", F.col("peer").alias("y"))
+    wedges = x.join(y, "node").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        und,
+        (wedges["x"] == und["u"]) & (wedges["y"] == und["v"]),
+        "left_semi",
+    )
+    tri = closed.groupBy("node").agg(F.count("*").alias("triangles"))
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node", "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        )
+        .select(
+            "node", "degree", "triangles",
+            F.round(
+                F.lit(2000.0) * F.col("triangles")
+                / (F.col("degree") * (F.col("degree") - 1))
+            ).cast("long").alias("cc_milli"),
+        )
+    )

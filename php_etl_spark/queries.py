@@ -16161,6 +16161,115 @@ def ml_learning_curve(spark, sf_dir):
     ).orderBy("frac_pct")
 
 
+@query(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS item
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ), e AS (
+      SELECT DISTINCT a.item AS u, c.item AS v
+      FROM items a JOIN items c ON a.b = c.b AND a.item < c.item
+    ), adj AS (
+      SELECT u AS node, v AS peer FROM e
+      UNION ALL
+      SELECT v AS node, u AS peer FROM e
+    ), deg AS (
+      SELECT node, COUNT(*) AS degree FROM adj GROUP BY node
+    ), tri AS (
+      SELECT x.node, COUNT(*) AS triangles
+      FROM adj x JOIN adj y ON x.node = y.node AND x.peer < y.peer
+      WHERE EXISTS (SELECT 1 FROM e WHERE e.u = x.peer AND e.v = y.peer)
+      GROUP BY x.node
+    )
+    SELECT d.node, d.degree,
+           CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+           CAST(round(2000.0 * COALESCE(t.triangles, 0)
+                / (d.degree * (d.degree - 1))) AS BIGINT) AS cc_milli
+    FROM deg d LEFT JOIN tri t ON t.node = d.node
+    WHERE d.degree >= 2
+    """,
+)
+def graph_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per part on the order
+    co-occurrence graph (operators/graph.clustering_coefficient):
+    parts bought together form edges; cc(v) measures how clique-like
+    each part's neighborhood is — the ego-net density signal behind
+    bundle detection and community seeding. Wedges enumerate at the
+    center node (x < y once per unordered pair) and close with a semi
+    join against the canonical edge set; one milli-grain division per
+    node keeps the output engine-exact. Orders hash-gated to 1/3 to
+    bound Σd² on the small fixtures; at power-law scale the
+    documented move is per-node wedge sampling, same plan shape."""
+    li = _cat(spark, sf_dir).lineitem.filter(F.col("l_orderkey") % 3 == 0)
+    items = li.select(
+        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = items.select("b", F.col("item").alias("u"))
+    c = items.select("b", F.col("item").alias("v"))
+    edges = a.join(c, "b").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    return G.clustering_coefficient(edges, "u", "v")
+
+
+@query(
+    "ml_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CAST(round(l_discount * 100) AS BIGINT) * 10
+               + CAST(concat('0x', substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || ':' ||
+                   CAST(l_linenumber AS VARCHAR)), 1, 4)) AS BIGINT) % 10
+               AS score
+      FROM lineitem
+    )
+    SELECT score // 11 AS bin, COUNT(*) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(round(1000.0 * SUM(y) / COUNT(*)) AS BIGINT)
+             AS pos_rate_milli,
+           CAST(SUM(score) AS BIGINT) // COUNT(*) AS mean_score
+    FROM scored GROUP BY bin ORDER BY bin
+    """,
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins — the calibration eval that pairs with
+    ml_auc_rank (AUC ranks; calibration asks whether the score VALUE
+    means what it says): fixed-width score bins, each reporting count,
+    positives, observed positive rate (milli), and mean score. A
+    calibrated model's pos_rate tracks mean_score per bin; the gap is
+    the expected-calibration-error summand. Fixed-width binning is
+    one integer division per row — no quantile pass — and the whole
+    report is one map-side-combined aggregate with two exact-integer
+    divisions per OUTPUT row. Same deterministic score stand-in as
+    ml_auc_rank, so the two evals share their scan at no extra
+    cost in a combined plan."""
+    li = _cat(spark, sf_dir).lineitem
+    h = F.md5(F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber")))
+    score = (
+        F.round(F.col("l_discount") * 100).cast("long") * 10
+        + F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 10
+    )
+    scored = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        score.alias("score"),
+    )
+    return (
+        scored.groupBy(F.expr("score div 11").alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+        .select(
+            "bin", "n", "n_pos",
+            F.round(F.lit(1000.0) * F.col("n_pos") / F.col("n"))
+            .cast("long").alias("pos_rate_milli"),
+            F.expr("sum_score div n").alias("mean_score"),
+        )
+        .orderBy("bin")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -16242,7 +16351,8 @@ _PRIORITY = [
     "sim_maxsim_late_interaction", "ml_gbdt_histogram", "fn_ip_cidr",
     "text_keyword_rake", "ml_confusion_matrix", "ml_auc_rank",
     "ml_target_encoding", "privacy_clipped_contributions",
-    "ml_quantile_binning", "ml_learning_curve",
+    "ml_quantile_binning", "ml_learning_curve", "graph_clustering_coeff",
+    "ml_calibration_bins",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)

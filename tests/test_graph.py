@@ -184,3 +184,21 @@ def test_k_core_matches_reference_peel(spark):
 def test_k_core_empty_when_graph_too_sparse(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["a", "b"])
     assert G.k_core(df, "a", "b", k=3).count() == 0
+
+
+def test_clustering_coefficient_triangle_and_star(spark):
+    # triangle {1,2,3} fused with star center 3 -> leaves 4,5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (3, 5)], ["a", "b"]
+    )
+    got = {
+        r.node: (r.degree, r.triangles, r.cc_milli)
+        for r in G.clustering_coefficient(edges, "a", "b").collect()
+    }
+    # nodes 1,2: degree 2, one closed pair -> cc = 1
+    assert got[1] == (2, 1, 1000)
+    assert got[2] == (2, 1, 1000)
+    # center 3: degree 4, only (1,2) closed of 6 pairs -> 2*1/(4*3)=1/6
+    assert got[3] == (4, 1, 167)
+    # leaves 4,5 have degree 1 -> excluded
+    assert 4 not in got and 5 not in got
