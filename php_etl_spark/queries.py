@@ -16270,6 +16270,111 @@ def ml_calibration_bins(spark, sf_dir):
     )
 
 
+@query(
+    "ml_gbdt_split_gain",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CAST(l_quantity AS BIGINT) AS qty_bin,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_bin
+      FROM lineitem
+    ), long AS (
+      SELECT 'qty' AS feature, qty_bin AS bin, y FROM base
+      UNION ALL
+      SELECT 'disc' AS feature, disc_bin AS bin, y FROM base
+    ), hist AS (
+      SELECT feature, bin, COUNT(*) AS n,
+             CAST(SUM(1 - 2 * y) AS BIGINT) AS g_half
+      FROM long GROUP BY feature, bin
+    ), cum AS (
+      SELECT feature, bin,
+             CAST(SUM(n) OVER w AS BIGINT) AS nl,
+             CAST(SUM(g_half) OVER w AS BIGINT) AS gl,
+             CAST(SUM(n) OVER t AS BIGINT) AS nt,
+             CAST(SUM(g_half) OVER t AS BIGINT) AS gt
+      FROM hist
+      WINDOW w AS (PARTITION BY feature ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             t AS (PARTITION BY feature)
+    ), gains AS (
+      SELECT feature, bin AS split_bin, nl, nt - nl AS nr,
+             CAST(round(1e6 * (
+               CAST(gl * gl AS DOUBLE) / (nl + 4)
+               + CAST((gt - gl) * (gt - gl) AS DOUBLE) / (nt - nl + 4)
+               - CAST(gt * gt AS DOUBLE) / (nt + 4))) AS BIGINT)
+               AS gain_micro
+      FROM cum WHERE nt - nl > 0
+    )
+    SELECT feature, split_bin, nl, nr, gain_micro FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+                 ORDER BY gain_micro DESC, split_bin) AS rk
+      FROM gains
+    ) WHERE rk = 1
+    """,
+)
+def ml_gbdt_split_gain(spark, sf_dir):
+    """Best-split search over the GBDT gradient histogram — the step
+    after ml_gbdt_histogram in every tree learner: for each candidate
+    split 'x ≤ bin', gain = G_L²/(H_L+λ) + G_R²/(H_R+λ) − G²/(H+λ)
+    (XGBoost eq. 7, λ=1). With first-round logistic gradients the
+    terms are RATIONAL: g = ±1/2 ⇒ G² = G_half²/4 and H = n/4 ⇒ each
+    term is G_half²/(n+4) on exact integers — three deterministic
+    double divisions summed in fixed order, rounded at micro grain,
+    so the argmax split is engine-exact (ties break on bin). The
+    prefix sums run per FEATURE over the |bins|-row histogram — the
+    window never touches row-scale data, which is why split search
+    costs nothing next to histogram building at 100 TB."""
+    li = _cat(spark, sf_dir).lineitem
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.col("l_quantity").cast("long").alias("qty_bin"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_bin"),
+    )
+    long = base.selectExpr(
+        "stack(2, 'qty', qty_bin, 'disc', disc_bin) AS (feature, bin)", "y"
+    )
+    hist = long.groupBy("feature", "bin").agg(
+        F.count("*").alias("n"),
+        F.sum(F.lit(1) - F.lit(2) * F.col("y")).cast("long").alias("g_half"),
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature", "bin",
+        F.sum("n").over(w).cast("long").alias("nl"),
+        F.sum("g_half").over(w).cast("long").alias("gl"),
+        F.sum("n").over(t).cast("long").alias("nt"),
+        F.sum("g_half").over(t).cast("long").alias("gt"),
+    )
+    gr = F.col("gt") - F.col("gl")
+    gains = cum.filter(F.col("nt") - F.col("nl") > 0).select(
+        "feature",
+        F.col("bin").alias("split_bin"),
+        "nl",
+        (F.col("nt") - F.col("nl")).alias("nr"),
+        F.round(
+            F.lit(1e6)
+            * (
+                (F.col("gl") * F.col("gl")).cast("double") / (F.col("nl") + 4)
+                + (gr * gr).cast("double") / (F.col("nt") - F.col("nl") + 4)
+                - (F.col("gt") * F.col("gt")).cast("double") / (F.col("nt") + 4)
+            )
+        ).cast("long").alias("gain_micro"),
+    )
+    rk = Window.partitionBy("feature").orderBy(
+        F.col("gain_micro").desc(), "split_bin"
+    )
+    return (
+        gains.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("feature", "split_bin", "nl", "nr", "gain_micro")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -16352,7 +16457,7 @@ _PRIORITY = [
     "text_keyword_rake", "ml_confusion_matrix", "ml_auc_rank",
     "ml_target_encoding", "privacy_clipped_contributions",
     "ml_quantile_binning", "ml_learning_curve", "graph_clustering_coeff",
-    "ml_calibration_bins",
+    "ml_calibration_bins", "ml_gbdt_split_gain",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)
