@@ -16375,6 +16375,154 @@ def ml_gbdt_split_gain(spark, sf_dir):
     )
 
 
+@query(
+    "fn_uuid_deterministic",
+    oracle="""
+    WITH h AS (
+      SELECT c_custkey,
+             md5('php-etl:customer:' || CAST(c_custkey AS VARCHAR)) AS hx
+      FROM customer
+    )
+    SELECT c_custkey,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-3' ||
+           substr(hx, 14, 3) || '-8' || substr(hx, 18, 3) || '-' ||
+           substr(hx, 21, 12) AS uuid3
+    FROM h
+    """,
+)
+def fn_uuid_deterministic(spark, sf_dir):
+    """Name-based deterministic UUIDs (the RFC-4122 v3 recipe: md5 of
+    namespace+name, version nibble 3, variant bits 10) — the stable
+    surrogate key an idempotent ETL needs: re-running a load derives
+    the SAME id for the same business key, so upserts match instead
+    of duplicating (gen_uuid's random v4 is for one-shot inserts; this
+    is for replayable pipelines). Pure hash + string splicing, no
+    state, no shuffle; both engines share md5 bit-for-bit. The fixed
+    '8' variant nibble keeps the house oracle exact (RFC allows
+    8/9/a/b; a production variant would splice the hash nibble
+    masked to that range)."""
+    c = _cat(spark, sf_dir).customer
+    hx = F.md5(F.concat(F.lit("php-etl:customer:"), F.col("c_custkey").cast("string")))
+    uuid3 = F.concat(
+        F.substring(hx, 1, 8), F.lit("-"),
+        F.substring(hx, 9, 4), F.lit("-3"),
+        F.substring(hx, 14, 3), F.lit("-8"),
+        F.substring(hx, 18, 3), F.lit("-"),
+        F.substring(hx, 21, 12),
+    )
+    return c.select("c_custkey", uuid3.alias("uuid3"))
+
+
+@query(
+    "multimodal_aspect_bucket",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             256 + (doc_id * 2654435761) % 1024 AS w,
+             256 + (doc_id * 40503) % 1024 AS h
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, w, h, b.name AS bucket,
+             abs(w * b.bh - h * b.bw) * (144 // (b.bw * b.bh)) AS dist,
+             b.idx
+      FROM img CROSS JOIN (
+        SELECT * FROM (VALUES
+          (0, '1:1', 1, 1), (1, '4:3', 4, 3), (2, '3:4', 3, 4),
+          (3, '16:9', 16, 9), (4, '9:16', 9, 16)
+        ) AS t(idx, name, bw, bh)
+      ) b
+    ), best AS (
+      SELECT doc_id, bucket,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY dist, idx) AS rk
+      FROM scored
+    )
+    SELECT bucket, COUNT(*) AS n_images
+    FROM best WHERE rk = 1 GROUP BY bucket
+    """,
+)
+def multimodal_aspect_bucket(spark, sf_dir):
+    """Aspect-ratio bucketing — the image-training batcher's op (SDXL
+    et al. train on same-aspect batches; resizing across aspects
+    destroys composition): each image goes to the nearest of five
+    canonical aspect buckets. 'Nearest ratio' compares fractions, so
+    the distances cross-multiply to EXACT integers (|w·bh − h·bw|
+    rescaled by 144/(bw·bh), the buckets' common denominator) — no
+    float log-ratio, identical assignment on every engine, ties break
+    on bucket order. The 5-row bucket table broadcasts; assignment is
+    a narrow map + one rank over 5 rows per image; the output is the
+    per-bucket batch census a training loader shards by. Synthetic
+    (w, h) derive from doc_id — real pipelines read them from image
+    metadata (multimodal_bytes carries the payload contract)."""
+    docs = _cat(spark, sf_dir).documents
+    img = docs.select(
+        "doc_id",
+        (F.lit(256) + (F.col("doc_id") * 2654435761) % 1024).alias("w"),
+        (F.lit(256) + (F.col("doc_id") * 40503) % 1024).alias("h"),
+    )
+    buckets = spark.createDataFrame(
+        [(0, "1:1", 1, 1), (1, "4:3", 4, 3), (2, "3:4", 3, 4),
+         (3, "16:9", 16, 9), (4, "9:16", 9, 16)],
+        ["idx", "name", "bw", "bh"],
+    )
+    scored = img.crossJoin(F.broadcast(buckets)).select(
+        "doc_id",
+        F.col("name").alias("bucket"),
+        (
+            F.abs(F.col("w") * F.col("bh") - F.col("h") * F.col("bw"))
+            * F.expr("144 div (bw * bh)")
+        ).alias("dist"),
+        "idx",
+    )
+    rk = Window.partitionBy("doc_id").orderBy("dist", "idx")
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_images"))
+    )
+
+
+@query(
+    "privacy_pseudonymize_consistent",
+    oracle="""
+    WITH c AS (
+      SELECT substr(md5('pepper:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+               AS token,
+             c_mktsegment
+      FROM customer
+    ), o AS (
+      SELECT substr(md5('pepper:' || CAST(o_custkey AS VARCHAR)), 1, 16)
+               AS token
+      FROM orders
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders
+    FROM o JOIN c ON c.token = o.token
+    GROUP BY c.c_mktsegment
+    """,
+)
+def privacy_pseudonymize_consistent(spark, sf_dir):
+    """Keyed pseudonymization with JOIN CONSISTENCY — the release-side
+    privacy op: replace the person identifier with a peppered-hash
+    token in every table, and prove analyses still join (per-segment
+    order counts through the token equal the direct-key join). The
+    pepper lives in config, not in the data, so tokens are stable
+    across tables and runs but not invertible without it; rotating
+    the pepper unlinks releases. Token derivation is a narrow map
+    in both tables; the join shuffles on the token exactly as it
+    would on the raw key (same cardinality, same skew), so the
+    privacy layer costs nothing at plan level."""
+    cat = _cat(spark, sf_dir)
+    tok = lambda col: F.substring(  # noqa: E731 — local expression alias
+        F.md5(F.concat(F.lit("pepper:"), F.col(col).cast("string"))), 1, 16
+    )
+    c = cat.customer.select(tok("c_custkey").alias("token"), "c_mktsegment")
+    o = cat.orders.select(tok("o_custkey").alias("token"))
+    return o.join(c, "token").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -16457,7 +16605,8 @@ _PRIORITY = [
     "text_keyword_rake", "ml_confusion_matrix", "ml_auc_rank",
     "ml_target_encoding", "privacy_clipped_contributions",
     "ml_quantile_binning", "ml_learning_curve", "graph_clustering_coeff",
-    "ml_calibration_bins", "ml_gbdt_split_gain",
+    "ml_calibration_bins", "ml_gbdt_split_gain", "fn_uuid_deterministic",
+    "multimodal_aspect_bucket", "privacy_pseudonymize_consistent",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)
