@@ -109,6 +109,22 @@ AUDITS = {
          lambda p: "LeftAnti" in p),
         ("no unconditioned cartesian", lambda p: "CartesianProduct" not in p),
     ],
+    "graph_clustering_coeff": [
+        ("wedge closure is a semi join, not a full join",
+         lambda p: "LeftSemi" in p),
+        ("no unconditioned cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "multimodal_aspect_bucket": [
+        ("5-row bucket table broadcast (nested-loop against a const side)",
+         lambda p: "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p),
+        ("no unconditioned cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "ml_gbdt_split_gain": [
+        ("prefix-sum windows run over the histogram, after the aggregate",
+         lambda p: "HashAggregate" in p and "Window" in p),
+        ("no cartesian / nested loop",
+         lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+    ],
     "scan_lineitem": [
         ("filter pushed to parquet scan", has_pushed_filter),
         ("column-pruned scan (<=6 of 16 lineitem cols)",
