@@ -16523,6 +16523,75 @@ def privacy_pseudonymize_consistent(spark, sf_dir):
     )
 
 
+@query(
+    "docs_novelty_rate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+             || ' ' || ws[i+4] AS shingle
+      FROM (SELECT doc_id, {{toks}} AS ws FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i)
+    ), firsts AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(round(1000.0 *
+             SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             / COUNT(*)) AS BIGINT) AS novelty_milli
+    FROM sh JOIN firsts f ON f.shingle = sh.shingle
+    GROUP BY sh.doc_id
+    """.replace("{toks}", _TOKS_SQL),
+)
+def docs_novelty_rate(spark, sf_dir):
+    """Per-document novelty rate — the corpus-diversity signal a
+    crawl-ordered ingest monitors (novelty collapsing over time means
+    the crawl is re-reading the web; per-source novelty ranks feeds):
+    a document's novelty is the fraction of its distinct 5-token
+    shingles whose FIRST occurrence (minimum doc_id = ingest order)
+    is the document itself. One shingle explode, one min-aggregate
+    keyed on the shingle (map-side combined), one join back, one
+    milli division per doc — no ordered scan, no state: 'first
+    occurrence' is an aggregate fact, not a sequential one, which is
+    what lets novelty run as a batch op at crawl scale."""
+    docs = _cat(spark, sf_dir).documents
+    toks = T.tokens("text")
+    n = F.size(toks)
+    # sequence(0, n-5) would run DESCENDING for n < 5 (Spark infers a
+    # negative step) and slice() rejects index 0 — short docs get an
+    # explicitly empty shingle list instead, matching the oracle's
+    # empty generate_series(1, len-4).
+    idx = F.when(n >= 5, F.sequence(F.lit(0), n - 5)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5))
+            )
+        ).alias("shingle"),
+    ).distinct()
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_novel",
+            F.round(F.lit(1000.0) * F.col("n_novel") / F.col("n_shingles"))
+            .cast("long").alias("novelty_milli"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -16607,6 +16676,7 @@ _PRIORITY = [
     "ml_quantile_binning", "ml_learning_curve", "graph_clustering_coeff",
     "ml_calibration_bins", "ml_gbdt_split_gain", "fn_uuid_deterministic",
     "multimodal_aspect_bucket", "privacy_pseudonymize_consistent",
+    "docs_novelty_rate",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)
