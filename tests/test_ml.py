@@ -164,3 +164,64 @@ def test_confusion_matrix_margins(spark):
         by_actual[r["actual"]] += r["n"]
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert sum(by_actual.values()) == n_docs
+
+
+def test_ip_cidr_matches_python_ipaddress(spark):
+    """The integer div/mod CIDR math must agree with the stdlib's
+    ipaddress module on every derived address."""
+    import ipaddress
+
+    rows = QUERIES["fn_ip_cidr"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        ip = ipaddress.IPv4Address(r["ip32"])
+        assert str(ip) == r["ip_str"], (r["ip32"], r["ip_str"])
+        assert ip.is_private == r["is_private"] or (
+            # stdlib is_private also covers ranges we deliberately
+            # exclude (loopback, link-local, 100.64/10, 192.0.0/24...)
+            ip.is_private and not r["is_private"]
+        ), r
+        # RFC-1918 specifically must match exactly
+        rfc1918 = any(
+            ip in net
+            for net in (
+                ipaddress.ip_network("10.0.0.0/8"),
+                ipaddress.ip_network("172.16.0.0/12"),
+                ipaddress.ip_network("192.168.0.0/16"),
+            )
+        )
+        assert rfc1918 == r["is_private"], (str(ip), r["is_private"])
+        assert r["subnet24"] == r["ip32"] - r["ip32"] % 256
+
+
+def test_uuid_deterministic_is_valid_and_stable(spark):
+    import uuid as uuidlib
+
+    df = QUERIES["fn_uuid_deterministic"](spark, SF_DIR)
+    rows = {r["c_custkey"]: r["uuid3"] for r in df.collect()}
+    assert rows
+    for key, u in rows.items():
+        parsed = uuidlib.UUID(u)  # raises on malformed
+        assert parsed.version == 3, (key, u)
+    # stable across re-computation and partitioning
+    again = {r["c_custkey"]: r["uuid3"] for r in df.repartition(5).collect()}
+    assert rows == again
+
+
+def test_aspect_bucket_total_and_square_case(spark):
+    rows = QUERIES["multimodal_aspect_bucket"](spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_images"] for r in rows) == n_docs
+    assert {r["bucket"] for r in rows} <= {"1:1", "4:3", "3:4", "16:9", "9:16"}
+
+
+def test_novelty_rate_bounds_and_first_doc_fully_novel(spark):
+    rows = QUERIES["docs_novelty_rate"](spark, SF_DIR).collect()
+    assert rows
+    by_doc = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        assert 0 <= r["novelty_milli"] <= 1000
+    # the earliest doc with shingles owns all of its shingles
+    first = min(by_doc)
+    assert by_doc[first]["novelty_milli"] == 1000, by_doc[first]
