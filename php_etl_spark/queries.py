@@ -16592,6 +16592,46 @@ def docs_novelty_rate(spark, sf_dir):
     )
 
 
+@query("ml_gbdt_stumps")
+def ml_gbdt_stumps(spark, sf_dir):
+    """Full gradient-boosting LOOP (php_etl_spark/ml.py): 5 rounds of
+    depth-1 trees with logistic loss over integer-binned quantity and
+    discount — the model rides as literals into each round's ONE
+    histogram aggregate (map-side combined; driver sees
+    |features|·|bins| rows per round, never data), the split search
+    runs driver-side like every tree learner's central argmax, and no
+    per-row state is ever materialized. Round 1 provably reproduces
+    ml_gbdt_split_gain's oracle-checked best split (margin 0 ⇒ the
+    exact half-unit gradients that oracle uses) — pytest pins the
+    cross-check plus monotone loss decrease. Iterative float fixpoint
+    ⇒ rows-only; output is the stump table (round, feature, split,
+    micro-rounded leaf weights, milli log-loss before the round)."""
+    from php_etl_spark.ml import train_gbdt_stumps
+
+    li = _cat(spark, sf_dir).lineitem
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("qty_bin"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_bin"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+    )
+    model = train_gbdt_stumps(
+        base, ["qty_bin", "disc_bin"], "y", rounds=5, lr=0.3
+    )
+    rows = [
+        (
+            i + 1, feat, int(split),
+            int(round(wl * 1e6)), int(round(wr * 1e6)),
+            int(round(model["losses"][i] * 1000)),
+        )
+        for i, (feat, split, wl, wr) in enumerate(model["stumps"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round INT, feature STRING, split_bin INT, "
+        "wl_micro BIGINT, wr_micro BIGINT, loss_before_milli BIGINT",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -16676,7 +16716,7 @@ _PRIORITY = [
     "ml_quantile_binning", "ml_learning_curve", "graph_clustering_coeff",
     "ml_calibration_bins", "ml_gbdt_split_gain", "fn_uuid_deterministic",
     "multimodal_aspect_bucket", "privacy_pseudonymize_consistent",
-    "docs_novelty_rate",
+    "docs_novelty_rate", "ml_gbdt_stumps",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)

@@ -225,3 +225,85 @@ def test_novelty_rate_bounds_and_first_doc_fully_novel(spark):
     # the earliest doc with shingles owns all of its shingles
     first = min(by_doc)
     assert by_doc[first]["novelty_milli"] == 1000, by_doc[first]
+
+
+def test_gbdt_stumps_loss_decreases_and_round1_matches_oracle(spark):
+    """The boosting loop's round-1 stump must match the
+    oracle-checked ml_gbdt_split_gain answer (margin 0 gives exactly
+    the half-unit gradients that query uses), and the pre-round
+    log-loss must strictly decrease across rounds."""
+    rows = QUERIES["ml_gbdt_stumps"](spark, SF_DIR).collect()
+    assert [r["round"] for r in rows] == [1, 2, 3, 4, 5]
+    losses = [r["loss_before_milli"] for r in rows]
+    assert all(a > b for a, b in zip(losses, losses[1:])), losses
+    # round-0 loss is log(2) of the zero model
+    assert losses[0] == 693
+
+    best = {
+        r["feature"]: r["split_bin"]
+        for r in QUERIES["ml_gbdt_split_gain"](spark, SF_DIR).collect()
+    }
+    first = rows[0]
+    # qty/disc naming differs between the two query surfaces
+    feat_map = {"qty_bin": "qty", "disc_bin": "disc"}
+    assert best[feat_map[first["feature"]]] == first["split_bin"], (
+        first, best,
+    )
+
+
+def test_gbdt_stumps_matches_pure_python_reference(spark):
+    """Same algorithm in pure Python over the collected rows must pick
+    the identical stump sequence on well-separated gains."""
+    import math
+
+    from php_etl_spark.ml import train_gbdt_stumps
+
+    data = [
+        # feature f1 separates perfectly at <=2; f2 is noise
+        (1, 7, 0.0), (2, 9, 0.0), (1, 9, 0.0), (2, 7, 0.0),
+        (5, 7, 1.0), (6, 9, 1.0), (5, 9, 1.0), (6, 7, 1.0),
+    ] * 4
+    df = spark.createDataFrame(data, "f1 LONG, f2 LONG, y DOUBLE")
+    model = train_gbdt_stumps(df, ["f1", "f2"], "y", rounds=3, lr=0.5)
+
+    def py_train(rows, feats, rounds, lr, lam=1.0):
+        margins = [0.0] * len(rows)
+        stumps = []
+        for _ in range(rounds):
+            gh = {}
+            for m, row in zip(margins, rows):
+                p = 1.0 / (1.0 + math.exp(-m))
+                g, h = p - row[-1], p * (1 - p)
+                for fi, f in enumerate(feats):
+                    key = (f, row[fi])
+                    a, b = gh.get(key, (0.0, 0.0))
+                    gh[key] = (a + g, b + h)
+            best = None
+            for fi, f in enumerate(feats):
+                bins = sorted(b for (ff, b) in gh if ff == f)
+                gt = sum(gh[(f, b)][0] for b in bins)
+                ht = sum(gh[(f, b)][1] for b in bins)
+                gl = hl = 0.0
+                for b in bins[:-1]:
+                    gl += gh[(f, b)][0]
+                    hl += gh[(f, b)][1]
+                    gr, hr = gt - gl, ht - hl
+                    gain = (
+                        gl * gl / (hl + lam) + gr * gr / (hr + lam)
+                        - gt * gt / (ht + lam)
+                    )
+                    cand = (gain, f, b, -gl / (hl + lam), -gr / (hr + lam))
+                    if best is None or cand[0] > best[0]:
+                        best = cand
+            _, f, split, wl, wr = best
+            stumps.append((f, split))
+            fi = feats.index(f)
+            for i, row in enumerate(rows):
+                margins[i] += lr * (wl if row[fi] <= split else wr)
+        return stumps
+
+    want = py_train(data, ["f1", "f2"], rounds=3, lr=0.5)
+    got = [(f, s) for f, s, _wl, _wr in model["stumps"]]
+    assert got == want, (got, want)
+    # the separating feature must be chosen first, at the gap
+    assert got[0] == ("f1", 2)
