@@ -1,0 +1,86 @@
+"""Scaling-exponent probe: time each headline query at sf0.001 /
+sf0.01 / sf0.1 and report the log-log slope between adjacent scales —
+the direct empirical answer to "does this plan survive a 100×
+scale-up?".
+
+A data-linear operator shows slope ≤ 1 once data cost dominates
+fixed overhead; the 0.01→0.1 slope is the informative one (at
+sf0.001 almost everything is scheduler/JIT floor — slopes below ~0.3
+there mean "overhead-dominated", not "sublinear work"). Slopes
+meaningfully above 1 on the large step flag superlinear work
+(quadratic candidate generation, exploding joins) — the failures the
+plan sweep can't see because they're *shaped* correctly.
+
+Usage::
+
+    python tools/bench_scaling.py [name ...]
+
+Prints one JSON line per query plus a summary; exits 1 if any query's
+large-step slope exceeds SLOPE_BUDGET.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# slope budget on the 0.01→0.1 step: linear work with residual fixed
+# overhead lands under 1; leave headroom for shuffle growth
+SLOPE_BUDGET = 1.3
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    os.environ.setdefault("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    import bench
+    from php_etl_spark import queries as Q
+    from php_etl_spark.session import get_spark
+
+    spark = get_spark("php-etl-spark-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = sys.argv[1:] or bench.HEADLINE
+    # warm code paths once
+    for name in names:
+        try:
+            force(Q.QUERIES[name](spark, SFS[0]))
+        except Exception:  # noqa: BLE001 — warmup best-effort
+            pass
+
+    bad = 0
+    for name in names:
+        times = []
+        for sf in SFS:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                force(Q.QUERIES[name](spark, sf))
+                best = min(best, time.time() - t0)
+            times.append(best)
+        slope_small = math.log10(times[1] / times[0]) if times[0] > 0 else None
+        slope_large = math.log10(times[2] / times[1]) if times[1] > 0 else None
+        flag = slope_large is not None and slope_large > SLOPE_BUDGET
+        bad += flag
+        print(json.dumps({
+            "query": name,
+            "sec": [round(t, 3) for t in times],
+            "slope_001_01": round(slope_small, 2),
+            "slope_01_1": round(slope_large, 2),
+            "flag_superlinear": flag,
+        }))
+    print(f"\n{'OK' if not bad else f'{bad} queries exceed slope budget'} "
+          f"({len(names)} queries, budget {SLOPE_BUDGET})")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
