@@ -16633,6 +16633,495 @@ def ml_gbdt_stumps(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 late batch: NB classifier, readability, exact IIR EWMA,
+# bipartite projection, incremental view maintenance, kNN vote,
+# oracle-checked MinHash signatures
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_naive_bayes",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2, 3
+    ), cls AS (
+      SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), ctok AS (
+      SELECT lang AS c, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2
+    ), csz AS (
+      SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS c_tokens FROM tok GROUP BY 1
+    ), voc AS (
+      SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tok
+    ), scored AS (
+      SELECT t.doc_id, t.lang, cls.c,
+             CAST(SUM(t.tf * CAST(round(1000 * ln(
+               (COALESCE(ct.cnt, 0) + 1.0) / (csz.c_tokens + voc.v)
+             )) AS BIGINT)) AS BIGINT) AS like_milli
+      FROM tf t
+      CROSS JOIN cls
+      JOIN csz ON csz.c = cls.c
+      CROSS JOIN voc
+      LEFT JOIN ctok ct ON ct.c = cls.c AND ct.token = t.token
+      GROUP BY 1, 2, 3
+    ), with_prior AS (
+      SELECT s.doc_id, s.lang, s.c,
+             CAST(s.like_milli + CAST(round(1000 * ln(
+               CAST(cls.n_docs AS DOUBLE) / tot.n)) AS BIGINT) AS BIGINT)
+               AS score_milli
+      FROM scored s JOIN cls ON cls.c = s.c CROSS JOIN tot
+    )
+    SELECT doc_id, lang, c AS pred_lang, score_milli FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_milli DESC, c) AS rn
+      FROM with_prior
+    ) WHERE rn = 1
+    """,
+)
+def ml_naive_bayes(spark, sf_dir):
+    """Multinomial naive Bayes trained and applied in one plan: class
+    priors + Laplace-smoothed token likelihoods from the corpus itself,
+    then argmax_c [log P(c) + Σ tf·log P(token|c)] per document.
+
+    Scale shape: the model is VOCAB-sized, not corpus-sized — class
+    priors (|classes| rows), per-class token counts (|classes|·|vocab|)
+    and class token totals all reduce map-side and ride as broadcast
+    joins back onto the per-document term-frequency table, which is the
+    only data-sized shuffle (one groupBy doc,token). Scoring is a
+    |docs|·|classes| keyed aggregate, never all-pairs. Log-likelihoods
+    round to integer milli-nats BEFORE summation so the per-class score
+    is an exact integer sum — cross-engine reproducible (ln is within
+    1-2 ulp; the milli grain absorbs it, precedent: text_lm_score)."""
+    d = _cat(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", "lang",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "lang", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    cls = d.groupBy(F.col("lang").alias("c")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = d.agg(F.count("*").cast("long").alias("n"))
+    ctok = tok.groupBy(F.col("lang").alias("c"), "token").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    csz = tok.groupBy(F.col("lang").alias("c")).agg(
+        F.count("*").cast("long").alias("c_tokens")
+    )
+    voc = tok.agg(F.count_distinct("token").cast("long").alias("v"))
+    logp = (
+        F.round(
+            F.lit(1000)
+            * F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                / (F.col("c_tokens") + F.col("v"))
+            )
+        ).cast("long")
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(cls))
+        .join(F.broadcast(csz), "c")
+        .crossJoin(F.broadcast(voc))
+        .join(F.broadcast(ctok), ["c", "token"], "left")
+        .groupBy("doc_id", "lang", "c", "n_docs")
+        .agg(F.sum(F.col("tf") * logp).cast("long").alias("like_milli"))
+    )
+    prior = F.round(
+        F.lit(1000) * F.log(F.col("n_docs").cast("double") / F.col("n"))
+    ).cast("long")
+    with_prior = scored.crossJoin(F.broadcast(tot)).select(
+        "doc_id", "lang", "c",
+        (F.col("like_milli") + prior).cast("long").alias("score_milli"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_milli").desc(), F.col("c")
+    )
+    return (
+        with_prior.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("c").alias("pred_lang"), "score_milli")
+    )
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+               AS sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS syllables
+      FROM documents
+    ), s AS (
+      SELECT doc_id, words, sentences, syllables,
+             CAST(round(
+               CAST(206835 * sentences * words - 1015 * words * words
+                    - 84600 * syllables * sentences AS DOUBLE)
+               / (sentences * words)) AS BIGINT) AS flesch_milli
+      FROM c WHERE words > 0
+    )
+    SELECT doc_id, words, sentences, syllables, flesch_milli,
+           CASE WHEN flesch_milli >= 90000 THEN 'very_easy'
+                WHEN flesch_milli >= 60000 THEN 'standard'
+                WHEN flesch_milli >= 30000 THEN 'difficult'
+                ELSE 'very_difficult' END AS band
+    FROM s
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease per document from three regex counts (words,
+    sentence terminators, vowel-group syllable proxy) — the classic
+    readability quality gate for corpus filtering. Pure narrow map over
+    JVM regex expressions (no UDF, no shuffle); the band CASE compares
+    the INTEGER milli score so bucket edges are exact across engines.
+    The milli score itself is ONE correctly-rounded double division of
+    two exact int64s (1000·flesch = (206835·S·W − 1015·W² − 84600·Y·S)
+    / (S·W)) — a chained float expression differs by an FMA-contraction
+    ulp between engines at .5 boundaries; a single division cannot
+    (exact for W,S,Y ≤ ~1e4 per doc, i.e. numerator < 2^53). Docs with
+    no ASCII words (e.g. CJK) drop out on both sides."""
+    d = _cat(spark, sf_dir).documents
+    words = F.size(F.expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).cast("long")
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"),
+    )
+    syll = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("long")
+    c = d.select(
+        "doc_id", words.alias("words"), sents.alias("sentences"),
+        syll.alias("syllables"),
+    ).filter(F.col("words") > 0)
+    num = (
+        F.lit(206835) * F.col("sentences") * F.col("words")
+        - F.lit(1015) * F.col("words") * F.col("words")
+        - F.lit(84600) * F.col("syllables") * F.col("sentences")
+    )
+    flesch = F.round(
+        num.cast("double") / (F.col("sentences") * F.col("words"))
+    ).cast("long")
+    s = c.withColumn("flesch_milli", flesch)
+    band = (
+        F.when(F.col("flesch_milli") >= 90000, "very_easy")
+        .when(F.col("flesch_milli") >= 60000, "standard")
+        .when(F.col("flesch_milli") >= 30000, "difficult")
+        .otherwise("very_difficult")
+    )
+    return s.select(
+        "doc_id", "words", "sentences", "syllables", "flesch_milli",
+        band.alias("band"),
+    )
+
+
+@query(
+    "ts_ewma_recursive",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, rn, value AS y FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn, 0.5 * s.value + 0.5 * r.y
+      FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id,
+           CAST(round(1000 * y) AS BIGINT) AS ewma_milli
+    FROM r
+    """,
+)
+def ts_ewma_recursive(spark, sf_dir):
+    """True IIR exponentially-weighted moving average per user
+    (y_i = ½·x_i + ½·y_{i-1}) — the recurrence Spark's built-in window
+    frames cannot express (unbounded feedback), implemented as a
+    grouped Arrow-batched applyInPandas stateful pass. With α = ½ every
+    step is two exact binary scalings plus one IEEE add, so the double
+    sequence is bit-identical to the oracle's recursive CTE replay —
+    an EXACTLY-verifiable custom stateful operator, not rows-only.
+
+    Scale shape: one shuffle partitions by user_id; each key replays
+    its own (bounded) event sequence inside a single Arrow batch —
+    per-key sequential is inherent to an IIR filter, and parallelism
+    comes from the number of keys, which is what grows at 100 TB.
+    Milli rounding is half-away-from-zero on both sides (numpy's
+    np.round is banker's — deliberately avoided)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = _cat(spark, sf_dir).events.select("user_id", "event_id", "ts", "value")
+
+    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy(dtype="float64")
+        y = np.empty(len(vals), dtype="float64")
+        acc = 0.0
+        for i, v in enumerate(vals):
+            acc = v if i == 0 else 0.5 * v + 0.5 * acc
+            y[i] = acc
+        p = y * 1000.0
+        milli = np.sign(p) * np.floor(np.abs(p) + 0.5)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "ewma_milli": milli.astype("int64"),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        _ewma, "user_id bigint, event_id bigint, ewma_milli bigint"
+    )
+
+
+@query(
+    "graph_bipartite_copurchase",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def graph_bipartite_copurchase(spark, sf_dir):
+    """Bipartite (order, part) projection onto the part side —
+    co-purchase pair counts, the substrate for item-item recommenders.
+    The self-join co-partitions on l_orderkey (one shuffle) and the
+    per-order fan-out is C(items_in_order, 2), bounded by the ≤7-line
+    order shape — so candidate pairs grow linearly with orders, not
+    quadratically with parts (contrast an unbounded inverted-index
+    join). DISTINCT first so a part appearing on two lines of one
+    order counts that order once; support cutoff ≥2 keeps the
+    projection sparse."""
+    li = _cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@query(
+    "cdc_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+       OR (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0)
+    GROUP BY 1
+    """,
+)
+def cdc_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance: a grouped aggregate (count +
+    integer-cent sum per priority) kept current by MERGING signed
+    delta aggregates instead of recomputing over the base table.
+    Base = orders with key%10≠0; the change batch carries inserts
+    (key%10=0, sign +1) and deletes (base rows with key%7=0, sign −1).
+    Both the base aggregate and the delta aggregate reduce map-side to
+    |groups| rows; the merge is a full-outer join of two group-sized
+    frames — at 100 TB the maintained view never rescans history, it
+    folds in one batch-sized aggregate per cycle (the Δ-table IVM
+    shape). Groups whose maintained count hits zero drop out, matching
+    a recompute. The oracle recomputes the final state directly."""
+    o = _cat(spark, sf_dir).orders
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    base_agg = base.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("cents"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 10 == 0).withColumn("sign", F.lit(1))
+    deletes = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "sign", F.lit(-1)
+    )
+    delta_agg = (
+        inserts.unionByName(deletes)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("sign").cast("long").alias("dn"),
+            F.sum(F.col("sign") * cents).cast("long").alias("dcents"),
+        )
+    )
+    merged = base_agg.join(delta_agg, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (
+            F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))
+        ).cast("long").alias("n_orders"),
+        (
+            F.coalesce(F.col("cents"), F.lit(0))
+            + F.coalesce(F.col("dcents"), F.lit(0))
+        ).cast("long").alias("total_cents"),
+    )
+    return merged.filter(F.col("n_orders") > 0)
+
+
+@query(
+    "ml_knn_classify",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, label, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    ), norms AS (
+      SELECT vec_id, SUM(q * q) AS n2 FROM flat GROUP BY 1
+    ), dots AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(qs.q * c.q) AS dot
+      FROM flat qs JOIN flat c ON qs.i = c.i
+        AND qs.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+      GROUP BY 1, 2
+    ), cos AS (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+               AS cosine
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    ), top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM cos
+      ) WHERE rank <= 5
+    ), votes AS (
+      SELECT t.query_id, e.label, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM top t JOIN embeddings e ON e.vec_id = t.neighbor_id
+      GROUP BY 1, 2
+    )
+    SELECT v.query_id, q.label AS true_label, v.label AS pred_label, v.n_votes
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY n_votes DESC, label) AS rn
+      FROM votes
+    ) v JOIN embeddings q ON q.vec_id = v.query_id
+    WHERE v.rn = 1
+    """,
+)
+def ml_knn_classify(spark, sf_dir):
+    """k-NN classification (k=5, cosine, majority vote) of the held-out
+    embeddings (vec_id%10=0) against the rest: exact brute-force top-k
+    (broadcast query side, integer-quantized dot products — the
+    sim_topk_bruteforce kernel) followed by a neighbor-label join and a
+    |queries|·|labels|-sized vote aggregate. Ties break deterministically
+    (higher vote count, then smaller label). At scale the label join is
+    keyed on neighbor id over a queries×k-row frame — tiny next to the
+    scan — and the scan itself is the same single linear pass the
+    brute-force baseline already bounds; swap in the IVF path for the
+    100-TB corpus and the vote stage is unchanged."""
+    from php_etl_spark.llm import similarity as S
+
+    emb = _cat(spark, sf_dir).embeddings
+    qdf = emb.filter(F.col("vec_id") % 10 == 0)
+    cand = emb.filter(F.col("vec_id") % 10 != 0)
+    top = S.brute_force_topk(cand, qdf, k=5)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        top.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    pred = votes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    truth = F.broadcast(
+        labels.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+        )
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id", "true_label", F.col("label").alias("pred_label"), "n_votes"
+    )
+
+
+@query(
+    "dedup_minhash_signature",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(
+               str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS sh
+      FROM norm,
+           LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+      WHERE len(t) >= 3
+    ), hashed AS (
+      SELECT doc_id, CAST(j AS INT) AS j,
+             CAST(concat('0x', substr(md5(sh || ':' || CAST(j AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 15)) AS j)
+    )
+    SELECT doc_id, j, CAST(MIN(h) AS BIGINT) AS minhash
+    FROM hashed GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_signature(spark, sf_dir):
+    """The MinHash signature step with an EXACT cross-engine oracle:
+    16 portable hash slots per document, each the minimum of
+    md5(shingle:slot) over the document's word 3-gram shingles. The
+    production LSH path (dedup_minhash_lsh) uses xxhash64 for speed and
+    is rows-only by construction; this key pins the signature algebra
+    itself — min-stability under shingle duplication, slot independence
+    — against DuckDB bit-for-bit. Scale shape: explode shingles × 16
+    slots, then ONE map-side-combinable min aggregate keyed (doc, slot);
+    signature size is constant per document regardless of length."""
+    d = _cat(spark, sf_dir).documents
+    sh = d.select(
+        "doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    pairs = sh.select(
+        "doc_id", "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("sh"), F.col("j"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    return (
+        pairs.groupBy("doc_id", "j")
+        .agg(F.min(h).alias("minhash"))
+        .select("doc_id", F.col("j").cast("int").alias("j"), "minhash")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
 # The external correctness gate verifies a bounded window of queries in
@@ -16717,6 +17206,10 @@ _PRIORITY = [
     "ml_calibration_bins", "ml_gbdt_split_gain", "fn_uuid_deterministic",
     "multimodal_aspect_bucket", "privacy_pseudonymize_consistent",
     "docs_novelty_rate", "ml_gbdt_stumps",
+    # round-5 late batch (freshest code first)
+    "ml_naive_bayes", "text_readability", "ts_ewma_recursive",
+    "graph_bipartite_copurchase", "cdc_incremental_agg",
+    "ml_knn_classify", "dedup_minhash_signature",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)
