@@ -17121,6 +17121,157 @@ def dedup_minhash_signature(spark, sf_dir):
     )
 
 
+@query(
+    "sketch_countmin_portable",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ), cnt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY 1
+    ), hashed AS (
+      SELECT token, exact_cnt, CAST(r AS INT) AS r,
+             CAST(concat('0x', substr(md5(token || ':' || CAST(r AS VARCHAR)),
+                                      1, 8)) AS BIGINT) % 64 AS b
+      FROM cnt, LATERAL (SELECT unnest(generate_series(0, 3)) AS r)
+    ), counters AS (
+      SELECT r, b, CAST(SUM(exact_cnt) AS BIGINT) AS c
+      FROM hashed GROUP BY 1, 2
+    ), est AS (
+      SELECT h.token, h.exact_cnt, CAST(MIN(c.c) AS BIGINT) AS cm_est
+      FROM hashed h JOIN counters c ON c.r = h.r AND c.b = h.b
+      GROUP BY 1, 2
+    )
+    SELECT token, exact_cnt, cm_est FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, token) AS rn
+      FROM est
+    ) WHERE rn <= 10
+    """,
+)
+def sketch_countmin_portable(spark, sf_dir):
+    """Count-min sketch (d=4 rows × w=64 buckets, portable md5 bucket
+    hashing) with an EXACT cross-engine oracle — pins the sketch
+    algebra (counter superposition, min-of-rows readout, est ≥ exact
+    always) the way dedup_minhash_signature pins MinHash; the
+    production top-k path (sketch_countmin_topk) keeps xxhash64 and
+    stays rows-only. Scale shape: counts reduce to the vocab-sized
+    frequency table FIRST (map-side combine over the token stream),
+    counters superpose to a constant d·w cells whatever the corpus
+    size, and the readout joins vocab-sized frames on (row, bucket).
+    The final top-10 window orders a VOCAB-sized aggregate, never
+    rows."""
+    d = _cat(spark, sf_dir).documents
+    tok = d.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").cast("long").alias("exact_cnt"))
+    hashed = cnt.select(
+        "token", "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r"),
+    ).withColumn(
+        "b",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("token"), F.col("r"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % 64,
+    )
+    counters = hashed.groupBy("r", "b").agg(
+        F.sum("exact_cnt").cast("long").alias("c")
+    )
+    est = (
+        hashed.join(F.broadcast(counters), ["r", "b"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("c").cast("long").alias("cm_est"))
+    )
+    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("token"))
+    return (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("token", "exact_cnt", "cm_est")
+    )
+
+
+@query(
+    "docs_gopher_rules",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+               AS words,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS BIGINT)
+               AS alpha_chars,
+             CAST(len(list_filter(
+               str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               x -> x <> '')) AS BIGINT) AS ws_tokens,
+             CAST(len(list_filter(
+               regexp_extract_all(lower(text), '[a-z]+'),
+               x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in')))
+               AS BIGINT) AS stopwords
+      FROM documents
+    )
+    SELECT doc_id, words, ws_tokens, stopwords,
+           words >= 20 AND words <= 100000 AS ok_word_count,
+           3 * words <= alpha_chars AND alpha_chars <= 10 * words
+             AS ok_mean_word_len,
+           5 * words >= 4 * ws_tokens AS ok_alpha_fraction,
+           stopwords >= 2 AS ok_stopwords,
+           (words >= 20 AND words <= 100000)
+             AND (3 * words <= alpha_chars AND alpha_chars <= 10 * words)
+             AND (5 * words >= 4 * ws_tokens)
+             AND (stopwords >= 2) AS keep
+    FROM stats
+    """,
+)
+def docs_gopher_rules(spark, sf_dir):
+    """Gopher-style rule-based quality gate (Rae et al. 2021, public
+    recipe): word-count bounds, mean-word-length bounds, alphabetic-
+    token fraction, minimum stopword count — the standard pre-training
+    corpus filter. Every threshold is a CROSS-MULTIPLIED integer
+    comparison (3·W ≤ chars ≤ 10·W; 5·alpha ≥ 4·tokens), so there is
+    no float boundary to disagree on. Pure narrow map over JVM regex
+    counts — no UDF, no shuffle, no join; at 100 TB this is exactly a
+    single codegen'd scan emitting per-doc flags + the keep bit."""
+    from php_etl_spark.llm.text import STOPWORDS
+
+    d = _cat(spark, sf_dir).documents
+    words = F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast(
+        "long"
+    )
+    alpha_chars = F.size(
+        F.expr("regexp_extract_all(lower(text), '[a-z]', 0)")
+    ).cast("long")
+    ws_tokens = F.size(T.tokens(F.col("text"))).cast("long")
+    stop_lit = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+    stopwords = F.size(
+        F.expr(
+            "filter(regexp_extract_all(lower(text), '[a-z]+', 0), "
+            f"x -> x IN {stop_lit})"
+        )
+    ).cast("long")
+    s = d.select(
+        "doc_id", words.alias("words"), alpha_chars.alias("alpha_chars"),
+        ws_tokens.alias("ws_tokens"), stopwords.alias("stopwords"),
+    )
+    ok_wc = (F.col("words") >= 20) & (F.col("words") <= 100000)
+    ok_mwl = (F.lit(3) * F.col("words") <= F.col("alpha_chars")) & (
+        F.col("alpha_chars") <= F.lit(10) * F.col("words")
+    )
+    ok_af = F.lit(5) * F.col("words") >= F.lit(4) * F.col("ws_tokens")
+    ok_stop = F.col("stopwords") >= 2
+    return s.select(
+        "doc_id", "words", "ws_tokens", "stopwords",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_af.alias("ok_alpha_fraction"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_af & ok_stop).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -17210,6 +17361,7 @@ _PRIORITY = [
     "ml_naive_bayes", "text_readability", "ts_ewma_recursive",
     "graph_bipartite_copurchase", "cdc_incremental_agg",
     "ml_knn_classify", "dedup_minhash_signature",
+    "sketch_countmin_portable", "docs_gopher_rules",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)

