@@ -55,6 +55,11 @@ HEADLINE = [
     # run baselines in BASELINE.md
     "ml_auc_rank",          # rank-sum AUC, no global sort
     "sim_maxsim_late_interaction",  # ColBERT MaxSim, integer dots
+    # round-5 late additions: the keyed self-join projection and the
+    # grouped-Arrow stateful family (previously unbenched shapes) —
+    # first-run baselines in BASELINE.md
+    "graph_bipartite_copurchase",  # per-order C(n,2) pair fan-out
+    "ts_ewma_recursive",    # applyInPandas IIR recurrence per key
 ]
 
 
