@@ -16902,10 +16902,17 @@ def ts_ewma_recursive(spark, sf_dir):
 @query(
     "graph_bipartite_copurchase",
     oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sized AS (
+      SELECT l_orderkey, l_partkey,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items
+      FROM op
+    ), bounded AS (
+      SELECT l_orderkey, l_partkey FROM sized WHERE n_items <= 64
+    )
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
            CAST(COUNT(*) AS BIGINT) AS n_orders
-    FROM op a JOIN op b
+    FROM bounded a JOIN bounded b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
     HAVING COUNT(*) >= 2
@@ -16915,13 +16922,22 @@ def graph_bipartite_copurchase(spark, sf_dir):
     """Bipartite (order, part) projection onto the part side —
     co-purchase pair counts, the substrate for item-item recommenders.
     The self-join co-partitions on l_orderkey (one shuffle) and the
-    per-order fan-out is C(items_in_order, 2), bounded by the ≤7-line
-    order shape — so candidate pairs grow linearly with orders, not
-    quadratically with parts (contrast an unbounded inverted-index
-    join). DISTINCT first so a part appearing on two lines of one
-    order counts that order once; support cutoff ≥2 keeps the
-    projection sparse."""
+    per-order fan-out is C(items_in_order, 2) — linear in orders ONLY
+    because a basket-size guard (n_items ≤ 64, same filter in the
+    oracle) drops pathological baskets before the join; without it one
+    10⁵-item basket alone contributes 5·10⁹ pairs (the unbounded-
+    Jaccard-index failure mode). TPC-H orders have ≤7 lines so the
+    guard is a semantic no-op here, but it is what makes the operator
+    safe on arbitrary corpora. The guard's window reuses the SAME
+    l_orderkey partitioning the join needs — no extra shuffle.
+    DISTINCT first so a part appearing on two lines of one order
+    counts that order once; support cutoff ≥2 keeps the projection
+    sparse."""
     li = _cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_items = F.count("*").over(Window.partitionBy("l_orderkey"))
+    li = li.withColumn("n_items", n_items).filter(
+        F.col("n_items") <= 64
+    ).drop("n_items")
     a = li.alias("a")
     b = li.alias("b")
     return (

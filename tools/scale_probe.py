@@ -588,6 +588,50 @@ def main() -> int:
     assert core_nodes.filter(F.col("node") >= n_core).count() == 0
     assert core_nodes.agg(F.min("degree")).first()[0] >= 3
 
+    # ---- bipartite projection basket guard: one poisoned basket ----
+    # 500k normal baskets of <=5 items plus ONE basket holding 30k
+    # items. Unguarded, the projection's self-join owes C(30k,2) =
+    # 450M pairs to that basket alone; the n_items<=64 guard (the
+    # graph_bipartite_copurchase shape) drops it before the join, so
+    # candidate pairs stay bounded by sum-per-basket C(n,2) of the
+    # NORMAL baskets. The guard's count-window reuses the basket-key
+    # partitioning the join needs — no extra shuffle.
+    n_baskets, hot_items = 500_000, 30_000
+    normal = spark.range(n_baskets * 3).select(
+        (F.col("id") % n_baskets).alias("bk"),
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("item"),
+    )
+    poison = spark.range(hot_items).select(
+        F.lit(n_baskets + 1).alias("bk"), F.col("id").alias("item")
+    )
+    baskets = normal.unionAll(poison).distinct()
+    from pyspark.sql import Window as _W
+
+    guarded = (
+        baskets.withColumn(
+            "n_items", F.count("*").over(_W.partitionBy("bk"))
+        )
+        .filter(F.col("n_items") <= 64)
+        .drop("n_items")
+    )
+    ga, gb = guarded.alias("ga"), guarded.alias("gb")
+    t0 = time.time()
+    n_pairs = (
+        ga.join(
+            gb,
+            (F.col("ga.bk") == F.col("gb.bk"))
+            & (F.col("ga.item") < F.col("gb.item")),
+        ).count()
+    )
+    dt = time.time() - t0
+    print(
+        f"  basket-guarded projection over {n_baskets:,}+1 baskets "
+        f"(poison basket {hot_items:,} items): {n_pairs:,} pairs in {dt:.1f}s"
+    )
+    # poison basket contributes nothing; normal baskets bound pairs
+    assert n_pairs < n_baskets * 10, n_pairs
+    assert dt < 120, dt
+
     print("scale probe OK")
     return 0
 
