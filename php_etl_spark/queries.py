@@ -17302,6 +17302,162 @@ def docs_gopher_rules(spark, sf_dir):
     )
 
 
+@query(
+    "ts_holt_linear",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn,
+             0.5 * s.value + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * s.value + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id,
+           CAST(round(1000 * l) AS BIGINT) AS level_milli,
+           CAST(round(1000 * b) AS BIGINT) AS trend_milli,
+           CAST(round(1000 * (l + b)) AS BIGINT) AS forecast_milli
+    FROM r
+    """,
+)
+def ts_holt_linear(spark, sf_dir):
+    """Holt's linear (double exponential) smoothing per user — TWO
+    coupled recurrences (level l_t = ½x_t + ½(l+b); trend
+    b_t = ½(l_t−l) + ½b) that no window frame expresses, run through
+    the same partition-sorted mapInPandas carry as ts_ewma_recursive
+    but with two state variables, and EXACTLY oracled by a recursive
+    CTE that replays the identical IEEE double sequence (α=β=½ keeps
+    every scaling exact; the adds round identically because both
+    engines evaluate the same expression tree). forecast = l+b is the
+    one-step-ahead prediction. Init l₁=x₁, b₁=0 (no lookahead).
+    Scale shape: one user_id shuffle + in-partition sort; a single
+    Python pass with a (user, l, b) carry across Arrow batches."""
+    import numpy as np
+    import pandas as pd
+
+    ev = _cat(spark, sf_dir).events.select("user_id", "event_id", "ts", "value")
+    by_user = ev.repartition(F.col("user_id")).sortWithinPartitions(
+        "user_id", "ts", "event_id"
+    )
+
+    def _round_milli(x: "np.ndarray") -> "np.ndarray":
+        p = x * 1000.0
+        return (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype("int64")
+
+    def _holt(batches):
+        cur_uid = None
+        lev = trend = 0.0
+        for pdf in batches:
+            uids = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy(dtype="float64")
+            ls = np.empty(len(vals), dtype="float64")
+            bs = np.empty(len(vals), dtype="float64")
+            for i in range(len(vals)):
+                if uids[i] != cur_uid:
+                    cur_uid = uids[i]
+                    lev, trend = vals[i], 0.0
+                else:
+                    new_l = 0.5 * vals[i] + 0.5 * (lev + trend)
+                    trend = 0.5 * (new_l - lev) + 0.5 * trend
+                    lev = new_l
+                ls[i] = lev
+                bs[i] = trend
+            yield pd.DataFrame(
+                {
+                    "user_id": uids,
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "level_milli": _round_milli(ls),
+                    "trend_milli": _round_milli(bs),
+                    "forecast_milli": _round_milli(ls + bs),
+                }
+            )
+
+    return by_user.mapInPandas(
+        _holt,
+        "user_id bigint, event_id bigint, level_milli bigint, "
+        "trend_milli bigint, forecast_milli bigint",
+    )
+
+
+@query(
+    "ml_pr_curve_points",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CAST(round(l_discount * 100) AS BIGINT) * 10
+               + CAST(concat('0x', substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || ':' ||
+                   CAST(l_linenumber AS VARCHAR)), 1, 4)) AS BIGINT) % 10
+               AS score
+      FROM lineitem
+    ), grp AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM scored GROUP BY score
+    ), cum AS (
+      SELECT score,
+             CAST(SUM(n_pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+             CAST(SUM(n - n_pos) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+      FROM grp
+    ), tot AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS p FROM grp
+    )
+    SELECT score, tp, fp,
+           CAST(round(1e6 * tp / (tp + fp)) AS BIGINT) AS precision_ppm,
+           CAST(round(1e6 * tp / p) AS BIGINT) AS recall_ppm
+    FROM cum CROSS JOIN tot
+    """,
+)
+def ml_pr_curve_points(spark, sf_dir):
+    """Precision-recall curve at every distinct score threshold —
+    the eval companion to ml_auc_rank/ml_calibration_bins, sharing
+    their deterministic score stand-in. Same scale discipline as the
+    AUC: ONE map-side-combined aggregate to the per-distinct-score
+    (n, n_pos) table, then cumulative TP/FP over that |scores|-row
+    frame (descending threshold sweep — never a per-row sort), and
+    two correctly-rounded ppm divisions per point (1e6·tp exact under
+    2^53, one IEEE division each — no compound float chain)."""
+    li = _cat(spark, sf_dir).lineitem
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    noise = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))),
+                1, 4,
+            ), 16, 10,
+        ).cast("long") % 10
+    )
+    score = F.round(F.col("l_discount") * 100).cast("long") * 10 + noise
+    grp = (
+        li.select(y.alias("y"), score.alias("score"))
+        .groupBy("score")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc())
+    cum = grp.select(
+        "score",
+        F.sum("n_pos").over(w).cast("long").alias("tp"),
+        F.sum(F.col("n") - F.col("n_pos")).over(w).cast("long").alias("fp"),
+    )
+    tot = grp.agg(F.sum("n_pos").cast("long").alias("p"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "score", "tp", "fp",
+        F.round(F.lit(1e6) * F.col("tp") / (F.col("tp") + F.col("fp")))
+        .cast("long").alias("precision_ppm"),
+        F.round(F.lit(1e6) * F.col("tp") / F.col("p"))
+        .cast("long").alias("recall_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -17392,6 +17548,7 @@ _PRIORITY = [
     "graph_bipartite_copurchase", "cdc_incremental_agg",
     "ml_knn_classify", "dedup_minhash_signature",
     "sketch_countmin_portable", "docs_gopher_rules",
+    "ts_holt_linear", "ml_pr_curve_points",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)

@@ -141,6 +141,58 @@ def test_gopher_rules_flag_consistency(spark):
     assert {r["ok_word_count"] for r in rows} == {True, False}
 
 
+def test_holt_linear_matches_python_replay(spark):
+    """Level/trend/forecast must equal a per-user Python replay of the
+    two coupled half-weight recurrences, to the exact milli integer."""
+    got = {
+        (r["user_id"], r["event_id"]): (
+            r["level_milli"], r["trend_milli"], r["forecast_milli"]
+        )
+        for r in QUERIES["ts_holt_linear"](spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+
+    def milli(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x * 1000.0) + 0.5), x))
+
+    n = 0
+    for uid, rows in by_user.items():
+        rows.sort()
+        lev = trend = 0.0
+        for i, (_, eid, v) in enumerate(rows):
+            if i == 0:
+                lev, trend = v, 0.0
+            else:
+                new_l = 0.5 * v + 0.5 * (lev + trend)
+                trend = 0.5 * (new_l - lev) + 0.5 * trend
+                lev = new_l
+            assert got[(uid, eid)] == (milli(lev), milli(trend), milli(lev + trend))
+            n += 1
+    assert n == len(got) and n > 0
+
+
+def test_pr_curve_monotone_recall_and_endpoints(spark):
+    rows = sorted(
+        QUERIES["ml_pr_curve_points"](spark, SF_DIR).collect(),
+        key=lambda r: -r["score"],
+    )
+    assert rows
+    prev_tp = prev_fp = 0
+    for r in rows:
+        assert r["tp"] >= prev_tp and r["fp"] >= prev_fp  # cumulative sweep
+        prev_tp, prev_fp = r["tp"], r["fp"]
+        assert 0 <= r["precision_ppm"] <= 1_000_000
+        assert 0 <= r["recall_ppm"] <= 1_000_000
+    assert rows[-1]["recall_ppm"] == 1_000_000  # lowest threshold: all pos
+    # lowest-threshold precision == corpus prevalence
+    total = rows[-1]["tp"] + rows[-1]["fp"]
+    want = int(math.floor(abs(1e6 * rows[-1]["tp"] / total) + 0.5))
+    assert rows[-1]["precision_ppm"] == want
+
+
 def test_minhash_signature_python_differential(spark):
     """Recompute one document's 16-slot signature with hashlib and
     assert min-stability (duplicated shingles cannot change it)."""
