@@ -16932,7 +16932,10 @@ def graph_bipartite_copurchase(spark, sf_dir):
     l_orderkey partitioning the join needs — no extra shuffle.
     DISTINCT first so a part appearing on two lines of one order
     counts that order once; support cutoff ≥2 keeps the projection
-    sparse."""
+    sparse. (A collect_set + nested-transform pair-explosion variant
+    — two shuffles, no join — measured 13% SLOWER at sf0.1: the
+    higher-order lambdas are interpreted while this whole plan stays
+    in codegen + SMJ; BASELINE.md notes both numbers.)"""
     li = _cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey").distinct()
     n_items = F.count("*").over(Window.partitionBy("l_orderkey"))
     li = li.withColumn("n_items", n_items).filter(
