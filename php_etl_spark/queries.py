@@ -2873,6 +2873,23 @@ def stream_stateful_custom(spark, sf_dir):
     return run_to_files(stateful_session_stats(stream), output_mode="update")
 
 
+@query("stream_ewma_state")
+def stream_ewma_state(spark, sf_dir):
+    """Streaming twin of ts_ewma_recursive: per-user (n, acc) scalar
+    state via applyInPandasWithState under availableNow — rows-only
+    (stateful streaming output is not SQL-expressible; tests assert
+    the single-batch replay equals the batch operator's final EWMA per
+    user exactly)."""
+    from php_etl_spark.streaming.events import (
+        events_stream,
+        run_to_files,
+        stateful_ewma,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    return run_to_files(stateful_ewma(stream), output_mode="update")
+
+
 @query(
     "docs_chunk",
     oracle="""
@@ -17551,7 +17568,7 @@ _PRIORITY = [
     "graph_bipartite_copurchase", "cdc_incremental_agg",
     "ml_knn_classify", "dedup_minhash_signature",
     "sketch_countmin_portable", "docs_gopher_rules",
-    "ts_holt_linear", "ml_pr_curve_points",
+    "ts_holt_linear", "ml_pr_curve_points", "stream_ewma_state",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)

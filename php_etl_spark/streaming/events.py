@@ -484,6 +484,71 @@ def stateful_session_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_ewma(events: DataFrame) -> DataFrame:
+    """Streaming IIR EWMA per user (α=½) — the streaming twin of the
+    batch ``ts_ewma_recursive`` operator: per-key (count, accumulator)
+    state in the state store, each micro-batch folds its rows in
+    (ts, event_id) order and emits the key's updated smoothed value.
+    Within one micro-batch the fold order is the event-time order, so
+    a single-batch availableNow replay produces EXACTLY the batch
+    operator's final value per user (pinned in tests); across many
+    micro-batches the fold is arrival-order — which is what a
+    streaming IIR filter means. State is two scalars per key
+    regardless of stream length; emit is one row per touched key per
+    batch (update mode)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("ewma_milli", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("acc", DoubleType())]
+    )
+
+    def update(key, pdf_iter, state):
+        (user_id,) = key
+        n, acc = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"].to_numpy(dtype="float64"):
+                acc = v if n == 0 else 0.5 * v + 0.5 * acc
+                n += 1
+        state.update((n, float(acc)))
+        if n:
+            p = acc * 1000.0
+            milli = int(math.copysign(math.floor(abs(p) + 0.5), p))
+            yield pd.DataFrame(
+                [{"user_id": user_id, "n_events": n, "ewma_milli": milli}]
+            )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_to_parquet(
     transformed: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

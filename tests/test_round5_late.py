@@ -193,6 +193,34 @@ def test_pr_curve_monotone_recall_and_endpoints(spark):
     assert rows[-1]["precision_ppm"] == want
 
 
+def test_stream_ewma_final_state_equals_batch(spark):
+    """Single-batch availableNow replay of the streaming EWMA must
+    equal the batch operator's final smoothed value per user."""
+    stream = {
+        r["user_id"]: (r["n_events"], r["ewma_milli"])
+        for r in QUERIES["stream_ewma_state"](spark, SF_DIR).collect()
+    }
+    batch_rows = QUERIES["ts_ewma_recursive"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    last_event = {}
+    counts: Counter = Counter()
+    for r in ev:
+        counts[r["user_id"]] += 1
+        k = (r["ts"], r["event_id"])
+        if r["user_id"] not in last_event or k > last_event[r["user_id"]]:
+            last_event[r["user_id"]] = k
+    last_eid = {uid: k[1] for uid, k in last_event.items()}
+    final_milli = {
+        r["user_id"]: r["ewma_milli"]
+        for r in batch_rows
+        if r["event_id"] == last_eid[r["user_id"]]
+    }
+    assert set(stream) == set(counts)
+    for uid, (n, milli) in stream.items():
+        assert n == counts[uid]
+        assert milli == final_milli[uid]
+
+
 def test_minhash_signature_python_differential(spark):
     """Recompute one document's 16-slot signature with hashlib and
     assert min-stability (duplicated shingles cannot change it)."""

@@ -712,6 +712,32 @@ AUDITS = {
         ("shingle explode + hashing stay in codegen (no Python)",
          lambda p: "EvalPython" not in p),
     ],
+    "ts_ewma_recursive": [
+        ("ONE user_id exchange feeds the sorted Arrow pass (carry "
+         "rewrite: no per-group invocation plan, no second shuffle)",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 1),
+        ("the Python stage is the single MapInPandas node",
+         lambda p: p.count("MapInPandas") >= 1
+         and "FlatMapGroupsInPandas" not in p),
+    ],
+    "ts_holt_linear": [
+        ("ONE user_id exchange feeds the sorted Arrow pass",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 1),
+        ("the Python stage is the single MapInPandas node",
+         lambda p: p.count("MapInPandas") >= 1
+         and "FlatMapGroupsInPandas" not in p),
+    ],
+    "ml_pr_curve_points": [
+        ("the threshold sweep windows the |distinct scores| aggregate, "
+         "never the raw rows (partial aggregation precedes the "
+         "score shuffle)",
+         lambda p: "partial" in p.lower()),
+        ("ppm divisions stay in codegen; totals broadcast",
+         lambda p: "EvalPython" not in p
+         and ("BroadcastNestedLoop" in p or "BroadcastHashJoin" in p)),
+    ],
     "cdc_incremental_agg": [
         ("base and delta aggregates both reduce map-side before their "
          "group-sized merge",
