@@ -34,6 +34,10 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # a duplicate registration would silently SHADOW the earlier
+        # operator (dict overwrite) — fail loudly at import instead
+        if name in QUERIES:
+            raise ValueError(f"duplicate query key: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -4024,7 +4028,7 @@ def agg_ratio_q14(spark, sf_dir):
 
 
 @query(
-    "join_disjunctive_q19",
+    "join_disjunctive_rows_q19",
     oracle="""
     SELECT l_orderkey, l_partkey, l_quantity, p_brand
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -4033,11 +4037,16 @@ def agg_ratio_q14(spark, sf_dir):
        OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 25)
     """,
 )
-def join_disjunctive_q19(spark, sf_dir):
-    """TPC-H Q19 shape: disjunctive multi-clause predicate spanning
-    both join sides. The equi-key still drives the join; the OR tree
-    evaluates post-join (per-side conjuncts get pushed where
-    possible)."""
+def join_disjunctive_rows_q19(spark, sf_dir):
+    """Row-level variant of the TPC-H Q19 shape: disjunctive
+    multi-clause predicate spanning both join sides, emitting the
+    matching rows (the aggregate form lives at join_disjunctive_q19).
+    This key was registered under the same name as the aggregate form
+    from round 4 until round 5 and silently shadowed by it — the
+    registry now rejects duplicate keys at import, and this variant is
+    re-registered (and driver-verified) under its own name. The
+    equi-key still drives the join; the OR tree evaluates post-join
+    (per-side conjuncts get pushed where possible)."""
     cat = _cat(spark, sf_dir)
     q = F.col("l_quantity")
     sz = F.col("p_size")
@@ -17569,6 +17578,7 @@ _PRIORITY = [
     "ml_knn_classify", "dedup_minhash_signature",
     "sketch_countmin_portable", "docs_gopher_rules",
     "ts_holt_linear", "ml_pr_curve_points", "stream_ewma_state",
+    "join_disjunctive_rows_q19",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)
