@@ -17487,6 +17487,117 @@ def ml_pr_curve_points(spark, sf_dir):
     )
 
 
+@query(
+    "ml_ndcg_mrr",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_orderkey,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY CAST(round(l_discount * 100) AS BIGINT) * 10
+                 + CAST(concat('0x', substr(md5(
+                     CAST(l_orderkey AS VARCHAR) || ':' ||
+                     CAST(l_linenumber AS VARCHAR)), 1, 4)) AS BIGINT) % 10
+                 DESC,
+                 l_linenumber, l_partkey, l_quantity, l_returnflag) AS rnk
+      FROM lineitem
+    ), per_q AS (
+      SELECT l_orderkey,
+             CAST(SUM(CASE WHEN rnk <= 5 THEN rel * (CASE rnk
+               WHEN 1 THEN 1000 WHEN 2 THEN 631 WHEN 3 THEN 500
+               WHEN 4 THEN 431 WHEN 5 THEN 387 END) ELSE 0 END) AS BIGINT)
+               AS dcg5,
+             CAST(SUM(rel) AS BIGINT) AS n_rel,
+             MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+      FROM ranked GROUP BY 1
+    ), scored AS (
+      SELECT l_orderkey, dcg5,
+             CASE least(n_rel, 5)
+               WHEN 1 THEN 1000 WHEN 2 THEN 1631 WHEN 3 THEN 2131
+               WHEN 4 THEN 2562 WHEN 5 THEN 2949 END AS idcg5,
+             first_rel
+      FROM per_q WHERE n_rel > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(round(AVG(round(1e6 * dcg5 / idcg5))) AS BIGINT)
+             AS mean_ndcg5_ppm,
+           CAST(round(AVG(round(1e6 / first_rel))) AS BIGINT)
+             AS mean_mrr_ppm
+    FROM scored
+    """,
+)
+def ml_ndcg_mrr(spark, sf_dir):
+    """Ranking-quality metrics NDCG@5 and MRR over per-order item
+    rankings (the IR-eval companion to ml_auc_rank / ml_pr_curve_points,
+    same deterministic score stand-in; relevance = returned lines).
+    The log2 position discounts are PRECOMPUTED integer milli weights
+    (1000/log₂(i+1) → [1000, 631, 500, 431, 387]) baked identically
+    into both engines as literals — so DCG/IDCG are exact integer
+    sums and the only floating steps are one correctly-rounded ppm
+    division per query plus the final mean. No runtime transcendental,
+    no float accumulation order to disagree on. Scale shape: one
+    window over the order partitioning (rankings are per-query by
+    construction), one grouped aggregate, one global mean — never a
+    global sort of items."""
+    li = _cat(spark, sf_dir).lineitem
+    noise = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))),
+                1, 4,
+            ), 16, 10,
+        ).cast("long") % 10
+    )
+    score = F.round(F.col("l_discount") * 100).cast("long") * 10 + noise
+    # tie-break must be a TOTAL order: (orderkey, linenumber) is not
+    # unique in the synthetic lineitem (the score is a function of it,
+    # so duplicate identities share a score); (linenumber, partkey,
+    # quantity, returnflag) disambiguates every row
+    w = Window.partitionBy("l_orderkey").orderBy(
+        score.desc(), F.col("l_linenumber"), F.col("l_partkey"),
+        F.col("l_quantity"), F.col("l_returnflag")
+    )
+    ranked = li.select(
+        "l_orderkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("rel"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    wgt = (
+        F.when(F.col("rnk") == 1, 1000)
+        .when(F.col("rnk") == 2, 631)
+        .when(F.col("rnk") == 3, 500)
+        .when(F.col("rnk") == 4, 431)
+        .when(F.col("rnk") == 5, 387)
+    )
+    per_q = ranked.groupBy("l_orderkey").agg(
+        F.sum(
+            F.when(F.col("rnk") <= 5, F.col("rel") * wgt).otherwise(0)
+        ).cast("long").alias("dcg5"),
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+    )
+    idcg = (
+        F.when(F.least(F.col("n_rel"), F.lit(5)) == 1, 1000)
+        .when(F.least(F.col("n_rel"), F.lit(5)) == 2, 1631)
+        .when(F.least(F.col("n_rel"), F.lit(5)) == 3, 2131)
+        .when(F.least(F.col("n_rel"), F.lit(5)) == 4, 2562)
+        .when(F.least(F.col("n_rel"), F.lit(5)) == 5, 2949)
+    )
+    scored = per_q.filter(F.col("n_rel") > 0).select(
+        "l_orderkey", "dcg5", idcg.alias("idcg5"), "first_rel"
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(
+            F.avg(F.round(F.lit(1e6) * F.col("dcg5") / F.col("idcg5")))
+        ).cast("long").alias("mean_ndcg5_ppm"),
+        F.round(
+            F.avg(F.round(F.lit(1e6) / F.col("first_rel")))
+        ).cast("long").alias("mean_mrr_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -17578,7 +17689,7 @@ _PRIORITY = [
     "ml_knn_classify", "dedup_minhash_signature",
     "sketch_countmin_portable", "docs_gopher_rules",
     "ts_holt_linear", "ml_pr_curve_points", "stream_ewma_state",
-    "join_disjunctive_rows_q19",
+    "join_disjunctive_rows_q19", "ml_ndcg_mrr",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)

@@ -221,6 +221,17 @@ def test_stream_ewma_final_state_equals_batch(spark):
         assert milli == final_milli[uid]
 
 
+def test_ndcg_mrr_bounds_and_query_count(spark):
+    rows = QUERIES["ml_ndcg_mrr"](spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    with_rel = {x["l_orderkey"] for x in li if x["l_returnflag"] == "R"}
+    assert r["n_queries"] == len(with_rel)
+    assert 0 < r["mean_ndcg5_ppm"] <= 1_000_000
+    assert 0 < r["mean_mrr_ppm"] <= 1_000_000
+
+
 def test_minhash_signature_python_differential(spark):
     """Recompute one document's 16-slot signature with hashlib and
     assert min-stability (duplicated shingles cannot change it)."""
