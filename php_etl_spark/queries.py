@@ -17598,6 +17598,140 @@ def ml_ndcg_mrr(spark, sf_dir):
     )
 
 
+@query(
+    "window_rolling_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), w AS (
+      SELECT user_id, event_id, cents,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             CAST(SUM(cents) OVER win AS BIGINT) AS s1,
+             CAST(SUM(cents * cents) OVER win AS BIGINT) AS s2
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, n,
+           CAST(round(1000 * (n * cents - s1)
+                      / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+             AS BIGINT) AS z_milli
+    FROM w WHERE n >= 2 AND n * s2 - s1 * s1 > 0
+    """,
+)
+def window_rolling_zscore(spark, sf_dir):
+    """Rolling z-score over the trailing 10 events per user — the
+    streaming-anomaly primitive. All moments are EXACT integer-cent
+    window sums (n, Σx, Σx²) over one (user, time) frame, and
+    z = (n·x − Σx)/√(n·Σx² − (Σx)²) needs only two correctly-rounded
+    IEEE ops (sqrt of an exact int64 < 2^53, then one division) — so
+    the milli z-score is bit-stable across engines with no float
+    accumulation anywhere. Zero-variance windows drop on both sides.
+    ONE exchange on user_id serves the stacked window sums."""
+    ev = _cat(spark, sf_dir).events
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    c = ev.select("user_id", "event_id", "ts", cents.alias("cents"))
+    stats = c.select(
+        "user_id", "event_id", "cents",
+        F.count("*").over(w).cast("long").alias("n"),
+        F.sum("cents").over(w).cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).cast("long").alias("s2"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = F.round(
+        F.lit(1000)
+        * (F.col("n") * F.col("cents") - F.col("s1"))
+        / F.sqrt(var_num.cast("double"))
+    ).cast("long")
+    return (
+        stats.filter((F.col("n") >= 2) & (var_num > 0))
+        .select("user_id", "event_id", "n", z.alias("z_milli"))
+    )
+
+
+@query(
+    "agg_winsorize",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), r AS (
+      SELECT flag, cents,
+             ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY flag) AS BIGINT) AS n
+      FROM c
+    ), b AS (
+      SELECT flag,
+             MAX(CASE WHEN rn = (n + 19) // 20 THEN cents END) AS p05_cents,
+             MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END)
+               AS p95_cents,
+             MAX(n) AS n
+      FROM r GROUP BY flag
+    )
+    SELECT b.flag, b.n, b.p05_cents, b.p95_cents,
+           CAST(round(1000.0 * CAST(SUM(greatest(b.p05_cents,
+                        least(b.p95_cents, c.cents))) AS BIGINT) / b.n)
+             AS BIGINT) AS winsor_mean_milli_cents
+    FROM c JOIN b ON b.flag = c.flag
+    GROUP BY b.flag, b.n, b.p05_cents, b.p95_cents
+    """,
+)
+def agg_winsorize(spark, sf_dir):
+    """Winsorized mean per group — robust-stats outlier clipping at the
+    5th/95th DISCRETE percentiles (value at integer rank ⌈n/20⌉ /
+    ⌈19n/20⌉, computed as (n+19)//20 so no 0.05·n float boundary
+    exists). Two-pass shape: one rank window per group finds the two
+    clip values (group-sized output, broadcast back), then one grouped
+    aggregate of the clamped integer cents — the sum is exact and the
+    milli mean is a single correctly-rounded division. Ties at the
+    percentile rank are harmless: position k of the SORTED multiset
+    has a deterministic value whatever order equal cents arrive in."""
+    li = _cat(spark, sf_dir).lineitem
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    c = li.select(F.col("l_returnflag").alias("flag"), cents.alias("cents"))
+    wr = Window.partitionBy("flag").orderBy("cents")
+    wn = Window.partitionBy("flag")
+    r = c.select(
+        "flag", "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    b = r.groupBy("flag").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("cents"))
+        ).alias("p05_cents"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("cents")
+            )
+        ).alias("p95_cents"),
+        F.max("n").alias("n"),
+    )
+    clamped = F.greatest(
+        F.col("p05_cents"), F.least(F.col("p95_cents"), F.col("cents"))
+    )
+    return (
+        c.join(F.broadcast(b), "flag")
+        .groupBy("flag", "n", "p05_cents", "p95_cents")
+        .agg(
+            F.round(
+                F.lit(1000.0) * F.sum(clamped).cast("long") / F.col("n")
+            ).cast("long").alias("winsor_mean_milli_cents")
+        )
+        .select(
+            "flag", "n", "p05_cents", "p95_cents", "winsor_mean_milli_cents"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -17690,6 +17824,7 @@ _PRIORITY = [
     "sketch_countmin_portable", "docs_gopher_rules",
     "ts_holt_linear", "ml_pr_curve_points", "stream_ewma_state",
     "join_disjunctive_rows_q19", "ml_ndcg_mrr",
+    "window_rolling_zscore", "agg_winsorize",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)

@@ -232,6 +232,29 @@ def test_ndcg_mrr_bounds_and_query_count(spark):
     assert 0 < r["mean_mrr_ppm"] <= 1_000_000
 
 
+def test_rolling_zscore_bounded(spark):
+    """|z| over an n-point window is bounded by sqrt(n-1) (one point
+    carrying all the deviation), so milli values stay under
+    1000*sqrt(9)."""
+    rows = QUERIES["window_rolling_zscore"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 2 <= r["n"] <= 10
+        assert abs(r["z_milli"]) <= 1000 * math.sqrt(r["n"] - 1) + 1
+
+
+def test_winsorize_clip_bounds(spark):
+    rows = QUERIES["agg_winsorize"](spark, SF_DIR).collect()
+    assert len(rows) == 3  # returnflag groups
+    for r in rows:
+        assert r["p05_cents"] <= r["p95_cents"]
+        assert (
+            1000 * r["p05_cents"]
+            <= r["winsor_mean_milli_cents"]
+            <= 1000 * r["p95_cents"]
+        )
+
+
 def test_minhash_signature_python_differential(spark):
     """Recompute one document's 16-slot signature with hashlib and
     assert min-stability (duplicated shingles cannot change it)."""
