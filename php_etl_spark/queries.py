@@ -17732,6 +17732,72 @@ def agg_winsorize(spark, sf_dir):
     )
 
 
+@query(
+    "ts_forecast_backtest",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn,
+             0.5 * s.value + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * s.value + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    ), f AS (
+      SELECT user_id, rn,
+             CAST(round(1000 * (l + b)) AS BIGINT) AS forecast_milli
+      FROM r
+    ), a AS (
+      SELECT user_id, rn, CAST(round(1000 * value) AS BIGINT) AS actual_milli
+      FROM seq
+    )
+    SELECT f.user_id, CAST(COUNT(*) AS BIGINT) AS n_evals,
+           CAST(round(1.0 * CAST(SUM(abs(f.forecast_milli - a2.actual_milli))
+                                 AS BIGINT) / COUNT(*)) AS BIGINT) AS mae_milli
+    FROM f JOIN a a2 ON a2.user_id = f.user_id AND a2.rn = f.rn + 1
+    GROUP BY 1
+    """,
+)
+def ts_forecast_backtest(spark, sf_dir):
+    """One-step-ahead forecast backtest: pair each Holt forecast
+    (ts_holt_linear's l+b at time t) with the NEXT actual observation
+    and report per-user mean absolute error — the eval loop every
+    forecasting pipeline needs, composed from the exact-stateful
+    operator so the whole backtest stays integer-milli exact (errors
+    are diffs of already-rounded integers; MAE is one exact sum and
+    one correctly-rounded division). Scale shape: the Holt pass is the
+    one user_id shuffle; the pairing is a LAG over the same
+    partitioning (no join against the corpus — event_id is unique, so
+    the ts re-attach join is keyed and dim-light); the MAE aggregate
+    is map-side combinable."""
+    holt = ts_holt_linear(spark, sf_dir)
+    ev = _cat(spark, sf_dir).events.select(
+        "event_id", "ts",
+        F.round(F.lit(1000) * F.col("value")).cast("long").alias("actual_milli"),
+    )
+    j = holt.select("user_id", "event_id", "forecast_milli").join(
+        ev, "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    errs = j.select(
+        "user_id",
+        F.abs(
+            F.lag("forecast_milli").over(w) - F.col("actual_milli")
+        ).alias("abs_err"),
+    ).filter(F.col("abs_err").isNotNull())
+    return errs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_evals"),
+        F.round(
+            F.lit(1.0) * F.sum("abs_err").cast("long") / F.count("*")
+        ).cast("long").alias("mae_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -17824,7 +17890,7 @@ _PRIORITY = [
     "sketch_countmin_portable", "docs_gopher_rules",
     "ts_holt_linear", "ml_pr_curve_points", "stream_ewma_state",
     "join_disjunctive_rows_q19", "ml_ndcg_mrr",
-    "window_rolling_zscore", "agg_winsorize",
+    "window_rolling_zscore", "agg_winsorize", "ts_forecast_backtest",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)

@@ -255,6 +255,18 @@ def test_winsorize_clip_bounds(spark):
         )
 
 
+def test_forecast_backtest_counts(spark):
+    """Each user contributes exactly (n_events - 1) forecast/actual
+    pairs, and MAE is nonnegative."""
+    rows = {r["user_id"]: (r["n_evals"], r["mae_milli"]) for r in
+            QUERIES["ts_forecast_backtest"](spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    counts: Counter = Counter(r["user_id"] for r in ev)
+    expect = {u: n - 1 for u, n in counts.items() if n >= 2}
+    assert {u: v[0] for u, v in rows.items()} == expect
+    assert all(v[1] >= 0 for v in rows.values())
+
+
 def test_minhash_signature_python_differential(spark):
     """Recompute one document's 16-slot signature with hashlib and
     assert min-stability (duplicated shingles cannot change it)."""
