@@ -41,3 +41,21 @@ def davg(col: Column | str, scale: str = MONEY) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(dec(c, scale)).cast("double") / F.count(c)
+
+
+def round_milli(x):
+    """Half-AWAY-FROM-ZERO rounding of ``x * 1000`` for Python-side
+    (pandas/numpy) operators — the same tie rule Spark's ``round`` and
+    DuckDB's ``round`` apply, which ``np.round`` does NOT (banker's).
+    Load-bearing for oracle parity in every exact-stateful operator
+    (EWMA, Holt, streaming EWMA); keep ONE definition so no copy ever
+    drifts back to ``np.round``. Accepts a numpy array (returns int64
+    array) or a float scalar (returns int)."""
+    import numpy as np
+
+    p = x * 1000.0
+    if isinstance(p, np.ndarray):
+        return (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype("int64")
+    import math
+
+    return int(math.copysign(math.floor(abs(p) + 0.5), p))

@@ -15861,6 +15861,24 @@ def ml_confusion_matrix(spark, sf_dir):
     )
 
 
+def _synthetic_score():
+    """Deterministic model-margin stand-in shared by the ML eval
+    family (ml_auc_rank, ml_calibration_bins, ml_learning_curve,
+    ml_pr_curve_points, ml_ndcg_mrr): discount decile ×10 plus an
+    md5(orderkey:linenumber)-derived digit. One definition so the
+    'shared score' claim across the family cannot drift — the oracle
+    SQL embeds the same literal recipe."""
+    noise = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))),
+                1, 4,
+            ), 16, 10,
+        ).cast("long") % 10
+    )
+    return F.round(F.col("l_discount") * 100).cast("long") * 10 + noise
+
+
 @query(
     "ml_auc_rank",
     oracle="""
@@ -15907,15 +15925,7 @@ def ml_auc_rank(spark, sf_dir):
     discount-plus-hash-noise stand-in for a model margin."""
     li = _cat(spark, sf_dir).lineitem
     y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-    noise = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))),
-                1, 4,
-            ), 16, 10,
-        ).cast("long") % 10
-    )
-    score = F.round(F.col("l_discount") * 100).cast("long") * 10 + noise
+    score = _synthetic_score()
     grp = (
         li.select(y.alias("y"), score.alias("score"))
         .groupBy("score")
@@ -16270,11 +16280,7 @@ def ml_calibration_bins(spark, sf_dir):
     ml_auc_rank, so the two evals share their scan at no extra
     cost in a combined plan."""
     li = _cat(spark, sf_dir).lineitem
-    h = F.md5(F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber")))
-    score = (
-        F.round(F.col("l_discount") * 100).cast("long") * 10
-        + F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 10
-    )
+    score = _synthetic_score()
     scored = li.select(
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
         score.alias("score"),
@@ -16735,13 +16741,15 @@ def ml_naive_bayes(spark, sf_dir):
         F.count("*").cast("long").alias("n_docs")
     )
     tot = d.agg(F.count("*").cast("long").alias("n"))
-    ctok = tok.groupBy(F.col("lang").alias("c"), "token").agg(
-        F.count("*").cast("long").alias("cnt")
+    # derive every model table from the ALREADY-AGGREGATED tf frame,
+    # not the raw token stream: ctok/csz/voc then reuse tf's shuffle
+    # (ReusedExchange) instead of re-tokenizing the corpus three more
+    # times — at 100 TB the tokenize+explode scan is the dominant cost
+    ctok = tf.groupBy(F.col("lang").alias("c"), "token").agg(
+        F.sum("tf").cast("long").alias("cnt")
     )
-    csz = tok.groupBy(F.col("lang").alias("c")).agg(
-        F.count("*").cast("long").alias("c_tokens")
-    )
-    voc = tok.agg(F.count_distinct("token").cast("long").alias("v"))
+    csz = ctok.groupBy("c").agg(F.sum("cnt").cast("long").alias("c_tokens"))
+    voc = ctok.agg(F.count_distinct("token").cast("long").alias("v"))
     logp = (
         F.round(
             F.lit(1000)
@@ -16895,6 +16903,8 @@ def ts_ewma_recursive(spark, sf_dir):
         "user_id", "ts", "event_id"
     )
 
+    from php_etl_spark.functions.exact import round_milli
+
     def _ewma(batches):
         cur_uid = None
         acc = 0.0
@@ -16910,13 +16920,11 @@ def ts_ewma_recursive(spark, sf_dir):
                 else:
                     acc = 0.5 * vals[i] + 0.5 * acc
                 y[i] = acc
-            p = y * 1000.0
-            milli = np.sign(p) * np.floor(np.abs(p) + 0.5)
             yield pd.DataFrame(
                 {
                     "user_id": uids,
                     "event_id": pdf["event_id"].to_numpy(),
-                    "ewma_milli": milli.astype("int64"),
+                    "ewma_milli": round_milli(y),
                 }
             )
 
@@ -17375,9 +17383,7 @@ def ts_holt_linear(spark, sf_dir):
         "user_id", "ts", "event_id"
     )
 
-    def _round_milli(x: "np.ndarray") -> "np.ndarray":
-        p = x * 1000.0
-        return (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype("int64")
+    from php_etl_spark.functions.exact import round_milli
 
     def _holt(batches):
         cur_uid = None
@@ -17401,9 +17407,9 @@ def ts_holt_linear(spark, sf_dir):
                 {
                     "user_id": uids,
                     "event_id": pdf["event_id"].to_numpy(),
-                    "level_milli": _round_milli(ls),
-                    "trend_milli": _round_milli(bs),
-                    "forecast_milli": _round_milli(ls + bs),
+                    "level_milli": round_milli(ls),
+                    "trend_milli": round_milli(bs),
+                    "forecast_milli": round_milli(ls + bs),
                 }
             )
 
@@ -17454,15 +17460,7 @@ def ml_pr_curve_points(spark, sf_dir):
     2^53, one IEEE division each — no compound float chain)."""
     li = _cat(spark, sf_dir).lineitem
     y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-    noise = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))),
-                1, 4,
-            ), 16, 10,
-        ).cast("long") % 10
-    )
-    score = F.round(F.col("l_discount") * 100).cast("long") * 10 + noise
+    score = _synthetic_score()
     grp = (
         li.select(y.alias("y"), score.alias("score"))
         .groupBy("score")
@@ -17541,15 +17539,7 @@ def ml_ndcg_mrr(spark, sf_dir):
     construction), one grouped aggregate, one global mean — never a
     global sort of items."""
     li = _cat(spark, sf_dir).lineitem
-    noise = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))),
-                1, 4,
-            ), 16, 10,
-        ).cast("long") % 10
-    )
-    score = F.round(F.col("l_discount") * 100).cast("long") * 10 + noise
+    score = _synthetic_score()
     # tie-break must be a TOTAL order: (orderkey, linenumber) is not
     # unique in the synthetic lineitem (the score is a function of it,
     # so duplicate identities share a score); (linenumber, partkey,
@@ -17767,29 +17757,52 @@ def ts_forecast_backtest(spark, sf_dir):
     """One-step-ahead forecast backtest: pair each Holt forecast
     (ts_holt_linear's l+b at time t) with the NEXT actual observation
     and report per-user mean absolute error — the eval loop every
-    forecasting pipeline needs, composed from the exact-stateful
-    operator so the whole backtest stays integer-milli exact (errors
-    are diffs of already-rounded integers; MAE is one exact sum and
-    one correctly-rounded division). Scale shape: the Holt pass is the
-    one user_id shuffle; the pairing is a LAG over the same
-    partitioning (no join against the corpus — event_id is unique, so
-    the ts re-attach join is keyed and dim-light); the MAE aggregate
-    is map-side combinable."""
-    holt = ts_holt_linear(spark, sf_dir)
-    ev = _cat(spark, sf_dir).events.select(
-        "event_id", "ts",
-        F.round(F.lit(1000) * F.col("value")).cast("long").alias("actual_milli"),
+    forecasting pipeline needs. The recurrence runs in the SAME
+    single carry pass as ts_holt_linear (one user_id shuffle +
+    in-partition sort), emitting |forecast_{t-1} − actual_t| directly
+    — an earlier cut re-joined the Holt output to events on event_id
+    and lagged over a second user window, paying a corpus-sized join
+    plus an extra exchange for a column the carry pass already had in
+    hand. Stays integer-milli exact: errors are diffs of
+    already-rounded integers; MAE is one exact sum and one
+    correctly-rounded division, map-side combinable."""
+    import pandas as pd
+
+    from php_etl_spark.functions.exact import round_milli
+
+    ev = _cat(spark, sf_dir).events.select("user_id", "event_id", "ts", "value")
+    by_user = ev.repartition(F.col("user_id")).sortWithinPartitions(
+        "user_id", "ts", "event_id"
     )
-    j = holt.select("user_id", "event_id", "forecast_milli").join(
-        ev, "event_id"
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    errs = j.select(
-        "user_id",
-        F.abs(
-            F.lag("forecast_milli").over(w) - F.col("actual_milli")
-        ).alias("abs_err"),
-    ).filter(F.col("abs_err").isNotNull())
+
+    def _bt(batches):
+        cur_uid = None
+        lev = trend = 0.0
+        prev_fcst = 0
+        for pdf in batches:
+            uids = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy(dtype="float64")
+            out_u, out_e = [], []
+            for i in range(len(vals)):
+                u, v = uids[i], vals[i]
+                if u != cur_uid:
+                    cur_uid = u
+                    lev, trend = v, 0.0
+                else:
+                    out_u.append(u)
+                    out_e.append(abs(prev_fcst - round_milli(v)))
+                    new_l = 0.5 * v + 0.5 * (lev + trend)
+                    trend = 0.5 * (new_l - lev) + 0.5 * trend
+                    lev = new_l
+                prev_fcst = round_milli(lev + trend)
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.array(out_u, dtype="int64"),
+                    "abs_err": pd.array(out_e, dtype="int64"),
+                }
+            )
+
+    errs = by_user.mapInPandas(_bt, "user_id bigint, abs_err bigint")
     return errs.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_evals"),
         F.round(

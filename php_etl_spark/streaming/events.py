@@ -489,16 +489,19 @@ def stateful_ewma(events: DataFrame) -> DataFrame:
     batch ``ts_ewma_recursive`` operator: per-key (count, accumulator)
     state in the state store, each micro-batch folds its rows in
     (ts, event_id) order and emits the key's updated smoothed value.
-    Within one micro-batch the fold order is the event-time order, so
-    a single-batch availableNow replay produces EXACTLY the batch
-    operator's final value per user (pinned in tests); across many
-    micro-batches the fold is arrival-order — which is what a
-    streaming IIR filter means. State is two scalars per key
-    regardless of stream length; emit is one row per touched key per
-    batch (update mode)."""
-    import math
-
+    Within one micro-batch the fold order is the event-time order —
+    the key's Arrow chunks are BUFFERED and sorted as one frame before
+    folding, because a key whose batch rows span multiple chunks
+    (arrow maxRecordsPerBatch) would otherwise fold chunks in
+    arbitrary shuffle order — so a single-batch availableNow replay
+    produces EXACTLY the batch operator's final value per user (pinned
+    in tests); across many micro-batches the fold is arrival-order,
+    which is what a streaming IIR filter means. State is two scalars
+    per key regardless of stream length; emit is one row per touched
+    key per batch (update mode)."""
     import pandas as pd
+
+    from php_etl_spark.functions.exact import round_milli
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
         DoubleType,
@@ -521,19 +524,22 @@ def stateful_ewma(events: DataFrame) -> DataFrame:
     def update(key, pdf_iter, state):
         (user_id,) = key
         n, acc = state.get if state.exists else (0, 0.0)
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            # one frame, ONE sort: chunk-local sorts would interleave
+            # wrongly when a key's rows span multiple Arrow chunks
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1 else chunks[0]
+            ).sort_values(["ts", "event_id"])
             for v in pdf["value"].to_numpy(dtype="float64"):
                 acc = v if n == 0 else 0.5 * v + 0.5 * acc
                 n += 1
         state.update((n, float(acc)))
         if n:
-            p = acc * 1000.0
-            milli = int(math.copysign(math.floor(abs(p) + 0.5), p))
             yield pd.DataFrame(
-                [{"user_id": user_id, "n_events": n, "ewma_milli": milli}]
+                [{"user_id": user_id, "n_events": n,
+                  "ewma_milli": round_milli(acc)}]
             )
 
     return (

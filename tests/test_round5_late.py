@@ -118,13 +118,22 @@ def test_knn_classify_vote_shape(spark):
 
 def test_countmin_overestimates_and_hits_heavy_hitters(spark):
     """CM readout must satisfy est >= exact for every token (the
-    one-sided error guarantee), and the true heaviest token's estimate
-    must be within the d*w-sketch additive bound eps*N."""
+    one-sided error guarantee), and every top-10 estimate must sit
+    within the sketch's additive bound eps*N (eps = e/w; with d=4 rows
+    the bound holds with prob ~0.98 per query — deterministic for this
+    fixed corpus, so asserting it also guards the bucket hashing: a
+    broken modulo collapsing all tokens into one bucket would blow the
+    bound immediately)."""
     rows = QUERIES["sketch_countmin_portable"](spark, SF_DIR).collect()
     assert len(rows) == 10
     assert all(r["cm_est"] >= r["exact_cnt"] for r in rows)
-    total = sum(r["exact_cnt"] for r in rows)  # lower bound on stream N
-    assert rows is not None and total > 0
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    n_stream = sum(
+        len(re.findall(r"[a-z]+", d["text"].lower())) for d in docs
+    )
+    eps_n = math.e / 64 * n_stream
+    for r in rows:
+        assert r["cm_est"] - r["exact_cnt"] <= eps_n, (r, eps_n)
 
 
 def test_gopher_rules_flag_consistency(spark):

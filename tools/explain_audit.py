@@ -729,6 +729,17 @@ AUDITS = {
          lambda p: p.count("MapInPandas") >= 1
          and "FlatMapGroupsInPandas" not in p),
     ],
+    "ts_forecast_backtest": [
+        ("single carry pass: ONE user_id exchange, no corpus re-join "
+         "(the lag/join formulation paid an events-sized join + a "
+         "second exchange)",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 2  # carry pass + MAE groupBy
+         and "Join" not in p.split("== Initial Plan ==")[0]),
+        ("the Python stage is the single MapInPandas node",
+         lambda p: p.count("MapInPandas") >= 1
+         and "FlatMapGroupsInPandas" not in p),
+    ],
     "ml_pr_curve_points": [
         ("the threshold sweep windows the |distinct scores| aggregate, "
          "never the raw rows (partial aggregation precedes the "

@@ -589,8 +589,8 @@ def main() -> int:
     assert core_nodes.agg(F.min("degree")).first()[0] >= 3
 
     # ---- bipartite projection basket guard: one poisoned basket ----
-    # 500k normal baskets of <=5 items plus ONE basket holding 30k
-    # items. Unguarded, the projection's self-join owes C(30k,2) =
+    # 500k normal baskets of <=3 distinct items (3 draws each, fewer
+    # after hash collisions) plus ONE basket holding 30k items. Unguarded, the projection's self-join owes C(30k,2) =
     # 450M pairs to that basket alone; the n_items<=64 guard (the
     # graph_bipartite_copurchase shape) drops it before the join, so
     # candidate pairs stay bounded by sum-per-basket C(n,2) of the
