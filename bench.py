@@ -60,6 +60,10 @@ HEADLINE = [
     # first-run baselines in BASELINE.md
     "graph_bipartite_copurchase",  # per-order C(n,2) pair fan-out
     "ts_ewma_recursive",    # applyInPandas IIR recurrence per key
+    # round-5 closing additions: ranking-eval and forecast-backtest
+    # shapes — first-run baselines in BASELINE.md
+    "ml_ndcg_mrr",          # exact-integer NDCG@5/MRR, per-query window
+    "ts_forecast_backtest",  # Holt carry pass emitting one-step MAE
 ]
 
 
