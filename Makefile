@@ -1,0 +1,38 @@
+# Convenience targets for the php_etl_spark verification loop.
+# Every target is a thin wrapper over the tools documented in README.md.
+
+SF ?= /root/testdata/sf0.01
+
+.PHONY: test sweep sweep-sf1 bench audit plans lint coverage probe scaling all
+
+test:            ## full pytest suite
+	python -m pytest tests/ -x -q
+
+sweep:           ## oracle differential harness (same gate as the driver)
+	python tools/check_oracle.py --sf $(SF)
+
+sweep-sf1:       ## full-registry sweep at sf0.1
+	python tools/check_oracle.py --sf /root/testdata/sf0.1
+
+bench:           ## headline suite, one JSON line
+	python bench.py
+
+audit:           ## physical-plan assertions (explain_audit)
+	python tools/explain_audit.py
+
+plans:           ## registry-wide plan sweep (no assertion list needed)
+	python tools/plan_sweep.py
+
+lint:            ## oracle result-type lint (HUGEINT/uncast DECIMAL)
+	python tools/lint_oracles.py
+
+coverage:        ## regenerate COVERAGE.md from the registry
+	python tools/gen_coverage.py
+
+probe:           ## 10M-row skew/salting/subquadratic probes
+	python tools/scale_probe.py
+
+scaling:         ## tri-scale log-log slope probe over the headline suite
+	python tools/bench_scaling.py
+
+all: lint coverage test sweep plans audit
