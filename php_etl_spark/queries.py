@@ -17811,6 +17811,34 @@ def ts_forecast_backtest(spark, sf_dir):
     )
 
 
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL — the DuckDB-originated shorthand Spark adopted
+    (3.4+): every non-aggregate select item becomes a grouping key.
+    The oracle is the IDENTICAL SQL text, a direct modern-SQL-surface
+    parity check; Catalyst expands it to the same grouped aggregate
+    plan as an explicit key list (map-side combined, one shuffle)."""
+    _cat(spark, sf_dir).orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM orders GROUP BY ALL
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -17904,6 +17932,7 @@ _PRIORITY = [
     "ts_holt_linear", "ml_pr_curve_points", "stream_ewma_state",
     "join_disjunctive_rows_q19", "ml_ndcg_mrr",
     "window_rolling_zscore", "agg_winsorize", "ts_forecast_backtest",
+    "sql_group_by_all",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)
