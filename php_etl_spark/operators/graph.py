@@ -465,3 +465,120 @@ def clustering_coefficient(edges: DataFrame, a: str, b: str) -> DataFrame:
             ).cast("long").alias("cc_milli"),
         )
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_rounds: int = 20,
+    max_inner: int = 50,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph by iterative
+    coloring (Orzan 2004, the Pregel-style formulation): propagate the
+    MAX node id forward to a fixpoint, take nodes whose color equals
+    their own id as roots, gather each root's backward-reachable nodes
+    WITHIN its color class (those form exactly the root's SCC), emit
+    and remove them, repeat on the residue. Returns (node, scc_id)
+    with scc_id = the component's max member id.
+
+    Scale shape: every step is an equi-join keyed on node id — forward
+    propagation is join-on-src + max-aggregate per dst (map-side
+    combined), the backward gather is a frontier semi-join — and the
+    graph only shrinks across outer rounds. Each outer round removes
+    at least every root SCC of the current condensation DAG, so rounds
+    are bounded by the condensation's longest path, not by SCC count;
+    ``max_rounds``/``max_inner`` are backstops after which the
+    residue is labeled by its forward color (a superset split—
+    documented, deterministic). Frames re-materialize per round
+    (lineage truncation, as in pagerank/k_core); driver traffic is
+    one boolean per round.
+    """
+    e = materialize(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    nodes = materialize(
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    out = None
+    for _ in range(max_rounds):
+        if nodes.isEmpty():
+            break
+        # 1. forward max-label propagation to fixpoint
+        colors = materialize(nodes.select("node", F.col("node").alias("color")))
+        for _i in range(max_inner):
+            incoming = (
+                e.join(colors, e["s"] == colors["node"])
+                .groupBy(F.col("d").alias("node"))
+                .agg(F.max("color").alias("in_color"))
+            )
+            merged = materialize(
+                colors.join(incoming, "node", "left").select(
+                    "node",
+                    F.greatest(
+                        F.col("color"), F.coalesce(F.col("in_color"), F.col("color"))
+                    ).alias("color"),
+                )
+            )
+            changed = merged.alias("m").join(
+                colors.alias("c"),
+                (F.col("m.node") == F.col("c.node"))
+                & (F.col("m.color") != F.col("c.color")),
+            )
+            colors = merged
+            if changed.isEmpty():
+                break
+        # 2. backward gather within each color class from its root
+        ce = materialize(
+            e.join(
+                colors.select(F.col("node").alias("s"), F.col("color").alias("cs")),
+                "s",
+            ).join(
+                colors.select(F.col("node").alias("d"), F.col("color").alias("cd")),
+                "d",
+            ).filter(F.col("cs") == F.col("cd"))
+            .select("s", "d", F.col("cs").alias("color"))
+        )
+        member = materialize(
+            colors.filter(F.col("node") == F.col("color")).select(
+                "node", F.col("color").alias("scc_id")
+            )
+        )
+        for _i in range(max_inner):
+            grow = (
+                ce.join(
+                    member.select(
+                        F.col("node").alias("d"), F.col("scc_id")
+                    ),
+                    "d",
+                )
+                .filter(F.col("color") == F.col("scc_id"))
+                .select(F.col("s").alias("node"), "scc_id")
+                .distinct()
+                .join(member.select("node"), "node", "left_anti")
+            )
+            if grow.isEmpty():
+                break
+            member = materialize(member.unionByName(grow))
+        out = member if out is None else out.unionByName(member)
+        # 3. peel the assigned nodes and their edges
+        nodes = materialize(
+            nodes.join(member.select("node"), "node", "left_anti")
+        )
+        e = materialize(
+            e.join(member.select(F.col("node").alias("s")), "s", "left_anti")
+            .join(member.select(F.col("node").alias("d")), "d", "left_anti")
+        )
+    if out is None:
+        return nodes.select("node", F.col("node").alias("scc_id"))
+    if not nodes.isEmpty():
+        # backstop: label residue by itself (each unassigned node its
+        # own singleton) — deterministic, documented superset split
+        out = out.unionByName(
+            nodes.select("node", F.col("node").alias("scc_id"))
+        )
+    return out

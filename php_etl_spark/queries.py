@@ -17839,6 +17839,32 @@ def sql_group_by_all(spark, sf_dir):
     )
 
 
+@query("graph_scc")
+def graph_scc(spark, sf_dir):
+    """Strongly connected components of the event-type transition
+    graph (edges = consecutive event types per user) — the Markov
+    communicating-class analysis: event types in one SCC recur among
+    each other; types outside are transient states. Iterative
+    max-color propagation + within-class backward gather
+    (operators/graph.py strongly_connected_components; Orzan-style
+    coloring). Iterative label fixpoint ⇒ rows-only; correctness is
+    pinned by pytest on synthetic digraphs with known SCCs."""
+    from php_etl_spark.operators.graph import strongly_connected_components
+
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("a")
+        )
+        .withColumn("b", F.lead("a").over(w))
+        .filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    return strongly_connected_components(trans, "a", "b")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -17932,7 +17958,7 @@ _PRIORITY = [
     "ts_holt_linear", "ml_pr_curve_points", "stream_ewma_state",
     "join_disjunctive_rows_q19", "ml_ndcg_mrr",
     "window_rolling_zscore", "agg_winsorize", "ts_forecast_backtest",
-    "sql_group_by_all",
+    "sql_group_by_all", "graph_scc",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)

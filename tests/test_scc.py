@@ -1,0 +1,126 @@
+"""Strongly-connected-components correctness on synthetic digraphs
+with known SCC partitions, plus the registered transition-graph key."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from php_etl_spark.operators.graph import strongly_connected_components
+from php_etl_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _groups(rows):
+    g = defaultdict(set)
+    for r in rows:
+        g[r["scc_id"]].add(r["node"])
+    return {frozenset(v) for v in g.values()}
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, ["s", "d"])
+    return _groups(strongly_connected_components(df, "s", "d").collect())
+
+
+def test_two_cycles_and_chain(spark):
+    """Two 3-cycles bridged by one edge plus a transient chain: the
+    cycles are SCCs, every chain node is a singleton."""
+    edges = [
+        (1, 2), (2, 3), (3, 1),          # cycle A
+        (4, 5), (5, 6), (6, 4),          # cycle B
+        (3, 4),                          # bridge (one-way)
+        (7, 8), (8, 9),                  # transient chain
+        (6, 7),
+    ]
+    got = _run(spark, edges)
+    assert got == {
+        frozenset({1, 2, 3}), frozenset({4, 5, 6}),
+        frozenset({7}), frozenset({8}), frozenset({9}),
+    }
+
+
+def test_descending_path_all_singletons(spark):
+    """A path in DESCENDING id order is the coloring algorithm's slow
+    case (the max node colors everything); components must still come
+    out as singletons."""
+    edges = [(i + 1, i) for i in range(1, 8)]  # 8->7->...->1
+    got = _run(spark, edges)
+    assert got == {frozenset({i}) for i in range(1, 9)}
+
+
+def test_nested_cycles_one_component(spark):
+    """Two cycles sharing a node strongly connect into ONE component."""
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3)]
+    got = _run(spark, edges)
+    assert got == {frozenset({1, 2, 3, 4, 5})}
+
+
+def test_self_loops_and_duplicates_ignored(spark):
+    edges = [(1, 1), (1, 2), (1, 2), (2, 1)]
+    got = _run(spark, edges)
+    assert got == {frozenset({1, 2})}
+
+
+def test_registered_transition_scc(spark):
+    """Every event type lands in exactly one component, and mutually-
+    transitioning types share one."""
+    rows = QUERIES["graph_scc"](spark, SF_DIR).collect()
+    nodes = [r["node"] for r in rows]
+    assert len(nodes) == len(set(nodes)) and nodes
+    # verify against a driver-side Tarjan on the same edge set
+    ev = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    edges = set()
+    prev = {}
+    for r in ev:
+        u = r["user_id"]
+        if u in prev and prev[u] != r["event_type"]:
+            edges.add((prev[u], r["event_type"]))
+        prev[u] = r["event_type"]
+    # iterative Tarjan
+    adj = defaultdict(list)
+    verts = set()
+    for a, b in edges:
+        adj[a].append(b)
+        verts.update((a, b))
+    index, low, onstack, st = {}, {}, set(), []
+    sccs, counter, work = [], [0], []
+    for v0 in sorted(verts):
+        if v0 in index:
+            continue
+        work.append((v0, 0))
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                st.append(v)
+                onstack.add(v)
+            advanced = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in onstack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            if low[v] == index[v]:
+                comp = set()
+                while True:
+                    w = st.pop()
+                    onstack.discard(w)
+                    comp.add(w)
+                    if w == v:
+                        break
+                sccs.append(frozenset(comp))
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    assert _groups(rows) == set(sccs)
