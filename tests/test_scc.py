@@ -61,6 +61,76 @@ def test_self_loops_and_duplicates_ignored(spark):
     assert got == {frozenset({1, 2})}
 
 
+def _tarjan(edges):
+    """Independent reference implementation (iterative Tarjan)."""
+    adj = defaultdict(list)
+    verts = set()
+    for a, b in edges:
+        if a != b:
+            adj[a].append(b)
+            verts.update((a, b))
+    index, low, onstack, st = {}, {}, set(), []
+    sccs, counter, work = [], [0], []
+    for v0 in sorted(verts):
+        if v0 in index:
+            continue
+        work.append((v0, 0))
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                st.append(v)
+                onstack.add(v)
+            advanced = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in onstack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            if low[v] == index[v]:
+                comp = set()
+                while True:
+                    w = st.pop()
+                    onstack.discard(w)
+                    comp.add(w)
+                    if w == v:
+                        break
+                sccs.append(frozenset(comp))
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    return set(sccs)
+
+
+def test_scc_random_digraphs_match_tarjan(spark):
+    """Property check over random small digraphs (deterministic seed
+    sweep — hypothesis-style coverage without per-example Spark
+    session churn): the coloring SCC must equal Tarjan exactly."""
+    import random
+
+    for seed in range(12):
+        rng = random.Random(1000 + seed)
+        n = rng.randint(2, 8)
+        m = rng.randint(1, 2 * n)
+        edges = [
+            (rng.randint(1, n), rng.randint(1, n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        got = _run(spark, edges)
+        want = _tarjan(edges)
+        assert got == want, (seed, sorted(edges), got, want)
+
+
 def test_registered_transition_scc(spark):
     """Every event type lands in exactly one component, and mutually-
     transitioning types share one."""
