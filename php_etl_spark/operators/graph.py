@@ -582,3 +582,66 @@ def strongly_connected_components(
             nodes.select("node", F.col("node").alias("scc_id"))
         )
     return out
+
+
+def condensation_levels(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Condensation of a directed graph (each SCC contracted to one
+    node) with each component's LONGEST-PATH level — the dependency
+    depth used for staged scheduling (level-0 components have no
+    upstream; level k waits on some level k-1). Returns
+    (scc_id, level, n_members).
+
+    Composes strongly_connected_components, then relaxes
+    level(c) = 1 + max(level of predecessors) over the condensation
+    DAG — acyclic by construction, so the fixpoint arrives within
+    longest-path rounds; each round is one keyed join + max-aggregate
+    over the COMPONENT-sized frame (tiny next to the node graph).
+    """
+    assign = materialize(strongly_connected_components(edges, src, dst))
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    ce = materialize(
+        e.join(
+            assign.select(F.col("node").alias("s"), F.col("scc_id").alias("cs")),
+            "s",
+        )
+        .join(
+            assign.select(F.col("node").alias("d"), F.col("scc_id").alias("cd")),
+            "d",
+        )
+        .filter(F.col("cs") != F.col("cd"))
+        .select("cs", "cd")
+        .distinct()
+    )
+    comps = assign.groupBy("scc_id").agg(F.count("*").alias("n_members"))
+    levels = materialize(comps.select("scc_id", F.lit(0).alias("level")))
+    for _ in range(max_rounds):
+        preds = (
+            ce.join(
+                levels.select(F.col("scc_id").alias("cs"), F.col("level")),
+                "cs",
+            )
+            .groupBy(F.col("cd").alias("scc_id"))
+            .agg((F.max("level") + 1).alias("in_level"))
+        )
+        merged = materialize(
+            levels.join(preds, "scc_id", "left").select(
+                "scc_id",
+                F.greatest(
+                    F.col("level"), F.coalesce(F.col("in_level"), F.col("level"))
+                ).alias("level"),
+            )
+        )
+        changed = merged.alias("m").join(
+            levels.alias("l"),
+            (F.col("m.scc_id") == F.col("l.scc_id"))
+            & (F.col("m.level") != F.col("l.level")),
+        )
+        levels = merged
+        if changed.isEmpty():
+            break
+    return levels.join(comps, "scc_id").select("scc_id", "level", "n_members")

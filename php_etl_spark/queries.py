@@ -17865,6 +17865,30 @@ def graph_scc(spark, sf_dir):
     return strongly_connected_components(trans, "a", "b")
 
 
+@query("graph_condensation_levels")
+def graph_condensation_levels(spark, sf_dir):
+    """Condensation DAG of the event-type transition graph with
+    longest-path dependency levels per component — the staged-
+    scheduling view (level-0 components have no upstream). Composes
+    graph_scc; iterative DAG relaxation ⇒ rows-only; pytest pins it
+    against a driver-side longest-path recompute over the Tarjan
+    condensation."""
+    from php_etl_spark.operators.graph import condensation_levels
+
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("a")
+        )
+        .withColumn("b", F.lead("a").over(w))
+        .filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    return condensation_levels(trans, "a", "b")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -17958,7 +17982,7 @@ _PRIORITY = [
     "ts_holt_linear", "ml_pr_curve_points", "stream_ewma_state",
     "join_disjunctive_rows_q19", "ml_ndcg_mrr",
     "window_rolling_zscore", "agg_winsorize", "ts_forecast_backtest",
-    "sql_group_by_all", "graph_scc",
+    "sql_group_by_all", "graph_scc", "graph_condensation_levels",
     # r03 reds — oracle typing recast, re-verify
     "agg_max_concurrent", "agg_priority_counts_q12", "split_train_holdout",
     # round-4 fresh families (newest code = highest residual risk)

@@ -131,6 +131,56 @@ def test_scc_random_digraphs_match_tarjan(spark):
         assert got == want, (seed, sorted(edges), got, want)
 
 
+def test_condensation_levels_known_dag(spark):
+    """Cycle A -> cycle B -> chain: A at level 0, B at 1, chain nodes
+    at increasing levels; member counts match component sizes."""
+    from php_etl_spark.operators.graph import condensation_levels
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),          # cycle A (scc_id 3)
+        (4, 5), (5, 6), (6, 4),          # cycle B (scc_id 6)
+        (3, 4), (6, 7), (7, 8),
+    ]
+    df = spark.createDataFrame(edges, ["s", "d"])
+    rows = {r["scc_id"]: (r["level"], r["n_members"])
+            for r in condensation_levels(df, "s", "d").collect()}
+    assert rows == {3: (0, 3), 6: (1, 3), 7: (2, 1), 8: (3, 1)}
+
+
+def test_condensation_levels_registered_vs_python(spark):
+    """The registered transition-graph key must match a driver-side
+    longest-path recompute over the Tarjan condensation."""
+    rows = {r["scc_id"]: (r["level"], r["n_members"])
+            for r in QUERIES["graph_condensation_levels"](spark, SF_DIR).collect()}
+    ev = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    edges = set()
+    prev = {}
+    for r in ev:
+        u = r["user_id"]
+        if u in prev and prev[u] != r["event_type"]:
+            edges.add((prev[u], r["event_type"]))
+        prev[u] = r["event_type"]
+    sccs = _tarjan(edges)
+    comp_of = {n: max(c) for c in sccs for n in c}
+    cedges = {
+        (comp_of[a], comp_of[b]) for a, b in edges
+        if comp_of[a] != comp_of[b]
+    }
+    want = {max(c): 0 for c in sccs}
+    for _ in range(len(want) + 1):
+        nxt = dict(want)
+        for a, b in cedges:
+            nxt[b] = max(nxt[b], nxt[a] + 1)
+        if nxt == want:
+            break
+        want = nxt
+    sizes = {max(c): len(c) for c in sccs}
+    assert rows == {c: (want[c], sizes[c]) for c in want}
+
+
 def test_registered_transition_scc(spark):
     """Every event type lands in exactly one component, and mutually-
     transitioning types share one."""
