@@ -17839,7 +17839,41 @@ def sql_group_by_all(spark, sf_dir):
     )
 
 
-@query("graph_scc")
+_SCC_TRANS_SQL = """
+    trans AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT event_type AS a,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS b
+        FROM events
+      ) WHERE b IS NOT NULL AND a <> b
+    ),
+    reach(s, d) AS (
+      SELECT a, b FROM trans
+      UNION
+      SELECT r.s, t.b FROM reach r JOIN trans t ON r.d = t.a
+    ),
+    nodes AS (SELECT a AS node FROM trans UNION SELECT b AS node FROM trans),
+    mutual AS (
+      SELECT r1.s AS node, r1.d AS peer
+      FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+    ),
+    scc AS (
+      SELECT n.node, GREATEST(n.node, COALESCE(MAX(m.peer), n.node)) AS scc_id
+      FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+      GROUP BY n.node
+    )
+"""
+
+
+@query(
+    "graph_scc",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SCC_TRANS_SQL}
+    SELECT node, scc_id FROM scc ORDER BY node
+    """,
+)
 def graph_scc(spark, sf_dir):
     """Strongly connected components of the event-type transition
     graph (edges = consecutive event types per user) — the Markov
@@ -17847,8 +17881,14 @@ def graph_scc(spark, sf_dir):
     each other; types outside are transient states. Iterative
     max-color propagation + within-class backward gather
     (operators/graph.py strongly_connected_components; Orzan-style
-    coloring). Iterative label fixpoint ⇒ rows-only; correctness is
-    pinned by pytest on synthetic digraphs with known SCCs."""
+    coloring). The oracle recomputes SCCs from first principles — a
+    recursive-CTE transitive closure with mutual-reachability
+    grouping, exact on the small event-type alphabet (closure pairs
+    ∝ |types|², so this stays an oracle-side-only strategy; the
+    Spark side never builds the closure). Labels are the component's
+    max member id on both sides ⇒ full value-hash parity for an
+    iterative graph fixpoint. Pinned additionally by pytest on
+    synthetic digraphs with known SCCs (tests/test_graph.py)."""
     from php_etl_spark.operators.graph import strongly_connected_components
 
     ev = _cat(spark, sf_dir).events
@@ -17865,14 +17905,38 @@ def graph_scc(spark, sf_dir):
     return strongly_connected_components(trans, "a", "b")
 
 
-@query("graph_condensation_levels")
+@query(
+    "graph_condensation_levels",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SCC_TRANS_SQL},
+    cond AS (
+      SELECT DISTINCT s1.scc_id AS cs, s2.scc_id AS cd
+      FROM trans t JOIN scc s1 ON t.a = s1.node JOIN scc s2 ON t.b = s2.node
+      WHERE s1.scc_id <> s2.scc_id
+    ),
+    paths(c, len) AS (
+      SELECT scc_id, 0 FROM (SELECT DISTINCT scc_id FROM scc)
+      UNION
+      SELECT cond.cd, paths.len + 1 FROM paths JOIN cond ON paths.c = cond.cs
+    )
+    SELECT s.scc_id, CAST(MAX(p.len) AS INTEGER) AS level,
+           CAST(COUNT(DISTINCT s.node) AS BIGINT) AS n_members
+    FROM scc s JOIN paths p ON p.c = s.scc_id
+    GROUP BY s.scc_id ORDER BY s.scc_id
+    """,
+)
 def graph_condensation_levels(spark, sf_dir):
     """Condensation DAG of the event-type transition graph with
     longest-path dependency levels per component — the staged-
     scheduling view (level-0 components have no upstream). Composes
-    graph_scc; iterative DAG relaxation ⇒ rows-only; pytest pins it
-    against a driver-side longest-path recompute over the Tarjan
-    condensation."""
+    graph_scc. The oracle recomputes the condensation from the
+    closure-based SCC CTE and takes longest-path levels by recursive
+    path enumeration over the (tiny, acyclic) component DAG — path
+    rows are bounded by |components| × longest-path, so exact
+    enumeration is safe oracle-side while the Spark side relaxes
+    levels iteratively. Pytest additionally pins it against a
+    driver-side Tarjan + longest-path recompute."""
     from php_etl_spark.operators.graph import condensation_levels
 
     ev = _cat(spark, sf_dir).events
