@@ -189,13 +189,19 @@ def pagerank(
     oracle; correctness is property-tested (mass conservation,
     positivity, hub dominance) in tests/test_graph.py.
     """
+    # pin the edge list once — re-scanned every iteration (contribs +
+    # out_deg); callers typically hand us a join+distinct whose
+    # recomputation would dominate the fixpoint
+    edges = materialize(edges.select(src, dst))
     nodes = materialize(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
     n = nodes.count()
-    out_deg = edges.groupBy(src).agg(F.count("*").alias("out_deg"))
+    out_deg = materialize(
+        edges.groupBy(src).agg(F.count("*").alias("out_deg"))
+    )
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
         with_deg = ranks.join(
@@ -224,6 +230,80 @@ def pagerank(
                     + F.lit(damping)
                     * F.coalesce(F.col("in_mass"), F.lit(0.0))
                 ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 6,
+    scale: int = 10**9,
+) -> DataFrame:
+    """PageRank in exact fixed-point integer arithmetic — every rank
+    is a BIGINT in units of 1/scale, every step is integer multiply /
+    truncating divide / order-independent integer sum, so the result
+    is bit-identical on any engine that implements 64-bit integer
+    division (the cross-engine determinism float PageRank cannot
+    give: float summation order varies with partitioning).
+
+    Update rule (damping 85/100 as an exact rational):
+        rank' = (15·scale) div 100
+              + (85 · (in_mass + dangling div N)) div 100
+    with in_mass = Σ_incoming (rank div out_deg). Truncation loses
+    ≤1 unit per division (≤1e-9 of a rank), so the ordering matches
+    float PageRank while the VALUES are deterministic. Overflow
+    headroom: 85·N·scale must fit int64 ⇒ N < 1e8 nodes at
+    scale=1e9; shard the scale down for larger graphs.
+
+    Same shuffle shape as :func:`pagerank` — per round one join on
+    node id, one aggregate on dst, dangling mass as a broadcast
+    1-row cross join; lineage truncated per round via materialize().
+    """
+    base = 15 * scale // 100
+    # pin the edge list once — it is re-scanned every iteration (twice:
+    # contribs + out_deg), and callers typically hand us a join+distinct
+    # whose recomputation would dominate the whole fixpoint
+    edges = materialize(edges.select(src, dst))
+    nodes = materialize(
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    out_deg = materialize(
+        edges.groupBy(src).agg(F.count("*").alias("out_deg"))
+    )
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            out_deg, ranks["node"] == out_deg[src], "left"
+        ).select(ranks["node"], "rank", "out_deg")
+        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("dangling")
+        )
+        contribs = (
+            edges.join(with_deg.filter(F.col("out_deg").isNotNull()),
+                       edges[src] == with_deg["node"])
+            .select(F.col(dst).alias("node"),
+                    F.expr("rank div out_deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = materialize(
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        "(85 * (coalesce(in_mass, 0L)"
+                        f" + dangling div {n}L)) div 100"
+                    )
+                ).cast("long").alias("rank"),
             )
         )
     return ranks

@@ -7398,6 +7398,88 @@ def graph_pagerank(spark, sf_dir):
     )
 
 
+def _pagerank_exact_oracle(iterations: int = 6, scale: int = 10**9) -> str:
+    """Unrolled fixed-point PageRank in plain SQL: one CTE triple
+    (dangling, contribs, ranks) per iteration. Unrolling sidesteps
+    the no-aggregates-in-recursive-term CTE restriction; with integer
+    arithmetic throughout, every engine computes identical BIGINTs."""
+    base = 15 * scale // 100
+    parts = [
+        """
+        edges AS MATERIALIZED (
+          SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        nodes AS MATERIALIZED (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        outdeg AS MATERIALIZED (
+          SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS od
+          FROM edges GROUP BY 1
+        ),
+        r0 AS (SELECT node, CAST(%d AS BIGINT) AS rank FROM nodes)
+        """ % scale
+    ]
+    for i in range(iterations):
+        parts.append(f"""
+        d{i} AS (
+          SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang
+          FROM r{i} r LEFT JOIN outdeg o ON r.node = o.node
+          WHERE o.node IS NULL
+        ),
+        c{i} AS (
+          SELECT e.dst AS node, CAST(SUM(r.rank // o.od) AS BIGINT) AS mass
+          FROM edges e
+          JOIN r{i} r ON e.src = r.node
+          JOIN outdeg o ON r.node = o.node
+          GROUP BY 1
+        ),
+        r{i + 1} AS MATERIALIZED (
+          SELECT n.node,
+                 CAST({base} + (85 * (COALESCE(c.mass, 0)
+                      + (SELECT dang FROM d{i}) // (SELECT n FROM nn)))
+                      // 100 AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+        )""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+        SELECT node, rank AS rank_fp
+        FROM r{iterations}
+        ORDER BY rank DESC, node LIMIT 20
+        """
+    )
+
+
+@query("graph_pagerank_exact", oracle=_pagerank_exact_oracle())
+def graph_pagerank_exact(spark, sf_dir):
+    """Fixed-point integer PageRank over the customer→supplier
+    purchase graph (operators/graph.pagerank_exact): ranks are
+    BIGINT nano-units, each step integer mul/div/sum, so the values
+    are engine-exact — the deterministic twin of graph_pagerank,
+    hash-verified against an unrolled-SQL re-derivation rather than
+    rows-only. Top-20 with a total-order tie-break (rank desc,
+    node)."""
+    c = _cat(spark, sf_dir)
+    edges = (
+        c.orders.join(
+            c.lineitem, c.lineitem["l_orderkey"] == c.orders["o_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = G.pagerank_exact(edges, "src", "dst", iterations=6)
+    return (
+        ranks.select("node", F.col("rank").alias("rank_fp"))
+        .orderBy(F.col("rank_fp").desc(), "node")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H breadth, third batch: Q8/Q12/Q13/Q14/Q19/Q20 shapes adapted to
 # the driver's schema (no partsupp / l_shipmode / l_commitdate columns)

@@ -93,6 +93,43 @@ def test_pagerank_positive_and_hub_wins(pagerank_ranks):
     assert ranks[1] > ranks[4]
 
 
+def test_pagerank_exact_matches_reference_fixpoint(spark):
+    """Fixed-point integer PageRank must equal a driver-side replay of
+    the same integer recurrence exactly (no tolerance), and agree with
+    float PageRank on ordering."""
+    edge_list = [(2, 1), (3, 1), (4, 1), (5, 1), (2, 3), (1, 2)]
+    e = _edges(spark, edge_list)
+    scale = 10**9
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank_exact(e, "a", "b", iterations=12).collect()
+    }
+
+    nodes = sorted({n for ed in edge_list for n in ed})
+    out = {}
+    for s, _ in edge_list:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: scale for v in nodes}
+    for _ in range(12):
+        dang = sum(rank[v] for v in nodes if v not in out)
+        mass = {v: 0 for v in nodes}
+        for s, d in edge_list:
+            mass[d] += rank[s] // out[s]
+        rank = {
+            v: 15 * scale // 100 + (85 * (mass[v] + dang // n)) // 100
+            for v in nodes
+        }
+    assert got == rank
+
+    float_order = sorted(
+        G.pagerank(e, "a", "b", iterations=12).collect(),
+        key=lambda r: -r["rank"],
+    )
+    exact_order = sorted(got, key=lambda v: -got[v])
+    assert [r["node"] for r in float_order] == exact_order
+
+
 def test_tree_closure_forest_with_parent_only_roots(spark):
     """Pointer doubling must handle a forest whose roots appear only
     on the parent side (no self-edge row), resolve depth up to
