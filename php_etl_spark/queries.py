@@ -18076,6 +18076,91 @@ def graph_condensation_levels(spark, sf_dir):
     return condensation_levels(trans, "a", "b")
 
 
+@query(
+    "window_mann_kendall",
+    oracle="""
+    WITH monthly AS (
+      SELECT n_name,
+             EXTRACT(year FROM o_orderdate) * 100
+               + EXTRACT(month FROM o_orderdate) AS ym,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.n_name,
+             CASE WHEN b.rev > a.rev THEN 1
+                  WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+      FROM monthly a JOIN monthly b
+        ON a.n_name = b.n_name AND a.ym < b.ym
+    ), s AS (
+      SELECT n_name, CAST(SUM(sgn) AS BIGINT) AS s_stat
+      FROM pairs GROUP BY 1
+    ), m AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly GROUP BY 1
+    )
+    SELECT m.n_name, m.n_months, s.s_stat,
+           CAST(round(2000000.0 * s.s_stat
+                / (m.n_months * (m.n_months - 1))) AS BIGINT) AS tau_ppm
+    FROM m JOIN s ON m.n_name = s.n_name
+    ORDER BY m.n_name
+    """,
+)
+def window_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test per nation over the monthly revenue
+    series: S = Σ_{i<j} sign(x_j − x_i), Kendall's τ = 2S/(n(n−1)) in
+    exact ppm. The non-parametric drift detector for pipeline health
+    metrics — no distributional assumptions, exact integer arithmetic
+    throughout (cents sums, ±1 signs), one correctly-rounded double
+    division at the end. Scale shape: the O(n²) pairing runs on the
+    REDUCED frame (nations × months, ~2k rows regardless of fact
+    size); the only big-data work is the monthly cents aggregation,
+    which shuffles once on (nation, month). Dims broadcast."""
+    c = _cat(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    monthly = (
+        c.orders.join(
+            c.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(c.nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        )
+        .agg(F.sum(cents).alias("rev"))
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    sgn = (
+        F.when(F.col("b.rev") > F.col("a.rev"), 1)
+        .when(F.col("b.rev") < F.col("a.rev"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("a.n_name") == F.col("b.n_name"))
+            & (F.col("a.ym") < F.col("b.ym")),
+        )
+        .select(F.col("a.n_name").alias("n_name"), sgn.alias("sgn"))
+        .groupBy("n_name")
+        .agg(F.sum("sgn").alias("s_stat"))
+    )
+    m = monthly.groupBy("n_name").agg(F.count("*").alias("n_months"))
+    tau = F.round(
+        F.lit(2000000.0) * F.col("s_stat")
+        / (F.col("n_months") * (F.col("n_months") - 1))
+    ).cast("long")
+    return (
+        m.join(s, "n_name")
+        .select("n_name", "n_months", "s_stat", tau.alias("tau_ppm"))
+        .orderBy("n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
