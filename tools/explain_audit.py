@@ -758,6 +758,24 @@ AUDITS = {
          "of history through a window",
          lambda p: "Window" not in p and "FullOuter" in p),
     ],
+    "graph_pagerank_exact": [
+        ("lineage truncated: the final rank frame reads the last "
+         "materialized round, not 6 rounds of stacked joins",
+         lambda p: "ExistingRDD" in p or "LogicalRDD" in p),
+        ("no parquet rescan in the final plan (edge build doesn't ride "
+         "through every iteration)",
+         lambda p: "FileScan parquet" not in p),
+    ],
+    "window_mann_kendall": [
+        ("nation dim broadcasts into the monthly aggregation",
+         lambda p: "BroadcastHashJoin" in p),
+        ("the O(n^2) pairing is an equi-join on the reduced frame, "
+         "never a cartesian product",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("monthly cents aggregate reduces map-side before the shuffle",
+         lambda p: "partial_sum" in p.lower()),
+    ],
 }
 
 
