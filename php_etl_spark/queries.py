@@ -17544,6 +17544,137 @@ def ts_holt_linear(spark, sf_dir):
 
 
 @query(
+    "ts_holt_winters",
+    oracle="""
+    WITH RECURSIVE monthly AS (
+      SELECT n_name,
+             CAST(EXTRACT(year FROM o_orderdate) * 100
+               + EXTRACT(month FROM o_orderdate) AS INTEGER) AS ym,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), seq AS (
+      SELECT n_name, ym, CAST(rev AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY ym) AS rn
+      FROM monthly
+    ), r AS (
+      SELECT n_name, ym, rn, x AS l, CAST(0.0 AS DOUBLE) AS b,
+             [CAST(0.0 AS DOUBLE)] AS sv
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.n_name, s.ym, s.rn,
+             0.5 * (s.x - CASE WHEN s.rn > 12
+                                THEN r.sv[s.rn - 12] ELSE 0.0 END)
+               + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * (s.x - CASE WHEN s.rn > 12
+                                 THEN r.sv[s.rn - 12] ELSE 0.0 END)
+               + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+             r.sv || [0.5 * (s.x
+                 - (0.5 * (s.x - CASE WHEN s.rn > 12
+                                 THEN r.sv[s.rn - 12] ELSE 0.0 END)
+                    + 0.5 * (r.l + r.b)))
+               + 0.5 * CASE WHEN s.rn > 12
+                            THEN r.sv[s.rn - 12] ELSE 0.0 END]
+      FROM r JOIN seq s ON s.n_name = r.n_name AND s.rn = r.rn + 1
+    )
+    SELECT n_name, ym,
+           CAST(round(1000 * l) AS BIGINT) AS level_milli,
+           CAST(round(1000 * b) AS BIGINT) AS trend_milli,
+           CAST(round(1000 * sv[rn]) AS BIGINT) AS season_milli,
+           CAST(round(1000 * (l + b + CASE WHEN rn >= 12
+                  THEN sv[rn - 11] ELSE 0.0 END)) AS BIGINT)
+             AS forecast_milli
+    FROM r
+    """,
+)
+def ts_holt_winters(spark, sf_dir):
+    """Holt–Winters ADDITIVE seasonal smoothing (α=β=γ=½, m=12) over
+    each nation's monthly revenue — THREE coupled recurrences (level,
+    trend, a 12-slot seasonal vector) replayed bit-exactly by a
+    recursive CTE that carries the seasonal state as a growing LIST.
+    α=½ keeps every scaling exact; adds/subs evaluate the identical
+    IEEE expression tree on both engines (the ts_ewma_recursive /
+    ts_holt_linear precedent extended to vector state). Init: l₁=x₁,
+    b₁=0, s=0 through the first season (no lookahead). forecast =
+    l+b+s_{t+1−m}, the one-step-ahead seasonal prediction.
+
+    Scale shape: the fact table reduces FIRST (one shuffle to
+    nation×month cents), the sequential pass runs on the reduced
+    series (|nations|·|months| rows) via the partition-sorted
+    mapInPandas cross-batch carry — the standard forecasting
+    pipeline split: distributed aggregate, per-series smoothing."""
+    import numpy as np
+    import pandas as pd
+
+    from php_etl_spark.functions.exact import round_milli
+
+    c = _cat(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    monthly = (
+        c.orders.join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        )
+        .agg(F.sum(cents).alias("rev"))
+    )
+    by_key = monthly.repartition(F.col("n_name")).sortWithinPartitions(
+        "n_name", "ym"
+    )
+    m = 12
+
+    def _hw(batches):
+        cur = None
+        lev = trend = 0.0
+        svals: list[float] = []
+        for pdf in batches:
+            keys = pdf["n_name"].to_numpy()
+            xs = pdf["rev"].to_numpy(dtype="float64")
+            n = len(xs)
+            ls = np.empty(n); bs = np.empty(n)
+            ss = np.empty(n); fc = np.empty(n)
+            for i in range(n):
+                x = xs[i]
+                if keys[i] != cur:
+                    cur = keys[i]
+                    lev, trend = x, 0.0
+                    svals = [0.0]
+                else:
+                    t = len(svals) + 1
+                    sp = svals[t - m - 1] if t > m else 0.0
+                    new_l = 0.5 * (x - sp) + 0.5 * (lev + trend)
+                    trend = 0.5 * (new_l - lev) + 0.5 * trend
+                    lev = new_l
+                    svals.append(0.5 * (x - lev) + 0.5 * sp)
+                t = len(svals)
+                ls[i] = lev
+                bs[i] = trend
+                ss[i] = svals[t - 1]
+                sf = svals[t - m] if t >= m else 0.0
+                fc[i] = lev + trend + sf
+            yield pd.DataFrame(
+                {
+                    "n_name": keys,
+                    "ym": pdf["ym"].to_numpy(),
+                    "level_milli": round_milli(ls),
+                    "trend_milli": round_milli(bs),
+                    "season_milli": round_milli(ss),
+                    "forecast_milli": round_milli(fc),
+                }
+            )
+
+    return by_key.mapInPandas(
+        _hw,
+        "n_name string, ym int, level_milli bigint, trend_milli bigint, "
+        "season_milli bigint, forecast_milli bigint",
+    )
+
+
+@query(
     "ml_pr_curve_points",
     oracle="""
     WITH scored AS (
