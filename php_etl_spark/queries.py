@@ -17674,6 +17674,107 @@ def ts_holt_winters(spark, sf_dir):
     )
 
 
+def _lttb_oracle(k: int = 12) -> str:
+    """Unrolled LTTB in plain SQL: the sequential bucket-by-bucket
+    argmax becomes k−2 chained CTEs, each a ROW_NUMBER pick over one
+    bucket joined to the previous selection and the next bucket's
+    integer sums. Ties break (area desc, x, event_id) — the same
+    total order the Spark pass uses."""
+    b_cnt = k - 2
+    head = f"""
+    pts AS MATERIALIZED (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS x,
+             CAST(round(value * 1000) AS BIGINT) AS y,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY floor(epoch(ts)), event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    small AS (
+      SELECT user_id, event_id, x, y FROM pts WHERE n <= {k}
+    ),
+    big AS (SELECT * FROM pts WHERE n > {k}),
+    mid AS MATERIALIZED (
+      SELECT user_id, event_id, x, y,
+             ((rn - 2) * {b_cnt}) // (n - 2) AS bucket
+      FROM big WHERE rn > 1 AND rn < n
+    ),
+    bsum AS MATERIALIZED (
+      SELECT user_id, bucket,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM mid GROUP BY 1, 2
+    ),
+    lastp AS (SELECT user_id, event_id, x, y FROM big WHERE rn = n),
+    sel0 AS (SELECT user_id, event_id, x, y FROM big WHERE rn = 1)
+    """
+    steps = []
+    for i in range(b_cnt):
+        if i < b_cnt - 1:
+            anchor = f"""(SELECT user_id, sx, sy, m FROM bsum
+                          WHERE bucket = {i + 1})"""
+        else:
+            anchor = """(SELECT user_id, x AS sx, y AS sy,
+                                CAST(1 AS BIGINT) AS m FROM lastp)"""
+        steps.append(f"""
+    sel{i + 1} AS MATERIALIZED (
+      SELECT user_id, event_id, x, y FROM (
+        SELECT c.user_id, c.event_id, c.x, c.y,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.user_id
+                 ORDER BY abs((p.x * a.m - a.sx) * (c.y - p.y)
+                              - (p.x - c.x) * (a.sy - p.y * a.m)) DESC,
+                          c.x, c.event_id) AS rk
+        FROM mid c
+        JOIN sel{i} p ON p.user_id = c.user_id
+        JOIN {anchor} a ON a.user_id = c.user_id
+        WHERE c.bucket = {i}
+      ) WHERE rk = 1
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(b_cnt + 1)
+    )
+    return (
+        "WITH " + head + "," + ",".join(steps)
+        + f"""
+    SELECT user_id, event_id, x AS x_s, y AS y_milli FROM (
+      {unions}
+      UNION ALL SELECT * FROM lastp
+      UNION ALL SELECT * FROM small
+    )
+    """
+    )
+
+
+@query("window_lttb_downsample", oracle=_lttb_oracle())
+def window_lttb_downsample(spark, sf_dir):
+    """LTTB downsampling (Steinarsson 2013) of each user's event
+    series to ≤12 visually-representative points
+    (operators/downsample.lttb): first/last kept, the middle split
+    into 10 index-equal buckets, each contributing its
+    largest-triangle point vs the previous selection and the next
+    bucket's centroid. All-integer area comparisons (scaled through
+    by the bucket size — no division) make the selection
+    engine-exact; the oracle replays the sequential chain as 10
+    unrolled SQL argmax steps. The dashboard/preview operator Spark
+    lacks natively — at 100 TB it renders month-scale charts from
+    billions of raw points with one series-key shuffle."""
+    from php_etl_spark.operators.downsample import lttb
+
+    ev = _cat(spark, sf_dir).events.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("x"),
+        F.round(F.col("value") * 1000).cast("long").alias("y"),
+    )
+    out = lttb(ev, "user_id", "x", "y", "event_id", k=12)
+    return out.select(
+        "user_id", "event_id",
+        F.col("x").alias("x_s"), F.col("y").alias("y_milli"),
+    )
+
+
 @query(
     "ml_pr_curve_points",
     oracle="""

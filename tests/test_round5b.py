@@ -148,6 +148,55 @@ def test_mann_kendall_known_series(spark):
     assert round(2e6 * s / (10 * 9)) == 1_000_000
 
 
+def test_lttb_small_series_pass_through(spark):
+    from php_etl_spark.operators.downsample import lttb
+
+    df = spark.createDataFrame(
+        [(1, i, 10 * i, i * i) for i in range(5)],
+        ["k", "id", "x", "y"],
+    )
+    got = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in lttb(df, "k", "x", "y", "id", k=6).collect()
+    )
+    assert got == [(i, 10 * i, i * i) for i in range(5)]
+
+
+def test_lttb_keeps_endpoints_and_counts(spark):
+    from php_etl_spark.operators.downsample import lttb
+
+    rows = [(u, u * 1000 + i, i, (i * 7919) % 101) for u in (1, 2)
+            for i in range(50)]
+    df = spark.createDataFrame(rows, ["k", "id", "x", "y"])
+    out = lttb(df, "k", "x", "y", "id", k=7).collect()
+    by_key = defaultdict(list)
+    for r in out:
+        by_key[r["k"]].append((r["x"], r["id"], r["y"]))
+    src = {(u, i): (i * 7919) % 101 for u in (1, 2) for i in range(50)}
+    for u, pts in by_key.items():
+        pts.sort()
+        assert len(pts) == 7
+        assert pts[0][0] == 0 and pts[-1][0] == 49  # endpoints kept
+        xs = [p[0] for p in pts]
+        assert xs == sorted(set(xs))  # strictly increasing, no dups
+        for x, _, y in pts:
+            assert src[(u, x)] == y  # selection is a subset, values intact
+
+
+def test_lttb_picks_the_spike(spark):
+    """A flat series with one huge spike in a middle bucket must keep
+    the spike (it forms the largest triangle by construction)."""
+    from php_etl_spark.operators.downsample import lttb
+
+    ys = [0] * 30
+    ys[17] = 10_000
+    df = spark.createDataFrame(
+        [(1, i, i, ys[i]) for i in range(30)], ["k", "id", "x", "y"]
+    )
+    got = {r["x"] for r in lttb(df, "k", "x", "y", "id", k=8).collect()}
+    assert 17 in got and 0 in got and 29 in got
+
+
 def test_pagerank_exact_sums_bounded_and_deterministic(spark):
     """Ranks are nano-units: total mass stays within (truncation-loss)
     of N*scale, and two runs give identical BIGINTs."""
