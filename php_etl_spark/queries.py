@@ -18309,6 +18309,109 @@ def graph_condensation_levels(spark, sf_dir):
 
 
 @query(
+    "ml_isotonic_calibration",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CAST(round(l_discount * 100) AS BIGINT) * 10
+               + CAST(concat('0x', substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || ':' ||
+                   CAST(l_linenumber AS VARCHAR)), 1, 4)) AS BIGINT) % 10
+               AS score
+      FROM lineitem
+    ), lev AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ), base AS (
+      SELECT score, n, pos, ROW_NUMBER() OVER (ORDER BY score) AS i,
+             CAST(SUM(n) OVER (ORDER BY score) AS BIGINT) AS cn,
+             CAST(SUM(pos) OVER (ORDER BY score) AS BIGINT) AS cp
+      FROM lev
+    ), pairs AS (
+      SELECT a.i AS j, b.i AS k,
+             1000000.0 * (b.cp - COALESCE(aj.cp, 0))
+               / (b.cn - COALESCE(aj.cn, 0)) AS mean_ppm
+      FROM base b
+      JOIN base a ON a.i <= b.i
+      LEFT JOIN base aj ON aj.i = a.i - 1
+    ), inner_m AS (
+      SELECT g.i, p.j, MIN(p.mean_ppm) AS mn
+      FROM pairs p JOIN base g ON g.i BETWEEN p.j AND p.k
+      GROUP BY 1, 2
+    ), fit AS (
+      SELECT i, MAX(mn) AS fitted FROM inner_m GROUP BY 1
+    )
+    SELECT b.score, b.n, b.pos,
+           CAST(round(f.fitted) AS BIGINT) AS fitted_ppm
+    FROM base b JOIN fit f ON f.i = b.i
+    ORDER BY b.score
+    """,
+)
+def ml_isotonic_calibration(spark, sf_dir):
+    """Isotonic (monotone non-decreasing) probability calibration via
+    exact PAVA — the standard post-hoc calibrator for ranking scores,
+    fitted over the shared deterministic score stand-in. Scale shape:
+    ONE map-side-combined aggregate reduces billions of rows to the
+    |distinct scores| level table (bounded at 110 by construction),
+    then pool-adjacent-violators runs in a single Python pass over
+    that reduced frame with EXACT cross-multiplied rational
+    comparisons (pos_a·n_b vs pos_b·n_a — no float drift in the merge
+    decisions). The oracle re-derives the fit from the minimax
+    characterization fitted_i = max_{j≤i} min_{k≥i} mean(j..k)
+    (Ayer et al. 1955) — a completely different algorithm arriving at
+    the same doubles, because correctly-rounded division preserves
+    the rational order (monotone rounding). Output ppm via one IEEE
+    division per pool."""
+    import math
+
+    import pandas as pd
+
+    li = _cat(spark, sf_dir).lineitem
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    score = _synthetic_score()
+    lev = (
+        li.select(y.alias("y"), score.alias("score"))
+        .groupBy("score")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+
+    def _pava(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("score").reset_index(drop=True)
+        pools: list[list[int]] = []  # [pos_sum, n_sum, level_count]
+        for pos, n in zip(pdf["pos"], pdf["n"]):
+            pools.append([int(pos), int(n), 1])
+            while (
+                len(pools) >= 2
+                and pools[-2][0] * pools[-1][1]
+                >= pools[-1][0] * pools[-2][1]
+            ):
+                top = pools.pop()
+                pools[-1][0] += top[0]
+                pools[-1][1] += top[1]
+                pools[-1][2] += top[2]
+        fitted: list[int] = []
+        for pos_s, n_s, cnt in pools:
+            v = 1000000.0 * pos_s / n_s
+            fitted.extend([int(math.floor(v + 0.5))] * cnt)
+        return pd.DataFrame(
+            {
+                "score": pdf["score"],
+                "n": pdf["n"],
+                "pos": pdf["pos"],
+                "fitted_ppm": fitted,
+            }
+        )
+
+    return lev.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        _pava, "score long, n long, pos long, fitted_ppm long"
+    )
+
+
+@query(
     "window_mann_kendall",
     oracle="""
     WITH monthly AS (

@@ -197,6 +197,26 @@ def test_lttb_picks_the_spike(spark):
     assert 17 in got and 0 in got and 29 in got
 
 
+def test_isotonic_calibration_monotone_and_mass_preserving(spark):
+    rows = sorted(
+        QUERIES["ml_isotonic_calibration"](spark, SF_DIR).collect(),
+        key=lambda r: r["score"],
+    )
+    assert rows
+    fitted = [r["fitted_ppm"] for r in rows]
+    assert fitted == sorted(fitted)  # isotonic in score
+    assert all(0 <= f <= 1_000_000 for f in fitted)
+    # PAVA preserves the weighted mean: sum(n*fitted) ~ 1e6*sum(pos)
+    # (each pool's fitted is its own pos/n, rounded once per pool)
+    lhs = sum(r["n"] * r["fitted_ppm"] for r in rows)
+    rhs = 1_000_000 * sum(r["pos"] for r in rows)
+    assert abs(lhs - rhs) <= sum(r["n"] for r in rows)  # <=0.5 ulp/pool
+    # the empirical rate per level brackets the fit: isotonic fit of a
+    # non-trivial series never escapes [min rate, max rate]
+    rates = [1_000_000 * r["pos"] / r["n"] for r in rows]
+    assert min(rates) - 1 <= min(fitted) and max(fitted) <= max(rates) + 1
+
+
 def test_pagerank_exact_sums_bounded_and_deterministic(spark):
     """Ranks are nano-units: total mass stays within (truncation-loss)
     of N*scale, and two runs give identical BIGINTs."""
