@@ -18412,6 +18412,73 @@ def ml_isotonic_calibration(spark, sf_dir):
 
 
 @query(
+    "agg_itemsets_apriori",
+    oracle="""
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), freq1 AS MATERIALIZED (
+      SELECT pk FROM items GROUP BY pk HAVING COUNT(*) >= 3
+    ), fitems AS MATERIALIZED (
+      SELECT i.ok, i.pk FROM items i JOIN freq1 f ON i.pk = f.pk
+    ), pairs AS MATERIALIZED (
+      SELECT a.ok, a.pk AS p1, b.pk AS p2
+      FROM fitems a JOIN fitems b ON a.ok = b.ok AND a.pk < b.pk
+    ), freq2 AS MATERIALIZED (
+      SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING COUNT(*) >= 2
+    ), trip AS (
+      SELECT p.ok, p.p1, p.p2, c.pk AS p3
+      FROM pairs p
+      JOIN freq2 f ON p.p1 = f.p1 AND p.p2 = f.p2
+      JOIN fitems c ON c.ok = p.ok AND c.pk > p.p2
+    )
+    SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS support
+    FROM trip GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    """,
+)
+def agg_itemsets_apriori(spark, sf_dir):
+    """Frequent 3-itemset mining with A-priori candidate pruning
+    (Agrawal & Srikant 1994): items below support-3 never enter the
+    pair join; pairs below support-2 never extend to triples. The
+    pruning is the scale story — the k=3 candidate space shrinks
+    multiplicatively at each level, and both frequent-set frames are
+    tiny aggregates that BROADCAST into the next self-join, so the
+    only shuffles are on the basket key. Basket width is bounded
+    (TPC-H orders ≤7 items; a retail corpus would cap via the
+    co-purchase guard), keeping per-basket pair fanout quadratic in a
+    small constant. Exact integer supports ⇒ full oracle."""
+    items = (
+        _cat(spark, sf_dir).lineitem
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    freq1 = (
+        items.groupBy("pk").agg(F.count("*").alias("c1"))
+        .filter(F.col("c1") >= 3).select("pk")
+    )
+    fitems = items.join(F.broadcast(freq1), "pk").select("ok", "pk")
+    a = fitems.select("ok", F.col("pk").alias("p1"))
+    b = fitems.select(F.col("ok").alias("ok2"), F.col("pk").alias("p2"))
+    pairs = a.join(
+        b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2"))
+    ).select("ok", "p1", "p2")
+    freq2 = (
+        pairs.groupBy("p1", "p2").agg(F.count("*").alias("c2"))
+        .filter(F.col("c2") >= 2).select("p1", "p2")
+    )
+    c = fitems.select(F.col("ok").alias("ok3"), F.col("pk").alias("p3"))
+    trip = (
+        pairs.join(F.broadcast(freq2), ["p1", "p2"])
+        .join(c, (F.col("ok") == F.col("ok3")) & (F.col("p3") > F.col("p2")))
+        .select("p1", "p2", "p3")
+    )
+    return (
+        trip.groupBy("p1", "p2", "p3")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+@query(
     "window_mann_kendall",
     oracle="""
     WITH monthly AS (
