@@ -6097,6 +6097,102 @@ def text_tfidf_topk(spark, sf_dir):
 
 
 @query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest({{toks}}) AS term FROM documents
+    ),
+    dl AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS corpus_len,
+             CAST(COUNT(*) AS BIGINT) AS n FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ('spark', 'join', 'data')
+      GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    terms AS (
+      SELECT t.doc_id,
+             CAST(round(CAST(round(1000 * ln(
+                 CAST(2 * s.n - 2 * f.df + 1 AS DOUBLE) / (2 * f.df + 1)
+               )) AS BIGINT)
+               * (CAST(22 * t.tf * s.corpus_len AS DOUBLE)
+                  / CAST(10 * s.corpus_len * t.tf + 3 * s.corpus_len
+                         + 9 * d.dl * s.n AS DOUBLE))) AS BIGINT)
+               AS term_milli
+      FROM tf t
+      JOIN df f USING (term)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(term_milli) AS BIGINT) AS score_milli
+    FROM terms GROUP BY 1
+    ORDER BY score_milli DESC, doc_id LIMIT 10
+    """.replace("{toks}", _TOKS_SQL),
+)
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 retrieval scoring (Robertson–Spärck Jones idf,
+    k1=1.2, b=0.75) for the fixed query {spark, join, data}: top-10
+    documents. Exactness engineering: with k1=6/5, b=3/4 the TF
+    saturation term collapses to the single integer ratio
+    22·tf·L / (10·L·tf + 3·L + 9·dl·N) (L = corpus tokens, dl = doc
+    length) — ONE correctly-rounded IEEE division; idf is rounded to
+    milli-nats FIRST (the ln is the only transcendental, absorbed at
+    the milli grain — entropy/IDF precedent), each term contribution
+    is rounded to an INTEGER before the per-doc sum, so summation
+    order cannot drift across engines/partitionings. Scale shape:
+    doc-length and tf aggregates shuffle once each; df and the 1-row
+    corpus stats broadcast; top-10 is a bounded sort. At 100 TB the
+    per-term state is |vocab|-sized — BM25 is the scoring half of an
+    inverted index (text_inverted_index is the posting half)."""
+    docs = _cat(spark, sf_dir).documents
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("corpus_len"), F.count("*").alias("n")
+    )
+    tf = (
+        toks.filter(F.col("term").isin("spark", "join", "data"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf_milli = F.round(
+        F.lit(1000)
+        * F.log(
+            (F.lit(2) * F.col("n") - 2 * F.col("df") + 1).cast("double")
+            / (F.lit(2) * F.col("df") + 1)
+        )
+    ).cast("long")
+    tfc = (F.lit(22) * F.col("tf") * F.col("corpus_len")).cast("double") / (
+        F.lit(10) * F.col("corpus_len") * F.col("tf")
+        + F.lit(3) * F.col("corpus_len")
+        + F.lit(9) * F.col("dl") * F.col("n")
+    ).cast("double")
+    terms = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf_milli * tfc).cast("long").alias("term_milli"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.sum("term_milli").alias("score_milli"))
+        .orderBy(F.col("score_milli").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
     "text_inverted_index",
     oracle=f"""
     WITH toks AS (
