@@ -18575,6 +18575,109 @@ def agg_itemsets_apriori(spark, sf_dir):
 
 
 @query(
+    "ts_crosscorr_lags",
+    oracle="""
+    WITH hours AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, event_type
+      FROM events
+    ), bounds AS (
+      SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hours
+    ), grid AS (
+      SELECT unnest(generate_series(h0, h1)) AS h FROM bounds
+    ), va AS (
+      SELECT g.h, CAST(COALESCE(c.n, 0) AS BIGINT) AS a
+      FROM grid g LEFT JOIN (
+        SELECT h, COUNT(*) AS n FROM hours WHERE event_type = 'view'
+        GROUP BY 1) c ON c.h = g.h
+    ), vb AS (
+      SELECT g.h, CAST(COALESCE(c.n, 0) AS BIGINT) AS b
+      FROM grid g LEFT JOIN (
+        SELECT h, COUNT(*) AS n FROM hours WHERE event_type = 'purchase'
+        GROUP BY 1) c ON c.h = g.h
+    ), lags AS (
+      SELECT unnest(generate_series(-3, 3)) AS lag
+    ), sums AS (
+      SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(va.a) AS BIGINT) AS sa,
+             CAST(SUM(vb.b) AS BIGINT) AS sb,
+             CAST(SUM(va.a * va.a) AS BIGINT) AS saa,
+             CAST(SUM(vb.b * vb.b) AS BIGINT) AS sbb,
+             CAST(SUM(va.a * vb.b) AS BIGINT) AS sab
+      FROM lags l
+      JOIN va ON TRUE
+      JOIN vb ON vb.h = va.h + l.lag
+      GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           CAST(n * sab - sa * sb AS BIGINT) AS s_xy,
+           CAST(round(1000000.0 * (n * sab - sa * sb)
+                / sqrt(CAST((n * saa - sa * sa) AS DOUBLE)
+                       * (n * sbb - sb * sb))) AS BIGINT) AS corr_ppm
+    FROM sums ORDER BY lag
+    """,
+)
+def ts_crosscorr_lags(spark, sf_dir):
+    """Cross-correlation function between the hourly 'view' and
+    'purchase' count series at lags −3..+3 — the lead/lag detector
+    (does purchasing trail browsing, and by how many hours?).
+    Zero-filled hour grid so gaps count as 0 activity; per lag the
+    scaled covariance n·Σab − Σa·Σb and the Pearson correlation are
+    EXACT integers up to one sqrt+division (correctly-rounded IEEE on
+    exact int inputs — deterministic on any engine). Scale shape:
+    the event stream reduces to per-hour counts FIRST (one shuffle);
+    the 7-lag × |hours| self-join runs on the reduced grid. The
+    whole-series moments never round-trip the driver."""
+    ev = _cat(spark, sf_dir).events
+    hours = ev.select(
+        F.expr("unix_timestamp(ts) div 3600").alias("h"), "event_type"
+    )
+    bounds = hours.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+
+    def _series(etype, col):
+        c = (
+            hours.filter(F.col("event_type") == etype)
+            .groupBy("h").agg(F.count("*").alias("n"))
+        )
+        return grid.join(c, "h", "left").select(
+            "h", F.coalesce("n", F.lit(0)).cast("long").alias(col)
+        )
+
+    va = _series("view", "a")
+    vb = _series("purchase", "b").select(
+        F.col("h").alias("hb"), "b"
+    )
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag"))
+    sums = (
+        va.crossJoin(F.broadcast(lags))
+        .join(vb, F.col("hb") == F.col("h") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("a").alias("sa"),
+            F.sum("b").alias("sb"),
+            F.sum(F.col("a") * F.col("a")).alias("saa"),
+            F.sum(F.col("b") * F.col("b")).alias("sbb"),
+            F.sum(F.col("a") * F.col("b")).alias("sab"),
+        )
+    )
+    s_xy = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+    corr = F.round(
+        F.lit(1000000.0) * s_xy
+        / F.sqrt(
+            (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+            .cast("double")
+            * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+        )
+    ).cast("long")
+    return sums.select(
+        "lag", "n", s_xy.alias("s_xy"), corr.alias("corr_ppm")
+    ).orderBy("lag")
+
+
+@query(
     "window_mann_kendall",
     oracle="""
     WITH monthly AS (
