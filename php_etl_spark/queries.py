@@ -18677,6 +18677,119 @@ def ts_crosscorr_lags(spark, sf_dir):
     ).orderBy("lag")
 
 
+# HLL constants shared verbatim by the Spark side and the SQL oracle —
+# ONE literal each so the float path cannot drift between engines.
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_K_MILLI = 1000.0 * (_HLL_ALPHA * _HLL_M * _HLL_M)
+
+
+@query(
+    "sketch_hll_portable",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM orders
+    ), bw AS (
+      SELECT h % {_HLL_M} AS bucket, h // {_HLL_M} AS w FROM h
+    ), regs AS (
+      SELECT bucket,
+             MAX(CASE WHEN w = 0 THEN 53
+                      ELSE bit_count((w & -w) - 1) + 1 END) AS m
+      FROM bw GROUP BY 1
+    ), grid AS (
+      SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket
+    ), full_regs AS (
+      SELECT g.bucket, CAST(COALESCE(r.m, 0) AS BIGINT) AS m
+      FROM grid g LEFT JOIN regs r ON r.bucket = g.bucket
+    ), est AS (
+      SELECT CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+             SUM(power(2.0, -m)) AS denom
+      FROM full_regs
+    ), exact AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_n
+      FROM orders
+    )
+    SELECT m, n_zero,
+           CASE WHEN raw_milli < {2500 * _HLL_M} AND n_zero > 0
+                THEN CAST(round({1000.0 * _HLL_M!r}
+                     * ln(CAST({_HLL_M} AS DOUBLE) / n_zero)) AS BIGINT)
+                ELSE raw_milli END AS est_milli,
+           exact_n
+    FROM (
+      SELECT CAST({_HLL_M} AS BIGINT) AS m, n_zero,
+             CAST(round({_HLL_K_MILLI!r} / denom) AS BIGINT) AS raw_milli,
+             exact_n
+      FROM est CROSS JOIN exact
+    )
+    """,
+)
+def sketch_hll_portable(spark, sf_dir):
+    """Portable HyperLogLog (Flajolet et al. 2007), engine-exact: the
+    md5-derived 60-bit hash splits into 8 bucket bits and a 52-bit
+    suffix whose rank is pure INTEGER bit algebra
+    (bit_count((w & −w) − 1) + 1 — trailing-zero rank, geometric like
+    the classic leading-zero rank), registers are an order-
+    independent MAX per bucket, and the harmonic denominator
+    Σ2^(−M_j) sums 256 exact powers of two spanning <53 bits — every
+    partial sum is exact, so even the FLOAT estimate is bit-identical
+    on any engine and any partitioning. Small-range (linear-counting)
+    correction applied below 2.5m — its ln(m/V) is a transcendental
+    of an exact rational, identical at the milli grain; exact_n rides
+    along to show the error. Contrast: agg_hll_sketch uses Spark's native HLL
+    (xxhash64, engine-specific, rows-only check); this one carries a
+    full value oracle. 256 registers ≈ ±6.5% — constant state for
+    100 TB streams; the register table merges by MAX for partial
+    aggregation / multi-day unions."""
+    orders = _cat(spark, sf_dir).orders
+    h = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    bw = orders.select(h.alias("_h")).select(
+        (F.col("_h") % _HLL_M).alias("bucket"),
+        F.expr(f"_h div {_HLL_M}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, 53).otherwise(
+        F.bit_count(F.expr("(w & -w) - 1")) + 1
+    )
+    regs = bw.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("m")
+    )
+    grid = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    full_regs = grid.join(regs, "bucket", "left").select(
+        F.coalesce("m", F.lit(0)).cast("long").alias("m")
+    )
+    est = full_regs.agg(
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("denom"),
+    )
+    exact = orders.agg(
+        F.count_distinct("o_custkey").alias("exact_n")
+    )
+    raw = est.crossJoin(F.broadcast(exact)).select(
+        F.lit(_HLL_M).cast("long").alias("m"),
+        F.col("n_zero").cast("long").alias("n_zero"),
+        F.round(F.lit(_HLL_K_MILLI) / F.col("denom")).cast("long")
+        .alias("raw_milli"),
+        "exact_n",
+    )
+    # small-range (linear counting) correction: raw HLL biases high
+    # below ~2.5m distincts; ln of the exact rational m/V rounds
+    # identically at the milli grain on both engines
+    lc = F.round(
+        F.lit(1000.0 * _HLL_M)
+        * F.log(F.lit(_HLL_M).cast("double") / F.col("n_zero"))
+    ).cast("long")
+    corrected = F.when(
+        (F.col("raw_milli") < 2500 * _HLL_M) & (F.col("n_zero") > 0), lc
+    ).otherwise(F.col("raw_milli"))
+    return raw.select(
+        "m", "n_zero", corrected.alias("est_milli"), "exact_n"
+    )
+
+
 @query(
     "window_mann_kendall",
     oracle="""

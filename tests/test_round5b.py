@@ -217,6 +217,21 @@ def test_isotonic_calibration_monotone_and_mass_preserving(spark):
     assert min(rates) - 1 <= min(fitted) and max(fitted) <= max(rates) + 1
 
 
+def test_hll_portable_estimate_within_bound(spark):
+    """256 registers -> standard error ~1.04/sqrt(256) = 6.5%; assert
+    the raw estimate lands within 4 sigma of the exact count (the
+    test corpus is far from the small-range regime where raw HLL
+    biases high)."""
+    row = QUERIES["sketch_hll_portable"](spark, SF_DIR).collect()[0]
+    assert row["m"] == 256
+    est = row["est_milli"] / 1000.0
+    exact = row["exact_n"]
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.26
+    # zero registers only when the corpus is tiny vs 256 buckets
+    assert 0 <= row["n_zero"] <= 256
+
+
 def test_pagerank_exact_sums_bounded_and_deterministic(spark):
     """Ranks are nano-units: total mass stays within (truncation-loss)
     of N*scale, and two runs give identical BIGINTs."""
