@@ -18791,6 +18791,133 @@ def sketch_hll_portable(spark, sf_dir):
 
 
 @query(
+    "sketch_bloom_probe",
+    oracle="""
+    WITH probes AS (
+      SELECT c_custkey AS key FROM customer
+    ), members AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+    ), build_pos AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(key AS VARCHAR)),
+                                      1 + 8 * i, 8)) AS BIGINT) % 4096 AS pos
+      FROM members, (SELECT unnest([0, 1, 2]) AS i)
+    ), words AS (
+      SELECT pos // 32 AS word,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))
+                  AS BIGINT) AS bits
+      FROM build_pos GROUP BY 1
+    ), probe_pos AS (
+      SELECT p.key,
+             CAST(concat('0x', substr(md5(CAST(p.key AS VARCHAR)),
+                                      1 + 8 * i.i, 8)) AS BIGINT) % 4096 AS pos
+      FROM probes p, (SELECT unnest([0, 1, 2]) AS i) i
+    ), checks AS (
+      SELECT pp.key,
+             CASE WHEN w.bits IS NOT NULL
+                  AND (w.bits & (CAST(1 AS BIGINT)
+                                 << CAST(pp.pos % 32 AS INTEGER))) <> 0
+                  THEN 1 ELSE 0 END AS bit_ok
+      FROM probe_pos pp LEFT JOIN words w ON w.word = pp.pos // 32
+    ), verdicts AS (
+      SELECT c.key, CAST(MIN(c.bit_ok) AS BIGINT) AS hit,
+             CASE WHEN m.key IS NOT NULL THEN 1 ELSE 0 END AS actual
+      FROM checks c LEFT JOIN members m ON m.key = c.key
+      GROUP BY c.key, m.key
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           CAST(SUM(actual) AS BIGINT) AS n_actual,
+           CAST(SUM(CASE WHEN hit = 1 AND actual = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN hit = 0 AND actual = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+    FROM verdicts
+    """,
+)
+def sketch_bloom_probe(spark, sf_dir):
+    """Portable Bloom filter, engine-exact: 4096 bits as 128×32-bit
+    words, k=3 positions per key from disjoint md5 hex slices; the
+    filter builds with an order-independent BIT_OR per word and
+    probes by checking all three bits — every step integer bit
+    algebra, so build and probe verdicts are bit-identical on any
+    engine (vs Spark's native bloom_filter_agg: engine-specific
+    serialization, not oracle-able). Built over the distinct order
+    custkeys, probed with every customer; customers who never
+    ordered surface the measured false-positive rate, and
+    n_false_neg == 0 is the structural Bloom guarantee. Scale shape:
+    the filter is CONSTANT state (128 rows) built with one map-side
+    combined aggregate and BROADCAST into the probe — the shuffle-free
+    existence pre-filter for 100 TB anti-joins."""
+    c = _cat(spark, sf_dir)
+    members = c.orders.select(
+        F.col("o_custkey").alias("key")
+    ).distinct()
+    probes = c.customer.select(F.col("c_custkey").alias("key"))
+    idx = spark.range(3).select(F.col("id").cast("int").alias("i"))
+
+    def _positions(df):
+        return df.crossJoin(F.broadcast(idx)).select(
+            "key",
+            F.expr(
+                "cast(conv(substring(md5(cast(key as string)),"
+                " 1 + 8 * i, 8), 16, 10) as bigint) % 4096"
+            ).alias("pos"),
+        )
+
+    words = (
+        _positions(members)
+        .select(
+            F.expr("pos div 32").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    checks = (
+        _positions(probes)
+        .withColumn("word", F.expr("pos div 32"))
+        .join(F.broadcast(words), "word", "left")
+        .select(
+            "key",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.col("bits").bitwiseAND(
+                        F.expr("shiftleft(1L, cast(pos % 32 as int))")
+                    )
+                    != 0
+                ),
+                1,
+            ).otherwise(0).alias("bit_ok"),
+        )
+    )
+    verdicts = (
+        checks.join(
+            members.select(F.col("key"), F.lit(1).alias("actual")),
+            "key", "left",
+        )
+        .groupBy("key", "actual")
+        .agg(F.min("bit_ok").cast("long").alias("hit"))
+        .select(
+            "hit", F.coalesce("actual", F.lit(0)).alias("actual")
+        )
+    )
+    return verdicts.agg(
+        F.count("*").alias("n_probed"),
+        F.sum("hit").alias("n_hits"),
+        F.sum("actual").cast("long").alias("n_actual"),
+        F.sum(
+            F.when((F.col("hit") == 1) & (F.col("actual") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_false_pos"),
+        F.sum(
+            F.when((F.col("hit") == 0) & (F.col("actual") == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_false_neg"),
+    )
+
+
+@query(
     "window_mann_kendall",
     oracle="""
     WITH monthly AS (
