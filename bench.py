@@ -64,6 +64,10 @@ HEADLINE = [
     # shapes — first-run baselines in BASELINE.md
     "ml_ndcg_mrr",          # exact-integer NDCG@5/MRR, per-query window
     "ts_forecast_backtest",  # Holt carry pass emitting one-step MAE
+    # round-5 second batch: iterative graph fixpoint and IR scoring —
+    # first-run baselines in BASELINE.md
+    "graph_pagerank_exact",  # 6-round integer PageRank, per-round jobs
+    "text_bm25_topk",       # token explode + broadcast corpus stats
 ]
 
 
