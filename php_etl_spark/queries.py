@@ -18918,6 +18918,96 @@ def sketch_bloom_probe(spark, sf_dir):
 
 
 @query(
+    "agg_ab_wilson_ci",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1
+    ), counts AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS k
+      FROM arms GROUP BY 1
+    ), quad AS (
+      SELECT arm, n, k,
+             n * (625 * n + 2401) AS a,
+             n * (1250 * k + 2401) AS b,
+             625 * k * k AS c
+      FROM counts
+    )
+    SELECT arm, n, k,
+           CAST(round(1000000.0 * k / n) AS BIGINT) AS p_ppm,
+           CAST(round(1000000.0
+                * (b - sqrt(CAST(CAST(b AS HUGEINT) * b
+                                 - 4 * CAST(a AS HUGEINT) * c AS DOUBLE)))
+                / (2 * a)) AS BIGINT) AS wilson_lo_ppm,
+           CAST(round(1000000.0
+                * (b + sqrt(CAST(CAST(b AS HUGEINT) * b
+                                 - 4 * CAST(a AS HUGEINT) * c AS DOUBLE)))
+                / (2 * a)) AS BIGINT) AS wilson_hi_ppm
+    FROM quad ORDER BY arm
+    """,
+)
+def agg_ab_wilson_ci(spark, sf_dir):
+    """A/B experiment readout with Wilson 95% score intervals — the
+    product-analytics primitive done engine-exactly. Users hash-split
+    into two arms (md5 — the same deterministic assignment any replay
+    gives); conversion = user ever purchased. The Wilson bound is the
+    root of a quadratic whose coefficients become EXACT INTEGERS when
+    z = 49/25 (z² = 2401/625, multiplied through by 625n):
+    a = n(625n+2401), b = n(1250k+2401), c = 625k², bound =
+    (b ± √(b²−4ac)) / 2a. The discriminant is an exact integer
+    (DECIMAL(38)/HUGEINT — the agg_hhi precedent), so the float tail
+    is sqrt → ± → ×1e6 → ÷: four correctly-rounded IEEE ops on exact
+    inputs, no FMA-contractable mul+add chain — bit-stable across
+    engines. Scale shape: one user-level aggregate (map-side
+    combined), then per-arm counts; the quadratic runs on TWO rows."""
+    ev = _cat(spark, sf_dir).events
+    arm = F.expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 4), 16, 10)"
+        " as bigint) % 2"
+    )
+    arms = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select(arm.alias("arm"), "converted")
+    )
+    counts = arms.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("converted").cast("long").alias("k")
+    )
+    quad = counts.select(
+        "arm", "n", "k",
+        (F.col("n") * (625 * F.col("n") + 2401)).alias("a"),
+        (F.col("n") * (1250 * F.col("k") + 2401)).alias("b"),
+        (F.lit(625) * F.col("k") * F.col("k")).alias("c"),
+    )
+    disc = (
+        F.col("b").cast("decimal(38,0)") * F.col("b")
+        - F.lit(4) * F.col("a").cast("decimal(38,0)") * F.col("c")
+    ).cast("double")
+    lo = F.round(
+        F.lit(1000000.0) * (F.col("b") - F.sqrt(disc)) / (2 * F.col("a"))
+    ).cast("long")
+    hi = F.round(
+        F.lit(1000000.0) * (F.col("b") + F.sqrt(disc)) / (2 * F.col("a"))
+    ).cast("long")
+    return quad.select(
+        "arm", "n", "k",
+        F.round(F.lit(1000000.0) * F.col("k") / F.col("n"))
+        .cast("long").alias("p_ppm"),
+        lo.alias("wilson_lo_ppm"),
+        hi.alias("wilson_hi_ppm"),
+    ).orderBy("arm")
+
+
+@query(
     "window_mann_kendall",
     oracle="""
     WITH monthly AS (
