@@ -128,10 +128,14 @@ def triangle_count(edges: DataFrame, a: str, b: str) -> DataFrame:
     ranked = und.join(du, "u").join(dv, "v")
     # orient low-rank → high-rank, rank = (degree, id)
     fwd = F.struct(F.col("deg_u"), F.col("u")) < F.struct(F.col("deg_v"), F.col("v"))
-    oriented = ranked.select(
+    # pin the oriented edge list: it feeds THREE consumers (both wedge
+    # sides + the closing-edge probe); without truncation each
+    # reference duplicates the whole distinct+degree+join subtree in
+    # the physical plan (measured 137 Exchanges compiled vs 5 after)
+    oriented = materialize(ranked.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
+    ))
     e1 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     e2 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
     wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
@@ -516,7 +520,10 @@ def clustering_coefficient(edges: DataFrame, a: str, b: str) -> DataFrame:
     for nodes with degree ≥ 2; the single division happens once per
     node and rounds at milli grain, so results hash identically
     across engines."""
-    und = undirected_edges(edges, a, b)
+    # pin the canonical edge set: adj references it twice and the
+    # closing semi-join a third time — same plan-duplication trap as
+    # triangle_count (26 compiled Exchanges before, 6 after)
+    und = materialize(undirected_edges(edges, a, b))
     adj = und.select(
         F.col("u").alias("node"), F.col("v").alias("peer")
     ).unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("peer")))
