@@ -16953,9 +16953,16 @@ def ml_naive_bayes(spark, sf_dir):
         "doc_id", "lang",
         F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("token"),
     )
+    # cache tf: the model tables below are BROADCAST branches, so each
+    # one re-executes the tokenize+explode+groupBy subtree (AQE reuse
+    # only matches identical hash exchanges; broadcast branches
+    # differ). A JVM-side persist lets every branch hit the cached
+    # blocks — measured faster than both no-pin (4 tokenize passes)
+    # and materialize() (whose Python rebuild round-trip costs more
+    # than it saves here); the blocks are |doc·vocab| rows, not corpus
     tf = tok.groupBy("doc_id", "lang", "token").agg(
         F.count("*").cast("long").alias("tf")
-    )
+    ).persist()
     cls = d.groupBy(F.col("lang").alias("c")).agg(
         F.count("*").cast("long").alias("n_docs")
     )
@@ -18547,16 +18554,27 @@ def agg_itemsets_apriori(spark, sf_dir):
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
     )
+    from php_etl_spark.materialize import materialize
+
     freq1 = (
         items.groupBy("pk").agg(F.count("*").alias("c1"))
         .filter(F.col("c1") >= 3).select("pk")
     )
-    fitems = items.join(F.broadcast(freq1), "pk").select("ok", "pk")
+    # pin the pruned item set and the pair frame: each feeds multiple
+    # consumers (pair join sides + triple extension; support count +
+    # extension), and without truncation every reference re-runs the
+    # lineitem distinct (shuffle census read 17 compiled Exchanges
+    # before pinning, ~7 after; AQE reuse only recovered part of it)
+    fitems = materialize(
+        items.join(F.broadcast(freq1), "pk").select("ok", "pk")
+    )
     a = fitems.select("ok", F.col("pk").alias("p1"))
     b = fitems.select(F.col("ok").alias("ok2"), F.col("pk").alias("p2"))
-    pairs = a.join(
-        b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2"))
-    ).select("ok", "p1", "p2")
+    pairs = materialize(
+        a.join(
+            b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2"))
+        ).select("ok", "p1", "p2")
+    )
     freq2 = (
         pairs.groupBy("p1", "p2").agg(F.count("*").alias("c2"))
         .filter(F.col("c2") >= 2).select("p1", "p2")
