@@ -9292,8 +9292,11 @@ def sketch_kmv_overlap(spark, sf_dir):
             "s", "user_id", k=k,
         ).select("hv")
 
-    sa, sb = side("a", "click"), side("b", "purchase")
-    uni = sa.unionAll(sb).distinct().orderBy("hv").limit(k)
+    # each sketch side and the union-k sketch feed two consumers; the
+    # frames are k-row tiny but their LINEAGE is a full event scan —
+    # cache so the scan runs once per side
+    sa, sb = side("a", "click").persist(), side("b", "purchase").persist()
+    uni = sa.unionAll(sb).distinct().orderBy("hv").limit(k).persist()
     shared = (
         uni.join(sa.withColumnRenamed("hv", "hv_a"),
                  F.col("hv") == F.col("hv_a"), "left_semi")
@@ -9302,8 +9305,10 @@ def sketch_kmv_overlap(spark, sf_dir):
     )
     n_shared = shared.agg(F.count("*").alias("n_shared_in_unionk"))
     n_uni = uni.agg(F.count("*").alias("n_unionk"))
-    ea = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    eb = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    ea = ev.filter(F.col("event_type") == "click").select("user_id") \
+        .distinct().persist()
+    eb = ev.filter(F.col("event_type") == "purchase").select("user_id") \
+        .distinct().persist()
     n_int = ea.join(eb, "user_id", "left_semi").agg(
         F.count("*").alias("ni")
     )
@@ -14272,9 +14277,12 @@ def sim_sparse_tfidf_topk(spark, sf_dir):
             .alias("widf"),
         )
     )
+    # cache the weighted postings: norms + both dot-product sides
+    # re-execute the tokenize→tf→idf-join subtree otherwise (broadcast
+    # and differently-keyed branches miss AQE exchange reuse)
     w = tf.join(idf, "term").select(
         "doc_id", "term", (F.col("tf") * F.col("widf")).alias("w")
-    )
+    ).persist()
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
     )
