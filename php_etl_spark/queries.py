@@ -18874,58 +18874,25 @@ def sketch_bloom_probe(spark, sf_dir):
     the filter is CONSTANT state (128 rows) built with one map-side
     combined aggregate and BROADCAST into the probe — the shuffle-free
     existence pre-filter for 100 TB anti-joins."""
+    from php_etl_spark.functions.sketches import (
+        bloom_build, bloom_might_contain,
+    )
+
     c = _cat(spark, sf_dir)
     members = c.orders.select(
         F.col("o_custkey").alias("key")
     ).distinct()
     probes = c.customer.select(F.col("c_custkey").alias("key"))
-    idx = spark.range(3).select(F.col("id").cast("int").alias("i"))
-
-    def _positions(df):
-        return df.crossJoin(F.broadcast(idx)).select(
-            "key",
-            F.expr(
-                "cast(conv(substring(md5(cast(key as string)),"
-                " 1 + 8 * i, 8), 16, 10) as bigint) % 4096"
-            ).alias("pos"),
-        )
-
-    words = (
-        _positions(members)
-        .select(
-            F.expr("pos div 32").alias("word"),
-            F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("mask"),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("mask").alias("bits"))
-    )
-    checks = (
-        _positions(probes)
-        .withColumn("word", F.expr("pos div 32"))
-        .join(F.broadcast(words), "word", "left")
-        .select(
-            "key",
-            F.when(
-                F.col("bits").isNotNull()
-                & (
-                    F.col("bits").bitwiseAND(
-                        F.expr("shiftleft(1L, cast(pos % 32 as int))")
-                    )
-                    != 0
-                ),
-                1,
-            ).otherwise(0).alias("bit_ok"),
-        )
-    )
+    bloom = bloom_build(members, "key")
     verdicts = (
-        checks.join(
+        bloom_might_contain(probes, "key", bloom)
+        .join(
             members.select(F.col("key"), F.lit(1).alias("actual")),
             "key", "left",
         )
-        .groupBy("key", "actual")
-        .agg(F.min("bit_ok").cast("long").alias("hit"))
         .select(
-            "hit", F.coalesce("actual", F.lit(0)).alias("actual")
+            F.col("bloom_hit").cast("long").alias("hit"),
+            F.coalesce("actual", F.lit(0)).alias("actual"),
         )
     )
     return verdicts.agg(
@@ -19031,6 +18998,58 @@ def agg_ab_wilson_ci(spark, sf_dir):
         lo.alias("wilson_lo_ppm"),
         hi.alias("wilson_hi_ppm"),
     ).orderBy("arm")
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    )
+    ORDER BY c_custkey
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Customers with no orders, via a Bloom-prefiltered anti join —
+    approximate structure inside, EXACT answer out (the oracle is the
+    plain NOT EXISTS; the Bloom filter is semantically transparent
+    because it has no false negatives):
+
+      bloom_hit = 0  →  definitely no orders: emit WITHOUT any join
+      bloom_hit = 1  →  maybe has orders: exact anti join on just
+                        this (false-positive-sized + true-member)
+                        remainder
+
+    At 100 TB this is the shuffle-reduction play Spark's own runtime
+    bloom-filter join (spark.sql.optimizer.runtime.bloomFilter) makes
+    automatically for selective equi-joins but NOT for anti joins:
+    the probe side is filtered by a broadcast one-row map with a pure
+    per-row expression — only bloom survivors enter the shuffle.
+    Composes functions/sketches.bloom_build / bloom_might_contain
+    (the oracle-verified primitives from sketch_bloom_probe)."""
+    from php_etl_spark.functions.sketches import (
+        bloom_build, bloom_might_contain,
+    )
+
+    c = _cat(spark, sf_dir)
+    members = c.orders.select(F.col("o_custkey").alias("key")).distinct()
+    bloom = bloom_build(members, "key")
+    probed = bloom_might_contain(
+        c.customer.select("c_custkey", "c_name"), "c_custkey", bloom
+    )
+    definite_miss = probed.filter(F.col("bloom_hit") == 0).select(
+        "c_custkey", "c_name"
+    )
+    candidates = probed.filter(F.col("bloom_hit") == 1).select(
+        "c_custkey", "c_name"
+    )
+    verified_miss = candidates.join(
+        c.orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return definite_miss.unionAll(verified_miss).orderBy("c_custkey")
 
 
 @query(

@@ -232,6 +232,49 @@ def test_hll_portable_estimate_within_bound(spark):
     assert 0 <= row["n_zero"] <= 256
 
 
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from pyspark.sql import functions as F
+
+    from php_etl_spark.functions.sketches import (
+        bloom_build, bloom_might_contain,
+    )
+
+    members = spark.range(0, 500).select(F.col("id").alias("k"))
+    probes = spark.range(0, 1000).select(F.col("id").alias("k"))
+    bl = bloom_build(members, "k")
+    rows = bloom_might_contain(probes, "k", bl).collect()
+    assert len(rows) == 1000
+    fn = [r["k"] for r in rows if r["k"] < 500 and r["bloom_hit"] == 0]
+    fp = [r["k"] for r in rows if r["k"] >= 500 and r["bloom_hit"] == 1]
+    assert fn == []  # structural guarantee
+    # expected fp rate (1-e^(-kn/m))^k ~ 2.9%; allow wide slack
+    assert len(fp) < 50
+    # the filter is 128 words of constant state
+    assert bl.count() <= 128
+
+
+def test_bloom_prefilter_equals_plain_anti_join(spark):
+    from pyspark.sql import functions as F
+
+    from php_etl_spark.functions.sketches import (
+        bloom_build, bloom_might_contain,
+    )
+
+    members = spark.range(0, 300).select((F.col("id") * 3).alias("k"))
+    probes = spark.range(0, 500).select(F.col("id").alias("k"))
+    bl = bloom_build(members, "k")
+    probed = bloom_might_contain(probes, "k", bl)
+    fast = probed.filter(F.col("bloom_hit") == 0).select("k").unionAll(
+        probed.filter(F.col("bloom_hit") == 1)
+        .select("k")
+        .join(members, "k", "left_anti")
+    )
+    plain = probes.join(members, "k", "left_anti")
+    assert sorted(r["k"] for r in fast.collect()) == sorted(
+        r["k"] for r in plain.collect()
+    )
+
+
 def test_pagerank_exact_sums_bounded_and_deterministic(spark):
     """Ranks are nano-units: total mass stays within (truncation-loss)
     of N*scale, and two runs give identical BIGINTs."""
