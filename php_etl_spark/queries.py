@@ -2235,6 +2235,44 @@ def sink_csv_roundtrip(spark, sf_dir):
 
 
 @query(
+    "sink_schema_evolution_read",
+    oracle="""
+    SELECT n_nationkey,
+           n_name,
+           CASE WHEN n_nationkey < 13 THEN NULL ELSE n_regionkey END
+             AS n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def sink_schema_evolution_read(spark, sf_dir):
+    """Schema evolution across parquet parts — the lakehouse reality
+    that a 100 TB table's early partitions predate later columns: one
+    part is written WITHOUT n_regionkey (the v1 schema), a second
+    part WITH it (v2); ``mergeSchema`` reads both as the union schema,
+    nulling the missing column in old parts. The oracle derives the
+    identical frame from the base table with a CASE null — proving
+    the evolution read loses/ invents nothing. At scale mergeSchema's
+    footer union is driver-side metadata work; per-file projection
+    stays pushed down."""
+    import tempfile
+
+    nation = _cat(spark, sf_dir).nation
+    path = tempfile.mkdtemp(prefix="schema_evo_")
+    nation.filter(F.col("n_nationkey") < 13).select(
+        "n_nationkey", "n_name"
+    ).write.mode("overwrite").parquet(path + "/v1")
+    nation.filter(F.col("n_nationkey") >= 13).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").parquet(path + "/v2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path + "/v1", path + "/v2")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
     "sink_versioned_publish",
     oracle="""
     WITH existing AS (
@@ -18708,6 +18746,123 @@ def ts_crosscorr_lags(spark, sf_dir):
 _HLL_M = 256
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
 _HLL_K_MILLI = 1000.0 * (_HLL_ALPHA * _HLL_M * _HLL_M)
+
+
+@query(
+    "sketch_hll_grouped",
+    oracle="""
+    WITH h AS (
+      SELECT n_name,
+             CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ), regs AS (
+      SELECT n_name, h % 256 AS bucket,
+             MAX(CASE WHEN h // 256 = 0 THEN 53
+                      ELSE bit_count(((h // 256) & -(h // 256)) - 1) + 1
+                 END) AS m
+      FROM h GROUP BY 1, 2
+    ), grid AS (
+      SELECT n_name, unnest(generate_series(0, 255)) AS bucket
+      FROM (SELECT DISTINCT n_name FROM h)
+    ), full_regs AS (
+      SELECT g.n_name, CAST(COALESCE(r.m, 0) AS BIGINT) AS m
+      FROM grid g LEFT JOIN regs r
+        ON r.n_name = g.n_name AND r.bucket = g.bucket
+    ), est AS (
+      SELECT n_name,
+             CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+             SUM(power(2.0, -m)) AS denom
+      FROM full_regs GROUP BY 1
+    ), exact AS (
+      SELECT n_name, CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_n
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    ), raw AS (
+      SELECT e.n_name, e.n_zero,
+             CAST(round(__HLL_K_MILLI__ / e.denom) AS BIGINT) AS raw_milli,
+             x.exact_n
+      FROM est e JOIN exact x ON x.n_name = e.n_name
+    )
+    SELECT n_name, n_zero,
+           CASE WHEN raw_milli < 640000 AND n_zero > 0
+                THEN CAST(round(256000.0
+                     * ln(CAST(256 AS DOUBLE) / n_zero)) AS BIGINT)
+                ELSE raw_milli END AS est_milli,
+           exact_n
+    FROM raw ORDER BY n_name
+    """.replace("__HLL_K_MILLI__", repr(_HLL_K_MILLI)),
+)
+def sketch_hll_grouped(spark, sf_dir):
+    """Per-group portable HyperLogLog — distinct customers per nation
+    from the same engine-exact register algebra as
+    sketch_hll_portable, GROUPED: registers key on (group, bucket),
+    so one map-side-combined MAX aggregate carries every group's
+    constant-size sketch through a single shuffle — the
+    approx_count_distinct-by-key shape at 100 TB (|groups|·256 rows
+    of state, mergeable across days by the same MAX). Small-range
+    linear counting per group (these group sizes sit in that regime);
+    the regime CHOICE compares exact integers, so both engines always
+    pick the same branch."""
+    c = _cat(spark, sf_dir)
+    base = c.customer.join(
+        F.broadcast(c.nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        "n_name",
+        F.expr(
+            "cast(conv(substring(md5(cast(c_custkey as string)), 1, 15),"
+            " 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    rho = F.when(F.expr("h div 256") == 0, 53).otherwise(
+        F.bit_count(F.expr("((h div 256) & -(h div 256)) - 1")) + 1
+    )
+    regs = (
+        base.select("n_name", (F.col("h") % 256).alias("bucket"),
+                    rho.alias("rho"))
+        .groupBy("n_name", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    grid = (
+        base.select("n_name").distinct()
+        .crossJoin(F.broadcast(
+            spark.range(256).select(F.col("id").alias("bucket"))
+        ))
+    )
+    full_regs = grid.join(regs, ["n_name", "bucket"], "left").select(
+        "n_name", F.coalesce("m", F.lit(0)).cast("long").alias("m")
+    )
+    est = full_regs.groupBy("n_name").agg(
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("denom"),
+    )
+    exact = (
+        c.customer.join(
+            F.broadcast(c.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count_distinct("c_custkey").alias("exact_n"))
+    )
+    raw = est.join(exact, "n_name").select(
+        "n_name",
+        F.col("n_zero").cast("long").alias("n_zero"),
+        F.round(F.lit(_HLL_K_MILLI) / F.col("denom")).cast("long")
+        .alias("raw_milli"),
+        "exact_n",
+    )
+    lc = F.round(
+        F.lit(1000.0 * 256)
+        * F.log(F.lit(256).cast("double") / F.col("n_zero"))
+    ).cast("long")
+    corrected = F.when(
+        (F.col("raw_milli") < 640000) & (F.col("n_zero") > 0), lc
+    ).otherwise(F.col("raw_milli"))
+    return raw.select(
+        "n_name", "n_zero", corrected.alias("est_milli"), "exact_n"
+    ).orderBy("n_name")
 
 
 @query(
