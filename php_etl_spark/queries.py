@@ -19359,6 +19359,13 @@ DRIVER_GREEN = [
 # financial/stats). Zero repeats of already-green keys by construction
 # (_reorder_for_driver drops green keys from this list).
 _PRIORITY = [
+    # round-5 second session (freshest code = highest residual risk):
+    # new keys + the four rows-only keys upgraded to full oracles
+    "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",
+    "ml_isotonic_calibration", "agg_itemsets_apriori", "text_bm25_topk",
+    "ts_crosscorr_lags", "sketch_hll_portable", "sketch_hll_grouped",
+    "sketch_bloom_probe", "join_bloom_prefilter", "agg_ab_wilson_ci",
+    "window_mann_kendall", "sink_schema_evolution_read",
     # r04 reds + latent HUGEINT oracles recast this round (the fixed
     # DESCRIBE-based lint found all 10; Spark values verified identical
     # at sf0.01) — driver re-verify first
