@@ -1112,3 +1112,91 @@ def ann_topk_ivfpq(
             F.round("cos", 6).alias("cos_round"), "rk",
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    pool: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified rerank (Carbonell &
+    Goldstein, SIGIR 1998): per query, shortlist the ``pool`` highest
+    inner-product candidates, then greedily select ``k`` of them
+    maximizing ``rel(c) - max_{s in selected} sim(c, s)`` — the
+    lambda=0.5 MMR ordering — so near-duplicate hits are displaced by
+    diverse ones. All similarities are exact integer dot products of
+    1e-6-quantized vectors, so the greedy argmax (ties broken by id)
+    is reproducible bit-for-bit across engines and partitionings.
+
+    Scale shape: the expensive part is the relevance scan, which is
+    the brute-force/ANN shortlist (broadcast queries, no candidate
+    shuffle); the sequential greedy loop touches only pool-sized
+    per-query groups — one applyInPandas over ``queries x pool`` rows,
+    never the corpus. Returns (q_id, sel_rank, vec_id, rel, mmr)."""
+    import pandas as pd
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            quantize(F.col(vec_col)).alias("qq"),
+        )
+    )
+    c = candidates.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("cq")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", "cq",
+            dot_q(F.col("qq"), F.col("cq")).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rel").desc(), "vec_id")
+    pooled = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= pool
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            pdf.itertuples(index=False), key=lambda r: (-r.rel, r.vec_id)
+        )
+        vecs = {r.vec_id: [int(x) for x in r.cq] for r in rows}
+        rel = {r.vec_id: int(r.rel) for r in rows}
+        selected: list[tuple[int, int]] = []  # (vec_id, mmr score)
+        remaining = [r.vec_id for r in rows]
+        while remaining and len(selected) < k:
+            best = None
+            for vid in remaining:
+                if selected:
+                    ms = max(
+                        sum(a * b for a, b in zip(vecs[vid], vecs[s]))
+                        for s, _ in selected
+                    )
+                    score = rel[vid] - ms
+                else:
+                    score = rel[vid]
+                if best is None or score > best[1] or (
+                    score == best[1] and vid < best[0]
+                ):
+                    best = (vid, score)
+            selected.append(best)
+            remaining.remove(best[0])
+        qid = int(pdf["q_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "q_id": [qid] * len(selected),
+                "sel_rank": range(1, len(selected) + 1),
+                "vec_id": [v for v, _ in selected],
+                "rel": [rel[v] for v, _ in selected],
+                "mmr": [m for _, m in selected],
+            }
+        )
+
+    return pooled.groupBy("q_id").applyInPandas(
+        _greedy,
+        "q_id bigint, sel_rank bigint, vec_id bigint, rel bigint, mmr bigint",
+    )

@@ -8604,6 +8604,36 @@ def window_running_distinct(spark, sf_dir):
     )
 
 
+def _bigram_nll(docs):
+    """Per-document average bigram negative log-likelihood in exact
+    micro-nats, LM trained on the corpus itself (shared by
+    text_lm_score and docs_ccnet_buckets)."""
+    toks = docs.select("doc_id", T.tokens("text").alias("ts"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.slice("ts", 2, F.size("ts")),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    big = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    uni = big.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    nll = -F.log(F.col("c_xy").cast("double") / F.col("c_x"))
+    return (
+        bi.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(nll) * 1000000).cast("long").alias("nll_micronats"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
+
 @query(
     "text_lm_score",
     oracle=f"""
@@ -8637,30 +8667,7 @@ def text_lm_score(spark, sf_dir):
     engines evaluate ln on identical exact-integer ratios; the bigram
     and prefix tables are |vocab²-observed| and |vocab| rows — the
     only state at 100 TB — and broadcast onto the per-doc stream."""
-    docs = _cat(spark, sf_dir).documents
-    toks = docs.select("doc_id", T.tokens("text").alias("ts"))
-    bi = toks.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0))),
-                F.slice("ts", 2, F.size("ts")),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    big = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
-    uni = big.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
-    nll = -F.log(F.col("c_xy").cast("double") / F.col("c_x"))
-    return (
-        bi.join(big, ["w1", "w2"])
-        .join(uni, "w1")
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.avg(nll) * 1000000).cast("long").alias("nll_micronats"),
-            F.count("*").alias("n_bigrams"),
-        )
-    )
+    return _bigram_nll(_cat(spark, sf_dir).documents)
 
 
 @query(
@@ -19292,6 +19299,873 @@ def window_mann_kendall(spark, sf_dir):
     )
 
 
+@query(
+    "docs_pack_sequences",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+    ),
+    c AS (
+      SELECT doc_id, ntok,
+             CAST(SUM(ntok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM d
+    ),
+    s AS (SELECT doc_id, ntok, cum, cum - ntok AS strt FROM c),
+    b AS (
+      SELECT doc_id, ntok, cum, strt,
+             unnest(generate_series(strt // 512, (cum - 1) // 512)) AS bin_id
+      FROM s
+    )
+    SELECT bin_id,
+           count(*) AS n_docs,
+           CAST(SUM(CASE WHEN strt >= bin_id * 512
+                          AND cum <= (bin_id + 1) * 512
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_docs,
+           CAST(SUM(least(cum, (bin_id + 1) * 512)
+                    - greatest(strt, bin_id * 512)) AS BIGINT) AS fill_tokens
+    FROM b GROUP BY bin_id
+    """,
+)
+def docs_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (concat-and-chunk): documents in a
+    deterministic corpus order are concatenated into one token stream
+    and cut into fixed 512-token training bins; a document may span a
+    bin boundary. Output per bin: docs touching it, docs fully inside
+    it, and token fill (=512 except the tail) — the packing audit a
+    pretraining data pipeline runs before writing shards.
+
+    The global running token offset is a SEGMENTED two-phase prefix
+    sum, not one ORDER BY window (which would serialize the corpus
+    into a single task): doc_ids are range-bucketed (bounds from a
+    1-row broadcast aggregate), phase 1 computes within-bucket
+    exclusive sums + bucket totals in parallel, phase 2 turns bucket
+    totals into entry offsets via a window over the tiny bucket frame.
+    Bin expansion is a bounded sequence() explode (a doc of T tokens
+    touches at most T/512 + 1 bins)."""
+    docs = _cat(spark, sf_dir).documents
+    cap = 512
+    n_buckets = 256
+    d = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("ntok")
+    )
+    bounds = d.agg((F.max("doc_id") + 1).alias("n_ids"))
+    bucketed = d.join(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.expr(f"CAST(doc_id * {n_buckets} / n_ids AS BIGINT)"),
+    )
+    local = bucketed.withColumn(
+        "local_start",
+        F.coalesce(
+            F.sum("ntok").over(
+                Window.partitionBy("bucket")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    totals = bucketed.groupBy("bucket").agg(F.sum("ntok").alias("btot"))
+    offsets = totals.withColumn(
+        "boff",
+        F.coalesce(
+            F.sum("btot").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "boff")
+    placed = local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id", "ntok",
+        (F.col("boff") + F.col("local_start")).alias("strt"),
+        (F.col("boff") + F.col("local_start") + F.col("ntok")).alias("cum"),
+    )
+    bins = placed.select(
+        "strt", "cum",
+        F.explode(
+            F.sequence(
+                F.expr(f"strt DIV {cap}"), F.expr(f"(cum - 1) DIV {cap}")
+            )
+        ).alias("bin_id"),
+    )
+    whole = (F.col("strt") >= F.col("bin_id") * cap) & (
+        F.col("cum") <= (F.col("bin_id") + 1) * cap
+    )
+    return bins.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(whole).alias("n_whole_docs"),
+        F.sum(
+            F.least(F.col("cum"), (F.col("bin_id") + 1) * cap)
+            - F.greatest(F.col("strt"), F.col("bin_id") * cap)
+        ).alias("fill_tokens"),
+    )
+
+
+@query(
+    "privacy_t_closeness",
+    oracle="""
+    WITH t AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 0
+                  WHEN c_acctbal < 2500 THEN 1
+                  WHEN c_acctbal < 5000 THEN 2
+                  ELSE 3 END AS sens
+      FROM customer
+    ),
+    qi AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM t),
+    grid AS (
+      SELECT c_nationkey, c_mktsegment,
+             unnest(generate_series(0, 3)) AS sens
+      FROM qi
+    ),
+    cnt AS (
+      SELECT c_nationkey, c_mktsegment, sens, count(*) AS c
+      FROM t GROUP BY ALL
+    ),
+    cohort AS (
+      SELECT g.c_nationkey, g.c_mktsegment, g.sens,
+             CAST(SUM(COALESCE(c.c, 0)) OVER (
+               PARTITION BY g.c_nationkey, g.c_mktsegment ORDER BY g.sens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS ccum,
+             CAST(SUM(COALESCE(c.c, 0)) OVER (
+               PARTITION BY g.c_nationkey, g.c_mktsegment
+             ) AS BIGINT) AS n
+      FROM grid g LEFT JOIN cnt c USING (c_nationkey, c_mktsegment, sens)
+    ),
+    gdist AS (
+      SELECT sens,
+             CAST(SUM(count(*)) OVER (ORDER BY sens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS gcum,
+             CAST(SUM(count(*)) OVER () AS BIGINT) AS big_n
+      FROM t GROUP BY sens
+    )
+    SELECT c_nationkey, c_mktsegment, any_value(n) AS n,
+           CAST(1000000 * SUM(abs(ccum * big_n - gcum * n))
+                // (any_value(n) * any_value(big_n) * 3) AS BIGINT)
+             AS t_ppm,
+           CAST(1000000 * SUM(abs(ccum * big_n - gcum * n))
+                // (any_value(n) * any_value(big_n) * 3) AS BIGINT)
+             <= 200000 AS t_close
+    FROM cohort JOIN gdist USING (sens)
+    WHERE sens < 3
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    completes the k-anonymity / l-diversity / t-closeness release-gate
+    trio: a quasi-identifier cohort leaks if its SENSITIVE-attribute
+    distribution strays from the corpus-wide one, measured by the
+    Earth Mover's Distance over the ordered sensitive domain:
+    t = (1/(m-1)) * Σ_i |P_cum(i) - Q_cum(i)|. All arithmetic stays in
+    exact int64 cross-products (ccum*N - gcum*n; |values| ≤ n*N) with
+    ONE truncating integer division to ppm at the end, so the result
+    is engine-exact. Shape: one count aggregation over the fact table,
+    a 4-row-per-cohort densified grid (bounded by the QI domain, never
+    by rows), windows over ≤4-row partitions, and a broadcast 4-row
+    global distribution — no shuffle grows with data beyond the first
+    groupBy."""
+    c = _cat(spark, sf_dir).customer
+    sens = (
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") < 2500, 1)
+        .when(F.col("c_acctbal") < 5000, 2)
+        .otherwise(3)
+    )
+    t = c.select("c_nationkey", "c_mktsegment", sens.alias("sens"))
+    cnt = t.groupBy("c_nationkey", "c_mktsegment", "sens").agg(
+        F.count("*").alias("c")
+    )
+    grid = (
+        t.select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .select(
+            "c_nationkey", "c_mktsegment",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("sens"),
+        )
+    )
+    w_qi = Window.partitionBy("c_nationkey", "c_mktsegment")
+    cohort = (
+        grid.join(cnt, ["c_nationkey", "c_mktsegment", "sens"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .withColumn(
+            "ccum",
+            F.sum("c").over(
+                w_qi.orderBy("sens").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .withColumn("n", F.sum("c").over(w_qi))
+    )
+    glob = (
+        t.groupBy("sens")
+        .agg(F.count("*").alias("g"))
+        .withColumn(
+            "gcum",
+            F.sum("g").over(
+                Window.orderBy("sens").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .withColumn("big_n", F.sum("g").over(Window.partitionBy()))
+        .select("sens", "gcum", "big_n")
+    )
+    num = F.sum(F.abs(F.col("ccum") * F.col("big_n") - F.col("gcum") * F.col("n")))
+    t_ppm = F.expr(
+        "CAST(1000000 * num DIV (n * big_n * 3) AS BIGINT)"
+    )
+    return (
+        cohort.join(F.broadcast(glob), "sens")
+        .filter(F.col("sens") < 3)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.any_value("n").alias("n"),
+            num.alias("num"),
+            F.any_value("big_n").alias("big_n"),
+        )
+        .select(
+            "c_nationkey", "c_mktsegment", "n",
+            t_ppm.alias("t_ppm"),
+            (t_ppm <= 200000).alias("t_close"),
+        )
+    )
+
+
+@query(
+    "docs_pack_greedy",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS ntok,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    r AS (
+      SELECT source, rn, ntok, 0 AS bin, ntok AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT s.source, s.rn, s.ntok,
+             CASE WHEN r.fill + s.ntok > 512 THEN r.bin + 1 ELSE r.bin END,
+             CASE WHEN r.fill + s.ntok > 512 THEN s.ntok
+                  ELSE r.fill + s.ntok END
+      FROM r JOIN d s ON s.source = r.source AND s.rn = r.rn + 1
+    )
+    SELECT source, CAST(bin AS BIGINT) AS bin_id, count(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS fill_tokens
+    FROM r GROUP BY source, bin
+    """,
+)
+def docs_pack_greedy(spark, sf_dir):
+    """Greedy no-split sequence packing: within each source shard (in
+    deterministic doc_id order) documents are appended to the current
+    512-token bin until the next one would overflow, which starts a
+    fresh bin — the packing used when documents must NOT be cut at bin
+    boundaries (e.g. instruction-tuning examples). Inherently a
+    sequential recurrence (each decision depends on the running fill),
+    so it runs as the exact-stateful pattern: ONE shuffle partitions
+    by source, an in-partition sort restores document order, and a
+    single mapInPandas pass replays the fold with a (source, bin,
+    fill) carry across Arrow batches — per-shard sequential, parallel
+    across shards, which is the axis that grows at 100 TB. The oracle
+    replays the identical integer fold as a recursive CTE."""
+    import pandas as pd
+
+    cap = 512
+    docs = _cat(spark, sf_dir).documents
+    d = docs.select(
+        "source", "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ntok"),
+    )
+    by_src = d.repartition(F.col("source")).sortWithinPartitions(
+        "source", "doc_id"
+    )
+
+    def _pack(batches):
+        cur_src = None
+        bin_id = 0
+        fill = 0
+        for pdf in batches:
+            srcs = pdf["source"].to_numpy()
+            toks = pdf["ntok"].to_numpy()
+            bins = [0] * len(toks)
+            for i in range(len(toks)):
+                if srcs[i] != cur_src:
+                    cur_src = srcs[i]
+                    bin_id = 0
+                    fill = int(toks[i])
+                elif fill + int(toks[i]) > cap:
+                    bin_id += 1
+                    fill = int(toks[i])
+                else:
+                    fill += int(toks[i])
+                bins[i] = bin_id
+            yield pd.DataFrame(
+                {"source": srcs, "ntok": toks, "bin_id": bins}
+            )
+
+    packed = by_src.mapInPandas(
+        _pack, "source string, ntok bigint, bin_id bigint"
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").alias("fill_tokens"),
+    )
+
+
+@query(
+    "docs_paragraph_dedup",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(words[i * 3 + 1 : (i + 1) * 3], ' ') AS chunk
+      FROM w, LATERAL (
+        SELECT unnest(generate_series(
+          0, CAST(ceil(len(words) / 3.0) AS BIGINT) - 1)) AS i
+      )
+    ),
+    ranked AS (
+      SELECT doc_id, idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, idx) AS rn
+      FROM ch
+    )
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn = 1
+                         THEN len(string_split(chunk, ' '))
+                         ELSE 0 END) AS BIGINT) AS kept_tokens,
+           md5(COALESCE(
+             string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1),
+             '')) AS kept_fingerprint
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def docs_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact deduplication (the C4/Dolma pipeline op):
+    documents are segmented into fixed 3-word spans, every span is
+    content-hashed, the GLOBALLY first occurrence (corpus order:
+    doc_id, position) of each hash survives, and each document is
+    re-assembled from its surviving spans in order. Output per doc:
+    span counts before/after and an md5 fingerprint of the re-joined
+    text (exact cross-engine: both engines hash the same UTF-8
+    bytes). Shape: one explode bounded by tokens/3, one shuffle on
+    the 16-byte span hash for the first-wins ranking, one groupBy
+    doc_id for reassembly — collect_list holds one document's spans,
+    bounded by document length, never by corpus size."""
+    docs = _cat(spark, sf_dir).documents
+    w = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    ch = w.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr("CAST(ceil(size(words) / 3.0) AS INT) - 1"),
+            )
+        ).alias("idx"),
+        F.col("words"),
+    ).select(
+        "doc_id", "idx",
+        F.array_join(
+            F.expr("slice(words, idx * 3 + 1, 3)"), " "
+        ).alias("chunk"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "idx")
+    )
+    ranked = ch.withColumn("rn", rn)
+    kept = F.col("rn") == 1
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if(kept).alias("n_kept"),
+        F.sum(
+            F.when(kept, F.size(F.split(F.col("chunk"), " "))).otherwise(0)
+        ).alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("idx", "chunk"))
+                        )
+                    ),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            )
+        ).alias("kept_fingerprint"),
+    )
+
+
+@query(
+    "graph_link_prediction",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    edges AS (
+      SELECT a.i AS u, c.i AS v
+      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+      GROUP BY a.i, c.i HAVING count(*) >= 2
+    ),
+    adj AS (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL SELECT v AS node, u AS nbr FROM edges
+    ),
+    deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+    centers AS (
+      SELECT a.node FROM deg a WHERE a.deg <= 64
+    ),
+    cand AS (
+      SELECT a.nbr AS u, b.nbr AS v, count(*) AS cn
+      FROM adj a JOIN centers c ON a.node = c.node
+      JOIN adj b ON b.node = a.node AND a.nbr < b.nbr
+      GROUP BY a.nbr, b.nbr
+    ),
+    nonedge AS (
+      SELECT cand.u, cand.v, cand.cn FROM cand
+      ANTI JOIN edges e ON e.u = cand.u AND e.v = cand.v
+    )
+    SELECT u, v, cn,
+           CAST(1000000 * cn // (du.deg + dv.deg - cn) AS BIGINT)
+             AS jaccard_ppm
+    FROM nonedge
+    JOIN deg du ON du.node = u
+    JOIN deg dv ON dv.node = v
+    ORDER BY cn DESC, jaccard_ppm DESC, u, v LIMIT 50
+    """,
+)
+def graph_link_prediction(spark, sf_dir):
+    """Link prediction on the part co-purchase graph (edges = part
+    pairs sharing ≥2 orders): for node pairs NOT yet connected, score
+    by common-neighbor count and by Jaccard similarity of neighbor
+    sets (cn / (deg_u + deg_v − cn)), the classic unsupervised
+    recommenders' baselines (Liben-Nowell & Kleinberg 2003). Wedge
+    enumeration through each common neighbor is the Σdeg² step, so
+    centers are capped at degree ≤ 64 — the standard hub guard that
+    keeps candidate volume linear in edges at 100 TB (a hub's
+    neighborhood is no evidence of affinity anyway). Jaccard is one
+    truncating integer division to ppm — engine-exact. Top-50 by
+    (cn, jaccard, pair) is a total order."""
+    li = _cat(spark, sf_dir).lineitem
+    edges = (
+        G.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .filter(F.col("n_cooc") >= 2)
+        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
+    )
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    centers = deg.filter(F.col("deg") <= 64).select("node")
+    a = adj.alias("a")
+    b = adj.alias("b")
+    cand = (
+        a.join(centers, "node")
+        .join(b, "node")
+        .filter(F.col("a.nbr") < F.col("b.nbr"))
+        .select(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+    nonedge = cand.join(edges, ["u", "v"], "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    jac = F.expr(
+        "CAST(1000000 * cn DIV (deg_u + deg_v - cn) AS BIGINT)"
+    )
+    return (
+        nonedge.join(du, "u")
+        .join(dv, "v")
+        .select("u", "v", "cn", jac.alias("jaccard_ppm"))
+        .orderBy(
+            F.col("cn").desc(), F.col("jaccard_ppm").desc(), "u", "v"
+        )
+        .limit(50)
+    )
+
+
+@query(
+    "profile_fk_integrity",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey->orders' AS relation,
+             count(*) AS child_rows,
+             count(DISTINCT l_orderkey) AS child_keys,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS orphan_rows,
+             count(DISTINCT CASE WHEN o_orderkey IS NULL
+                                 THEN l_orderkey END) AS orphan_keys
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part', count(*),
+             count(DISTINCT l_partkey),
+             CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             count(DISTINCT CASE WHEN p_partkey IS NULL THEN l_partkey END)
+      FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier', count(*),
+             count(DISTINCT l_suppkey),
+             CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             count(DISTINCT CASE WHEN s_suppkey IS NULL THEN l_suppkey END)
+      FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+      UNION ALL
+      SELECT 'orders.o_custkey->customer', count(*),
+             count(DISTINCT o_custkey),
+             CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             count(DISTINCT CASE WHEN c_custkey IS NULL THEN o_custkey END)
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation', count(*),
+             count(DISTINCT c_nationkey),
+             CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             count(DISTINCT CASE WHEN n_nationkey IS NULL
+                                 THEN c_nationkey END)
+      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation', count(*),
+             count(DISTINCT s_nationkey),
+             CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             count(DISTINCT CASE WHEN n_nationkey IS NULL
+                                 THEN s_nationkey END)
+      FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+      UNION ALL
+      SELECT 'nation.n_regionkey->region', count(*),
+             count(DISTINCT n_regionkey),
+             CAST(SUM(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             count(DISTINCT CASE WHEN r_regionkey IS NULL
+                                 THEN n_regionkey END)
+      FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT 'events.user_id->region', count(*),
+             count(DISTINCT user_id),
+             CAST(SUM(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             count(DISTINCT CASE WHEN r_regionkey IS NULL THEN user_id END)
+      FROM events LEFT JOIN region ON user_id = r_regionkey
+    )
+    """,
+)
+def profile_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit over the whole schema: one row per
+    declared foreign-key relation with child row/key counts and orphan
+    row/key counts (children whose key has no parent). The last
+    relation (events.user_id→region) is a deliberately over-declared
+    constraint, so the audit exercises the nonzero-orphan path. Each
+    relation is ONE left join aggregated in the same job; parent sides
+    that are dimension-sized are broadcast, the fact-side relations
+    shuffle once on the FK — there is no per-key probing and no
+    driver-side loop over keys (the anti-pattern at 100 TB is checking
+    FKs row-by-row; the set-based form is a single pass per relation).
+    Mirrors the reference's assure/quarantine validation intent
+    (sdk/lib/validate.php) at schema scope."""
+    cat = _cat(spark, sf_dir)
+
+    def audit(child, fk, parent, pk, relation, bcast):
+        p = parent.select(F.col(pk).alias("__pk"))
+        if bcast:
+            p = F.broadcast(p)
+        j = child.join(p, child[fk] == F.col("__pk"), "left")
+        miss = F.col("__pk").isNull()
+        return j.agg(
+            F.count("*").alias("child_rows"),
+            F.countDistinct(fk).alias("child_keys"),
+            F.count_if(miss).alias("orphan_rows"),
+            F.countDistinct(F.when(miss, child[fk])).alias("orphan_keys"),
+        ).select(
+            F.lit(relation).alias("relation"),
+            "child_rows", "child_keys", "orphan_rows", "orphan_keys",
+        )
+
+    parts = [
+        audit(cat.lineitem, "l_orderkey", cat.orders, "o_orderkey",
+              "lineitem.l_orderkey->orders", False),
+        audit(cat.lineitem, "l_partkey", cat.part, "p_partkey",
+              "lineitem.l_partkey->part", True),
+        audit(cat.lineitem, "l_suppkey", cat.supplier, "s_suppkey",
+              "lineitem.l_suppkey->supplier", True),
+        audit(cat.orders, "o_custkey", cat.customer, "c_custkey",
+              "orders.o_custkey->customer", True),
+        audit(cat.customer, "c_nationkey", cat.nation, "n_nationkey",
+              "customer.c_nationkey->nation", True),
+        audit(cat.supplier, "s_nationkey", cat.nation, "n_nationkey",
+              "supplier.s_nationkey->nation", True),
+        audit(cat.nation, "n_regionkey", cat.region, "r_regionkey",
+              "nation.n_regionkey->region", True),
+        audit(cat.events, "user_id", cat.region, "r_regionkey",
+              "events.user_id->region", True),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "sim_binary_hamming_topk",
+    oracle="""
+    WITH packed AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 1] > 0.0
+                    THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+               AS BIGINT) AS w0,
+             CAST(list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN embedding[i + 33] > 0.0
+                    THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+               AS BIGINT) AS w1
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+             CAST(bit_count(xor(q.w0, c.w0))
+                  + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+      FROM packed q JOIN packed c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY hamming, vec_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, rank, vec_id, hamming FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_binary_hamming_topk(spark, sf_dir):
+    """Binary-quantized similarity search: each 64-dim float vector is
+    sign-binarized and packed into two 32-bit words, and neighbors are
+    ranked by Hamming distance — bit_count(XOR) per word pair. This is
+    the 1-bit scalar-quantization retrieval baseline (64 floats → 8
+    bytes = 32× less candidate I/O; XOR+popcount stays in whole-stage
+    codegen, no float math in the scan). The exact-integer distance
+    makes it fully oracle-checkable, unlike the stochastic ANN keys.
+    Shape: packing is a narrow map read once; the 10-query side is
+    broadcast so the candidate scan never shuffles; per-query top-5 via
+    window on (hamming, vec_id) — a total order. At 100 TB the same
+    plan holds: the scan is the cost, and it reads 8 bytes/vector."""
+    emb = _cat(spark, sf_dir).embeddings
+
+    def word(off: int) -> F.Column:
+        return F.expr(
+            f"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+                (acc, i) -> acc + IF(element_at(embedding, i + {off + 1}) > CAST(0.0 AS FLOAT),
+                                     shiftleft(CAST(1 AS BIGINT), i),
+                                     CAST(0 AS BIGINT)))"""
+        )
+
+    packed = emb.select(
+        "vec_id", word(0).alias("w0"), word(32).alias("w1")
+    )
+    q = packed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+        + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+    ).cast("long")
+    scored = (
+        packed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", ham.alias("hamming"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "rank", "vec_id", "hamming")
+    )
+
+
+@query(
+    "sim_mmr_rerank",
+    oracle="""
+    WITH prep AS (
+      SELECT vec_id, list_transform(embedding, x ->
+        CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS q_id, qv AS qq FROM prep WHERE vec_id < 10),
+    scored AS (
+      SELECT q_id, p.vec_id, p.qv,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> qq[i] * p.qv[i])) AS BIGINT) AS rel
+      FROM qs JOIN prep p ON p.vec_id <> qs.q_id
+    ),
+    pool AS (
+      SELECT q_id, vec_id, qv, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY rel DESC, vec_id) AS rk
+        FROM scored
+      ) WHERE rk <= 8
+    ),
+    s1 AS (
+      SELECT q_id, vec_id, qv, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY rel DESC, vec_id) AS rk FROM pool
+      ) WHERE rk = 1
+    ),
+    r2 AS (
+      SELECT p.q_id, p.vec_id, p.qv, p.rel,
+             p.rel - CAST(list_sum(list_transform(range(1, 65),
+               i -> p.qv[i] * s.qv[i])) AS BIGINT) AS mmr
+      FROM pool p JOIN s1 s ON p.q_id = s.q_id AND p.vec_id <> s.vec_id
+    ),
+    s2 AS (
+      SELECT q_id, vec_id, qv, rel, mmr FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY mmr DESC, vec_id) AS rk FROM r2
+      ) WHERE rk = 1
+    ),
+    r3 AS (
+      SELECT p.q_id, p.vec_id, p.rel,
+             p.rel - greatest(
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> p.qv[i] * a.qv[i])) AS BIGINT),
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> p.qv[i] * b.qv[i])) AS BIGINT)
+             ) AS mmr
+      FROM pool p
+      JOIN s1 a ON p.q_id = a.q_id
+      JOIN s2 b ON p.q_id = b.q_id
+      WHERE p.vec_id <> a.vec_id AND p.vec_id <> b.vec_id
+    ),
+    s3 AS (
+      SELECT q_id, vec_id, rel, mmr FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY mmr DESC, vec_id) AS rk FROM r3
+      ) WHERE rk = 1
+    )
+    SELECT q_id, CAST(1 AS BIGINT) AS sel_rank, vec_id, rel, rel AS mmr
+    FROM s1
+    UNION ALL SELECT q_id, 2, vec_id, rel, mmr FROM s2
+    UNION ALL SELECT q_id, 3, vec_id, rel, mmr FROM s3
+    """,
+)
+def sim_mmr_rerank(spark, sf_dir):
+    """MMR-diversified retrieval (llm/similarity.mmr_rerank): top-8
+    inner-product shortlist per query, then a greedy lambda=0.5 MMR
+    pass picks 3 results that trade relevance against similarity to
+    already-picked ones. Exact integer dot products end to end, so
+    the greedy trace is engine-reproducible and the oracle replays it
+    as three unrolled selection CTEs. The sequential part touches
+    only pool-sized groups (8 rows/query) in one applyInPandas —
+    the corpus-scale work is the shortlist scan, which broadcasts
+    queries and never shuffles candidates."""
+    emb = _cat(spark, sf_dir).embeddings
+    return S.mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, pool=8
+    )
+
+
+@query(
+    "docs_ccnet_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {{toks}} AS ts FROM documents
+    ), bi AS (
+      SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM (
+        SELECT doc_id, unnest(list_zip(
+          list_slice(ts, 1, greatest(len(ts) - 1, 0)),
+          list_slice(ts, 2, len(ts))
+        )) AS b FROM toks
+      )
+    ), big AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+       uni AS (SELECT w1, SUM(c_xy) AS c_x FROM big GROUP BY 1),
+    lm AS (
+      SELECT d.doc_id,
+             CAST(round(AVG(-ln(CAST(big.c_xy AS DOUBLE) / uni.c_x))
+               * 1000000) AS BIGINT) AS nll_micronats
+      FROM bi d
+      JOIN big ON d.w1 = big.w1 AND d.w2 = big.w2
+      JOIN uni ON d.w1 = uni.w1
+      GROUP BY d.doc_id
+    ),
+    scored AS (
+      SELECT lm.doc_id, d.lang, lm.nll_micronats
+      FROM lm JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, nll_micronats,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY nll_micronats, doc_id) AS ppl_rank,
+             COUNT(*) OVER (PARTITION BY lang) AS nl
+      FROM scored
+    )
+    SELECT doc_id, lang, nll_micronats, ppl_rank,
+           CASE (3 * (ppl_rank - 1)) // nl
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM ranked
+    """.replace("{toks}", _TOKS_SQL),
+)
+def docs_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus-trained bigram LM (shared
+    _bigram_nll pipeline), rank within its language by perplexity,
+    and split each language into head / middle / tail thirds — the
+    standard quality gate before sampling pretraining data (keep
+    head, downsample tail). The per-language rank is a SEGMENTED
+    two-phase computation, not one per-lang window: documents are
+    bucketed by micro-nat value (nll DIV 2^16), bucket counts give
+    per-bucket rank offsets via a window over the tiny (lang, bucket)
+    frame, and row_number runs only within (lang, bucket) — so no
+    language's corpus ever serializes into a single task. Tertile =
+    (3*(rank-1)) DIV n, identical integer formula on both engines."""
+    docs = _cat(spark, sf_dir).documents
+    scored = _bigram_nll(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "nll_micronats")
+    vb = scored.withColumn("vbucket", F.expr("nll_micronats DIV 65536"))
+    counts = vb.groupBy("lang", "vbucket").agg(F.count("*").alias("bn"))
+    offsets = counts.withColumn(
+        "boff",
+        F.coalesce(
+            F.sum("bn").over(
+                Window.partitionBy("lang")
+                .orderBy("vbucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("lang", "vbucket", "boff")
+    nlang = scored.groupBy("lang").agg(F.count("*").alias("nl"))
+    rank_local = F.row_number().over(
+        Window.partitionBy("lang", "vbucket").orderBy(
+            "nll_micronats", "doc_id"
+        )
+    )
+    ranked = (
+        vb.withColumn("rl", rank_local)
+        .join(F.broadcast(offsets), ["lang", "vbucket"])
+        .join(F.broadcast(nlang), "lang")
+        .withColumn("ppl_rank", F.col("boff") + F.col("rl"))
+    )
+    bucket = (
+        F.when(F.expr("(3 * (ppl_rank - 1)) DIV nl") == 0, "head")
+        .when(F.expr("(3 * (ppl_rank - 1)) DIV nl") == 1, "middle")
+        .otherwise("tail")
+    )
+    return ranked.select(
+        "doc_id", "lang", "nll_micronats", "ppl_rank",
+        bucket.alias("bucket"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -19359,7 +20233,11 @@ DRIVER_GREEN = [
 # financial/stats). Zero repeats of already-green keys by construction
 # (_reorder_for_driver drops green keys from this list).
 _PRIORITY = [
-    # round-5 second session (freshest code = highest residual risk):
+    # round-5 third session (freshest code = highest residual risk)
+    "docs_pack_sequences", "docs_pack_greedy", "docs_paragraph_dedup",
+    "privacy_t_closeness", "graph_link_prediction", "profile_fk_integrity",
+    "sim_binary_hamming_topk", "sim_mmr_rerank", "docs_ccnet_buckets",
+    # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",
     "ml_isotonic_calibration", "agg_itemsets_apriori", "text_bm25_topk",

