@@ -68,6 +68,12 @@ HEADLINE = [
     # first-run baselines in BASELINE.md
     "graph_pagerank_exact",  # 6-round integer PageRank, per-round jobs
     "text_bm25_topk",       # token explode + broadcast corpus stats
+    # round-5 third batch: training-shard packing, corpus-wide span
+    # dedup, and compressed-domain retrieval — first-run baselines in
+    # BASELINE.md
+    "docs_pack_sequences",  # segmented prefix-sum concat-and-chunk
+    "docs_paragraph_dedup",  # global first-wins span dedup + reassembly
+    "sim_binary_hamming_topk",  # 1-bit quantized XOR/popcount scan
 ]
 
 

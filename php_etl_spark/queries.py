@@ -20166,6 +20166,176 @@ def docs_ccnet_buckets(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars, source,
+             md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS cluster_fp
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_fp
+               ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_fp) AS n_members
+      FROM fp
+    )
+    SELECT cluster_fp, n_members,
+           doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+           source AS kept_source,
+           n_members - 1 AS n_dropped
+    FROM ranked WHERE rn = 1 AND n_members > 1
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Keep-best cluster collapse: within each duplicate cluster keep
+    the highest-quality member (longest document, ties to the lowest
+    doc_id) instead of the first-seen one — the policy real corpus
+    pipelines apply after near-dup clustering (first-wins keeps
+    whatever shard order delivered; keep-best keeps the least
+    truncated copy). Cluster key here is the 3-word prefix
+    fingerprint (standing in for a MinHash cluster id — the synthetic
+    corpus has no exact duplicates but does share prefixes); the
+    selection is one hash-keyed window, no self-join, and emits only
+    multi-member clusters. Same shuffle shape at 100 TB: one exchange
+    on the 16-byte cluster key."""
+    docs = _cat(spark, sf_dir).documents
+    fp = docs.select(
+        "doc_id", "n_chars", "source",
+        F.md5(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
+        ).alias("cluster_fp"),
+    )
+    w = Window.partitionBy("cluster_fp")
+    ranked = fp.withColumn(
+        "rn",
+        F.row_number().over(w.orderBy(F.col("n_chars").desc(), "doc_id")),
+    ).withColumn("n_members", F.count("*").over(w))
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("n_members") > 1))
+        .select(
+            "cluster_fp", "n_members",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_n_chars"),
+            F.col("source").alias("kept_source"),
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+    )
+
+
+@query(
+    "graph_random_walks",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    edges AS (
+      SELECT a.i AS u, c.i AS v
+      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+      GROUP BY a.i, c.i HAVING count(*) >= 2
+    ),
+    adj AS (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL SELECT v AS node, u AS nbr FROM edges
+    ),
+    starts AS (
+      SELECT DISTINCT node AS walk_id FROM adj WHERE node % 17 = 0
+    ),
+    s1 AS (
+      SELECT walk_id, nbr AS node FROM (
+        SELECT s.walk_id, a.nbr,
+               ROW_NUMBER() OVER (PARTITION BY s.walk_id ORDER BY
+                 substr(md5('w' || CAST(s.walk_id AS VARCHAR) || '#1#'
+                   || CAST(a.nbr AS VARCHAR)), 1, 8), a.nbr) AS rn
+        FROM starts s JOIN adj a ON a.node = s.walk_id
+      ) WHERE rn = 1
+    ),
+    s2 AS (
+      SELECT walk_id, nbr AS node FROM (
+        SELECT p.walk_id, a.nbr,
+               ROW_NUMBER() OVER (PARTITION BY p.walk_id ORDER BY
+                 substr(md5('w' || CAST(p.walk_id AS VARCHAR) || '#2#'
+                   || CAST(a.nbr AS VARCHAR)), 1, 8), a.nbr) AS rn
+        FROM s1 p JOIN adj a ON a.node = p.node
+      ) WHERE rn = 1
+    ),
+    s3 AS (
+      SELECT walk_id, nbr AS node FROM (
+        SELECT p.walk_id, a.nbr,
+               ROW_NUMBER() OVER (PARTITION BY p.walk_id ORDER BY
+                 substr(md5('w' || CAST(p.walk_id AS VARCHAR) || '#3#'
+                   || CAST(a.nbr AS VARCHAR)), 1, 8), a.nbr) AS rn
+        FROM s2 p JOIN adj a ON a.node = p.node
+      ) WHERE rn = 1
+    )
+    SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS node FROM starts
+    UNION ALL SELECT walk_id, 1, node FROM s1
+    UNION ALL SELECT walk_id, 2, node FROM s2
+    UNION ALL SELECT walk_id, 3, node FROM s3
+    """,
+)
+def graph_random_walks(spark, sf_dir):
+    """Deterministic 'random' walks over the co-purchase graph — the
+    DeepWalk/node2vec corpus-generation primitive, made reproducible
+    by drawing each step from an md5 hash of (walk, step, neighbor)
+    instead of RNG state: the minimum-hash neighbor is the chosen
+    next hop, so any engine, partitioning or re-run produces the same
+    walks (and the oracle replays them). Walks start at every node
+    ≡ 0 (mod 17) and run 3 steps; each step is ONE keyed join of the
+    frontier against the adjacency list plus a per-walk argmin —
+    candidate volume is Σ deg(cur), never quadratic, and the argmin
+    is a min-struct aggregate (map-side combinable), not a sort."""
+    li = _cat(spark, sf_dir).lineitem
+    edges = (
+        G.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .filter(F.col("n_cooc") >= 2)
+        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
+    )
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    starts = (
+        adj.filter(F.col("node") % 17 == 0)
+        .select(F.col("node").alias("walk_id"))
+        .distinct()
+    )
+
+    def step(frontier, s: int):
+        fr = frontier.alias("fr")
+        a = adj.alias(f"adj{s}")
+        cand = fr.join(
+            a, F.col("fr.node") == F.col(f"adj{s}.node")
+        ).select(
+            F.col("fr.walk_id").alias("walk_id"),
+            F.col(f"adj{s}.nbr").alias("nbr"),
+        ).select(
+            "walk_id", "nbr",
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("w"),
+                        F.col("walk_id").cast("string"),
+                        F.lit(f"#{s}#"),
+                        F.col("nbr").cast("string"),
+                    )
+                ),
+                1, 8,
+            ).alias("score"),
+        )
+        return cand.groupBy("walk_id").agg(
+            F.min(F.struct("score", "nbr")).alias("pick")
+        ).select("walk_id", F.col("pick.nbr").alias("node"))
+
+    f0 = starts.select("walk_id", F.col("walk_id").alias("node"))
+    f1 = step(f0, 1)
+    f2 = step(f1, 2)
+    f3 = step(f2, 3)
+    out = f0.select("walk_id", F.lit(0).cast("long").alias("step"), "node")
+    for i, f in ((1, f1), (2, f2), (3, f3)):
+        out = out.unionAll(
+            f.select("walk_id", F.lit(i).cast("long").alias("step"), "node")
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
