@@ -20407,6 +20407,7 @@ _PRIORITY = [
     "docs_pack_sequences", "docs_pack_greedy", "docs_paragraph_dedup",
     "privacy_t_closeness", "graph_link_prediction", "profile_fk_integrity",
     "sim_binary_hamming_topk", "sim_mmr_rerank", "docs_ccnet_buckets",
+    "dedup_keep_best", "graph_random_walks",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

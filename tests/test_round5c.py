@@ -235,3 +235,61 @@ def test_ccnet_buckets_are_language_tertiles(spark):
             r["nll_micronats"] for r in rs if r["bucket"] == "tail"
         )
         assert max_head <= min_tail
+
+
+def test_keep_best_keeps_longest_member(spark):
+    rows = QUERIES["dedup_keep_best"](spark, SF_DIR).collect()
+    assert rows
+    docs = _docs(spark)
+    chars = {
+        d["doc_id"]: len(d["text"]) for d in docs
+    }
+    by_fp = defaultdict(list)
+    for d in docs:
+        fp = " ".join(d["text"].split(" ")[:3])
+        by_fp[fp].append(d["doc_id"])
+    multi = {fp: ids for fp, ids in by_fp.items() if len(ids) > 1}
+    assert len(rows) == len(multi)
+    for r in rows:
+        assert r["n_members"] >= 2
+        assert r["n_dropped"] == r["n_members"] - 1
+        # kept doc must be at least as long as every cluster sibling
+        sibs = next(
+            ids for ids in multi.values() if r["kept_doc_id"] in ids
+        )
+        assert all(
+            chars[r["kept_doc_id"]] >= chars[s] for s in sibs
+        )
+
+
+def test_random_walks_follow_edges_deterministically(spark):
+    """Every step moves along a real edge, walks are 4 rows each, and
+    a second run returns the identical paths (hash-derived, no RNG)."""
+    out1 = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in QUERIES["graph_random_walks"](spark, SF_DIR).collect()
+    )
+    out2 = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in QUERIES["graph_random_walks"](spark, SF_DIR).collect()
+    )
+    assert out1 == out2 and out1
+    by_walk = defaultdict(dict)
+    for w, s, n in out1:
+        by_walk[w][s] = n
+    # rebuild the edge set the query walks over
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    from php_etl_spark.operators import graph as G
+
+    edges = {
+        (r["item_a"], r["item_b"])
+        for r in G.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .filter("n_cooc >= 2")
+        .collect()
+    }
+    und = edges | {(b, a) for a, b in edges}
+    for w, path in by_walk.items():
+        assert path[0] == w
+        assert set(path) == {0, 1, 2, 3}
+        for s in (1, 2, 3):
+            assert (path[s - 1], path[s]) in und

@@ -829,6 +829,22 @@ AUDITS = {
         ("bigram LM tables merge map-side before their shuffles",
          lambda p: "partial_count" in p.lower()),
     ],
+    "dedup_keep_best": [
+        ("one exchange on the cluster key, no self-join (both windows "
+         "share the cluster_fp partitioning)",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 1 and "Join" not in p),
+        ("documents scan prunes to the 4 referenced columns",
+         lambda p: all(n <= 4 for n in read_schema_cols(p))),
+    ],
+    "graph_random_walks": [
+        ("every step is a keyed join (no cartesian / nested loop)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("next-hop choice is a min-struct aggregate with map-side "
+         "partials, not a per-walk sort",
+         lambda p: "partial_min" in p.lower()),
+    ],
     "sim_binary_hamming_topk": [
         ("10-query side broadcasts; the candidate scan never shuffles "
          "before scoring",
