@@ -19759,9 +19759,17 @@ def graph_link_prediction(spark, sf_dir):
         .filter(F.col("n_cooc") >= 2)
         .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
     )
-    adj = edges.select(
-        F.col("u").alias("node"), F.col("v").alias("nbr")
-    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    from php_etl_spark.materialize import materialize
+
+    edges = materialize(edges)  # consumed by adj (x2) + the anti join
+    adj = materialize(
+        edges.select(
+            F.col("u").alias("node"), F.col("v").alias("nbr")
+        ).unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+    )  # 3 consumers (deg, both wedge sides): census read 85 shuffles
+    # from per-consumer re-inlining of the co-purchase subtree
     deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
     centers = deg.filter(F.col("deg") <= 64).select("node")
     a = adj.alias("a")
@@ -20129,7 +20137,9 @@ def docs_ccnet_buckets(spark, sf_dir):
     docs = _cat(spark, sf_dir).documents
     scored = _bigram_nll(docs).join(
         docs.select("doc_id", "lang"), "doc_id"
-    ).select("doc_id", "lang", "nll_micronats")
+    ).select("doc_id", "lang", "nll_micronats").persist()
+    # ^ the LM pipeline (3 shuffles) feeds both the bucket-count and
+    # the ranked branch; without the pin it re-inlines per consumer
     vb = scored.withColumn("vbucket", F.expr("nll_micronats DIV 65536"))
     counts = vb.groupBy("lang", "vbucket").agg(F.count("*").alias("bn"))
     offsets = counts.withColumn(
@@ -20289,9 +20299,18 @@ def graph_random_walks(spark, sf_dir):
         .filter(F.col("n_cooc") >= 2)
         .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
     )
-    adj = edges.select(
-        F.col("u").alias("node"), F.col("v").alias("nbr")
-    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    from php_etl_spark.materialize import materialize
+
+    adj = materialize(
+        edges.select(
+            F.col("u").alias("node"), F.col("v").alias("nbr")
+        ).unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+    )  # iterative state: every walk step joins adj, so the
+    # co-purchase self-join subtree would re-inline per step
+    # (census read 156 shuffles); truncating the lineage pins the
+    # edge list once — the PageRank convention for loop state
     starts = (
         adj.filter(F.col("node") % 17 == 0)
         .select(F.col("node").alias("walk_id"))
