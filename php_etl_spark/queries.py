@@ -20355,6 +20355,192 @@ def graph_random_walks(spark, sf_dir):
     return out
 
 
+@query(
+    "multimodal_clip_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             (ascii(substr(md5(tok), 1, 1)) * 31
+              + ascii(substr(md5(tok), 3, 1))) % 64 AS dim,
+             CASE WHEN ascii(substr(md5(tok), 5, 1)) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    ),
+    tvec AS (
+      SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS tv
+      FROM hashed GROUP BY doc_id, dim
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(SUM(t.tv * CAST(round(
+               CAST(e.embedding[t.dim + 1] AS DOUBLE) * 1000000)
+               AS BIGINT)) AS BIGINT) AS clip_score
+      FROM tvec t JOIN embeddings e ON e.vec_id = t.doc_id
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, clip_score, clip_score > 0 AS kept
+    FROM scored
+    """,
+)
+def multimodal_clip_filter(spark, sf_dir):
+    """CLIP-score alignment filtering for paired text+image corpora
+    (the LAION recipe: drop pairs whose caption does not match the
+    image embedding). The image side is the real embedding column;
+    the text encoder is the honest deterministic stand-in this repo
+    uses for absent model weights — signed feature hashing of tokens
+    into the same 64-dim space (hash → dimension, hash → ±1 sign, the
+    Weinberger et al. hashing-trick construction) — so the Spark-side
+    contract (pairing join, per-dim dot product, threshold gate) is
+    real and exactly testable. The dot product never builds the text
+    vector: token explode → signed counts per (doc, dim) → join the
+    image vector and sum tv·img[dim] — one explode, two map-side-
+    combinable aggregations, one keyed join; integer-exact end to
+    end."""
+    cat = _cat(spark, sf_dir)
+    toks = cat.documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    dim = (
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 3, 1))
+    ) % 64
+    sgn = F.when(
+        F.ascii(F.substring(h, 5, 1)) % 2 == 0, 1
+    ).otherwise(-1)
+    tvec = (
+        toks.select("doc_id", dim.alias("dim"), sgn.alias("sgn"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").alias("tv"))
+    )
+    img = cat.embeddings.select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("iq"),
+    )
+    scored = (
+        tvec.join(img, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("tv")
+                * F.element_at(F.col("iq"), (F.col("dim") + 1).cast("int"))
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("clip_score"))
+    )
+    return scored.select(
+        "doc_id", "clip_score", (F.col("clip_score") > 0).alias("kept")
+    )
+
+
+@query(
+    "graph_sssp_weighted",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    edges AS (
+      SELECT u, v, 1000000 // n_cooc AS w FROM (
+        SELECT a.i AS u, c.i AS v, count(*) AS n_cooc
+        FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        GROUP BY a.i, c.i HAVING count(*) >= 2
+      )
+    ),
+    und AS (
+      SELECT u, v, w FROM edges UNION ALL SELECT v AS u, u AS v, w FROM edges
+    ),
+    d0 AS (
+      SELECT DISTINCT u AS src, u AS node, CAST(0 AS BIGINT) AS dist
+      FROM und WHERE u % 97 = 0
+    ),
+    d1 AS (
+      SELECT src, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT src, node, dist FROM d0
+        UNION ALL
+        SELECT d.src, e.v AS node, d.dist + e.w AS dist
+        FROM d0 d JOIN und e ON e.u = d.node
+      ) GROUP BY src, node
+    ),
+    d2 AS (
+      SELECT src, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT src, node, dist FROM d1
+        UNION ALL
+        SELECT d.src, e.v AS node, d.dist + e.w AS dist
+        FROM d1 d JOIN und e ON e.u = d.node
+      ) GROUP BY src, node
+    ),
+    d3 AS (
+      SELECT src, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT src, node, dist FROM d2
+        UNION ALL
+        SELECT d.src, e.v AS node, d.dist + e.w AS dist
+        FROM d2 d JOIN und e ON e.u = d.node
+      ) GROUP BY src, node
+    )
+    SELECT src, node, dist FROM d3
+    """,
+)
+def graph_sssp_weighted(spark, sf_dir):
+    """Weighted single-source shortest paths, hop-bounded: 3 rounds of
+    distributed Bellman-Ford relaxation over the co-purchase graph
+    with integer edge costs 1e6/n_cooc (stronger affinity = cheaper
+    hop). Each round is ONE keyed join of the current distance
+    frontier against the adjacency list plus a min-combine — the
+    relaxation is associative, so map-side partial mins bound the
+    shuffle by distinct (src, node), and the round frame is
+    materialized so the plan stays round-depth-free (the PageRank
+    convention). Hop-bounding is the scale guard: unbounded
+    Bellman-Ford is diameter-many rounds; pipelines cap the radius
+    (here 3) the way k-hop neighborhoods do. Exact integer distances,
+    replayed by three unrolled oracle CTEs."""
+    from php_etl_spark.materialize import materialize
+
+    li = _cat(spark, sf_dir).lineitem
+    edges = (
+        G.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .filter(F.col("n_cooc") >= 2)
+        .select(
+            F.col("item_a").alias("u"),
+            F.col("item_b").alias("v"),
+            F.expr("1000000 DIV n_cooc").alias("w"),
+        )
+    )
+    und = materialize(
+        edges.unionAll(
+            edges.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+            )
+        )
+    )
+    dist = (
+        und.filter(F.col("u") % 97 == 0)
+        .select(F.col("u").alias("src"), F.col("u").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for i in range(3):
+        d = dist.alias("d")
+        e = und.alias(f"e{i}")
+        relaxed = d.join(
+            e, F.col("d.node") == F.col(f"e{i}.u")
+        ).select(
+            F.col("d.src").alias("src"),
+            F.col(f"e{i}.v").alias("node"),
+            (F.col("d.dist") + F.col(f"e{i}.w")).alias("dist"),
+        )
+        dist = materialize(
+            dist.unionByName(relaxed)
+            .groupBy("src", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -20426,7 +20612,8 @@ _PRIORITY = [
     "docs_pack_sequences", "docs_pack_greedy", "docs_paragraph_dedup",
     "privacy_t_closeness", "graph_link_prediction", "profile_fk_integrity",
     "sim_binary_hamming_topk", "sim_mmr_rerank", "docs_ccnet_buckets",
-    "dedup_keep_best", "graph_random_walks",
+    "dedup_keep_best", "graph_random_walks", "multimodal_clip_filter",
+    "graph_sssp_weighted",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -293,3 +293,64 @@ def test_random_walks_follow_edges_deterministically(spark):
         assert set(path) == {0, 1, 2, 3}
         for s in (1, 2, 3):
             assert (path[s - 1], path[s]) in und
+
+
+def test_clip_filter_matches_hashing_trick_replay(spark):
+    """Signed-feature-hash text encoding dotted with the quantized
+    image embedding must equal a Python replay."""
+    emb = {
+        r["vec_id"]: [round(float(x) * 1_000_000) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    got = {
+        r["doc_id"]: (r["clip_score"], r["kept"])
+        for r in QUERIES["multimodal_clip_filter"](spark, SF_DIR).collect()
+    }
+    n_checked = 0
+    for d in _docs(spark):
+        if d["doc_id"] not in emb:
+            continue
+        tv = defaultdict(int)
+        for t in d["text"].split(" "):
+            h = hashlib.md5(t.encode()).hexdigest()
+            dim = (ord(h[0]) * 31 + ord(h[2])) % 64
+            tv[dim] += 1 if ord(h[4]) % 2 == 0 else -1
+        score = sum(v * emb[d["doc_id"]][k] for k, v in tv.items())
+        assert got[d["doc_id"]] == (score, score > 0)
+        n_checked += 1
+    assert n_checked == len(got) > 0
+    # the gate actually separates: both classes present
+    assert {k for _, k in got.values()} == {True, False}
+
+
+def test_sssp_matches_hop_bounded_bellman_ford(spark):
+    from php_etl_spark.operators import graph as G
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    w = {}
+    for r in (
+        G.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .filter("n_cooc >= 2")
+        .collect()
+    ):
+        c = 1_000_000 // r["n_cooc"]
+        w[(r["item_a"], r["item_b"])] = c
+        w[(r["item_b"], r["item_a"])] = c
+    nodes = {u for u, _ in w}
+    srcs = sorted(n for n in nodes if n % 97 == 0)
+    want = {}
+    for s in srcs:
+        dist = {s: 0}
+        for _ in range(3):
+            nxt = dict(dist)
+            for (u, v), c in w.items():
+                if u in dist and dist[u] + c < nxt.get(v, 1 << 62):
+                    nxt[v] = dist[u] + c
+            dist = nxt
+        for n, dv in dist.items():
+            want[(s, n)] = dv
+    got = {
+        (r["src"], r["node"]): r["dist"]
+        for r in QUERIES["graph_sssp_weighted"](spark, SF_DIR).collect()
+    }
+    assert got == want and got

@@ -829,6 +829,25 @@ AUDITS = {
         ("bigram LM tables merge map-side before their shuffles",
          lambda p: "partial_count" in p.lower()),
     ],
+    "multimodal_clip_filter": [
+        ("pairing is a keyed join and both aggregations combine "
+         "map-side (no per-doc vector build, no cartesian)",
+         lambda p: "CartesianProduct" not in p
+         and "partial_sum" in p.lower()),
+        ("documents scan prunes to (doc_id, text)",
+         lambda p: any(n <= 2 for n in read_schema_cols(p))),
+    ],
+    "graph_sssp_weighted": [
+        ("final round reads materialized state, not 3 rounds of "
+         "stacked joins (lineage truncated per round — the PageRank "
+         "convention; the per-round min-combine shape is covered by "
+         "the oracle + the Bellman-Ford differential test)",
+         lambda p: "ExistingRDD" in p or "LogicalRDD" in p
+         or "Scan ExistingRDD" in p),
+        ("no parquet rescan in the final plan (edge build does not "
+         "ride through every round)",
+         lambda p: "FileScan parquet" not in p),
+    ],
     "dedup_keep_best": [
         ("one exchange on the cluster key, no self-join (both windows "
          "share the cluster_fp partitioning)",

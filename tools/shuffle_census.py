@@ -93,9 +93,18 @@ def main() -> int:
     got = census(spark, args.sf, names)
 
     if args.record:
+        merged = dict(got)
+        if args.names and os.path.exists(LEDGER):
+            # subset record MERGES into the ledger — rewriting it with
+            # only the named keys would silently drop every other
+            # query's budget
+            with open(LEDGER) as f:
+                merged = {**json.load(f), **got}
         with open(LEDGER, "w") as f:
-            json.dump(dict(sorted(got.items())), f, indent=1, sort_keys=True)
-        print(f"recorded {len(got)} queries -> {LEDGER}")
+            json.dump(dict(sorted(merged.items())), f, indent=1,
+                      sort_keys=True)
+        print(f"recorded {len(got)} queries ({len(merged)} total) "
+              f"-> {LEDGER}")
         return 0
 
     if not os.path.exists(LEDGER):
