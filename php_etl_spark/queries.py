@@ -20541,6 +20541,204 @@ def graph_sssp_weighted(spark, sf_dir):
     return dist
 
 
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.event_id AS next_click_id,
+           c.value AS next_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join, completing the backward/nearest/tolerance
+    family: for each purchase, the EARLIEST simultaneous-or-later
+    click by the same user (the "next touch after conversion" shape —
+    churn/reactivation analysis). Same carry implementation as the
+    backward key run in reverse event order: one shuffle on user_id,
+    a window carry, no range explosion regardless of history length."""
+    ev = _cat(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_src_id"), "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks.withColumnRenamed("ts", "click_ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_values=["click_src_id", "value"],
+        suffix="_asof",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("click_src_id_asof").alias("next_click_id"),
+        F.col("value_asof").alias("next_click_value"),
+    )
+
+
+@query(
+    "scan_fixed_width",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM supplier
+    """,
+)
+def scan_fixed_width(spark, sf_dir):
+    """Fixed-width text source round trip (the COBOL/mainframe extract
+    format): supplier rows are rendered to fixed column offsets with
+    format_string, written as a plain text file, and read back through
+    sources.readers.read_fixed_width (substring+trim+cast per column —
+    all codegen, partition-parallel). Money travels as integer cents
+    so the round trip is exact. Completes the source-format matrix
+    next to csv/json/orc/xml/binary."""
+    import tempfile
+
+    from php_etl_spark.sources.readers import read_fixed_width
+
+    path = tempfile.mkdtemp(prefix="fixed_width_") + "/supplier"
+    sup = _cat(spark, sf_dir).supplier
+    lines = sup.select(
+        F.format_string(
+            "%-10d%-30s%-6d%14d",
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("s_nationkey"),
+            F.round(F.col("s_acctbal") * 100).cast("long"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    return read_fixed_width(
+        spark,
+        path,
+        [
+            ("s_suppkey", 1, 10, "long"),
+            ("s_name", 11, 30, "string"),
+            ("s_nationkey", 41, 6, "long"),
+            ("acctbal_cents", 47, 14, "long"),
+        ],
+    )
+
+
+@query(
+    "ml_ridge_closed_form",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_discount * 1000) AS BIGINT) AS d,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS a11,
+             CAST(SUM(q) AS HUGEINT) AS a12,
+             CAST(SUM(d) AS HUGEINT) AS a13,
+             CAST(SUM(q * q) AS HUGEINT) + 1000 AS a22,
+             CAST(SUM(q * d) AS HUGEINT) AS a23,
+             CAST(SUM(d * d) AS HUGEINT) + 1000 AS a33,
+             CAST(SUM(y) AS HUGEINT) AS b1,
+             CAST(SUM(q * y) AS HUGEINT) AS b2,
+             CAST(SUM(d * y) AS HUGEINT) AS b3
+      FROM obs
+    ),
+    dets AS (
+      SELECT a11,
+        a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+          + a13*(a12*a23 - a22*a13) AS det,
+        b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
+          + a13*(b2*a23 - a22*b3) AS det0,
+        a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13)
+          + a13*(a12*b3 - b2*a13) AS det1,
+        a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)
+          + b1*(a12*a23 - a22*a13) AS det2
+      FROM m
+    )
+    SELECT CAST(a11 AS BIGINT) AS n,
+      CAST(round(1000000 * CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE))
+           AS BIGINT) AS beta0_micro,
+      CAST(round(1000000 * CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE))
+           AS BIGINT) AS beta1_micro,
+      CAST(round(1000000 * CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE))
+           AS BIGINT) AS beta2_micro
+    FROM dets
+    """,
+)
+def ml_ridge_closed_form(spark, sf_dir):
+    """Ridge regression (lambda=1000, intercept unpenalized) of
+    line-item price cents on (quantity, discount-milli), solved in
+    CLOSED FORM: one aggregation computes the nine integer moments of
+    the 3x3 normal equations, and Cramer's rule expands the
+    determinants in exact decimal(38,0)/HUGEINT arithmetic — the
+    whole fit is a single pass plus literal-sized driver math, the
+    textbook distributed shape for low-dimensional linear models (the
+    iterative twin is ml_gbdt_*; the unregularized twin is
+    ml_linreg_normal_eq). Each coefficient leaves exactness only at
+    the final division of two exact 128-bit determinants, rounded at
+    the micro grain. Moment magnitudes bound n ≲ 1e7 at full feature
+    spread before the 38-digit headroom is consumed; beyond that the
+    standard fix is centering the features first (two-pass), which
+    collapses the cross-moments by ~n."""
+    li = _cat(spark, sf_dir).lineitem
+    obs = li.select(
+        F.round("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 1000).cast("long").alias("d"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dec38 = "decimal(38,0)"
+    m = obs.agg(
+        F.count("*").cast(dec38).alias("a11"),
+        F.sum("q").cast(dec38).alias("a12"),
+        F.sum("d").cast(dec38).alias("a13"),
+        (F.sum(F.col("q") * F.col("q")).cast(dec38) + 1000).alias("a22"),
+        F.sum(F.col("q") * F.col("d")).cast(dec38).alias("a23"),
+        (F.sum(F.col("d") * F.col("d")).cast(dec38) + 1000).alias("a33"),
+        F.sum("y").cast(dec38).alias("b1"),
+        F.sum(F.col("q") * F.col("y")).cast(dec38).alias("b2"),
+        F.sum(F.col("d") * F.col("y")).cast(dec38).alias("b3"),
+    )
+    dets = m.select(
+        "a11",
+        F.expr(
+            "a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)"
+            " + a13*(a12*a23 - a22*a13)"
+        ).alias("det"),
+        F.expr(
+            "b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)"
+            " + a13*(b2*a23 - a22*b3)"
+        ).alias("det0"),
+        F.expr(
+            "a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13)"
+            " + a13*(a12*b3 - b2*a13)"
+        ).alias("det1"),
+        F.expr(
+            "a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)"
+            " + b1*(a12*a23 - a22*a13)"
+        ).alias("det2"),
+    )
+
+    def beta(col):
+        return F.round(
+            F.lit(1000000.0)
+            * F.col(col).cast("double")
+            / F.col("det").cast("double")
+        ).cast("long")
+
+    return dets.select(
+        F.col("a11").cast("long").alias("n"),
+        beta("det0").alias("beta0_micro"),
+        beta("det1").alias("beta1_micro"),
+        beta("det2").alias("beta2_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -20613,7 +20811,8 @@ _PRIORITY = [
     "privacy_t_closeness", "graph_link_prediction", "profile_fk_integrity",
     "sim_binary_hamming_topk", "sim_mmr_rerank", "docs_ccnet_buckets",
     "dedup_keep_best", "graph_random_walks", "multimodal_clip_filter",
-    "graph_sssp_weighted",
+    "graph_sssp_weighted", "join_asof_forward", "scan_fixed_width",
+    "ml_ridge_closed_form",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -122,3 +122,28 @@ def read_csv_with_quarantine(
         "_corrupt_record"
     )
     return clean, corrupt
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Fixed-width text source (the mainframe/COBOL-extract sibling of
+    the reference's line-oriented text source, sdk/src/IO/
+    ReadWriter.php:41-63): each column is (name, 1-based start, width,
+    spark_type). One narrow projection over ``spark.read.text`` —
+    substring + trim + cast are all codegen'd, the scan stays
+    partition-parallel, and column pruning drops unreferenced slices
+    like any other projection."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    return lines.select(
+        *[
+            F.trim(F.substring(F.col("value"), start, width))
+            .cast(dtype)
+            .alias(name)
+            for name, start, width, dtype in colspecs
+        ]
+    )

@@ -829,6 +829,14 @@ AUDITS = {
         ("bigram LM tables merge map-side before their shuffles",
          lambda p: "partial_count" in p.lower()),
     ],
+    "ml_ridge_closed_form": [
+        ("one aggregation pass computes all nine moments (single "
+         "shuffle to one row; Cramer math is literal-sized)",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange") <= 1),
+        ("moment sums reduce map-side before the single-row merge",
+         lambda p: "partial_" in p.lower()),
+    ],
     "multimodal_clip_filter": [
         ("pairing is a keyed join and both aggregations combine "
          "map-side (no per-doc vector build, no cartesian)",
