@@ -20739,6 +20739,102 @@ def ml_ridge_closed_form(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_filter_funnel",
+    oracle="""
+    WITH flags AS (SELECT * FROM ({gopher}) g),
+    ccnet AS (SELECT doc_id, bucket FROM ({ccnet}) c),
+    staged AS (
+      SELECT f.doc_id,
+             CASE WHEN NOT ok_word_count THEN 1
+                  WHEN NOT ok_mean_word_len THEN 2
+                  WHEN NOT ok_alpha_fraction THEN 3
+                  WHEN NOT ok_stopwords THEN 4
+                  WHEN c.bucket IS NULL OR c.bucket = 'tail' THEN 5
+                  ELSE 0 END AS stage_id
+      FROM flags f LEFT JOIN ccnet c USING (doc_id)
+    ),
+    counts AS (SELECT stage_id, count(*) AS n FROM staged GROUP BY stage_id),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+    stages(stage_id, stage) AS (VALUES
+      (1, 'word_count'), (2, 'mean_word_len'), (3, 'alpha_fraction'),
+      (4, 'stopwords'), (5, 'ppl_tail')),
+    rep AS (
+      SELECT s.stage_id, s.stage,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n_dropped
+      FROM stages s LEFT JOIN counts c USING (stage_id)
+    )
+    SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+           CAST(total - COALESCE(SUM(n_dropped) OVER (ORDER BY stage_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_in,
+           n_dropped,
+           CAST(total - SUM(n_dropped) OVER (ORDER BY stage_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_out
+    FROM rep CROSS JOIN tot
+    """,
+)
+def corpus_filter_funnel(spark, sf_dir):
+    """Corpus quality-gate FUNNEL report — the pipeline-health
+    artifact every pretraining data team reviews: documents flow
+    through the Gopher rules then the CCNet perplexity-tail gate in
+    sequence, each doc charged to the FIRST gate it fails, and the
+    report shows per-stage in/dropped/out counts. Composed from the
+    registered docs_gopher_rules and docs_ccnet_buckets operators (the
+    oracle literally embeds their oracle SQL as subqueries, so the
+    funnel can never drift from the gates it reports on). Spark shape:
+    the per-doc stage is a when-chain over the two reused frames (one
+    keyed join), the report aggregates to a ≤6-row counts frame and
+    windows over it — nothing beyond the gates' own cost at 100 TB."""
+    flags = docs_gopher_rules(spark, sf_dir)
+    ccnet = docs_ccnet_buckets(spark, sf_dir).select("doc_id", "bucket")
+    staged = flags.join(ccnet, "doc_id", "left").select(
+        "doc_id",
+        F.when(~F.col("ok_word_count"), 1)
+        .when(~F.col("ok_mean_word_len"), 2)
+        .when(~F.col("ok_alpha_fraction"), 3)
+        .when(~F.col("ok_stopwords"), 4)
+        .when(F.col("bucket").isNull() | (F.col("bucket") == "tail"), 5)
+        .otherwise(0)
+        .alias("stage_id"),
+    )
+    counts = staged.groupBy("stage_id").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    stages = spark.createDataFrame(
+        [(1, "word_count"), (2, "mean_word_len"), (3, "alpha_fraction"),
+         (4, "stopwords"), (5, "ppl_tail")],
+        "stage_id int, stage string",
+    )
+    rep = stages.join(counts, "stage_id", "left").select(
+        F.col("stage_id").cast("long").alias("stage_id"),
+        "stage",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_dropped"),
+    )
+    w_cum = Window.orderBy("stage_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_prev = Window.orderBy("stage_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return rep.crossJoin(F.broadcast(tot)).select(
+        "stage_id", "stage",
+        (
+            F.col("total")
+            - F.coalesce(F.sum("n_dropped").over(w_prev), F.lit(0))
+        ).alias("n_in"),
+        "n_dropped",
+        (F.col("total") - F.sum("n_dropped").over(w_cum)).alias("n_out"),
+    )
+
+
+ORACLES["corpus_filter_funnel"] = (
+    ORACLES["corpus_filter_funnel"]
+    .replace("{gopher}", ORACLES["docs_gopher_rules"])
+    .replace("{ccnet}", ORACLES["docs_ccnet_buckets"])
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -20812,7 +20908,7 @@ _PRIORITY = [
     "sim_binary_hamming_topk", "sim_mmr_rerank", "docs_ccnet_buckets",
     "dedup_keep_best", "graph_random_walks", "multimodal_clip_filter",
     "graph_sssp_weighted", "join_asof_forward", "scan_fixed_width",
-    "ml_ridge_closed_form",
+    "ml_ridge_closed_form", "corpus_filter_funnel",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -434,3 +434,36 @@ def test_ridge_matches_fraction_solve(spark):
     got = [row["beta0_micro"], row["beta1_micro"], row["beta2_micro"]]
     for g, w in zip(got, want):
         assert abs(g - w) <= 1  # float(Fraction) vs double/double: <=1 ulp at micro grain
+
+
+def test_filter_funnel_is_conserving(spark):
+    """Funnel arithmetic: stage s n_out = n_in - n_dropped, the next
+    stage's n_in equals it, stage 1 starts at the corpus size, and
+    the final n_out equals docs passing ALL gates."""
+    rows = sorted(
+        QUERIES["corpus_filter_funnel"](spark, SF_DIR).collect(),
+        key=lambda r: r["stage_id"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "word_count", "mean_word_len", "alpha_fraction", "stopwords",
+        "ppl_tail",
+    ]
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert rows[0]["n_in"] == n_docs
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["n_out"] == prev["n_in"] - prev["n_dropped"]
+        assert cur["n_in"] == prev["n_out"]
+    gopher = {
+        r["doc_id"]: r["keep"]
+        for r in QUERIES["docs_gopher_rules"](spark, SF_DIR).collect()
+    }
+    tail = {
+        r["doc_id"]
+        for r in QUERIES["docs_ccnet_buckets"](spark, SF_DIR).collect()
+        if r["bucket"] == "tail"
+    }
+    survivors = sum(
+        1 for d, k in gopher.items() if k and d not in tail
+    )
+    assert rows[-1]["n_out"] == rows[-1]["n_in"] - rows[-1]["n_dropped"]
+    assert rows[-1]["n_out"] == survivors
