@@ -20835,6 +20835,172 @@ ORACLES["corpus_filter_funnel"] = (
 )
 
 
+@query(
+    "window_hampel_filter",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    w AS (
+      SELECT user_id, event_id, v,
+             list_sort(list(v) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+      FROM s
+    ),
+    m AS (
+      SELECT user_id, event_id, v, arr,
+             CAST(arr[(len(arr) + 1) // 2] AS BIGINT) AS med
+      FROM w
+    )
+    SELECT user_id, event_id, v, med,
+           CAST(list_sort(list_transform(arr, x -> abs(x - med)))
+                [(len(arr) + 1) // 2] AS BIGINT) AS mad,
+           abs(v - med) > 3 * CAST(list_sort(
+             list_transform(arr, x -> abs(x - med)))
+             [(len(arr) + 1) // 2] AS BIGINT) AS is_outlier
+    FROM m
+    """,
+)
+def window_hampel_filter(spark, sf_dir):
+    """Hampel outlier filter — the robust sliding-window despiker
+    (rolling median ± 3·MAD) used to clean metric series before
+    modeling, where a rolling z-score would let one spike poison its
+    own mean. Integer cents end to end: the 7-sample window is
+    materialized per row (bounded collect_list), the LOWER median
+    (index (n+1) DIV 2 on the sorted window) keeps every statistic an
+    exact integer — no interpolated quantiles, nothing for engines to
+    disagree on. Partitioned by user_id, so parallelism grows with
+    the keyspace (per-type global windows would serialize each metric
+    into one task at scale); window edges use the same shrunken-
+    window median both engines compute."""
+    ev = _cat(spark, sf_dir).events
+    s = ev.filter(F.col("value").isNotNull()).select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    arr = F.sort_array(F.collect_list("v").over(w))
+    m = s.withColumn("arr", arr).withColumn(
+        "med",
+        F.expr("arr[CAST((size(arr) + 1) DIV 2 AS INT) - 1]"),
+    )
+    mad = F.expr(
+        "sort_array(transform(arr, x -> abs(x - med)))"
+        "[CAST((size(arr) + 1) DIV 2 AS INT) - 1]"
+    )
+    return m.select(
+        "user_id", "event_id", "v", "med",
+        mad.alias("mad"),
+        (F.abs(F.col("v") - F.col("med")) > 3 * mad).alias("is_outlier"),
+    )
+
+
+@query(
+    "privacy_dp_topk",
+    oracle="""
+    WITH g AS (
+      SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand
+    ),
+    u AS (
+      SELECT p_brand, n,
+             ((ascii(substr(md5(p_brand), 1, 1)) * 17161
+               + ascii(substr(md5(p_brand), 3, 1)) * 131
+               + ascii(substr(md5(p_brand), 5, 1))) % 1999999
+              - 999999.0) / 1000000.0 AS u
+      FROM g
+    ),
+    noisy AS (
+      SELECT p_brand,
+             CAST(n + round(-2.0 * sign(u) * ln(1.0 - abs(u)))
+                  AS BIGINT) AS noisy_n
+      FROM u
+    )
+    SELECT rank, p_brand, noisy_n FROM (
+      SELECT p_brand, noisy_n,
+             ROW_NUMBER() OVER (ORDER BY noisy_n DESC, p_brand) AS rank
+      FROM noisy
+    ) WHERE rank <= 5
+    """,
+)
+def privacy_dp_topk(spark, sf_dir):
+    """Differentially-private top-k release ("noisy top-k"): each
+    group count gets Laplace(b=2) noise BEFORE ranking, and only the
+    noisy winners and noisy counts are released — the mechanism that
+    protects both membership and the ranking itself. Noise is the
+    repo's deterministic-DP convention (hash-seeded uniform → inverse-
+    CDF Laplace, agg_dp_noisy_counts precedent) so the release is
+    reproducible and oracle-checkable while keeping the mechanism's
+    shape. One aggregation + a 25-row noisy ranking — the brand
+    domain, not the data, bounds the sort at any scale."""
+    part = _cat(spark, sf_dir).part
+    g = part.groupBy("p_brand").agg(F.count("*").alias("n"))
+    h = F.md5(F.col("p_brand"))
+    u = (
+        (
+            F.ascii(F.substring(h, 1, 1)) * 17161
+            + F.ascii(F.substring(h, 3, 1)) * 131
+            + F.ascii(F.substring(h, 5, 1))
+        )
+        % 1999999
+        - 999999.0
+    ) / 1000000.0
+    noisy = g.select(
+        "p_brand",
+        (
+            F.col("n")
+            + F.round(-2.0 * F.signum(u) * F.log(1.0 - F.abs(u)))
+        ).cast("long").alias("noisy_n"),
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.col("noisy_n").desc(), "p_brand")
+    )
+    return (
+        noisy.withColumn("rank", rank)
+        .filter(F.col("rank") <= 5)
+        .select("rank", "p_brand", "noisy_n")
+    )
+
+
+@query(
+    "fn_explode_outer",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN [NULL]
+                  ELSE range(1, o_orderkey % 3 + 1) END AS arr
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT o_orderkey, CAST(unnest(arr) AS BIGINT) AS item
+    FROM src
+    """,
+)
+def fn_explode_outer(spark, sf_dir):
+    """explode_outer null-preservation semantics: rows whose array is
+    EMPTY survive the lateral expansion with a NULL item (plain
+    explode silently drops them — the classic bug when flattening
+    optional nested data). The oracle emulates outer-unnest by
+    substituting [NULL] for empty lists, pinning the exact row set.
+    Also pins Spark's sequence() vs range() boundary semantics: the
+    empty case is built explicitly because Spark's sequence(1, 0)
+    counts DOWN rather than returning empty."""
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_orderkey") < 1000)
+    arr = F.expr(
+        "CASE WHEN o_orderkey % 3 = 0 THEN CAST(array() AS ARRAY<BIGINT>)"
+        " ELSE sequence(CAST(1 AS BIGINT), o_orderkey % 3) END"
+    )
+    return o.select(
+        "o_orderkey", F.explode_outer(arr).alias("item")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -20909,6 +21075,7 @@ _PRIORITY = [
     "dedup_keep_best", "graph_random_walks", "multimodal_clip_filter",
     "graph_sssp_weighted", "join_asof_forward", "scan_fixed_width",
     "ml_ridge_closed_form", "corpus_filter_funnel",
+    "window_hampel_filter", "privacy_dp_topk", "fn_explode_outer",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

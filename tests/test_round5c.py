@@ -467,3 +467,63 @@ def test_filter_funnel_is_conserving(spark):
     )
     assert rows[-1]["n_out"] == rows[-1]["n_in"] - rows[-1]["n_dropped"]
     assert rows[-1]["n_out"] == survivors
+
+
+def test_hampel_matches_python_replay(spark):
+    """Lower-median Hampel replay over per-user series."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    series = defaultdict(list)
+    for r in ev:
+        if r["value"] is not None:
+            series[r["user_id"]].append(
+                (r["ts"], r["event_id"], round(r["value"] * 100))
+            )
+    want = {}
+    for uid, rows in series.items():
+        rows.sort()
+        vals = [v for _, _, v in rows]
+        for i, (_, eid, v) in enumerate(rows):
+            winv = sorted(vals[max(0, i - 3): i + 4])
+            med = winv[(len(winv) + 1) // 2 - 1]
+            devs = sorted(abs(x - med) for x in winv)
+            mad = devs[(len(devs) + 1) // 2 - 1]
+            want[eid] = (v, med, mad, abs(v - med) > 3 * mad)
+    got = {
+        r["event_id"]: (r["v"], r["med"], r["mad"], r["is_outlier"])
+        for r in QUERIES["window_hampel_filter"](spark, SF_DIR).collect()
+    }
+    assert got == want and got
+    assert any(o for _, _, _, o in got.values())  # flags something
+
+
+def test_dp_topk_noise_bounded_and_deterministic(spark):
+    r1 = QUERIES["privacy_dp_topk"](spark, SF_DIR).collect()
+    r2 = QUERIES["privacy_dp_topk"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    assert [r["rank"] for r in sorted(r1, key=lambda r: r["rank"])] == [
+        1, 2, 3, 4, 5
+    ]
+    true_counts = defaultdict(int)
+    for r in spark.read.parquet(f"{SF_DIR}/part.parquet").collect():
+        true_counts[r["p_brand"]] += 1
+    for r in r1:
+        # Laplace(b=2) at |u|<=0.999999 bounds |noise| by 2*ln(1e6)
+        assert abs(r["noisy_n"] - true_counts[r["p_brand"]]) <= 28
+
+
+def test_explode_outer_keeps_empty_array_rows(spark):
+    rows = QUERIES["fn_explode_outer"](spark, SF_DIR).collect()
+    orders = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter("o_orderkey < 1000").collect()
+    ]
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["o_orderkey"]].append(r["item"])
+    assert set(by_key) == set(orders)  # no row lost
+    for k in orders:
+        if k % 3 == 0:
+            assert by_key[k] == [None]
+        else:
+            assert sorted(by_key[k]) == list(range(1, k % 3 + 1))
