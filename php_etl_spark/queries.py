@@ -21001,6 +21001,112 @@ def fn_explode_outer(spark, sf_dir):
     )
 
 
+@query(
+    "ml_cohens_kappa",
+    oracle="""
+    WITH pairs AS (
+      SELECT label AS a,
+             CASE WHEN ascii(substr(md5(CAST(vec_id AS VARCHAR)), 1, 1))
+                       % 10 < 2
+                  THEN (label + 1) % 10 ELSE label END AS b
+      FROM embeddings
+    ),
+    marg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+               AS agree
+      FROM pairs
+    ),
+    cross_m AS (
+      SELECT CAST(SUM(na * nb) AS BIGINT) AS sum_ab FROM (
+        SELECT ca.na, cb.nb FROM
+          (SELECT a AS lbl, count(*) AS na FROM pairs GROUP BY a) ca
+        JOIN
+          (SELECT b AS lbl, count(*) AS nb FROM pairs GROUP BY b) cb
+        USING (lbl)
+      )
+    )
+    SELECT n, agree, sum_ab,
+           CAST(1000000 * (n * agree - sum_ab)
+                // (n * n - sum_ab) AS BIGINT) AS kappa_ppm
+    FROM marg CROSS JOIN cross_m
+    """,
+)
+def ml_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa inter-annotator agreement — the labeled-data QA
+    metric every annotation pipeline reports before training on human
+    labels (chance-corrected: kappa = (p_o − p_e)/(1 − p_e)). The
+    second annotator is derived deterministically (hash-flips 20% of
+    labels to the next class) so the metric is oracle-checkable.
+    Clearing denominators keeps everything integer-exact: kappa =
+    (n·agree − Σ n_a·n_b) / (n² − Σ n_a·n_b), ONE truncating ppm
+    division at the end. Shape: one pass for the confusion marginals
+    (two class-sized aggregates joined on label), nothing data-sized
+    crosses the driver."""
+    emb = _cat(spark, sf_dir).embeddings
+    flip = (
+        F.ascii(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1))
+        % 10
+        < 2
+    )
+    pairs = emb.select(
+        F.col("label").alias("a"),
+        F.when(flip, (F.col("label") + 1) % 10)
+        .otherwise(F.col("label"))
+        .alias("b"),
+    )
+    marg = pairs.agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("a") == F.col("b")).alias("agree"),
+    )
+    ca = pairs.groupBy(F.col("a").alias("lbl")).agg(
+        F.count("*").alias("na")
+    )
+    cb = pairs.groupBy(F.col("b").alias("lbl")).agg(
+        F.count("*").alias("nb")
+    )
+    cross_m = (
+        ca.join(cb, "lbl")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("sum_ab"))
+    )
+    return (
+        marg.crossJoin(F.broadcast(cross_m))
+        .select(
+            "n", "agree", "sum_ab",
+            F.expr(
+                "CAST(1000000 * (n * agree - sum_ab)"
+                " DIV (n * n - sum_ab) AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+    )
+
+
+@query(
+    "sink_csv_gzip_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def sink_csv_gzip_roundtrip(spark, sf_dir):
+    """Compressed text-sink round trip: write the region table as
+    gzip-compressed CSV (codec set per-write, the way archival
+    extracts ship), read it back through the same csv source path —
+    Spark decompresses transparently by extension. Exercises the
+    compression-codec surface of the S5/S8 text sink family; the
+    gotcha pinned here is that gzip'd csv is NOT splittable, so at
+    scale the writer keeps files bounded (partition-parallel writes,
+    one gz member per task) rather than producing one giant archive."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="sink_csv_gz_") + "/region"
+    frame = _cat(spark, sf_dir).region.select("r_regionkey", "r_name")
+    frame.write.mode("overwrite").option("compression", "gzip").option(
+        "header", True
+    ).csv(path)
+    return (
+        spark.read.option("header", True).csv(path)
+        .select(F.col("r_regionkey").cast("long"), "r_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -21076,6 +21182,7 @@ _PRIORITY = [
     "graph_sssp_weighted", "join_asof_forward", "scan_fixed_width",
     "ml_ridge_closed_form", "corpus_filter_funnel",
     "window_hampel_filter", "privacy_dp_topk", "fn_explode_outer",
+    "ml_cohens_kappa", "sink_csv_gzip_roundtrip",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

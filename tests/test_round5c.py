@@ -527,3 +527,43 @@ def test_explode_outer_keeps_empty_array_rows(spark):
             assert by_key[k] == [None]
         else:
             assert sorted(by_key[k]) == list(range(1, k % 3 + 1))
+
+
+def test_cohens_kappa_replay(spark):
+    import hashlib as _h
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    pairs = []
+    for vid, a in labels.items():
+        flip = ord(_h.md5(str(vid).encode()).hexdigest()[0]) % 10 < 2
+        pairs.append((a, (a + 1) % 10 if flip else a))
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    na = defaultdict(int)
+    nb = defaultdict(int)
+    for a, b in pairs:
+        na[a] += 1
+        nb[b] += 1
+    sum_ab = sum(na[k] * nb.get(k, 0) for k in na)
+    want = 1_000_000 * (n * agree - sum_ab) // (n * n - sum_ab)
+    row = QUERIES["ml_cohens_kappa"](spark, SF_DIR).collect()[0]
+    assert (row["n"], row["agree"], row["sum_ab"]) == (n, agree, sum_ab)
+    assert row["kappa_ppm"] == want
+    assert 600_000 < row["kappa_ppm"] < 1_000_000  # 20% flips ~ 0.78
+
+
+def test_csv_gzip_roundtrip_files_are_gz(spark):
+    import glob as _g
+
+    df = QUERIES["sink_csv_gzip_roundtrip"](spark, SF_DIR)
+    rows = {(r["r_regionkey"], r["r_name"]) for r in df.collect()}
+    want = {
+        (r["r_regionkey"], r["r_name"])
+        for r in spark.read.parquet(f"{SF_DIR}/region.parquet").collect()
+    }
+    assert rows == want
+    path = df.inputFiles()[0]
+    assert path.endswith(".gz")
