@@ -21107,6 +21107,102 @@ def sink_csv_gzip_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "window_theil_sen",
+    oracle="""
+    WITH monthly AS (
+      SELECT n_name,
+             EXTRACT(year FROM o_orderdate) * 12
+               + EXTRACT(month FROM o_orderdate) AS t,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.n_name,
+             CAST((b.rev - a.rev) * 1000 // (b.t - a.t) AS BIGINT)
+               AS slope_milli
+      FROM monthly a JOIN monthly b
+        ON a.n_name = b.n_name AND a.t < b.t
+    ),
+    ranked AS (
+      SELECT n_name, slope_milli,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+               ORDER BY slope_milli) AS rn,
+             COUNT(*) OVER (PARTITION BY n_name) AS m
+      FROM slopes
+    )
+    SELECT n_name, CAST(m AS BIGINT) AS n_pairs,
+           slope_milli AS theil_sen_slope_milli
+    FROM ranked WHERE rn = (m + 1) // 2
+    ORDER BY n_name
+    """,
+)
+def window_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend slope per nation — Mann-Kendall's
+    companion (that key tests trend EXISTENCE; this estimates its
+    MAGNITUDE as the median pairwise slope, immune to outlier
+    months). Slopes are integer milli-cents-per-month (truncating
+    division — both engines truncate toward zero), so the LOWER
+    median at rank (m+1) DIV 2 is an exact integer selection with no
+    rational-comparison machinery. Like Mann-Kendall, the O(n²)
+    pairing runs on the REDUCED nation×month frame — row count set by
+    the calendar, not the data, so the self-join is scale-invariant;
+    the revenue reduction is the only data-sized pass."""
+    cat = _cat(spark, sf_dir)
+    monthly = (
+        cat.orders.join(
+            cat.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(cat.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("t"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.n_name") == F.col("b.n_name"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .select(
+            F.col("a.n_name").alias("n_name"),
+            F.expr(
+                "CAST((b.rev - a.rev) * 1000 DIV (b.t - a.t) AS BIGINT)"
+            ).alias("slope_milli"),
+        )
+    )
+    w = Window.partitionBy("n_name")
+    ranked = slopes.withColumn(
+        "rn", F.row_number().over(w.orderBy("slope_milli"))
+    ).withColumn("m", F.count("*").over(w))
+    return (
+        ranked.filter(F.expr("rn = (m + 1) DIV 2"))
+        .select(
+            "n_name",
+            F.col("m").alias("n_pairs"),
+            F.col("slope_milli").alias("theil_sen_slope_milli"),
+        )
+        .orderBy("n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -21182,7 +21278,7 @@ _PRIORITY = [
     "graph_sssp_weighted", "join_asof_forward", "scan_fixed_width",
     "ml_ridge_closed_form", "corpus_filter_funnel",
     "window_hampel_filter", "privacy_dp_topk", "fn_explode_outer",
-    "ml_cohens_kappa", "sink_csv_gzip_roundtrip",
+    "ml_cohens_kappa", "sink_csv_gzip_roundtrip", "window_theil_sen",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

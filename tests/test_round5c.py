@@ -567,3 +567,37 @@ def test_csv_gzip_roundtrip_files_are_gz(spark):
     assert rows == want
     path = df.inputFiles()[0]
     assert path.endswith(".gz")
+
+
+def test_theil_sen_is_lower_median_of_pair_slopes(spark):
+    rows = QUERIES["window_theil_sen"](spark, SF_DIR).collect()
+    assert rows
+    monthly = defaultdict(dict)
+    orders = spark.sql(
+        f"""
+        SELECT n_name, year(o_orderdate) * 12 + month(o_orderdate) AS t,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev
+        FROM parquet.`{SF_DIR}/orders.parquet` o
+        JOIN parquet.`{SF_DIR}/customer.parquet` c ON o_custkey = c_custkey
+        JOIN parquet.`{SF_DIR}/nation.parquet` n ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+        """
+    ).collect()
+    for r in orders:
+        monthly[r["n_name"]][r["t"]] = r["rev"]
+    got = {r["n_name"]: (r["n_pairs"], r["theil_sen_slope_milli"])
+           for r in rows}
+    for nat, series in monthly.items():
+        ts = sorted(series)
+        slopes = []
+        for i, t1 in enumerate(ts):
+            for t2 in ts[i + 1:]:
+                d = (series[t2] - series[t1]) * 1000
+                q = d // (t2 - t1)
+                if d < 0 and d % (t2 - t1) != 0:
+                    q += 1  # truncate toward zero, not floor
+                slopes.append(q)
+        slopes.sort()
+        want = slopes[(len(slopes) + 1) // 2 - 1]
+        assert got[nat] == (len(slopes), want)
