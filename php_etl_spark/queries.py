@@ -21203,6 +21203,78 @@ def window_theil_sen(spark, sf_dir):
     )
 
 
+@query(
+    "ml_hard_negatives",
+    oracle="""
+    WITH prep AS (
+      SELECT vec_id, label, list_transform(embedding, x ->
+        CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS q_id, label AS q_label, qv AS qq
+           FROM prep WHERE vec_id < 10),
+    scored AS (
+      SELECT q_id, p.vec_id, p.label,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> qq[i] * p.qv[i])) AS BIGINT) AS dot
+      FROM qs JOIN prep p
+        ON p.vec_id <> qs.q_id AND p.label <> qs.q_label
+    )
+    SELECT q_id, rank, vec_id, label, dot FROM (
+      SELECT q_id, vec_id, label, dot,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY dot DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def ml_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training (the DPR/
+    Contriever recipe): for each anchor, the highest-similarity
+    candidates with a DIFFERENT label — the negatives that actually
+    teach the margin, vs random negatives that are trivially far.
+    Exact integer dot products (1e-6 quantization) so the ranking is
+    engine-reproducible. The label-mismatch predicate rides INSIDE
+    the broadcast join condition, so same-label candidates are
+    dropped before any scoring work; top-3 per anchor via window on
+    (dot, vec_id) — a total order. Same scan shape as the brute-force
+    retrieval baseline; the ANN keys are the sublinear path."""
+    emb = _cat(spark, sf_dir).embeddings
+    prep = emb.select(
+        "vec_id", "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("qv"),
+    )
+    qs = prep.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("qv").alias("qq"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        prep.join(
+            F.broadcast(qs),
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") != F.col("q_label")),
+        )
+        .select("q_id", "vec_id", "label", dot.alias("dot"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.col("dot").desc(), "vec_id")
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "rank", "vec_id", "label", "dot")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -21279,6 +21351,7 @@ _PRIORITY = [
     "ml_ridge_closed_form", "corpus_filter_funnel",
     "window_hampel_filter", "privacy_dp_topk", "fn_explode_outer",
     "ml_cohens_kappa", "sink_csv_gzip_roundtrip", "window_theil_sen",
+    "ml_hard_negatives",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -601,3 +601,29 @@ def test_theil_sen_is_lower_median_of_pair_slopes(spark):
         slopes.sort()
         want = slopes[(len(slopes) + 1) // 2 - 1]
         assert got[nat] == (len(slopes), want)
+
+
+def test_hard_negatives_are_cross_label_nearest(spark):
+    emb = {}
+    labels = {}
+    for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect():
+        emb[r["vec_id"]] = [round(float(x) * 1_000_000)
+                            for x in r["embedding"]]
+        labels[r["vec_id"]] = r["label"]
+    rows = QUERIES["ml_hard_negatives"](spark, SF_DIR).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        assert labels[r["q_id"]] != r["label"]  # only cross-label
+        by_q[r["q_id"]].append(r)
+    for q, got in by_q.items():
+        want = sorted(
+            (
+                (-sum(a * b for a, b in zip(emb[q], emb[v])), v)
+                for v in emb
+                if v != q and labels[v] != labels[q]
+            ),
+        )[:3]
+        got_pairs = sorted(
+            (-r["dot"], r["vec_id"]) for r in got
+        )
+        assert got_pairs == want
