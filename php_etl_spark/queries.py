@@ -21204,7 +21204,7 @@ def window_theil_sen(spark, sf_dir):
 
 
 @query(
-    "ml_hard_negatives",
+    "ml_hard_negatives", "docs_source_overlap_matrix",
     oracle="""
     WITH prep AS (
       SELECT vec_id, label, list_transform(embedding, x ->
@@ -21272,6 +21272,90 @@ def ml_hard_negatives(spark, sf_dir):
         scored.withColumn("rank", rank)
         .filter(F.col("rank") <= 3)
         .select("q_id", "rank", "vec_id", "label", "dot")
+    )
+
+
+@query(
+    "docs_source_overlap_matrix",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS words
+      FROM documents
+    ),
+    ch AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(words[i * 3 + 1 : (i + 1) * 3], ' '))
+               AS h
+      FROM w, LATERAL (
+        SELECT unnest(generate_series(
+          0, CAST(ceil(len(words) / 3.0) AS BIGINT) - 1)) AS i
+      )
+    ),
+    df AS (
+      SELECT h, count(*) AS nsrc FROM ch GROUP BY h
+    ),
+    bounded AS (
+      SELECT ch.source, ch.h FROM ch JOIN df USING (h)
+      WHERE df.nsrc BETWEEN 2 AND 10
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_spans
+    FROM bounded a JOIN bounded b
+      ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def docs_source_overlap_matrix(spark, sf_dir):
+    """Inter-source duplication matrix — which corpus sources copy
+    from which: count distinct 3-word spans shared by each source
+    pair (the report that decides dedup ORDER and provenance priority
+    before training). The span→source inverted index is deduplicated
+    per source first, then gated to spans in 2..10 sources before the
+    pair join — the df cap that bounds pair volume by Σ nsrc² on
+    boilerplate spans (same guard class as the Jaccard index cutoff);
+    ubiquitous spans carry no provenance signal anyway. Two shuffles
+    (distinct, df join) plus one keyed self-join on the 16-byte span
+    hash."""
+    docs = _cat(spark, sf_dir).documents
+    w = docs.select(
+        "source", F.split(F.col("text"), " ").alias("words")
+    )
+    ch = (
+        w.select(
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.expr("CAST(ceil(size(words) / 3.0) AS INT) - 1"),
+                )
+            ).alias("i"),
+            "words",
+        )
+        .select(
+            "source",
+            F.md5(
+                F.array_join(F.expr("slice(words, i * 3 + 1, 3)"), " ")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    df_counts = ch.groupBy("h").agg(F.count("*").alias("nsrc"))
+    bounded = ch.join(
+        df_counts.filter(F.col("nsrc").between(2, 10)), "h"
+    ).select("source", "h")
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_spans"))
     )
 
 
@@ -21351,7 +21435,7 @@ _PRIORITY = [
     "ml_ridge_closed_form", "corpus_filter_funnel",
     "window_hampel_filter", "privacy_dp_topk", "fn_explode_outer",
     "ml_cohens_kappa", "sink_csv_gzip_roundtrip", "window_theil_sen",
-    "ml_hard_negatives",
+    "ml_hard_negatives", "docs_source_overlap_matrix",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -627,3 +627,31 @@ def test_hard_negatives_are_cross_label_nearest(spark):
             (-r["dot"], r["vec_id"]) for r in got
         )
         assert got_pairs == want
+
+
+def test_source_overlap_matrix_replay(spark):
+    chunks_by_source = defaultdict(set)
+    for d in _docs(spark):
+        words = d["text"].split(" ")
+        for i in range(0, len(words), 3):
+            chunks_by_source[d["source"]].add(" ".join(words[i:i + 3]))
+    df = defaultdict(int)
+    for src, cs in chunks_by_source.items():
+        for c in cs:
+            df[c] += 1
+    want = defaultdict(int)
+    srcs = sorted(chunks_by_source)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            n = sum(
+                1 for c in chunks_by_source[a] & chunks_by_source[b]
+                if 2 <= df[c] <= 10
+            )
+            if n:
+                want[(a, b)] = n
+    got = {
+        (r["source_a"], r["source_b"]): r["shared_spans"]
+        for r in QUERIES["docs_source_overlap_matrix"](spark, SF_DIR)
+        .collect()
+    }
+    assert got == dict(want) and got
