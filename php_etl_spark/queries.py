@@ -21204,7 +21204,7 @@ def window_theil_sen(spark, sf_dir):
 
 
 @query(
-    "ml_hard_negatives", "docs_source_overlap_matrix",
+    "ml_hard_negatives",
     oracle="""
     WITH prep AS (
       SELECT vec_id, label, list_transform(embedding, x ->
@@ -21359,6 +21359,42 @@ def docs_source_overlap_matrix(spark, sf_dir):
     )
 
 
+@query(
+    "window_sliding_distinct",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(len(list_distinct(list(event_type) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ))) AS BIGINT) AS distinct_types_1h
+    FROM events
+    """,
+)
+def window_sliding_distinct(spark, sf_dir):
+    """Distinct count over a SLIDING time frame — trailing-1-hour
+    distinct event types per user (no native DISTINCT window
+    aggregate in either engine; the portable form materializes the
+    bounded frame and deduplicates it). RANGE frame on integer
+    microseconds with event_id tiebreak = identical frame membership
+    across engines. Partitioned by user_id, so parallelism grows with
+    the keyspace; the frame holds one user-hour of events — bounded
+    by behavior, not data size. The cumulative companion
+    (window_running_distinct) uses a first-seen flag instead because
+    its frame is unbounded."""
+    ev = _cat(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600000000, 0)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.size(
+            F.array_distinct(F.collect_list("event_type").over(w))
+        ).cast("long").alias("distinct_types_1h"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -21436,6 +21472,7 @@ _PRIORITY = [
     "window_hampel_filter", "privacy_dp_topk", "fn_explode_outer",
     "ml_cohens_kappa", "sink_csv_gzip_roundtrip", "window_theil_sen",
     "ml_hard_negatives", "docs_source_overlap_matrix",
+    "window_sliding_distinct",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

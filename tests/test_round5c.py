@@ -655,3 +655,25 @@ def test_source_overlap_matrix_replay(spark):
         .collect()
     }
     assert got == dict(want) and got
+
+
+def test_sliding_distinct_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    series = defaultdict(list)
+    for r in ev:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        series[r["user_id"]].append((us, r["event_id"], r["event_type"]))
+    want = {}
+    for uid, rows in series.items():
+        rows.sort()
+        for us, eid, _ in rows:
+            types = {
+                t for u2, _, t in rows if us - 3_600_000_000 <= u2 <= us
+            }
+            want[eid] = len(types)
+    got = {
+        r["event_id"]: r["distinct_types_1h"]
+        for r in QUERIES["window_sliding_distinct"](spark, SF_DIR).collect()
+    }
+    assert got == want and got
+    assert max(got.values()) > 1
