@@ -21395,6 +21395,167 @@ def window_sliding_distinct(spark, sf_dir):
     )
 
 
+@query(
+    "subquery_not_in_null_trap",
+    oracle="""
+    WITH probe AS (
+      SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                  ELSE o_custkey END AS maybe_cust
+      FROM orders WHERE o_orderkey < 500
+    )
+    SELECT
+      (SELECT count(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT maybe_cust FROM probe))
+        AS not_in_with_nulls,
+      (SELECT count(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT maybe_cust FROM probe
+                                WHERE maybe_cust IS NOT NULL))
+        AS not_in_null_filtered,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM probe p
+                          WHERE p.maybe_cust = c.c_custkey))
+        AS not_exists_form
+    """,
+)
+def subquery_not_in_null_trap(spark, sf_dir):
+    """The NOT IN null trap, pinned as engine-parity fact: when the
+    subquery list contains a NULL, `x NOT IN (list)` is never TRUE
+    (three-valued logic: x <> NULL is UNKNOWN), so the count
+    collapses to 0 — while the null-filtered NOT IN and the NOT
+    EXISTS form return the intended anti-join count (NOT EXISTS is
+    null-safe by construction). One row, three counts, identical on
+    both engines — the regression gate for the most common silent-
+    wrong-answer rewrite in SQL migrations. Plan note: Spark compiles
+    the null-aware NOT IN to a null-aware anti join, which is why the
+    null-filtered form (plain anti join) is the one to write at
+    scale."""
+    cat = _cat(spark, sf_dir)
+    probe = cat.orders.filter(F.col("o_orderkey") < 500).select(
+        F.when(F.col("o_orderkey") % 50 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("maybe_cust")
+    )
+    probe.createOrReplaceTempView("__probe_null_trap")
+    cat.customer.createOrReplaceTempView("__cust_null_trap")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM __cust_null_trap
+            WHERE c_custkey NOT IN (SELECT maybe_cust
+                                    FROM __probe_null_trap))
+            AS not_in_with_nulls,
+          (SELECT count(*) FROM __cust_null_trap
+            WHERE c_custkey NOT IN (SELECT maybe_cust
+                                    FROM __probe_null_trap
+                                    WHERE maybe_cust IS NOT NULL))
+            AS not_in_null_filtered,
+          (SELECT count(*) FROM __cust_null_trap c
+            WHERE NOT EXISTS (SELECT 1 FROM __probe_null_trap p
+                              WHERE p.maybe_cust = c.c_custkey))
+            AS not_exists_form
+        """
+    )
+
+
+@query(
+    "graph_modularity",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    edges AS (
+      SELECT a.i AS u, c.i AS v
+      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+      GROUP BY a.i, c.i HAVING count(*) >= 2
+    ),
+    comm AS (
+      SELECT p_partkey AS node, p_brand AS c FROM part
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM edges),
+    within AS (
+      SELECT CAST(count(*) AS BIGINT) AS e_in
+      FROM edges e
+      JOIN comm cu ON cu.node = e.u
+      JOIN comm cv ON cv.node = e.v
+      WHERE cu.c = cv.c
+    ),
+    deg AS (
+      SELECT c.c, CAST(count(*) AS BIGINT) AS d_c
+      FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) x JOIN comm c ON c.node = x.node
+      GROUP BY c.c
+    ),
+    sq AS (
+      SELECT CAST(SUM(CAST(d_c AS HUGEINT) * d_c) AS HUGEINT) AS sum_d2
+      FROM deg
+    )
+    SELECT m_edges, e_in,
+           CAST((4000000 * CAST(e_in AS HUGEINT) * m_edges - 1000000 * sum_d2)
+                // (4 * CAST(m_edges AS HUGEINT) * m_edges)
+                AS BIGINT) AS modularity_ppm
+    FROM m CROSS JOIN within CROSS JOIN sq
+    """,
+)
+def graph_modularity(spark, sf_dir):
+    """Newman modularity of the brand partition over the co-purchase
+    graph — the community-quality score (Q = Σ_c [e_c/m −
+    (d_c/2m)²]) that tells a curation pipeline whether a grouping
+    (here: part brands) explains the graph's edge structure. Cleared
+    to one exact integer expression: Q·ppm = (4e6·e_in·m − 1e6·Σd_c²)
+    / (4m²), HUGEINT/decimal(38) intermediates, ONE truncating
+    division. Shape: the community map rides as two keyed joins onto
+    the edge list (broadcast at dimension size), degrees are one
+    union+groupBy — every step map-side combinable, nothing
+    quadratic."""
+    cat = _cat(spark, sf_dir)
+    li = cat.lineitem
+    edges = (
+        G.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .filter(F.col("n_cooc") >= 2)
+        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
+    )
+    comm = cat.part.select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("c")
+    )
+    m = edges.agg(F.count("*").alias("m_edges"))
+    cu = comm.select(
+        F.col("node").alias("u"), F.col("c").alias("cu")
+    )
+    cv = comm.select(
+        F.col("node").alias("v"), F.col("c").alias("cv")
+    )
+    within = (
+        edges.join(F.broadcast(cu), "u")
+        .join(F.broadcast(cv), "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .join(F.broadcast(comm), "node")
+        .groupBy("c")
+        .agg(F.count("*").alias("d_c"))
+    )
+    sq = deg.agg(
+        F.sum(
+            F.col("d_c").cast("decimal(38,0)") * F.col("d_c")
+        ).alias("sum_d2")
+    )
+    return (
+        m.crossJoin(within)
+        .crossJoin(sq)
+        .select(
+            "m_edges", "e_in",
+            F.expr(
+                "CAST((4000000 * CAST(e_in AS DECIMAL(38,0)) * m_edges"
+                " - 1000000 * sum_d2)"
+                " DIV (4 * CAST(m_edges AS DECIMAL(38,0)) * m_edges)"
+                " AS BIGINT)"
+            ).alias("modularity_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -21472,7 +21633,8 @@ _PRIORITY = [
     "window_hampel_filter", "privacy_dp_topk", "fn_explode_outer",
     "ml_cohens_kappa", "sink_csv_gzip_roundtrip", "window_theil_sen",
     "ml_hard_negatives", "docs_source_overlap_matrix",
-    "window_sliding_distinct",
+    "window_sliding_distinct", "subquery_not_in_null_trap",
+    "graph_modularity",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -677,3 +677,37 @@ def test_sliding_distinct_replay(spark):
     }
     assert got == want and got
     assert max(got.values()) > 1
+
+
+def test_not_in_null_trap_semantics(spark):
+    row = QUERIES["subquery_not_in_null_trap"](spark, SF_DIR).collect()[0]
+    assert row["not_in_with_nulls"] == 0  # the trap
+    assert row["not_in_null_filtered"] == row["not_exists_form"] > 0
+
+
+def test_modularity_replay(spark):
+    from php_etl_spark.operators import graph as G
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    edges = [
+        (r["item_a"], r["item_b"])
+        for r in G.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .filter("n_cooc >= 2").collect()
+    ]
+    brand = {
+        r["p_partkey"]: r["p_brand"]
+        for r in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    m = len(edges)
+    e_in = sum(1 for u, v in edges if brand[u] == brand[v])
+    d = defaultdict(int)
+    for u, v in edges:
+        d[brand[u]] += 1
+        d[brand[v]] += 1
+    sum_d2 = sum(x * x for x in d.values())
+    num = 4_000_000 * e_in * m - 1_000_000 * sum_d2
+    den = 4 * m * m
+    want = num // den if num >= 0 else -((-num) // den)
+    row = QUERIES["graph_modularity"](spark, SF_DIR).collect()[0]
+    assert (row["m_edges"], row["e_in"]) == (m, e_in)
+    assert row["modularity_ppm"] == want
