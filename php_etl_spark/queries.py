@@ -21556,6 +21556,44 @@ def graph_modularity(spark, sf_dir):
     )
 
 
+@query(
+    "text_lang_confusion",
+    oracle="""
+    WITH pred AS (SELECT * FROM ({langid}) p)
+    SELECT labeled_lang, detected_lang, count(*) AS n,
+           CAST(1000000 * count(*) // (SUM(count(*)) OVER
+             (PARTITION BY labeled_lang)) AS BIGINT) AS row_frac_ppm
+    FROM pred GROUP BY labeled_lang, detected_lang
+    """,
+)
+def text_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix — the evaluation artifact behind
+    every lang-filter decision in a multilingual corpus pipeline:
+    cross-tabulate the heuristic detector (text_language_id, reused
+    directly; its oracle SQL is embedded as a subquery so the eval
+    can't drift from the detector) against the labeled language, with
+    each cell's share of its true-class row in exact ppm. The matrix
+    is |langs|² rows — domain-bounded, so the aggregation and the
+    per-row window cost nothing at any data scale beyond the
+    detector's own scan."""
+    pred = text_language_id(spark, sf_dir)
+    cell = pred.groupBy("labeled_lang", "detected_lang").agg(
+        F.count("*").alias("n")
+    )
+    return cell.select(
+        "labeled_lang", "detected_lang", "n",
+        F.expr(
+            "CAST(1000000 * n DIV (SUM(n) OVER"
+            " (PARTITION BY labeled_lang)) AS BIGINT)"
+        ).alias("row_frac_ppm"),
+    )
+
+
+ORACLES["text_lang_confusion"] = ORACLES["text_lang_confusion"].replace(
+    "{langid}", ORACLES["text_language_id"]
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -21634,7 +21672,7 @@ _PRIORITY = [
     "ml_cohens_kappa", "sink_csv_gzip_roundtrip", "window_theil_sen",
     "ml_hard_negatives", "docs_source_overlap_matrix",
     "window_sliding_distinct", "subquery_not_in_null_trap",
-    "graph_modularity",
+    "graph_modularity", "text_lang_confusion",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

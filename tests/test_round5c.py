@@ -711,3 +711,20 @@ def test_modularity_replay(spark):
     row = QUERIES["graph_modularity"](spark, SF_DIR).collect()[0]
     assert (row["m_edges"], row["e_in"]) == (m, e_in)
     assert row["modularity_ppm"] == want
+
+
+def test_lang_confusion_rows_sum_to_million(spark):
+    rows = QUERIES["text_lang_confusion"](spark, SF_DIR).collect()
+    assert rows
+    by_true = defaultdict(list)
+    for r in rows:
+        by_true[r["labeled_lang"]].append(r)
+    pred = QUERIES["text_language_id"](spark, SF_DIR).collect()
+    assert sum(r["n"] for r in rows) == len(pred)
+    for lang, cells in by_true.items():
+        total = sum(r["n"] for r in cells)
+        # truncating ppm shares sum to <= 1e6 and within |cells| of it
+        share = sum(r["row_frac_ppm"] for r in cells)
+        assert 1_000_000 - len(cells) < share <= 1_000_000
+        for r in cells:
+            assert r["row_frac_ppm"] == 1_000_000 * r["n"] // total
