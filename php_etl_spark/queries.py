@@ -21594,6 +21594,61 @@ ORACLES["text_lang_confusion"] = ORACLES["text_lang_confusion"].replace(
 )
 
 
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM (
+      SELECT event_type, value FROM events WHERE event_type <> 'purchase'
+      UNION ALL
+      SELECT event_type, value * 2 AS value FROM events
+      WHERE event_type = 'purchase'
+    )
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def sink_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — the lakehouse backfill primitive:
+    a full partitioned table is laid down, then a corrected version of
+    ONE partition (purchase values doubled) is written in overwrite
+    mode with partitionOverwriteMode=dynamic, which replaces ONLY the
+    partitions present in the incoming frame and leaves every other
+    partition's files untouched (static mode would truncate the whole
+    table — the classic backfill data-loss trap). At 100 TB this is
+    the difference between rewriting one day and rewriting the lake.
+    Read-back aggregates per partition prove the merge: corrected
+    purchase rows, originals elsewhere."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="dyn_overwrite_") + "/events"
+    ev = _cat(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    base = ev.select("event_type", "value")
+    base.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fixed = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_type", (F.col("value") * 2).alias("value"))
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -21673,6 +21728,7 @@ _PRIORITY = [
     "ml_hard_negatives", "docs_source_overlap_matrix",
     "window_sliding_distinct", "subquery_not_in_null_trap",
     "graph_modularity", "text_lang_confusion",
+    "sink_dynamic_partition_overwrite",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

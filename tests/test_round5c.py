@@ -728,3 +728,22 @@ def test_lang_confusion_rows_sum_to_million(spark):
         assert 1_000_000 - len(cells) < share <= 1_000_000
         for r in cells:
             assert r["row_frac_ppm"] == 1_000_000 * r["n"] // total
+
+
+def test_dynamic_overwrite_touches_only_target_partition(spark):
+    rows = {
+        r["event_type"]: (r["n"], r["cents"])
+        for r in QUERIES["sink_dynamic_partition_overwrite"](
+            spark, SF_DIR
+        ).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").filter(
+        "value IS NOT NULL"
+    ).collect()
+    want = defaultdict(lambda: [0, 0])
+    for r in ev:
+        mult = 2 if r["event_type"] == "purchase" else 1
+        want[r["event_type"]][0] += 1
+        want[r["event_type"]][1] += round(r["value"] * mult * 100)
+    assert rows == {k: tuple(v) for k, v in want.items()}
+    assert "purchase" in rows and len(rows) > 1
