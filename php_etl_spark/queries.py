@@ -21649,6 +21649,163 @@ def sink_dynamic_partition_overwrite(spark, sf_dir):
     )
 
 
+@query(
+    "ts_dominant_period",
+    oracle="""
+    WITH hours AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hours),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM hours) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(h0, h1)) AS h FROM bounds
+      ) g
+    ),
+    series AS (
+      SELECT g.event_type, g.h,
+             CAST(COALESCE(hr.x, 0) AS BIGINT) AS x
+      FROM grid g LEFT JOIN hours hr USING (event_type, h)
+    ),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s
+      FROM series GROUP BY 1
+    ),
+    lagged AS (
+      SELECT a.event_type, l.lag,
+             CAST(SUM((st.n * a.x - st.s) * (st.n * b.x - st.s))
+                  AS BIGINT) AS num
+      FROM series a
+      JOIN (SELECT unnest(generate_series(4, 24)) AS lag) l ON TRUE
+      JOIN series b ON b.event_type = a.event_type
+                   AND b.h = a.h - l.lag
+      JOIN stats st ON st.event_type = a.event_type
+      GROUP BY 1, 2
+    ),
+    den AS (
+      SELECT s.event_type,
+             CAST(SUM((st.n * s.x - st.s) * (st.n * s.x - st.s))
+                  AS BIGINT) AS den
+      FROM series s JOIN stats st USING (event_type)
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT l.event_type, l.lag,
+             CAST(1000000 * l.num // d.den AS BIGINT) AS r_ppm
+      FROM lagged l JOIN den d USING (event_type)
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS best_lag, r_ppm FROM (
+      SELECT event_type, lag, r_ppm,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY r_ppm DESC, lag) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def ts_dominant_period(spark, sf_dir):
+    """Dominant-seasonality detection: per event type, the lag in
+    4..24 hours maximizing the exact autocorrelation of the
+    zero-filled hourly count series — how a pipeline discovers a
+    series' period before fitting seasonal models (the multi-lag
+    argmax companion to agg_autocorr_lag's single-lag test). Exact
+    arithmetic by clearing the rational mean: n²·cov_L =
+    Σ(n·x_t − S)(n·x_{t−L} − S) with integer counts, one truncating
+    ppm division per (type, lag), integer argmax with lag tiebreak.
+    Shape: the hourly reduction is the only data-sized pass; the
+    lag fan-out (21 lags) joins the calendar-sized series to a
+    shifted copy of itself — scale-invariant row count, every join
+    keyed."""
+    ev = _cat(spark, sf_dir).events
+    hours = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(date_trunc('hour', ts)) DIV 3600000000"
+        ).alias("h"),
+    ).agg(F.count("*").alias("x"))
+    bounds = hours.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        hours.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    series = (
+        grid.join(hours, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h",
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    from php_etl_spark.materialize import materialize
+
+    series = materialize(series)
+    stats = series.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    a = series.alias("a")
+    b = series.alias("b")
+    lags = spark.range(4, 25).select(F.col("id").alias("lag"))
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.h") == F.col("a.h") - F.col("lag")),
+        )
+        .join(
+            F.broadcast(
+                stats.select(
+                    F.col("event_type").alias("st_etype"), "n", "s"
+                )
+            ),
+            F.col("a.event_type") == F.col("st_etype"),
+        )
+        .groupBy(F.col("a.event_type").alias("etype"), "lag")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("a.x") - F.col("s"))
+                * (F.col("n") * F.col("b.x") - F.col("s"))
+            ).cast("long").alias("num")
+        )
+    )
+    den = (
+        series.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("x") - F.col("s"))
+                * (F.col("n") * F.col("x") - F.col("s"))
+            ).cast("long").alias("den")
+        )
+    )
+    scored = lagged.join(
+        den, F.col("etype") == F.col("event_type")
+    ).select(
+        "etype", "lag",
+        F.expr("CAST(1000000 * num DIV den AS BIGINT)").alias("r_ppm"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("etype").orderBy(F.col("r_ppm").desc(), "lag")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("etype").alias("event_type"),
+            F.col("lag").alias("best_lag"),
+            "r_ppm",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -21728,7 +21885,7 @@ _PRIORITY = [
     "ml_hard_negatives", "docs_source_overlap_matrix",
     "window_sliding_distinct", "subquery_not_in_null_trap",
     "graph_modularity", "text_lang_confusion",
-    "sink_dynamic_partition_overwrite",
+    "sink_dynamic_partition_overwrite", "ts_dominant_period",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

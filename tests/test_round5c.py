@@ -747,3 +747,38 @@ def test_dynamic_overwrite_touches_only_target_partition(spark):
         want[r["event_type"]][1] += round(r["value"] * mult * 100)
     assert rows == {k: tuple(v) for k, v in want.items()}
     assert "purchase" in rows and len(rows) > 1
+
+
+def test_dominant_period_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    hours = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        h = int(
+            r["ts"].replace(minute=0, second=0, microsecond=0).timestamp()
+            // 3600
+        )
+        hours[r["event_type"]][h] += 1
+    h0 = min(min(d) for d in hours.values())
+    h1 = max(max(d) for d in hours.values())
+    got = {
+        r["event_type"]: (r["best_lag"], r["r_ppm"])
+        for r in QUERIES["ts_dominant_period"](spark, SF_DIR).collect()
+    }
+    for etype, d in hours.items():
+        xs = [d.get(h, 0) for h in range(h0, h1 + 1)]
+        n = len(xs)
+        s = sum(xs)
+        den = sum((n * x - s) ** 2 for x in xs)
+        best = None
+        for lag in range(4, 25):
+            num = sum(
+                (n * xs[t] - s) * (n * xs[t - lag] - s)
+                for t in range(lag, n)
+            )
+            r_ppm = (
+                1_000_000 * num // den if num >= 0
+                else -((-1_000_000 * num) // den)
+            )
+            if best is None or (r_ppm, -lag) > (best[1], -best[0]):
+                best = (lag, r_ppm)
+        assert got[etype] == best
