@@ -21806,6 +21806,88 @@ def ts_dominant_period(spark, sf_dir):
     )
 
 
+@query(
+    "docs_boilerplate_removal",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(words[i * 3 + 1 : (i + 1) * 3], ' ') AS chunk
+      FROM w, LATERAL (
+        SELECT unnest(generate_series(
+          0, CAST(ceil(len(words) / 3.0) AS BIGINT) - 1)) AS i
+      )
+    ),
+    df AS (
+      SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS docfreq
+      FROM ch GROUP BY 1
+    )
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(SUM(CASE WHEN docfreq < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           md5(COALESCE(
+             string_agg(chunk, ' ' ORDER BY idx)
+               FILTER (WHERE docfreq < 5),
+             '')) AS kept_fingerprint
+    FROM ch JOIN df ON df.h = md5(chunk)
+    GROUP BY doc_id
+    """,
+)
+def docs_boilerplate_removal(spark, sf_dir):
+    """Boilerplate removal by document frequency (the C4 policy-line
+    rule): spans occurring in ≥5 DISTINCT documents are navigation/
+    boilerplate and are deleted from EVERY document (unlike
+    docs_paragraph_dedup's first-wins, which keeps one copy). Spans
+    are the same 3-word units; the df table is one distinct-count
+    aggregation broadcast back onto the span stream; each doc is
+    re-joined in order and fingerprinted. One shuffle on the span
+    hash, one on doc_id — the df side is vocabulary-sized, the
+    policy any 100 TB crawl-cleaning pass uses."""
+    docs = _cat(spark, sf_dir).documents
+    w = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    ch = w.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr("CAST(ceil(size(words) / 3.0) AS INT) - 1"),
+            )
+        ).alias("idx"),
+        "words",
+    ).select(
+        "doc_id", "idx",
+        F.array_join(F.expr("slice(words, idx * 3 + 1, 3)"), " ")
+        .alias("chunk"),
+    )
+    df_counts = ch.groupBy(F.md5("chunk").alias("h")).agg(
+        F.countDistinct("doc_id").alias("docfreq")
+    )
+    keep = F.col("docfreq") < 5
+    return (
+        ch.join(df_counts, F.md5(F.col("chunk")) == F.col("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_if(keep).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(keep, F.struct("idx", "chunk"))
+                            )
+                        ),
+                        lambda x: x["chunk"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_fingerprint"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -21886,6 +21968,7 @@ _PRIORITY = [
     "window_sliding_distinct", "subquery_not_in_null_trap",
     "graph_modularity", "text_lang_confusion",
     "sink_dynamic_partition_overwrite", "ts_dominant_period",
+    "docs_boilerplate_removal",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -782,3 +782,26 @@ def test_dominant_period_replay(spark):
             if best is None or (r_ppm, -lag) > (best[1], -best[0]):
                 best = (lag, r_ppm)
         assert got[etype] == best
+
+
+def test_boilerplate_removal_deletes_all_copies(spark):
+    chunks_per_doc = {}
+    df = defaultdict(set)
+    for d in _docs(spark):
+        words = d["text"].split(" ")
+        cs = [" ".join(words[i:i + 3]) for i in range(0, len(words), 3)]
+        chunks_per_doc[d["doc_id"]] = cs
+        for c in cs:
+            df[c].add(d["doc_id"])
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_fingerprint"])
+        for r in QUERIES["docs_boilerplate_removal"](spark, SF_DIR)
+        .collect()
+    }
+    n_removed_total = 0
+    for doc, cs in chunks_per_doc.items():
+        kept = [c for c in cs if len(df[c]) < 5]
+        n_removed_total += len(cs) - len(kept)
+        fp = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert got[doc] == (len(cs), len(kept), fp)
+    assert n_removed_total > 0  # corpus actually has boilerplate spans
