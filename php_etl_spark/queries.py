@@ -21888,6 +21888,68 @@ def docs_boilerplate_removal(spark, sf_dir):
     )
 
 
+@query(
+    "event_ab_srm_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN ascii(substr(md5('exp1#' ||
+                    CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant
+      FROM events
+    ),
+    counts AS (
+      SELECT variant, count(*) AS n FROM assigned GROUP BY variant
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM counts)
+    SELECT variant, n,
+           CAST(1000000 * (2 * n - big_n) * (2 * n - big_n)
+                // (2 * big_n) AS BIGINT) AS chi2_ppm,
+           CAST(1000000 * (2 * n - big_n) * (2 * n - big_n)
+                // (2 * big_n) AS BIGINT) > 3841459 AS srm_flag
+    FROM counts CROSS JOIN tot
+    """,
+)
+def event_ab_srm_check(spark, sf_dir):
+    """A/B exposure assignment + sample-ratio-mismatch gate — the
+    experimentation-platform health check that catches broken
+    bucketing before anyone reads the metrics: users are hashed into
+    50/50 variants (deterministic md5 salt per experiment, the way
+    real assignment services work — no RNG, stable across sessions),
+    and the per-variant chi-square vs the expected even split is
+    computed in exact cleared-integer ppm: chi² = (2n_i − N)²/(2N)
+    summed over both cells equals (2n−N)²/(2N) per cell here. The
+    flag fires above the 3.841 (p<0.05, df=1) critical value. One
+    distinct + one 2-row aggregate; assignment is a narrow map at
+    any scale."""
+    ev = _cat(spark, sf_dir).events
+    variant = F.when(
+        F.ascii(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1#"), F.col("user_id").cast("string"))),
+                1, 1,
+            )
+        )
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    assigned = ev.select("user_id").distinct().select(
+        "user_id", variant.alias("variant")
+    )
+    counts = assigned.groupBy("variant").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("big_n"))
+    chi2 = F.expr(
+        "CAST(1000000 * (2 * n - big_n) * (2 * n - big_n)"
+        " DIV (2 * big_n) AS BIGINT)"
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "variant", "n",
+        chi2.alias("chi2_ppm"),
+        (chi2 > 3841459).alias("srm_flag"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -21968,7 +22030,7 @@ _PRIORITY = [
     "window_sliding_distinct", "subquery_not_in_null_trap",
     "graph_modularity", "text_lang_confusion",
     "sink_dynamic_partition_overwrite", "ts_dominant_period",
-    "docs_boilerplate_removal",
+    "docs_boilerplate_removal", "event_ab_srm_check",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

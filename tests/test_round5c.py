@@ -805,3 +805,27 @@ def test_boilerplate_removal_deletes_all_copies(spark):
         fp = hashlib.md5(" ".join(kept).encode()).hexdigest()
         assert got[doc] == (len(cs), len(kept), fp)
     assert n_removed_total > 0  # corpus actually has boilerplate spans
+
+
+def test_ab_srm_replay(spark):
+    import hashlib as _h
+
+    users = {
+        r["user_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id").distinct().collect()
+    }
+    counts = defaultdict(int)
+    for u in users:
+        h = _h.md5(f"exp1#{u}".encode()).hexdigest()
+        counts["control" if ord(h[0]) % 2 == 0 else "treatment"] += 1
+    big_n = sum(counts.values())
+    rows = {r["variant"]: r for r in
+            QUERIES["event_ab_srm_check"](spark, SF_DIR).collect()}
+    assert set(rows) == set(counts)
+    for v, r in rows.items():
+        n = counts[v]
+        chi2 = 1_000_000 * (2 * n - big_n) ** 2 // (2 * big_n)
+        assert (r["n"], r["chi2_ppm"], r["srm_flag"]) == (
+            n, chi2, chi2 > 3_841_459
+        )
