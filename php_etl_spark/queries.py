@@ -21950,6 +21950,59 @@ def event_ab_srm_check(spark, sf_dir):
     )
 
 
+@query(
+    "scan_nested_struct_roundtrip",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           l.l_linenumber, l.l_partkey,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 20 = 0
+    """,
+)
+def scan_nested_struct_roundtrip(spark, sf_dir):
+    """Nested-data round trip: orders are denormalized into one row
+    per order with an ARRAY<STRUCT> of its line items (sorted for
+    determinism), written as nested parquet — the document-shaped
+    layout APIs and event logs actually ship — then read back,
+    exploded, and flattened to prove no field is lost or reordered
+    against the flat relational oracle. The nested write is one
+    groupBy collect_list (bounded by order size); the read-side
+    explode is a narrow generator; parquet stores the struct fields
+    columnar, so field pruning still works on the nested file (only
+    referenced struct fields are decoded)."""
+    import tempfile
+
+    cat = _cat(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="nested_") + "/orders_nested"
+    items = cat.lineitem.select(
+        "l_orderkey",
+        F.struct(
+            "l_linenumber", "l_partkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        ).alias("item"),
+    )
+    nested = (
+        cat.orders.filter(F.col("o_orderkey") % 20 == 0)
+        .join(items, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+    )
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.select(
+        "o_orderkey", "o_orderstatus",
+        F.explode("items").alias("item"),
+    ).select(
+        "o_orderkey", "o_orderstatus",
+        F.col("item.l_linenumber").alias("l_linenumber"),
+        F.col("item.l_partkey").alias("l_partkey"),
+        F.col("item.price_cents").alias("price_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -22031,6 +22084,7 @@ _PRIORITY = [
     "graph_modularity", "text_lang_confusion",
     "sink_dynamic_partition_overwrite", "ts_dominant_period",
     "docs_boilerplate_removal", "event_ab_srm_check",
+    "scan_nested_struct_roundtrip",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",
