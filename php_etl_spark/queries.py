@@ -22003,6 +22003,58 @@ def scan_nested_struct_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "fn_luhn_check",
+    oracle="""
+    WITH nums AS (
+      SELECT o_orderkey,
+             lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+               || lpad(CAST(o_custkey AS VARCHAR), 4, '0') AS candidate
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    digits AS (
+      SELECT o_orderkey, candidate,
+             CAST(SUM(
+               CASE WHEN (len(candidate) - i) % 2 = 0
+                    THEN CAST(candidate[i] AS BIGINT)
+                    ELSE CASE WHEN CAST(candidate[i] AS BIGINT) * 2 > 9
+                              THEN CAST(candidate[i] AS BIGINT) * 2 - 9
+                              ELSE CAST(candidate[i] AS BIGINT) * 2 END
+               END) AS BIGINT) AS luhn_sum
+      FROM nums, LATERAL (
+        SELECT unnest(generate_series(1, len(candidate))) AS i
+      )
+      GROUP BY o_orderkey, candidate
+    )
+    SELECT o_orderkey, candidate,
+           luhn_sum % 10 = 0 AS luhn_valid
+    FROM digits
+    """,
+)
+def fn_luhn_check(spark, sf_dir):
+    """Luhn checksum validation (ISO/IEC 7812 — card/IMEI/account
+    numbers), the classic PII-detection and data-quality primitive:
+    16-digit candidates synthesized from order/customer keys, checked
+    with Spark's builtin luhn_check. The oracle recomputes the
+    checksum from first principles (double every second digit from
+    the right, subtract 9 above 9, sum mod 10), so the builtin's
+    semantics are pinned digit-for-digit rather than trusted. Narrow
+    codegen map — at scale this is exactly a scan."""
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_orderkey") < 2000)
+    candidate = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.lpad(F.col("o_custkey").cast("string"), 4, "0"),
+    )
+    return o.select(
+        "o_orderkey",
+        candidate.alias("candidate"),
+        F.expr(
+            "luhn_check(lpad(CAST(o_orderkey AS STRING), 12, '0')"
+            " || lpad(CAST(o_custkey AS STRING), 4, '0'))"
+        ).alias("luhn_valid"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -22084,7 +22136,7 @@ _PRIORITY = [
     "graph_modularity", "text_lang_confusion",
     "sink_dynamic_partition_overwrite", "ts_dominant_period",
     "docs_boilerplate_removal", "event_ab_srm_check",
-    "scan_nested_struct_roundtrip",
+    "scan_nested_struct_roundtrip", "fn_luhn_check",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

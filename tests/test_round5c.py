@@ -855,3 +855,24 @@ def test_nested_roundtrip_preserves_every_item(spark):
     assert len(got) > 0 and n >= len(got)
     for (ok, _), (status, _, _) in got.items():
         assert status == orders[ok]
+
+
+def test_luhn_matches_python_reference(spark):
+    def luhn_ok(s):
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    rows = QUERIES["fn_luhn_check"](spark, SF_DIR).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["luhn_valid"] == luhn_ok(r["candidate"])
+        seen.add(r["luhn_valid"])
+    assert seen == {True, False}  # both outcomes exercised
