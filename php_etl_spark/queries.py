@@ -22055,6 +22055,106 @@ def fn_luhn_check(spark, sf_dir):
     )
 
 
+@query(
+    "dim_late_arriving_inferred",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE c_custkey % 11 <> 0
+    ),
+    facts AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT f.o_custkey AS custkey,
+           CASE WHEN d.c_custkey IS NULL THEN 'inferred'
+                ELSE 'matched' END AS member_status,
+           COALESCE(d.c_mktsegment, 'UNKNOWN') AS mktsegment,
+           count(*) AS n_facts,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM facts f LEFT JOIN dim d ON d.c_custkey = f.o_custkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def dim_late_arriving_inferred(spark, sf_dir):
+    """Late-arriving-dimension handling (the Kimball 'inferred
+    member' pattern): facts whose dimension row has not landed yet
+    (simulated by dropping every 11th customer from the dim) are NOT
+    dropped or quarantined — they aggregate under an inferred
+    placeholder member ('UNKNOWN' attributes) keyed by the natural
+    key, so revenue totals stay correct and the row heals when the
+    dimension arrives (re-keyed by the same custkey). One broadcast-
+    able left join + one aggregation; the inferred-member set is
+    exactly the orphan key set, never a row-by-row driver loop."""
+    cat = _cat(spark, sf_dir)
+    dim = cat.customer.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    facts = cat.orders.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    j = facts.join(
+        F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"), "left"
+    )
+    return (
+        j.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.when(F.col("c_custkey").isNull(), "inferred")
+            .otherwise("matched")
+            .alias("member_status"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN"))
+            .alias("mktsegment"),
+        )
+        .agg(
+            F.count("*").alias("n_facts"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+
+
+@query(
+    "scan_csv_multiline",
+    oracle="""
+    SELECT n_nationkey,
+           n_name || chr(10) || 'line2, with comma' AS note,
+           n_regionkey
+    FROM nation
+    """,
+)
+def scan_csv_multiline(spark, sf_dir):
+    """Multiline-quoted CSV round trip — the classic CSV edge case:
+    fields containing EMBEDDED NEWLINES and commas must be quoted on
+    write and reassembled on read with multiLine=true (without it,
+    the reader splits records mid-field and the row count silently
+    doubles). Note the scale cost this key documents: multiLine
+    disables newline-based splitting, so each file parses in one
+    task — the writer keeps files small (partition-parallel) to keep
+    the read parallel too."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="csv_multiline_") + "/nation"
+    n = _cat(spark, sf_dir).nation.select(
+        "n_nationkey",
+        F.concat(
+            F.col("n_name"), F.lit("\nline2, with comma")
+        ).alias("note"),
+        "n_regionkey",
+    )
+    n.write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+        .select(
+            F.col("n_nationkey").cast("long"),
+            "note",
+            F.col("n_regionkey").cast("long"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -22137,6 +22237,7 @@ _PRIORITY = [
     "sink_dynamic_partition_overwrite", "ts_dominant_period",
     "docs_boilerplate_removal", "event_ab_srm_check",
     "scan_nested_struct_roundtrip", "fn_luhn_check",
+    "dim_late_arriving_inferred", "scan_csv_multiline",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

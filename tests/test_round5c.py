@@ -876,3 +876,29 @@ def test_luhn_matches_python_reference(spark):
         assert r["luhn_valid"] == luhn_ok(r["candidate"])
         seen.add(r["luhn_valid"])
     assert seen == {True, False}  # both outcomes exercised
+
+
+def test_late_arriving_inferred_members(spark):
+    rows = QUERIES["dim_late_arriving_inferred"](spark, SF_DIR).collect()
+    inferred = [r for r in rows if r["member_status"] == "inferred"]
+    matched = [r for r in rows if r["member_status"] == "matched"]
+    assert inferred and matched
+    for r in inferred:
+        assert r["custkey"] % 11 == 0
+        assert r["mktsegment"] == "UNKNOWN"
+    for r in matched:
+        assert r["custkey"] % 11 != 0
+        assert r["mktsegment"] != "UNKNOWN"
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    assert sum(r["n_facts"] for r in rows) == len(orders)
+    assert sum(r["cents"] for r in rows) == sum(
+        round(o["o_totalprice"] * 100) for o in orders
+    )
+
+
+def test_csv_multiline_preserves_embedded_newlines(spark):
+    rows = QUERIES["scan_csv_multiline"](spark, SF_DIR).collect()
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet").collect()
+    assert len(rows) == len(nation)  # no record splitting
+    for r in rows:
+        assert "\nline2, with comma" in r["note"]
