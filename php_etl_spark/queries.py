@@ -22155,6 +22155,72 @@ def scan_csv_multiline(spark, sf_dir):
     )
 
 
+@query(
+    "event_pattern_no_interruption",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+             MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click,
+             MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_error
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           CAST(SUM(CASE WHEN last_click IS NOT NULL
+                          AND (last_error IS NULL
+                               OR last_error < last_click)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean_conversions
+    FROM s WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def event_pattern_no_interruption(spark, sf_dir):
+    """Sequence-pattern matching without MATCH_RECOGNIZE: count
+    purchases preceded by a click with NO intervening error — the
+    'A then C with no B between' funnel question. Instead of
+    enumerating event triples (quadratic) the pattern reduces to two
+    windowed carries per user (most recent click / most recent error
+    BEFORE each row, exclusive frame) and one predicate: the click is
+    live iff it is more recent than the last error. One shuffle on
+    user_id computes both carries in the same window spec; at 100 TB
+    parallelism is the user keyspace and each row does O(1) work —
+    the set-based rewrite of a per-user state machine."""
+    ev = _cat(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = ev.select(
+        "user_id", "event_id", "event_type",
+        F.max(
+            F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+        ).over(w).alias("last_click"),
+        F.max(
+            F.when(F.col("event_type") == "error", F.unix_micros("ts"))
+        ).over(w).alias("last_error"),
+    )
+    clean = F.col("last_click").isNotNull() & (
+        F.col("last_error").isNull()
+        | (F.col("last_error") < F.col("last_click"))
+    )
+    return (
+        s.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count_if(clean).alias("n_clean_conversions"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -22238,6 +22304,7 @@ _PRIORITY = [
     "docs_boilerplate_removal", "event_ab_srm_check",
     "scan_nested_struct_roundtrip", "fn_luhn_check",
     "dim_late_arriving_inferred", "scan_csv_multiline",
+    "event_pattern_no_interruption",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

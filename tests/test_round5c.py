@@ -902,3 +902,36 @@ def test_csv_multiline_preserves_embedded_newlines(spark):
     assert len(rows) == len(nation)  # no record splitting
     for r in rows:
         assert "\nline2, with comma" in r["note"]
+
+
+def test_pattern_matches_state_machine_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    series = defaultdict(list)
+    for r in ev:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        series[r["user_id"]].append((us, r["event_id"], r["event_type"]))
+    got = {
+        r["user_id"]: (r["n_purchases"], r["n_clean_conversions"])
+        for r in QUERIES["event_pattern_no_interruption"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for uid, rows in series.items():
+        rows.sort()
+        last_click = last_error = None
+        n_p = n_clean = 0
+        for us, _, et in rows:
+            if et == "purchase":
+                n_p += 1
+                if last_click is not None and (
+                    last_error is None or last_error < last_click
+                ):
+                    n_clean += 1
+            if et == "click":
+                last_click = us
+            elif et == "error":
+                last_error = us
+        if n_p:
+            assert got[uid] == (n_p, n_clean)
+    assert any(c < p for p, c in got.values())  # interruptions happen
+    assert any(c > 0 for _, c in got.values())
