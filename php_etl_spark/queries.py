@@ -22221,6 +22221,184 @@ def event_pattern_no_interruption(spark, sf_dir):
     )
 
 
+@query(
+    "ml_disparate_impact",
+    oracle="""
+    WITH scored AS (
+      SELECT user_id,
+             CASE WHEN user_id % 3 = 0 THEN 'group_a'
+                  ELSE 'group_b' END AS grp,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ),
+    rates AS (
+      SELECT grp, count(*) AS n,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(1000000 * SUM(pos) // count(*) AS BIGINT) AS rate_ppm
+      FROM scored GROUP BY grp
+    ),
+    ratio AS (
+      SELECT CAST(1000000 * a.n_pos * b.n // (b.n_pos * a.n) AS BIGINT)
+               AS di_ratio_ppm
+      FROM rates a, rates b
+      WHERE a.grp = 'group_a' AND b.grp = 'group_b'
+    )
+    SELECT r.grp, r.n, r.n_pos, r.rate_ppm,
+           t.di_ratio_ppm,
+           t.di_ratio_ppm >= 800000 AND t.di_ratio_ppm <= 1250000
+             AS passes_four_fifths
+    FROM rates r CROSS JOIN ratio t
+    """,
+)
+def ml_disparate_impact(spark, sf_dir):
+    """Disparate-impact audit — the four-fifths rule every model
+    governance review runs before shipping a selection model: the
+    positive-outcome rate of the protected group divided by the
+    reference group's must lie in [0.8, 1.25]. Groups are a
+    deterministic attribute of user_id (stand-in for a protected
+    attribute); all rates and the ratio are cleared-integer ppm
+    (a.n_pos·b.n / (b.n_pos·a.n) — one truncating division), so the
+    audit is engine-exact. One aggregation over the fact stream plus
+    2-row math; at scale this is a single map-side-combined pass."""
+    ev = _cat(spark, sf_dir).events
+    scored = ev.select(
+        F.when(F.col("user_id") % 3 == 0, "group_a")
+        .otherwise("group_b")
+        .alias("grp"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    rates = scored.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.expr(
+            "CAST(1000000 * SUM(pos) DIV count(*) AS BIGINT)"
+        ).alias("rate_ppm"),
+    )
+    a = rates.filter(F.col("grp") == "group_a").select(
+        F.col("n").alias("an"), F.col("n_pos").alias("apos")
+    )
+    b = rates.filter(F.col("grp") == "group_b").select(
+        F.col("n").alias("bn"), F.col("n_pos").alias("bpos")
+    )
+    ratio = a.crossJoin(b).select(
+        F.expr(
+            "CAST(1000000 * apos * bn DIV (bpos * an) AS BIGINT)"
+        ).alias("di_ratio_ppm")
+    )
+    return rates.crossJoin(F.broadcast(ratio)).select(
+        "grp", "n", "n_pos", "rate_ppm", "di_ratio_ppm",
+        (
+            (F.col("di_ratio_ppm") >= 800000)
+            & (F.col("di_ratio_ppm") <= 1250000)
+        ).alias("passes_four_fifths"),
+    )
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    edges AS (
+      SELECT a.i AS u, c.i AS v
+      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+      GROUP BY a.i, c.i HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ),
+    pairs AS (
+      SELECT du.d AS x, dv.d AS y FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.d AS x, du.d AS y FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS mm,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs
+    )
+    SELECT mm AS n_endpoints,
+           CAST(round(1000000.0 * (mm * sxy - sx * sy)
+                / (sqrt(CAST(mm * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(mm * syy - sy * sy AS DOUBLE))))
+             AS BIGINT) AS assortativity_ppm
+    FROM m
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over all directed
+    edge instances — positive means hubs buy with hubs (social-like),
+    negative means hub-and-spoke (catalog-like); the structural
+    dial that predicts whether degree-capped algorithms (link
+    prediction's hub guard) bite. Moments are exact int64 (degrees
+    are small; both edge directions included so x/y are symmetric);
+    the final r is two correctly-rounded sqrts and one division of
+    exact integers — deterministic cross-engine at ppm grain. Shape:
+    degree table joined twice onto edges (both shuffles on node id),
+    one global moment aggregate."""
+    li = _cat(spark, sf_dir).lineitem
+    edges = (
+        G.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .filter(F.col("n_cooc") >= 2)
+        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    joined = edges.join(du, "u").join(dv, "v")
+    pairs = joined.select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    ).unionAll(
+        joined.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    m = pairs.agg(
+        F.count("*").alias("mm"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return m.select(
+        F.col("mm").alias("n_endpoints"),
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("mm") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(
+                    (
+                        F.col("mm") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("mm") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                )
+            )
+        ).cast("long").alias("assortativity_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -22304,7 +22482,8 @@ _PRIORITY = [
     "docs_boilerplate_removal", "event_ab_srm_check",
     "scan_nested_struct_roundtrip", "fn_luhn_check",
     "dim_late_arriving_inferred", "scan_csv_multiline",
-    "event_pattern_no_interruption",
+    "event_pattern_no_interruption", "ml_disparate_impact",
+    "graph_assortativity",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

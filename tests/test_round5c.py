@@ -935,3 +935,58 @@ def test_pattern_matches_state_machine_replay(spark):
             assert got[uid] == (n_p, n_clean)
     assert any(c < p for p, c in got.values())  # interruptions happen
     assert any(c > 0 for _, c in got.values())
+
+
+def test_disparate_impact_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    stats = defaultdict(lambda: [0, 0])
+    for r in ev:
+        g = "group_a" if r["user_id"] % 3 == 0 else "group_b"
+        stats[g][0] += 1
+        stats[g][1] += r["event_type"] == "purchase"
+    an, apos = stats["group_a"]
+    bn, bpos = stats["group_b"]
+    di = 1_000_000 * apos * bn // (bpos * an)
+    rows = {r["grp"]: r for r in
+            QUERIES["ml_disparate_impact"](spark, SF_DIR).collect()}
+    for g, (n, npos) in stats.items():
+        r = rows[g]
+        assert (r["n"], r["n_pos"]) == (n, npos)
+        assert r["rate_ppm"] == 1_000_000 * npos // n
+        assert r["di_ratio_ppm"] == di
+        assert r["passes_four_fifths"] == (800_000 <= di <= 1_250_000)
+
+
+def test_assortativity_bounds_and_replay(spark):
+    import math
+
+    from php_etl_spark.operators import graph as G
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    edges = [
+        (r["item_a"], r["item_b"])
+        for r in G.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .filter("n_cooc >= 2").collect()
+    ]
+    d = defaultdict(int)
+    for u, v in edges:
+        d[u] += 1
+        d[v] += 1
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [d[u], d[v]]
+        ys += [d[v], d[u]]
+    mm = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    want = round(
+        1_000_000.0 * (mm * sxy - sx * sy)
+        / (math.sqrt(float(mm * sxx - sx * sx))
+           * math.sqrt(float(mm * syy - sy * sy)))
+    )
+    row = QUERIES["graph_assortativity"](spark, SF_DIR).collect()[0]
+    assert row["n_endpoints"] == mm
+    assert abs(row["assortativity_ppm"] - want) <= 1
+    assert -1_000_000 <= row["assortativity_ppm"] <= 1_000_000
