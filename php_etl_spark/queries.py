@@ -22399,6 +22399,68 @@ def graph_assortativity(spark, sf_dir):
     )
 
 
+@query(
+    "agg_reaggregate_from_cube",
+    oracle="""
+    SELECT n_name,
+           EXTRACT(year FROM o_orderdate) * 100
+             + EXTRACT(month FROM o_orderdate) AS ym,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           count(DISTINCT o_custkey) AS n_custs_lower_bound
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def agg_reaggregate_from_cube(spark, sf_dir):
+    """Pre-aggregation navigator: the monthly report is computed by
+    RE-aggregating a daily pre-aggregate instead of rescanning facts
+    — the pattern that makes interactive serving viable at 100 TB
+    (the daily cube is ~1e4× smaller than the fact table and count/
+    sum compose associatively across levels). COUNT DISTINCT does
+    NOT compose, so the daily level carries the distinct-customer
+    SET per (nation, day) — bounded by the key's true cardinality —
+    and the monthly level merges sets before counting; the oracle
+    computes the same monthly numbers directly from facts, proving
+    the two-level path lossless. At larger distinct cardinalities
+    the set column swaps for the portable HLL sketch
+    (sketch_hll_grouped) at a documented error budget."""
+    cat = _cat(spark, sf_dir)
+    daily = (
+        cat.orders.join(
+            cat.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(cat.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.col("o_orderdate").alias("d"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.collect_set("o_custkey").alias("custs"),
+        )
+    )
+    return (
+        daily.groupBy(
+            "n_name",
+            (F.year("d") * 100 + F.month("d")).alias("ym"),
+        )
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("custs")))
+            ).cast("long").alias("n_custs_lower_bound"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -22483,7 +22545,7 @@ _PRIORITY = [
     "scan_nested_struct_roundtrip", "fn_luhn_check",
     "dim_late_arriving_inferred", "scan_csv_multiline",
     "event_pattern_no_interruption", "ml_disparate_impact",
-    "graph_assortativity",
+    "graph_assortativity", "agg_reaggregate_from_cube",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

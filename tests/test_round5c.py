@@ -990,3 +990,33 @@ def test_assortativity_bounds_and_replay(spark):
     assert row["n_endpoints"] == mm
     assert abs(row["assortativity_ppm"] - want) <= 1
     assert -1_000_000 <= row["assortativity_ppm"] <= 1_000_000
+
+
+def test_reaggregation_is_lossless(spark):
+    """Two-level (daily -> monthly) totals must equal direct monthly
+    aggregation of the facts, including the exact distinct count."""
+    rows = QUERIES["agg_reaggregate_from_cube"](spark, SF_DIR).collect()
+    assert rows
+    direct = spark.sql(
+        f"""
+        SELECT n_name, year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents,
+               count(DISTINCT o_custkey) AS nc
+        FROM parquet.`{SF_DIR}/orders.parquet` o
+        JOIN parquet.`{SF_DIR}/customer.parquet` c ON o_custkey = c_custkey
+        JOIN parquet.`{SF_DIR}/nation.parquet` n ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+        """
+    ).collect()
+    want = {
+        (r["n_name"], r["ym"]): (r["n_orders"], r["cents"], r["nc"])
+        for r in direct
+    }
+    got = {
+        (r["n_name"], r["ym"]):
+        (r["n_orders"], r["cents"], r["n_custs_lower_bound"])
+        for r in rows
+    }
+    assert got == want
