@@ -22461,6 +22461,106 @@ def agg_reaggregate_from_cube(spark, sf_dir):
     )
 
 
+@query(
+    "ml_threshold_cost_optimal",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CAST(round(l_discount * 100) AS BIGINT) * 10
+               + CAST(concat('0x', substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || ':' ||
+                   CAST(l_linenumber AS VARCHAR)), 1, 4)) AS BIGINT) % 10
+               AS score
+      FROM lineitem
+    ), grp AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM scored GROUP BY score
+    ), tot AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS p,
+             CAST(SUM(n - n_pos) AS BIGINT) AS neg
+      FROM grp
+    ), cum AS (
+      SELECT score AS thr,
+             CAST(SUM(n_pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+             CAST(SUM(n - n_pos) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+      FROM grp
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT), 0, 0
+    ),
+    costed AS (
+      SELECT thr, tp, fp, p - tp AS fn, neg - fp AS tn,
+             fp * 1 + (p - tp) * 5 AS cost_units
+      FROM cum CROSS JOIN tot
+    )
+    SELECT thr AS best_threshold, tp, fp, fn, tn, cost_units FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cost_units,
+        COALESCE(thr, 9223372036854775807)) AS rn
+      FROM costed
+    ) WHERE rn = 1
+    """,
+)
+def ml_threshold_cost_optimal(spark, sf_dir):
+    """Cost-sensitive decision threshold selection — the step after
+    the PR curve: given an asymmetric cost matrix (false negative =
+    5× a false positive, the fraud/abuse-review shape), pick the
+    score cutoff minimizing total expected cost, including the
+    degenerate 'flag nothing' policy (NULL threshold). Shares the ML
+    eval family's deterministic score; every cost is an exact
+    integer, so the argmin (ties to the lowest threshold) is
+    engine-reproducible. Shape: one map-side-combined score
+    aggregate, a cumulative sweep over the |distinct scores|-row
+    frame, and a 1-row argmin — the data-sized work is the same
+    single pass the AUC does."""
+    li = _cat(spark, sf_dir).lineitem
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    grp = (
+        li.select(y.alias("y"), _synthetic_score().alias("score"))
+        .groupBy("score")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("long").alias("neg"),
+    )
+    wdesc = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grp.select(
+        F.col("score").alias("thr"),
+        F.sum("n_pos").over(wdesc).cast("long").alias("tp"),
+        F.sum(F.col("n") - F.col("n_pos")).over(wdesc).cast("long")
+        .alias("fp"),
+    ).unionByName(
+        grp.sparkSession.createDataFrame(
+            [(None, 0, 0)], "thr bigint, tp bigint, fp bigint"
+        )
+    )
+    costed = cum.crossJoin(F.broadcast(tot)).select(
+        "thr", "tp", "fp",
+        (F.col("p") - F.col("tp")).alias("fn"),
+        (F.col("neg") - F.col("fp")).alias("tn"),
+        (F.col("fp") + (F.col("p") - F.col("tp")) * 5).alias("cost_units"),
+    )
+    rn = F.row_number().over(
+        Window.orderBy(
+            "cost_units",
+            F.coalesce(F.col("thr"), F.lit(9223372036854775807)),
+        )
+    )
+    return (
+        costed.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("thr").alias("best_threshold"),
+            "tp", "fp", "fn", "tn", "cost_units",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -22546,6 +22646,7 @@ _PRIORITY = [
     "dim_late_arriving_inferred", "scan_csv_multiline",
     "event_pattern_no_interruption", "ml_disparate_impact",
     "graph_assortativity", "agg_reaggregate_from_cube",
+    "ml_threshold_cost_optimal",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

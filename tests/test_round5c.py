@@ -1020,3 +1020,41 @@ def test_reaggregation_is_lossless(spark):
         for r in rows
     }
     assert got == want
+
+
+def test_threshold_cost_is_global_minimum(spark):
+    import hashlib as _h
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    pairs = []
+    for r in li:
+        noise = int(
+            _h.md5(f"{r['l_orderkey']}:{r['l_linenumber']}".encode())
+            .hexdigest()[:4], 16
+        ) % 10
+        score = round(r["l_discount"] * 100) * 10 + noise
+        pairs.append((score, 1 if r["l_returnflag"] == "R" else 0))
+    p = sum(y for _, y in pairs)
+    neg = len(pairs) - p
+    scores = sorted({s for s, _ in pairs}, reverse=True)
+    best = None
+    tp = fp = 0
+    by_score = defaultdict(lambda: [0, 0])
+    for s, y in pairs:
+        by_score[s][0] += 1
+        by_score[s][1] += y
+    candidates = [(None, 0, 0)]
+    for s in scores:
+        tp += by_score[s][1]
+        fp += by_score[s][0] - by_score[s][1]
+        candidates.append((s, tp, fp))
+    for thr, tp_, fp_ in candidates:
+        cost = fp_ + (p - tp_) * 5
+        key = (cost, thr if thr is not None else 1 << 62)
+        if best is None or key < best[0]:
+            best = (key, thr, tp_, fp_)
+    row = QUERIES["ml_threshold_cost_optimal"](spark, SF_DIR).collect()[0]
+    assert row["best_threshold"] == best[1]
+    assert (row["tp"], row["fp"]) == (best[2], best[3])
+    assert row["fn"] == p - best[2] and row["tn"] == neg - best[3]
+    assert row["cost_units"] == best[0][0]
