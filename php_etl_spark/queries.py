@@ -22561,6 +22561,106 @@ def ml_threshold_cost_optimal(spark, sf_dir):
     )
 
 
+@query(
+    "privacy_generalize_to_k",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, n_nationkey, n_regionkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    levels AS (
+      SELECT 0 AS lvl, CAST(n_nationkey AS VARCHAR) || '|' || c_mktsegment
+               AS qi FROM base
+      UNION ALL
+      SELECT 1, 'r' || CAST(n_regionkey AS VARCHAR) || '|' || c_mktsegment
+      FROM base
+      UNION ALL
+      SELECT 2, c_mktsegment FROM base
+      UNION ALL
+      SELECT 3, '*' FROM base
+    ),
+    stats AS (
+      SELECT lvl, count(DISTINCT qi) AS n_cohorts,
+             CAST(MIN(n) AS BIGINT) AS min_cohort
+      FROM (SELECT lvl, qi, count(*) AS n FROM levels GROUP BY lvl, qi)
+      GROUP BY lvl
+    )
+    SELECT CAST(lvl AS BIGINT) AS chosen_level, n_cohorts, min_cohort,
+           min_cohort >= 10 AS k_satisfied
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY CASE WHEN min_cohort >= 10 THEN 0 ELSE 1 END, lvl
+      ) AS rn
+      FROM stats
+    ) WHERE rn = 1
+    """,
+)
+def privacy_generalize_to_k(spark, sf_dir):
+    """Generalization-ladder k-anonymization (the Mondrian/Incognito
+    idea in its global-recoding form): walk the quasi-identifier
+    hierarchy nation→region→segment-only→suppress-all and release at
+    the FIRST level whose smallest cohort reaches k=10 — maximal
+    utility subject to the privacy floor. All four candidate levels
+    are evaluated in ONE union'd aggregation (the lattice is 4 rows;
+    the scan is shared), the argmin is a 4-row window. The release
+    decision is data-dependent but engine-exact: cohort sizes are
+    integers and the tie order is the level index."""
+    cat = _cat(spark, sf_dir)
+    base = cat.customer.join(
+        F.broadcast(cat.nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_mktsegment", "n_nationkey", "n_regionkey")
+    levels = (
+        base.select(
+            F.lit(0).alias("lvl"),
+            F.concat_ws(
+                "|", F.col("n_nationkey").cast("string"),
+                F.col("c_mktsegment"),
+            ).alias("qi"),
+        )
+        .unionByName(
+            base.select(
+                F.lit(1).alias("lvl"),
+                F.concat(
+                    F.lit("r"), F.col("n_regionkey").cast("string"),
+                    F.lit("|"), F.col("c_mktsegment"),
+                ).alias("qi"),
+            )
+        )
+        .unionByName(
+            base.select(
+                F.lit(2).alias("lvl"), F.col("c_mktsegment").alias("qi")
+            )
+        )
+        .unionByName(
+            base.select(F.lit(3).alias("lvl"), F.lit("*").alias("qi"))
+        )
+    )
+    stats = (
+        levels.groupBy("lvl", "qi")
+        .agg(F.count("*").alias("n"))
+        .groupBy("lvl")
+        .agg(
+            F.countDistinct("qi").alias("n_cohorts"),
+            F.min("n").cast("long").alias("min_cohort"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.orderBy(
+            F.when(F.col("min_cohort") >= 10, 0).otherwise(1), "lvl"
+        )
+    )
+    return (
+        stats.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("lvl").cast("long").alias("chosen_level"),
+            "n_cohorts", "min_cohort",
+            (F.col("min_cohort") >= 10).alias("k_satisfied"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -22646,7 +22746,7 @@ _PRIORITY = [
     "dim_late_arriving_inferred", "scan_csv_multiline",
     "event_pattern_no_interruption", "ml_disparate_impact",
     "graph_assortativity", "agg_reaggregate_from_cube",
-    "ml_threshold_cost_optimal",
+    "ml_threshold_cost_optimal", "privacy_generalize_to_k",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -1058,3 +1058,39 @@ def test_threshold_cost_is_global_minimum(spark):
     assert (row["tp"], row["fp"]) == (best[2], best[3])
     assert row["fn"] == p - best[2] and row["tn"] == neg - best[3]
     assert row["cost_units"] == best[0][0]
+
+
+def test_generalize_to_k_picks_minimal_level(spark):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    nat = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/nation.parquet").collect()
+    }
+    def cohorts(level):
+        c = defaultdict(int)
+        for r in cust:
+            if level == 0:
+                qi = f"{r['c_nationkey']}|{r['c_mktsegment']}"
+            elif level == 1:
+                qi = f"r{nat[r['c_nationkey']]}|{r['c_mktsegment']}"
+            elif level == 2:
+                qi = r["c_mktsegment"]
+            else:
+                qi = "*"
+            c[qi] += 1
+        return c
+    want = None
+    for lvl in range(4):
+        c = cohorts(lvl)
+        if min(c.values()) >= 10:
+            want = (lvl, len(c), min(c.values()), True)
+            break
+    if want is None:
+        c = cohorts(0)
+        want = (0, len(c), min(c.values()), False)
+    row = QUERIES["privacy_generalize_to_k"](spark, SF_DIR).collect()[0]
+    assert (
+        row["chosen_level"], row["n_cohorts"], row["min_cohort"],
+        row["k_satisfied"],
+    ) == want
+    assert row["chosen_level"] > 0  # L0 cohorts are below k in testdata
