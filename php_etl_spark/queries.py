@@ -22661,6 +22661,61 @@ def privacy_generalize_to_k(spark, sf_dir):
     )
 
 
+@query(
+    "docs_safety_lexicon",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(ts, x -> list_contains(
+             ['error', 'slow', 'crash'], x))) AS BIGINT) AS n_flagged,
+           CAST(1000000 * len(list_filter(ts, x -> list_contains(
+             ['error', 'slow', 'crash'], x))) // len(ts) AS BIGINT)
+             AS flagged_ppm,
+           CAST(1000000 * len(list_filter(ts, x -> list_contains(
+             ['error', 'slow', 'crash'], x))) // len(ts) AS BIGINT)
+             > 20000 AS needs_review
+    FROM toks WHERE len(ts) > 0
+    """,
+)
+def docs_safety_lexicon(spark, sf_dir):
+    """Lexicon-based safety screening — the first-pass content filter
+    every pretraining pipeline runs before the expensive classifier
+    tier: count tokens hitting a flagged-term lexicon, emit the hit
+    rate in exact ppm, and route docs above the review threshold
+    (2%) to the human/classifier queue. The lexicon here is a
+    3-word NEUTRAL stand-in (real deployments broadcast a
+    many-thousand-term list — same plan: the IN-set compiles to a
+    hash lookup inside codegen, or joins broadcast for very large
+    lexicons). Narrow single-pass map; integer-exact; the routing
+    decision is the operator, the lexicon is config."""
+    d = _cat(spark, sf_dir).documents
+    lex = ["error", "slow", "crash"]
+    lex_lit = "(" + ", ".join(f"'{w}'" for w in lex) + ")"
+    ts = F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+    flagged = F.size(
+        F.expr(
+            f"filter(filter(split(lower(text), ' '), x -> x <> ''),"
+            f" x -> x IN {lex_lit})"
+        )
+    ).cast("long")
+    s = d.select(
+        "doc_id",
+        F.size(ts).cast("long").alias("n_tokens"),
+        flagged.alias("n_flagged"),
+    ).filter(F.col("n_tokens") > 0)
+    ppm = F.expr("CAST(1000000 * n_flagged DIV n_tokens AS BIGINT)")
+    return s.select(
+        "doc_id", "n_tokens", "n_flagged",
+        ppm.alias("flagged_ppm"),
+        (ppm > 20000).alias("needs_review"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -22747,6 +22802,7 @@ _PRIORITY = [
     "event_pattern_no_interruption", "ml_disparate_impact",
     "graph_assortativity", "agg_reaggregate_from_cube",
     "ml_threshold_cost_optimal", "privacy_generalize_to_k",
+    "docs_safety_lexicon",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -1094,3 +1094,22 @@ def test_generalize_to_k_picks_minimal_level(spark):
         row["k_satisfied"],
     ) == want
     assert row["chosen_level"] > 0  # L0 cohorts are below k in testdata
+
+
+def test_safety_lexicon_replay(spark):
+    lex = {"error", "slow", "crash"}
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_flagged"], r["flagged_ppm"],
+                      r["needs_review"])
+        for r in QUERIES["docs_safety_lexicon"](spark, SF_DIR).collect()
+    }
+    routed = 0
+    for d in _docs(spark):
+        toks = [t for t in d["text"].lower().split(" ") if t]
+        flagged = sum(1 for t in toks if t in lex)
+        ppm = 1_000_000 * flagged // len(toks)
+        assert got[d["doc_id"]] == (
+            len(toks), flagged, ppm, ppm > 20_000
+        )
+        routed += ppm > 20_000
+    assert 0 < routed < len(got)  # threshold separates the corpus
