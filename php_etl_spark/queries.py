@@ -22716,6 +22716,114 @@ def docs_safety_lexicon(spark, sf_dir):
     )
 
 
+@query(
+    "ml_map_at_k",
+    oracle="""
+    WITH prep AS (
+      SELECT vec_id, label, list_transform(embedding, x ->
+        CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS q_id, label AS q_label, qv AS qq
+           FROM prep WHERE vec_id < 10),
+    ranked AS (
+      SELECT q_id, q_label, p.label,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> qq[i] * p.qv[i])) AS BIGINT) DESC, p.vec_id)
+               AS pos
+      FROM qs JOIN prep p ON p.vec_id <> qs.q_id
+    ),
+    cum AS (
+      SELECT q_id, pos,
+             CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel,
+             SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+               OVER (PARTITION BY q_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rel
+      FROM ranked WHERE pos <= 5
+    ),
+    topk AS (
+      SELECT q_id,
+             CAST(SUM(rel) AS BIGINT) AS n_rel,
+             CAST(SUM(CASE WHEN rel = 1
+                           THEN (60 * cum_rel) // pos
+                           ELSE 0 END) AS BIGINT) AS ap60_num
+      FROM cum GROUP BY q_id
+    )
+    SELECT q_id, n_rel,
+           CASE WHEN n_rel = 0 THEN 0
+                ELSE CAST(1000000 * ap60_num // (60 * n_rel) AS BIGINT)
+           END AS ap_at5_ppm
+    FROM topk
+    """,
+)
+def ml_map_at_k(spark, sf_dir):
+    """Average Precision at 5 per query — the MAP component
+    completing the IR-eval trio (AUC = ranking, NDCG = graded
+    position discount, AP = precision-weighted recall). Relevance =
+    label match on the nearest-neighbor ranking (exact integer dots,
+    vec_id tiebreak). AP stays integer-exact by clearing the
+    positional denominators with lcm(1..5)=60: each relevant hit at
+    position i contributes 60·(cum rel at i)/i — an integer — and
+    ONE truncating ppm division by 60·n_rel closes it. Same scan
+    shape as the retrieval baseline; the window runs over 5-row
+    frames."""
+    emb = _cat(spark, sf_dir).embeddings
+    prep = emb.select(
+        "vec_id", "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("qv"),
+    )
+    qs = prep.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("qv").alias("qq"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.col("dot").desc(), "vec_id")
+    )
+    ranked = (
+        prep.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "q_label", "label", "vec_id", dot.alias("dot")
+        )
+        .withColumn("pos", pos)
+        .filter(F.col("pos") <= 5)
+    )
+    rel = F.when(F.col("label") == F.col("q_label"), 1).otherwise(0)
+    cum = ranked.withColumn("rel", rel).withColumn(
+        "cum_rel",
+        F.sum("rel").over(
+            Window.partitionBy("q_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    contrib = F.when(
+        F.col("rel") == 1, F.expr("(60 * cum_rel) DIV pos")
+    ).otherwise(0)
+    topk = cum.groupBy("q_id").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.sum(contrib).cast("long").alias("ap60_num"),
+    )
+    return topk.select(
+        "q_id", "n_rel",
+        F.when(F.col("n_rel") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("CAST(1000000 * ap60_num DIV (60 * n_rel) AS BIGINT)")
+        )
+        .alias("ap_at5_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -22802,7 +22910,7 @@ _PRIORITY = [
     "event_pattern_no_interruption", "ml_disparate_impact",
     "graph_assortativity", "agg_reaggregate_from_cube",
     "ml_threshold_cost_optimal", "privacy_generalize_to_k",
-    "docs_safety_lexicon",
+    "docs_safety_lexicon", "ml_map_at_k",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

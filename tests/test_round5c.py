@@ -1113,3 +1113,35 @@ def test_safety_lexicon_replay(spark):
         )
         routed += ppm > 20_000
     assert 0 < routed < len(got)  # threshold separates the corpus
+
+
+def test_map_at_k_matches_fraction_replay(spark):
+    from fractions import Fraction
+
+    emb = {}
+    labels = {}
+    for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect():
+        emb[r["vec_id"]] = [round(float(x) * 1_000_000)
+                            for x in r["embedding"]]
+        labels[r["vec_id"]] = r["label"]
+    got = {
+        r["q_id"]: (r["n_rel"], r["ap_at5_ppm"])
+        for r in QUERIES["ml_map_at_k"](spark, SF_DIR).collect()
+    }
+    for q in [v for v in emb if v < 10]:
+        ranked = sorted(
+            (v for v in emb if v != q),
+            key=lambda v: (-sum(a * b for a, b in zip(emb[q], emb[v])), v),
+        )[:5]
+        ap = Fraction(0)
+        cum = 0
+        for i, v in enumerate(ranked, 1):
+            if labels[v] == labels[q]:
+                cum += 1
+                ap += Fraction(cum, i)
+        n_rel = cum
+        want = (
+            0 if n_rel == 0
+            else int(1_000_000 * ap / n_rel)  # floor of the exact rational
+        )
+        assert got[q] == (n_rel, want)
