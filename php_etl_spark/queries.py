@@ -22824,6 +22824,54 @@ def ml_map_at_k(spark, sf_dir):
     )
 
 
+@query(
+    "dim_accumulating_snapshot",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_orderdate,
+           min(l.l_shipdate) AS first_ship,
+           max(l.l_shipdate) AS last_ship,
+           count(*) AS n_lines,
+           CAST(date_diff('day', o.o_orderdate, max(l.l_shipdate))
+                AS BIGINT) AS days_to_complete,
+           date_diff('day', min(l.l_shipdate), max(l.l_shipdate)) <= 30
+             AS shipped_within_month_span
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 10 = 0
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+)
+def dim_accumulating_snapshot(spark, sf_dir):
+    """Accumulating-snapshot fact (Kimball's third fact-table type):
+    one row per order pipeline carrying its milestone dates — order
+    placed, first line shipped, last line shipped — plus derived
+    cycle metrics (days to complete, span-within-month flag). In
+    production this row is UPSERTED as milestones land
+    (sources.writers.upsert is the write path); here the read-side
+    derivation is one aggregation over the lines with min/max date
+    milestones — map-side combinable, no window, no self-join. Date
+    arithmetic is day-integer exact on both engines."""
+    cat = _cat(spark, sf_dir)
+    o = cat.orders.filter(F.col("o_orderkey") % 10 == 0)
+    j = o.join(
+        cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+            F.count("*").alias("n_lines"),
+            F.datediff(F.max("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("days_to_complete"),
+            (
+                F.datediff(F.max("l_shipdate"), F.min("l_shipdate")) <= 30
+            ).alias("shipped_within_month_span"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -22910,7 +22958,7 @@ _PRIORITY = [
     "event_pattern_no_interruption", "ml_disparate_impact",
     "graph_assortativity", "agg_reaggregate_from_cube",
     "ml_threshold_cost_optimal", "privacy_generalize_to_k",
-    "docs_safety_lexicon", "ml_map_at_k",
+    "docs_safety_lexicon", "ml_map_at_k", "dim_accumulating_snapshot",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -1145,3 +1145,23 @@ def test_map_at_k_matches_fraction_replay(spark):
             else int(1_000_000 * ap / n_rel)  # floor of the exact rational
         )
         assert got[q] == (n_rel, want)
+
+
+def test_accumulating_snapshot_milestones(spark):
+    li = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect():
+        if r["l_orderkey"] % 10 == 0:
+            li[r["l_orderkey"]].append(r["l_shipdate"])
+    rows = QUERIES["dim_accumulating_snapshot"](spark, SF_DIR).collect()
+    assert len(rows) == len(li)
+    for r in rows:
+        ships = li[r["o_orderkey"]]
+        assert r["first_ship"] == min(ships)
+        assert r["last_ship"] == max(ships)
+        assert r["n_lines"] == len(ships)
+        assert r["days_to_complete"] == (
+            max(ships) - r["o_orderdate"]
+        ).days
+        assert r["shipped_within_month_span"] == (
+            (max(ships) - min(ships)).days <= 30
+        )
