@@ -22872,6 +22872,70 @@ def dim_accumulating_snapshot(spark, sf_dir):
     )
 
 
+@query(
+    "dim_mini_dimension",
+    oracle="""
+    WITH profiled AS (
+      SELECT c_custkey,
+             c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 2500 THEN 'low'
+                  WHEN c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS balance_band
+      FROM customer
+    ),
+    mini AS (
+      SELECT c_mktsegment, balance_band,
+             DENSE_RANK() OVER (ORDER BY c_mktsegment, balance_band)
+               AS mini_dim_id
+      FROM (SELECT DISTINCT c_mktsegment, balance_band FROM profiled)
+    )
+    SELECT m.mini_dim_id, m.c_mktsegment, m.balance_band,
+           count(*) AS n_customers
+    FROM profiled p
+    JOIN mini m USING (c_mktsegment, balance_band)
+    GROUP BY 1, 2, 3
+    """,
+)
+def dim_mini_dimension(spark, sf_dir):
+    """Mini-dimension (Kimball's fix for rapidly-changing monster
+    dimensions): the volatile attributes (account-balance band ×
+    segment) split out into their own small dimension whose rows are
+    the distinct PROFILES — bounded by the attribute domain, not by
+    customers — with dense surrogate ids assigned by a deterministic
+    total order; facts then carry the mini-dim key and a balance
+    change is a key swap, not an SCD2 row explosion. Completes the
+    dimension-pattern set next to SCD2, bitemporal, late-arriving
+    and accumulating-snapshot. The dense_rank runs over the
+    profile-domain frame (20 rows), never the data."""
+    c = _cat(spark, sf_dir).customer
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 2500, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    profiled = c.select(
+        "c_mktsegment", band.alias("balance_band")
+    )
+    mini = (
+        profiled.distinct()
+        .withColumn(
+            "mini_dim_id",
+            F.dense_rank().over(
+                Window.orderBy("c_mktsegment", "balance_band")
+            ),
+        )
+    )
+    return (
+        profiled.join(
+            F.broadcast(mini), ["c_mktsegment", "balance_band"]
+        )
+        .groupBy("mini_dim_id", "c_mktsegment", "balance_band")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -22959,6 +23023,7 @@ _PRIORITY = [
     "graph_assortativity", "agg_reaggregate_from_cube",
     "ml_threshold_cost_optimal", "privacy_generalize_to_k",
     "docs_safety_lexicon", "ml_map_at_k", "dim_accumulating_snapshot",
+    "dim_mini_dimension",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

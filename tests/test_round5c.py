@@ -1165,3 +1165,24 @@ def test_accumulating_snapshot_milestones(spark):
         assert r["shipped_within_month_span"] == (
             (max(ships) - min(ships)).days <= 30
         )
+
+
+def test_mini_dimension_profiles_are_domain_bounded(spark):
+    rows = QUERIES["dim_mini_dimension"](spark, SF_DIR).collect()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    def band(b):
+        return ("neg" if b < 0 else "low" if b < 2500
+                else "mid" if b < 5000 else "high")
+    want = defaultdict(int)
+    for r in cust:
+        want[(r["c_mktsegment"], band(r["c_acctbal"]))] += 1
+    assert len(rows) == len(want)
+    ids = sorted(r["mini_dim_id"] for r in rows)
+    assert ids == list(range(1, len(rows) + 1))  # dense surrogate keys
+    ordered = sorted(rows, key=lambda r: (r["c_mktsegment"],
+                                          r["balance_band"]))
+    assert [r["mini_dim_id"] for r in ordered] == ids
+    for r in rows:
+        assert r["n_customers"] == want[
+            (r["c_mktsegment"], r["balance_band"])
+        ]
