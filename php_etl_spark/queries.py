@@ -22936,6 +22936,73 @@ def dim_mini_dimension(spark, sf_dir):
     )
 
 
+@query(
+    "fn_business_days",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', DATE '1970-01-01', o.o_orderdate)
+                  AS BIGINT) AS ea,
+             CAST(date_diff('day', DATE '1970-01-01', l.l_shipdate)
+                  AS BIGINT) AS eb
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    g AS (
+      SELECT o_orderpriority,
+             (5 * ((eb + 1) // 7)
+              + ([0,1,2,2,2,3,4])[(eb + 1) % 7 + 1])
+             - (5 * ((ea + 1) // 7)
+                + ([0,1,2,2,2,3,4])[(ea + 1) % 7 + 1]) AS busdays
+      FROM j
+    )
+    SELECT o_orderpriority, count(*) AS n_lines,
+           CAST(SUM(busdays) AS BIGINT) AS total_busdays,
+           CAST(1000000 * SUM(CASE WHEN busdays <= 5 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS within_5bd_ppm
+    FROM g GROUP BY o_orderpriority
+    """,
+)
+def fn_business_days(spark, sf_dir):
+    """Business-day arithmetic without a calendar table: weekdays in
+    (order_date, ship_date] from the closed form g(e) = 5·(e DIV 7) +
+    prefix[e mod 7] on epoch days (day 0 = Thursday; prefix counts
+    Mon–Fri residues) — the SLA primitive that avoids both engines'
+    mutually-incompatible DAYOFWEEK conventions (Spark is 1=Sunday,
+    DuckDB 0=Sunday; epoch-day modular arithmetic is convention-free
+    and engine-exact). Rolled up into the per-priority shipping-SLA
+    report: lines, total business days, share shipped within 5
+    business days in exact ppm. Narrow map + one aggregation."""
+    cat = _cat(spark, sf_dir)
+    j = cat.orders.join(
+        cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long").alias("ea"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+        .cast("long").alias("eb"),
+    )
+
+    def gfun(e):
+        return F.expr(
+            f"5 * (({e} + 1) DIV 7)"
+            f" + element_at(array(0,1,2,2,2,3,4), CAST(({e} + 1) % 7 AS INT) + 1)"
+        )
+
+    g = j.select(
+        "o_orderpriority",
+        (gfun("eb") - gfun("ea")).alias("busdays"),
+    )
+    return g.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("busdays").cast("long").alias("total_busdays"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN busdays <= 5 THEN 1 ELSE 0 END)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("within_5bd_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -23023,7 +23090,7 @@ _PRIORITY = [
     "graph_assortativity", "agg_reaggregate_from_cube",
     "ml_threshold_cost_optimal", "privacy_generalize_to_k",
     "docs_safety_lexicon", "ml_map_at_k", "dim_accumulating_snapshot",
-    "dim_mini_dimension",
+    "dim_mini_dimension", "fn_business_days",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

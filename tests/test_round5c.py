@@ -1186,3 +1186,30 @@ def test_mini_dimension_profiles_are_domain_bounded(spark):
         assert r["n_customers"] == want[
             (r["c_mktsegment"], r["balance_band"])
         ]
+
+
+def test_business_days_matches_numpy_busday(spark):
+    import numpy as np
+
+    orders = {
+        r["o_orderkey"]: (r["o_orderdate"], r["o_orderpriority"])
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    stats = defaultdict(lambda: [0, 0, 0])
+    for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect():
+        od, prio = orders[r["l_orderkey"]]
+        # weekdays in (order_date, ship_date] == np.busday_count over
+        # [od+1, ship+1) with default Mon-Fri week
+        bd = int(np.busday_count(od + __import__("datetime").timedelta(1),
+                                 r["l_shipdate"]
+                                 + __import__("datetime").timedelta(1)))
+        stats[prio][0] += 1
+        stats[prio][1] += bd
+        stats[prio][2] += bd <= 5
+    rows = {r["o_orderpriority"]: r for r in
+            QUERIES["fn_business_days"](spark, SF_DIR).collect()}
+    assert set(rows) == set(stats)
+    for prio, (n, tot, within) in stats.items():
+        r = rows[prio]
+        assert (r["n_lines"], r["total_busdays"]) == (n, tot)
+        assert r["within_5bd_ppm"] == 1_000_000 * within // n
