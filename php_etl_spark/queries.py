@@ -22971,7 +22971,11 @@ def fn_business_days(spark, sf_dir):
     DuckDB 0=Sunday; epoch-day modular arithmetic is convention-free
     and engine-exact). Rolled up into the per-priority shipping-SLA
     report: lines, total business days, share shipped within 5
-    business days in exact ppm. Narrow map + one aggregation."""
+    business days in exact ppm. Reversed spans (ship before order —
+    present in the synthetic data) count NEGATIVE weekdays with set
+    semantics, g(b+1)-g(a+1), which is one off from numpy's
+    reversed-range convention — pinned by the pytest replay. Narrow
+    map + one aggregation."""
     cat = _cat(spark, sf_dir)
     j = cat.orders.join(
         cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey")

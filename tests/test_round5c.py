@@ -1191,18 +1191,33 @@ def test_mini_dimension_profiles_are_domain_bounded(spark):
 def test_business_days_matches_numpy_busday(spark):
     import numpy as np
 
+    import datetime as _dt
+
+    def _day(d):
+        return d.date() if isinstance(d, _dt.datetime) else d
+
     orders = {
-        r["o_orderkey"]: (r["o_orderdate"], r["o_orderpriority"])
+        r["o_orderkey"]: (_day(r["o_orderdate"]), r["o_orderpriority"])
         for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
     }
     stats = defaultdict(lambda: [0, 0, 0])
     for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect():
         od, prio = orders[r["l_orderkey"]]
-        # weekdays in (order_date, ship_date] == np.busday_count over
-        # [od+1, ship+1) with default Mon-Fri week
-        bd = int(np.busday_count(od + __import__("datetime").timedelta(1),
-                                 r["l_shipdate"]
-                                 + __import__("datetime").timedelta(1)))
+        ship = _day(r["l_shipdate"])
+        if ship >= od:
+            # weekdays in (od, ship] == np.busday_count over
+            # [od+1, ship+1) with default Mon-Fri week
+            bd = int(np.busday_count(od + _dt.timedelta(1),
+                                     ship + _dt.timedelta(1)))
+        else:
+            # negative span: numpy's reversed-range convention is
+            # off-by-one vs signed set counting; day-loop the exact
+            # definition -(weekdays in (ship, od])
+            bd = -sum(
+                1
+                for k in range(1, (od - ship).days + 1)
+                if (ship + _dt.timedelta(k)).weekday() < 5
+            )
         stats[prio][0] += 1
         stats[prio][1] += bd
         stats[prio][2] += bd <= 5
