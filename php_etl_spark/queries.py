@@ -23007,6 +23007,125 @@ def fn_business_days(spark, sf_dir):
     )
 
 
+@query(
+    "agg_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT CASE WHEN ascii(substr(md5('did#' ||
+               CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 0
+               THEN 1 ELSE 0 END AS treated,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS post,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    agg AS (
+      SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM cells GROUP BY treated, post
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN s END) AS s_tp,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_tp,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN s END) AS s_tb,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_tb,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN s END) AS s_cp,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_cp,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN s END) AS s_cb,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_cb
+      FROM agg
+    )
+    SELECT n_tp, n_tb, n_cp, n_cb,
+           CAST(round(1000.0 *
+             CAST((CAST(s_tp AS HUGEINT) * n_tb - CAST(s_tb AS HUGEINT) * n_tp)
+                    * n_cp * n_cb
+                - (CAST(s_cp AS HUGEINT) * n_cb - CAST(s_cb AS HUGEINT) * n_cp)
+                    * n_tp * n_tb AS DOUBLE)
+             / CAST(CAST(n_tp AS HUGEINT) * n_tb * n_cp * n_cb AS DOUBLE))
+             AS BIGINT) AS did_milli_cents
+    FROM wide
+    """,
+)
+def agg_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences estimate — the causal-inference
+    workhorse for staged rollouts: (treated post − treated pre) −
+    (control post − control pre) on mean event value, with treatment
+    a deterministic user-hash bucket and the policy date splitting
+    pre/post. The four cell means never materialize as floats: the
+    estimate clears all denominators into ONE exact decimal(38)/
+    HUGEINT numerator and denominator ((s_tp·n_tb − s_tb·n_tp)·
+    n_cp·n_cb − (s_cp·n_cb − s_cb·n_cp)·n_tp·n_tb over Πn), leaving
+    a single correctly-rounded double division at the milli grain —
+    the agg_hhi/ridge precedent. One map-side-combined pass to the
+    2×2 table; everything after is literal-sized."""
+    ev = _cat(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    treated = F.when(
+        F.ascii(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("did#"), F.col("user_id").cast("string"))
+                ),
+                1, 1,
+            )
+        )
+        % 2
+        == 0,
+        1,
+    ).otherwise(0)
+    post = F.when(
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), 1
+    ).otherwise(0)
+    agg = (
+        ev.select(
+            treated.alias("treated"), post.alias("post"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("treated", "post")
+        .agg(
+            F.count("*").alias("n"), F.sum("cents").cast("long").alias("s")
+        )
+    )
+    def cell(t, p, col):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p),
+                   F.col(col))
+        )
+    wide = agg.agg(
+        cell(1, 1, "s").alias("s_tp"), cell(1, 1, "n").alias("n_tp"),
+        cell(1, 0, "s").alias("s_tb"), cell(1, 0, "n").alias("n_tb"),
+        cell(0, 1, "s").alias("s_cp"), cell(0, 1, "n").alias("n_cp"),
+        cell(0, 0, "s").alias("s_cb"), cell(0, 0, "n").alias("n_cb"),
+    )
+    d38 = "decimal(38,0)"
+    return wide.select(
+        "n_tp", "n_tb", "n_cp", "n_cb",
+        F.round(
+            F.lit(1000.0)
+            * (
+                (
+                    F.col("s_tp").cast(d38) * F.col("n_tb")
+                    - F.col("s_tb").cast(d38) * F.col("n_tp")
+                )
+                * F.col("n_cp")
+                * F.col("n_cb")
+                - (
+                    F.col("s_cp").cast(d38) * F.col("n_cb")
+                    - F.col("s_cb").cast(d38) * F.col("n_cp")
+                )
+                * F.col("n_tp")
+                * F.col("n_tb")
+            ).cast("double")
+            / (
+                F.col("n_tp").cast(d38)
+                * F.col("n_tb")
+                * F.col("n_cp")
+                * F.col("n_cb")
+            ).cast("double")
+        ).cast("long").alias("did_milli_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -23094,7 +23213,7 @@ _PRIORITY = [
     "graph_assortativity", "agg_reaggregate_from_cube",
     "ml_threshold_cost_optimal", "privacy_generalize_to_k",
     "docs_safety_lexicon", "ml_map_at_k", "dim_accumulating_snapshot",
-    "dim_mini_dimension", "fn_business_days",
+    "dim_mini_dimension", "fn_business_days", "agg_diff_in_diff",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -1228,3 +1228,32 @@ def test_business_days_matches_numpy_busday(spark):
         r = rows[prio]
         assert (r["n_lines"], r["total_busdays"]) == (n, tot)
         assert r["within_5bd_ppm"] == 1_000_000 * within // n
+
+
+def test_diff_in_diff_fraction_replay(spark):
+    import hashlib as _h
+    from fractions import Fraction
+    import datetime as _dt
+
+    cells = defaultdict(lambda: [0, 0])
+    cutoff = _dt.datetime(2024, 1, 16)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        if r["value"] is None:
+            continue
+        t = ord(_h.md5(f"did#{r['user_id']}".encode()).hexdigest()[0]) % 2 == 0
+        p = r["ts"] >= cutoff
+        c = cells[(int(t), int(p))]
+        c[0] += 1
+        c[1] += round(r["value"] * 100)
+    did = (
+        Fraction(cells[(1, 1)][1], cells[(1, 1)][0])
+        - Fraction(cells[(1, 0)][1], cells[(1, 0)][0])
+        - Fraction(cells[(0, 1)][1], cells[(0, 1)][0])
+        + Fraction(cells[(0, 0)][1], cells[(0, 0)][0])
+    )
+    row = QUERIES["agg_diff_in_diff"](spark, SF_DIR).collect()[0]
+    assert (row["n_tp"], row["n_tb"], row["n_cp"], row["n_cb"]) == (
+        cells[(1, 1)][0], cells[(1, 0)][0],
+        cells[(0, 1)][0], cells[(0, 0)][0],
+    )
+    assert abs(row["did_milli_cents"] - round(float(1000 * did))) <= 1
