@@ -23126,6 +23126,70 @@ def agg_diff_in_diff(spark, sf_dir):
     )
 
 
+@query(
+    "docs_shard_manifest",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             {{hb}} AS shard
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(SUM(CAST(concat('0x', substr(md5(
+             CAST(doc_id AS VARCHAR) || '#' || CAST(n_chars AS VARCHAR)
+           ), 1, 12)) AS BIGINT)) AS BIGINT) AS content_checksum
+    FROM assigned GROUP BY shard
+    """.replace("{hb}", _HB.format(x="CAST(doc_id AS VARCHAR)", m=8)),
+)
+def docs_shard_manifest(spark, sf_dir):
+    """Shard manifest with content checksums — the integrity artifact
+    written next to every training-shard export so a loader (or a
+    re-run) can verify shards without re-reading payloads: per shard
+    (same stable hash placement as docs_shard_shuffle) doc count,
+    byte total, id range, and an ORDER-INSENSITIVE content checksum —
+    a sum of per-row md5-derived 48-bit integers, associative and
+    partition-order-independent by construction (the same property
+    that makes it cheap at 100 TB: one map-side-combinable pass, no
+    sort). A corrupted, dropped or duplicated row moves the sum; the
+    table_checksum key is the whole-table sibling."""
+    docs = _cat(spark, sf_dir).documents
+    shard = F.expr(
+        "(ascii(substr(md5(CAST(doc_id AS STRING)),1,1))*17161"
+        " + ascii(substr(md5(CAST(doc_id AS STRING)),3,1))*131"
+        " + ascii(substr(md5(CAST(doc_id AS STRING)),5,1))) % 8"
+    )
+    row_sig = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.col("doc_id").cast("string"),
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1, 12,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        docs.select(
+            shard.alias("shard"), "doc_id", "n_chars",
+            row_sig.alias("sig"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+            F.sum("sig").cast("long").alias("content_checksum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -23214,6 +23278,7 @@ _PRIORITY = [
     "ml_threshold_cost_optimal", "privacy_generalize_to_k",
     "docs_safety_lexicon", "ml_map_at_k", "dim_accumulating_snapshot",
     "dim_mini_dimension", "fn_business_days", "agg_diff_in_diff",
+    "docs_shard_manifest",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -1257,3 +1257,51 @@ def test_diff_in_diff_fraction_replay(spark):
         cells[(0, 1)][0], cells[(0, 0)][0],
     )
     assert abs(row["did_milli_cents"] - round(float(1000 * did))) <= 1
+
+
+def test_shard_manifest_detects_mutation(spark):
+    """The checksum must be order-insensitive yet move on any row
+    change: recompute from raw rows and verify a simulated mutation
+    shifts it."""
+    import hashlib as _h
+
+    rows = {r["shard"]: r for r in
+            QUERIES["docs_shard_manifest"](spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+
+    def hb(x):
+        h = _h.md5(str(x).encode()).hexdigest()
+        return (ord(h[0]) * 17161 + ord(h[2]) * 131 + ord(h[4])) % 8
+
+    want = defaultdict(lambda: [0, 0, None, None, 0])
+    for d in docs:
+        s = hb(d["doc_id"])
+        sig = int(
+            _h.md5(f"{d['doc_id']}#{d['n_chars']}".encode())
+            .hexdigest()[:12], 16
+        )
+        w = want[s]
+        w[0] += 1
+        w[1] += d["n_chars"]
+        w[2] = d["doc_id"] if w[2] is None else min(w[2], d["doc_id"])
+        w[3] = d["doc_id"] if w[3] is None else max(w[3], d["doc_id"])
+        w[4] += sig
+    assert set(rows) == set(want)
+    for s, w in want.items():
+        r = rows[s]
+        assert (
+            r["n_docs"], r["total_chars"], r["min_doc_id"],
+            r["max_doc_id"], r["content_checksum"],
+        ) == tuple(w)
+        # a 1-char mutation in any member changes the checksum
+        d0 = next(d for d in docs if hb(d["doc_id"]) == s)
+        mut = int(
+            _h.md5(f"{d0['doc_id']}#{d0['n_chars'] + 1}".encode())
+            .hexdigest()[:12], 16
+        )
+        assert w[4] - int(
+            _h.md5(f"{d0['doc_id']}#{d0['n_chars']}".encode())
+            .hexdigest()[:12], 16
+        ) + mut != w[4]
