@@ -23190,6 +23190,98 @@ def docs_shard_manifest(spark, sf_dir):
     )
 
 
+@query(
+    "agg_cuped_theta",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN ascii(substr(md5('did#' ||
+               CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 0
+               THEN 'treatment' ELSE 'control' END AS variant,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS pre_cents,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS post_cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT variant, count(*) AS n_users,
+           CAST(SUM(pre_cents) AS BIGINT) AS sum_pre,
+           CAST(SUM(post_cents) AS BIGINT) AS sum_post,
+           CAST(1000000 *
+             (count(*) * CAST(SUM(CAST(pre_cents AS HUGEINT) * post_cents)
+                AS HUGEINT)
+              - CAST(SUM(pre_cents) AS HUGEINT) * SUM(post_cents))
+             // (count(*) * CAST(SUM(CAST(pre_cents AS HUGEINT) * pre_cents)
+                   AS HUGEINT)
+                 - CAST(SUM(pre_cents) AS HUGEINT) * SUM(pre_cents))
+             AS BIGINT) AS theta_ppm
+    FROM per_user GROUP BY variant
+    """,
+)
+def agg_cuped_theta(spark, sf_dir):
+    """CUPED variance reduction (Deng et al., WSDM 2013) — the
+    standard trick that cuts A/B test runtimes ~50%: regress each
+    user's post-period metric on their PRE-period metric and subtract
+    the predictable part; theta = cov(pre, post)/var(pre) is the
+    adjustment coefficient, here per variant in exact cleared-integer
+    ppm (n·Σxy − ΣxΣy over n·Σxx − Σx², HUGEINT/decimal(38)
+    intermediates, ONE truncating division — the HHI/ridge
+    precedent). Completes the experimentation suite next to the SRM
+    gate and the diff-in-differences estimator. Two aggregations:
+    user-level pre/post rollup (the data-sized shuffle, map-side
+    combined), then variant-level moments."""
+    ev = _cat(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.when(
+                F.ascii(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("did#"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1, 1,
+                    )
+                )
+                % 2
+                == 0,
+                "treatment",
+            ).otherwise("control").alias("variant"),
+            F.when(F.col("ts") < cutoff, cents).otherwise(0).alias("pre"),
+            F.when(F.col("ts") >= cutoff, cents).otherwise(0).alias("post"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(
+            F.sum("pre").cast("long").alias("pre_cents"),
+            F.sum("post").cast("long").alias("post_cents"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    return per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("pre_cents").cast("long").alias("sum_pre"),
+        F.sum("post_cents").cast("long").alias("sum_post"),
+        F.expr(
+            "CAST(1000000 *"
+            " (count(*) * CAST(SUM(CAST(pre_cents AS DECIMAL(38,0))"
+            "    * post_cents) AS DECIMAL(38,0))"
+            "  - CAST(SUM(pre_cents) AS DECIMAL(38,0)) * SUM(post_cents))"
+            " DIV (count(*) * CAST(SUM(CAST(pre_cents AS DECIMAL(38,0))"
+            "        * pre_cents) AS DECIMAL(38,0))"
+            "      - CAST(SUM(pre_cents) AS DECIMAL(38,0)) * SUM(pre_cents))"
+            " AS BIGINT)"
+        ).alias("theta_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -23278,7 +23370,7 @@ _PRIORITY = [
     "ml_threshold_cost_optimal", "privacy_generalize_to_k",
     "docs_safety_lexicon", "ml_map_at_k", "dim_accumulating_snapshot",
     "dim_mini_dimension", "fn_business_days", "agg_diff_in_diff",
-    "docs_shard_manifest",
+    "docs_shard_manifest", "agg_cuped_theta",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

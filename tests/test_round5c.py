@@ -1305,3 +1305,40 @@ def test_shard_manifest_detects_mutation(spark):
             _h.md5(f"{d0['doc_id']}#{d0['n_chars']}".encode())
             .hexdigest()[:12], 16
         ) + mut != w[4]
+
+
+def test_cuped_theta_fraction_replay(spark):
+    import hashlib as _h
+    import datetime as _dt
+
+    cutoff = _dt.datetime(2024, 1, 16)
+    per_user = defaultdict(lambda: [0, 0])
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        if r["value"] is None:
+            continue
+        v = "treatment" if ord(
+            _h.md5(f"did#{r['user_id']}".encode()).hexdigest()[0]
+        ) % 2 == 0 else "control"
+        u = per_user[(v, r["user_id"])]
+        u[r["ts"] >= cutoff] += round(r["value"] * 100)
+    by_variant = defaultdict(list)
+    for (v, _), (pre, post) in per_user.items():
+        by_variant[v].append((pre, post))
+    rows = {r["variant"]: r for r in
+            QUERIES["agg_cuped_theta"](spark, SF_DIR).collect()}
+    for v, pairs in by_variant.items():
+        n = len(pairs)
+        sx = sum(p for p, _ in pairs)
+        sy = sum(q for _, q in pairs)
+        sxy = sum(p * q for p, q in pairs)
+        sxx = sum(p * p for p, _ in pairs)
+        num = 1_000_000 * (n * sxy - sx * sy)
+        den = n * sxx - sx * sx
+        # both engines truncate toward zero
+        want = abs(num) // abs(den) * (
+            1 if (num >= 0) == (den >= 0) else -1
+        )
+        r = rows[v]
+        assert (r["n_users"], r["sum_pre"], r["sum_post"]) == (n, sx, sy)
+        assert r["theta_ppm"] == want
+        assert 0 < r["theta_ppm"] < 2_000_000 or r["theta_ppm"] <= 0
