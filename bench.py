@@ -74,6 +74,10 @@ HEADLINE = [
     "docs_pack_sequences",  # segmented prefix-sum concat-and-chunk
     "docs_paragraph_dedup",  # global first-wins span dedup + reassembly
     "sim_binary_hamming_topk",  # 1-bit quantized XOR/popcount scan
+    # round-5 closing: single-pass closed-form fit and the bounded-
+    # frame robust window — first-run baselines in BASELINE.md
+    "ml_ridge_closed_form",  # nine moments -> Cramer solve, one pass
+    "window_hampel_filter",  # 7-sample sorted-frame median/MAD despike
 ]
 
 
