@@ -23282,6 +23282,37 @@ def agg_cuped_theta(spark, sf_dir):
     )
 
 
+@query(
+    "sql_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def sql_grouping_id(spark, sf_dir):
+    """GROUPING_ID bit semantics pinned across engines: under
+    CUBE(a, b), Spark's grouping_id() packs a as the HIGH bit and b
+    as the low bit (bit set = column rolled up) — the value report
+    consumers branch on to label subtotal rows. The oracle builds the
+    identical integer from DuckDB's per-column GROUPING() so the bit
+    order is verified, not assumed. The NULL-vs-rolled-up ambiguity
+    this solves is exactly why grouping_id exists (a real NULL group
+    keeps gid bit 0). One cube aggregation, map-side combined."""
+    li = _cat(spark, sf_dir).lineitem
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -23370,7 +23401,7 @@ _PRIORITY = [
     "ml_threshold_cost_optimal", "privacy_generalize_to_k",
     "docs_safety_lexicon", "ml_map_at_k", "dim_accumulating_snapshot",
     "dim_mini_dimension", "fn_business_days", "agg_diff_in_diff",
-    "docs_shard_manifest", "agg_cuped_theta",
+    "docs_shard_manifest", "agg_cuped_theta", "sql_grouping_id",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

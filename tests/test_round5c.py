@@ -1342,3 +1342,21 @@ def test_cuped_theta_fraction_replay(spark):
         assert (r["n_users"], r["sum_pre"], r["sum_post"]) == (n, sx, sy)
         assert r["theta_ppm"] == want
         assert 0 < r["theta_ppm"] < 2_000_000 or r["theta_ppm"] <= 0
+
+
+def test_grouping_id_bit_order(spark):
+    rows = QUERIES["sql_grouping_id"](spark, SF_DIR).collect()
+    by_gid = defaultdict(list)
+    for r in rows:
+        by_gid[r["gid"]].append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    # gid bit semantics: high bit = first cube column rolled up
+    for r in by_gid[3]:
+        assert r["l_returnflag"] is None and r["l_linestatus"] is None
+    for r in by_gid[2]:
+        assert r["l_returnflag"] is None and r["l_linestatus"] is not None
+    for r in by_gid[1]:
+        assert r["l_returnflag"] is not None and r["l_linestatus"] is None
+    total = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    assert sum(r["n"] for r in by_gid[0]) == total
+    assert by_gid[3][0]["n"] == total
