@@ -23313,6 +23313,56 @@ def sql_grouping_id(spark, sf_dir):
     )
 
 
+@query(
+    "ml_minmax_scale",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type, CAST(MIN(v) AS BIGINT) AS lo,
+             CAST(MAX(v) AS BIGINT) AS hi
+      FROM s GROUP BY event_type
+    )
+    SELECT s.event_type, s.event_id, s.v,
+           CASE WHEN hi = lo THEN 0
+                ELSE CAST(1000000 * (v - lo) // (hi - lo) AS BIGINT)
+           END AS scaled_ppm
+    FROM s JOIN b USING (event_type)
+    """,
+)
+def ml_minmax_scale(spark, sf_dir):
+    """Per-group min-max feature scaling to [0, 1] — the fit+transform
+    split every feature pipeline has: ONE aggregation learns the
+    per-type (min, max) 'model' (rows = group domain; broadcast back),
+    one narrow map applies it; constant features scale to 0 instead
+    of dividing by zero. Exact integer ppm (truncating division), so
+    the transform is reproducible across engines and training/serving
+    re-runs — the property (train/serve skew) that makes scaling
+    bugs expensive. The same two-phase shape applies standardization
+    and robust scaling (agg_zscore_outliers / agg_outliers_iqr hold
+    those statistics)."""
+    ev = _cat(spark, sf_dir).events
+    s = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    b = s.groupBy("event_type").agg(
+        F.min("v").cast("long").alias("lo"),
+        F.max("v").cast("long").alias("hi"),
+    )
+    return s.join(F.broadcast(b), "event_type").select(
+        "event_type", "event_id", "v",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("CAST(1000000 * (v - lo) DIV (hi - lo) AS BIGINT)")
+        )
+        .alias("scaled_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -23402,6 +23452,7 @@ _PRIORITY = [
     "docs_safety_lexicon", "ml_map_at_k", "dim_accumulating_snapshot",
     "dim_mini_dimension", "fn_business_days", "agg_diff_in_diff",
     "docs_shard_manifest", "agg_cuped_theta", "sql_grouping_id",
+    "ml_minmax_scale",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

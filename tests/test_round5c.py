@@ -1360,3 +1360,30 @@ def test_grouping_id_bit_order(spark):
     total = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     assert sum(r["n"] for r in by_gid[0]) == total
     assert by_gid[3][0]["n"] == total
+
+
+def test_minmax_scale_bounds_and_replay(spark):
+    ev = [r for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .collect() if r["value"] is not None]
+    lo = defaultdict(lambda: 1 << 62)
+    hi = defaultdict(lambda: -(1 << 62))
+    for r in ev:
+        v = round(r["value"] * 100)
+        lo[r["event_type"]] = min(lo[r["event_type"]], v)
+        hi[r["event_type"]] = max(hi[r["event_type"]], v)
+    got = {
+        r["event_id"]: (r["event_type"], r["v"], r["scaled_ppm"])
+        for r in QUERIES["ml_minmax_scale"](spark, SF_DIR).collect()
+    }
+    assert len(got) == len(ev)
+    seen_0 = seen_1m = False
+    for r in ev:
+        et = r["event_type"]
+        v = round(r["value"] * 100)
+        span = hi[et] - lo[et]
+        want = 0 if span == 0 else 1_000_000 * (v - lo[et]) // span
+        assert got[r["event_id"]] == (et, v, want)
+        assert 0 <= want <= 1_000_000
+        seen_0 |= want == 0
+        seen_1m |= want == 1_000_000
+    assert seen_0 and seen_1m  # endpoints map to the boundary values
