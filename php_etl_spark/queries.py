@@ -23363,6 +23363,144 @@ def ml_minmax_scale(spark, sf_dir):
     )
 
 
+@query(
+    "window_rolling_corr",
+    oracle="""
+    WITH hours AS (
+      SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hours),
+    grid AS (
+      SELECT unnest(generate_series(h0, h1)) AS h FROM bounds
+    ),
+    series AS (
+      SELECT g.h, COALESCE(hr.x, 0) AS x, COALESCE(hr.y, 0) AS y
+      FROM grid g LEFT JOIN hours hr USING (h)
+    ),
+    m AS (
+      SELECT h,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+      FROM series
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT h, n,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN CAST(NULL AS BIGINT)
+                ELSE CAST(round(1000000.0 * (n * sxy - sx * sy)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                  AS BIGINT)
+           END AS corr_ppm
+    FROM m
+    """,
+)
+def window_rolling_corr(spark, sf_dir):
+    """Rolling 24-hour Pearson correlation between the view and
+    purchase hourly series — the co-movement monitor (does demand
+    still track traffic?) whose breakdowns localize incidents the
+    way a single global CCF (ts_crosscorr_lags) cannot. Zero-filled
+    calendar grid; all six window moments are exact integers over
+    24-row frames; r is two correctly-rounded sqrts + one division at
+    ppm grain; degenerate (constant) windows yield NULL rather than a
+    division blow-up. The single-series global ordering is calendar-
+    sized — scale-invariant — so one task for the window is CORRECT
+    here (the data-sized work is the hourly reduction upstream); at
+    many-series scale the same spec partitions by series key."""
+    ev = _cat(spark, sf_dir).events
+    hours = ev.groupBy(
+        F.expr(
+            "unix_micros(date_trunc('hour', ts)) DIV 3600000000"
+        ).alias("h")
+    ).agg(
+        F.count_if(F.col("event_type") == "view").cast("long").alias("x"),
+        F.count_if(F.col("event_type") == "purchase").cast("long")
+        .alias("y"),
+    )
+    bounds = hours.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = F.broadcast(bounds).select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    series = grid.join(hours, "h", "left").select(
+        "h",
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    w = Window.orderBy("h").rowsBetween(-23, 0)
+    m = series.select(
+        "h",
+        F.count("*").over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.round(
+        F.lit(1000000.0)
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+    ).cast("long")
+    return m.select(
+        "h", "n",
+        F.when((vx == 0) | (vy == 0), F.lit(None).cast("long"))
+        .otherwise(corr)
+        .alias("corr_ppm"),
+    )
+
+
+@query(
+    "scan_recursive_glob",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_recursive_glob(spark, sf_dir):
+    """Recursive directory discovery with a glob filter — the lake
+    reality where producers drop files under nested date/source
+    directories with mixed content: parquet parts land under
+    year=*/month=*/ alongside _SUCCESS markers and .json sidecars;
+    the reader walks the tree (recursiveFileLookup, which disables
+    partition inference — deliberate here) and admits only
+    ``*.parquet`` via pathGlobFilter. The audit aggregation proves
+    sidecars contributed no rows and every nested part was found."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="recursive_glob_")
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_orderkey") % 2 == 0)
+    part1 = o.filter(F.col("o_orderkey") % 4 == 0)
+    part2 = o.filter(F.col("o_orderkey") % 4 != 0)
+    part1.write.mode("overwrite").parquet(f"{root}/year=2024/month=01")
+    part2.write.mode("overwrite").parquet(f"{root}/year=2024/month=02")
+    with open(os.path.join(root, "year=2024", "manifest.json"), "w") as f:
+        f.write('{"note": "sidecar must be ignored"}')
+    return (
+        spark.read.option("recursiveFileLookup", True)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -23452,7 +23590,7 @@ _PRIORITY = [
     "docs_safety_lexicon", "ml_map_at_k", "dim_accumulating_snapshot",
     "dim_mini_dimension", "fn_business_days", "agg_diff_in_diff",
     "docs_shard_manifest", "agg_cuped_theta", "sql_grouping_id",
-    "ml_minmax_scale",
+    "ml_minmax_scale", "window_rolling_corr", "scan_recursive_glob",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -1387,3 +1387,60 @@ def test_minmax_scale_bounds_and_replay(spark):
         seen_0 |= want == 0
         seen_1m |= want == 1_000_000
     assert seen_0 and seen_1m  # endpoints map to the boundary values
+
+
+def test_rolling_corr_replay(spark):
+    import math
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    hours = defaultdict(lambda: [0, 0])
+    for r in ev:
+        h = int(
+            r["ts"].replace(minute=0, second=0, microsecond=0).timestamp()
+            // 3600
+        )
+        if r["event_type"] == "view":
+            hours[h][0] += 1
+        elif r["event_type"] == "purchase":
+            hours[h][1] += 1
+    h0, h1 = min(hours), max(hours)
+    xs = [hours.get(h, [0, 0])[0] for h in range(h0, h1 + 1)]
+    ys = [hours.get(h, [0, 0])[1] for h in range(h0, h1 + 1)]
+    got = {
+        r["h"]: (r["n"], r["corr_ppm"])
+        for r in QUERIES["window_rolling_corr"](spark, SF_DIR).collect()
+    }
+    assert len(got) == h1 - h0 + 1
+    for i, h in enumerate(range(h0, h1 + 1)):
+        lo = max(0, i - 23)
+        wx, wy = xs[lo:i + 1], ys[lo:i + 1]
+        n = len(wx)
+        sx, sy = sum(wx), sum(wy)
+        sxy = sum(a * b for a, b in zip(wx, wy))
+        vx = n * sum(a * a for a in wx) - sx * sx
+        vy = n * sum(b * b for b in wy) - sy * sy
+        if vx == 0 or vy == 0:
+            want = None
+        else:
+            want = round(
+                1_000_000.0 * (n * sxy - sx * sy)
+                / (math.sqrt(vx) * math.sqrt(vy))
+            )
+        gn, gc = got[h]
+        assert gn == n
+        if want is None:
+            assert gc is None
+        else:
+            assert abs(gc - want) <= 1
+
+
+def test_recursive_glob_ignores_sidecars(spark):
+    rows = {r["o_orderpriority"]: (r["n"], r["key_sum"])
+            for r in QUERIES["scan_recursive_glob"](spark, SF_DIR)
+            .collect()}
+    want = defaultdict(lambda: [0, 0])
+    for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect():
+        if r["o_orderkey"] % 2 == 0:
+            want[r["o_orderpriority"]][0] += 1
+            want[r["o_orderpriority"]][1] += r["o_orderkey"]
+    assert rows == {k: tuple(v) for k, v in want.items()}
