@@ -23501,6 +23501,112 @@ def scan_recursive_glob(spark, sf_dir):
     )
 
 
+@query(
+    "graph_reciprocity",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    edges AS (
+      SELECT event_type AS src, next_type AS dst, count(*) AS w
+      FROM seq WHERE next_type IS NOT NULL AND next_type <> event_type
+      GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reciprocated,
+           CAST(1000000 * SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS reciprocity_ppm
+    FROM edges e
+    LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+    """,
+)
+def graph_reciprocity(spark, sf_dir):
+    """Reciprocity of the behavioral transition digraph (edges =
+    consecutive event-type pairs per user): the share of directed
+    transitions whose REVERSE also occurs — high reciprocity means
+    oscillating flows (view↔cart), low means a one-way funnel; the
+    digraph-structure dial that complements the undirected metrics
+    (modularity, assortativity). The transition reduction is the one
+    data-sized pass (window per user, then a |types|²-bounded edge
+    aggregate); the reciprocity join runs on the domain-sized edge
+    list. Exact integer counts, one truncating ppm division."""
+    ev = _cat(spark, sf_dir).events
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    seq = ev.select("event_type", nxt.alias("next_type"))
+    edges = (
+        seq.filter(
+            F.col("next_type").isNotNull()
+            & (F.col("next_type") != F.col("event_type"))
+        )
+        .groupBy(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    e = edges.alias("e")
+    r = edges.alias("r")
+    joined = e.join(
+        r,
+        (F.col("r.src") == F.col("e.dst"))
+        & (F.col("r.dst") == F.col("e.src")),
+        "left",
+    )
+    recip = F.count_if(F.col("r.src").isNotNull())
+    return joined.agg(
+        F.count("*").alias("n_edges"),
+        recip.alias("n_reciprocated"),
+    ).select(
+        "n_edges", "n_reciprocated",
+        F.expr(
+            "CAST(1000000 * n_reciprocated DIV n_edges AS BIGINT)"
+        ).alias("reciprocity_ppm"),
+    )
+
+
+@query(
+    "sink_decimal_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sink_decimal_roundtrip(spark, sf_dir):
+    """DECIMAL-typed money round trip: prices are cast to
+    DECIMAL(12,2) — the type finance schemas actually declare — and
+    written/read through parquet's fixed-point representation, then
+    aggregated exactly (decimal sums are associative and
+    partition-order-independent, unlike doubles). The read-back sum
+    is converted to integer cents for the cross-engine hash, proving
+    the decimal path is lossless end to end. At 100 TB the point is
+    that the same column stored as DOUBLE would not even re-aggregate
+    reproducibly between two runs of the same job."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="decimal_rt_") + "/orders"
+    o = _cat(spark, sf_dir).orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    o.write.mode("overwrite").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("price") * 100).cast("long").alias("cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -23591,6 +23697,7 @@ _PRIORITY = [
     "dim_mini_dimension", "fn_business_days", "agg_diff_in_diff",
     "docs_shard_manifest", "agg_cuped_theta", "sql_grouping_id",
     "ml_minmax_scale", "window_rolling_corr", "scan_recursive_glob",
+    "graph_reciprocity", "sink_decimal_roundtrip",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -1444,3 +1444,33 @@ def test_recursive_glob_ignores_sidecars(spark):
             want[r["o_orderpriority"]][0] += 1
             want[r["o_orderpriority"]][1] += r["o_orderkey"]
     assert rows == {k: tuple(v) for k, v in want.items()}
+
+
+def test_reciprocity_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    series = defaultdict(list)
+    for r in ev:
+        series[r["user_id"]].append((r["ts"], r["event_id"],
+                                     r["event_type"]))
+    edges = set()
+    for rows in series.values():
+        rows.sort()
+        for (a, b) in zip(rows, rows[1:]):
+            if a[2] != b[2]:
+                edges.add((a[2], b[2]))
+    recip = sum(1 for s, d in edges if (d, s) in edges)
+    row = QUERIES["graph_reciprocity"](spark, SF_DIR).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_reciprocated"] == recip
+    assert row["reciprocity_ppm"] == 1_000_000 * recip // len(edges)
+
+
+def test_decimal_roundtrip_is_lossless(spark):
+    rows = {r["o_orderpriority"]: (r["n"], r["cents"])
+            for r in QUERIES["sink_decimal_roundtrip"](spark, SF_DIR)
+            .collect()}
+    want = defaultdict(lambda: [0, 0])
+    for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect():
+        want[r["o_orderpriority"]][0] += 1
+        want[r["o_orderpriority"]][1] += round(r["o_totalprice"] * 100)
+    assert rows == {k: tuple(v) for k, v in want.items()}
