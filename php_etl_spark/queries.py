@@ -23607,6 +23607,84 @@ def sink_decimal_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, i AS frame_no,
+             ascii(substr(md5(substr(text, CAST(i * 256 + 1 AS BIGINT), 64)),
+                          1, 1)) % 16 AS sig
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(floor(greatest(length(text) - 1, 0)
+                 / 256) AS BIGINT) + 1)) AS i
+        FROM documents WHERE n_chars <= 300
+      )
+    ),
+    diffs AS (
+      SELECT doc_id, frame_no, sig,
+             LAG(sig) OVER (PARTITION BY doc_id ORDER BY frame_no)
+               AS prev_sig
+      FROM frames
+    )
+    SELECT doc_id, count(*) AS n_frames,
+           CAST(SUM(CASE WHEN prev_sig IS NOT NULL
+                          AND abs(sig - prev_sig) >= 6
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+    FROM diffs GROUP BY doc_id
+    """,
+)
+def multimodal_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over sampled video frames — the shot-
+    boundary pass a multimodal pipeline runs before captioning (one
+    caption per shot, not per frame): consecutive sampled frames
+    whose signatures differ beyond a threshold mark a cut. Shares the
+    multimodal family's honest deterministic stand-in (frames = fixed
+    64-byte strides of the payload; signature = md5-derived 4-bit
+    value — a real pHash drops in with the same plan), so the Spark
+    plumbing — frame explode, per-video LAG ordering, threshold
+    aggregation — is fully oracle-checked. Per-video windows
+    parallelize on doc_id; frame counts bound each partition."""
+    d = _cat(spark, sf_dir).documents.filter(F.col("n_chars") <= 300)
+    frames = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr(
+                    "CAST(floor(greatest(length(text) - 1, 0) / 256)"
+                    " AS BIGINT)"
+                ),
+            )
+        ).alias("frame_no"),
+        "text",
+    ).select(
+        "doc_id", "frame_no",
+        (
+            F.ascii(
+                F.substring(
+                    F.md5(
+                        F.expr("substr(text, CAST(frame_no * 256 + 1 AS INT), 64)")
+                    ),
+                    1, 1,
+                )
+            )
+            % 16
+        ).alias("sig"),
+    )
+    prev = F.lag("sig").over(
+        Window.partitionBy("doc_id").orderBy("frame_no")
+    )
+    diffs = frames.withColumn("prev_sig", prev)
+    cut = F.col("prev_sig").isNotNull() & (
+        F.abs(F.col("sig") - F.col("prev_sig")) >= 6
+    )
+    return diffs.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.count_if(cut).alias("n_cuts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -23698,6 +23776,7 @@ _PRIORITY = [
     "docs_shard_manifest", "agg_cuped_theta", "sql_grouping_id",
     "ml_minmax_scale", "window_rolling_corr", "scan_recursive_glob",
     "graph_reciprocity", "sink_decimal_roundtrip",
+    "multimodal_scene_cuts",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -1474,3 +1474,28 @@ def test_decimal_roundtrip_is_lossless(spark):
         want[r["o_orderpriority"]][0] += 1
         want[r["o_orderpriority"]][1] += round(r["o_totalprice"] * 100)
     assert rows == {k: tuple(v) for k, v in want.items()}
+
+
+def test_scene_cuts_replay(spark):
+    got = {
+        r["doc_id"]: (r["n_frames"], r["n_cuts"])
+        for r in QUERIES["multimodal_scene_cuts"](spark, SF_DIR).collect()
+    }
+    n_with_cuts = 0
+    checked = 0
+    for d in _docs(spark):
+        text = d["text"]
+        if len(text) > 300:
+            continue
+        sigs = []
+        for i in range(0, (max(len(text) - 1, 0)) // 256 + 1):
+            sl = text[i * 256: i * 256 + 64]
+            sigs.append(ord(hashlib.md5(sl.encode()).hexdigest()[0]) % 16)
+        cuts = sum(
+            1 for a, b in zip(sigs, sigs[1:]) if abs(b - a) >= 6
+        )
+        assert got[d["doc_id"]] == (len(sigs), cuts)
+        n_with_cuts += cuts > 0
+        checked += 1
+    assert checked == len(got) > 0
+    assert n_with_cuts > 0
