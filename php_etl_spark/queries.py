@@ -23685,6 +23685,76 @@ def multimodal_scene_cuts(spark, sf_dir):
     )
 
 
+@query(
+    "scan_json_corrupt_modes",
+    oracle="""
+    WITH src AS (SELECT n_nationkey FROM nation)
+    SELECT 'permissive' AS mode,
+           (SELECT count(*) FROM src) + 5 AS n_rows,
+           CAST(5 AS BIGINT) AS n_corrupt
+    UNION ALL
+    SELECT 'dropmalformed',
+           (SELECT count(*) FROM src),
+           CAST(0 AS BIGINT)
+    """,
+)
+def scan_json_corrupt_modes(spark, sf_dir):
+    """Malformed-JSON ingestion policy, both modes side by side: a
+    JSONL file seeded with 5 broken lines is read PERMISSIVE (broken
+    lines become rows whose _corrupt_record holds the raw text — the
+    quarantine-and-continue posture) and DROPMALFORMED (broken lines
+    silently vanish — the fail-open posture this key exists to make
+    visible: the two row counts differ by exactly the corrupt count).
+    The csv sibling is scan_csv_corrupt_quarantine; the policy
+    decision is the operator, the formats share it."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    path = tempfile.mkdtemp(prefix="json_corrupt_") + "/nation.jsonl"
+    n = _cat(spark, sf_dir).nation.select("n_nationkey", "n_name")
+    good = [
+        f'{{"n_nationkey": {r["n_nationkey"]}, "n_name": "{r["n_name"]}"}}'
+        for r in n.collect()
+    ]
+    bad = [f'{{"n_nationkey": BROKEN{i}' for i in range(5)]
+    spark.createDataFrame(
+        [(line,) for line in good + bad], "value string"
+    ).coalesce(1).write.mode("overwrite").text(path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    )
+    # caching before splitting corrupt/clean is the documented Spark
+    # requirement for referencing _corrupt_record derived counts
+    permissive = permissive.cache()
+    p_rows = permissive.count()
+    p_corrupt = permissive.filter(
+        F.col("_corrupt_record").isNotNull()
+    ).count()
+    dropped = (
+        spark.read.schema(
+            StructType(schema.fields[:2])
+        ).option("mode", "DROPMALFORMED").json(path)
+    )
+    d_rows = dropped.count()
+    return spark.createDataFrame(
+        [
+            ("permissive", p_rows, p_corrupt),
+            ("dropmalformed", d_rows, 0),
+        ],
+        "mode string, n_rows bigint, n_corrupt bigint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -23776,7 +23846,7 @@ _PRIORITY = [
     "docs_shard_manifest", "agg_cuped_theta", "sql_grouping_id",
     "ml_minmax_scale", "window_rolling_corr", "scan_recursive_glob",
     "graph_reciprocity", "sink_decimal_roundtrip",
-    "multimodal_scene_cuts",
+    "multimodal_scene_cuts", "scan_json_corrupt_modes",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -1499,3 +1499,15 @@ def test_scene_cuts_replay(spark):
         checked += 1
     assert checked == len(got) > 0
     assert n_with_cuts > 0
+
+
+def test_json_corrupt_modes_differ_by_corrupt_count(spark):
+    rows = {r["mode"]: r for r in
+            QUERIES["scan_json_corrupt_modes"](spark, SF_DIR).collect()}
+    n_nation = spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+    p = rows["permissive"]
+    d = rows["dropmalformed"]
+    assert p["n_corrupt"] == 5
+    assert p["n_rows"] == n_nation + 5  # quarantined, not lost
+    assert d["n_rows"] == n_nation      # silently dropped
+    assert p["n_rows"] - d["n_rows"] == p["n_corrupt"]
