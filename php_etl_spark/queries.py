@@ -23755,6 +23755,112 @@ def scan_json_corrupt_modes(spark, sf_dir):
     )
 
 
+@query(
+    "event_growth_accounting",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // 604800000000 AS wk
+      FROM events
+    ),
+    flags AS (
+      SELECT user_id, wk,
+             MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+      FROM active
+    ),
+    classified AS (
+      SELECT wk,
+             CASE WHEN wk = first_wk THEN 'new'
+                  WHEN prev_wk = wk - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM flags
+    ),
+    churn AS (
+      SELECT a.wk + 1 AS wk, count(*) AS n
+      FROM active a
+      ANTI JOIN active b
+        ON b.user_id = a.user_id AND b.wk = a.wk + 1
+      WHERE a.wk < (SELECT max(wk) FROM active)
+      GROUP BY a.wk + 1
+    )
+    SELECT wk,
+           CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(any_value(c.n), 0) AS BIGINT) AS n_churned
+    FROM classified
+    LEFT JOIN churn c USING (wk)
+    GROUP BY wk
+    """,
+)
+def event_growth_accounting(spark, sf_dir):
+    """Growth accounting — the canonical product-analytics ledger
+    (Social Capital's framework): every active user-week is NEW
+    (first week ever), RETAINED (also active the prior week) or
+    RESURRECTED (returning after a gap), and each week also counts
+    the CHURNED (active last week, absent now) — the identity
+    active(w) = new + retained + resurrected and
+    active(w-1) = retained(w) + churned(w) makes dashboards
+    self-auditing. One distinct pass to user-weeks, per-user windows
+    (first/lag) on the user keyspace, and a keyed anti join for
+    churn — no week-over-week rescans of the raw events."""
+    ev = _cat(spark, sf_dir).events
+    active = ev.select(
+        "user_id",
+        F.expr(
+            "unix_micros(ts) DIV 604800000000"
+        ).alias("wk"),  # 7*86400*1e6 precomputed: int literals
+        # constant-fold in 32-bit under ANSI and overflow
+    ).distinct()
+    w_user = Window.partitionBy("user_id")
+    flags = active.select(
+        "user_id", "wk",
+        F.min("wk").over(w_user).alias("first_wk"),
+        F.lag("wk").over(w_user.orderBy("wk")).alias("prev_wk"),
+    )
+    status = (
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+        .otherwise("resurrected")
+    )
+    classified = flags.select("wk", status.alias("status"))
+    max_wk = active.agg(F.max("wk").alias("mx"))
+    a = active.alias("a")
+    b = active.alias("b")
+    churn = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.wk") == F.col("a.wk") + 1),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(max_wk))
+        .filter(F.col("wk") < F.col("mx"))
+        .select((F.col("wk") + 1).alias("wk"))
+        .groupBy("wk")
+        .agg(F.count("*").alias("n_ch"))
+    )
+    return (
+        classified.groupBy("wk")
+        .agg(
+            F.count_if(F.col("status") == "new").alias("n_new"),
+            F.count_if(F.col("status") == "retained").alias("n_retained"),
+            F.count_if(F.col("status") == "resurrected")
+            .alias("n_resurrected"),
+        )
+        .join(churn, "wk", "left")
+        .select(
+            "wk", "n_new", "n_retained", "n_resurrected",
+            F.coalesce(F.col("n_ch"), F.lit(0)).cast("long")
+            .alias("n_churned"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -23847,6 +23953,7 @@ _PRIORITY = [
     "ml_minmax_scale", "window_rolling_corr", "scan_recursive_glob",
     "graph_reciprocity", "sink_decimal_roundtrip",
     "multimodal_scene_cuts", "scan_json_corrupt_modes",
+    "event_growth_accounting",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

@@ -1511,3 +1511,32 @@ def test_json_corrupt_modes_differ_by_corrupt_count(spark):
     assert p["n_rows"] == n_nation + 5  # quarantined, not lost
     assert d["n_rows"] == n_nation      # silently dropped
     assert p["n_rows"] - d["n_rows"] == p["n_corrupt"]
+
+
+def test_growth_accounting_identities(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    active = defaultdict(set)
+    for r in ev:
+        wk = int(r["ts"].timestamp() * 1_000_000) // 604_800_000_000
+        active[wk].add(r["user_id"])
+    weeks = sorted(active)
+    rows = {r["wk"]: r for r in
+            QUERIES["event_growth_accounting"](spark, SF_DIR).collect()}
+    assert set(rows) == set(weeks)
+    seen = set()
+    for i, wk in enumerate(weeks):
+        cur = active[wk]
+        prev = active.get(wk - 1, set())
+        new = cur - seen
+        retained = cur & prev
+        resurrected = cur - new - retained
+        churned = prev - cur
+        r = rows[wk]
+        assert (r["n_new"], r["n_retained"], r["n_resurrected"]) == (
+            len(new), len(retained), len(resurrected)
+        )
+        if i > 0:
+            assert r["n_churned"] == len(churned)
+            # the self-auditing identity
+            assert len(prev) == r["n_retained"] + r["n_churned"]
+        seen |= cur
