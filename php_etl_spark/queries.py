@@ -11,6 +11,9 @@ so values are bit-identical across engines.
 from __future__ import annotations
 
 from collections.abc import Callable
+from typing import Iterator  # noqa: F401 — resolves SCALAR_ITER UDF hints
+
+import pandas as pd  # noqa: F401 — resolves SCALAR_ITER UDF hints
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23861,6 +23864,44 @@ def event_growth_accounting(spark, sf_dir):
     )
 
 
+@query(
+    "udf_pandas_scalar_iter",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) + 7 AS scored_cents
+    FROM orders WHERE o_orderkey < 5000
+    """,
+)
+def udf_pandas_scalar_iter(spark, sf_dir):
+    """SCALAR_ITER pandas UDF — the Arrow-batched iterator variant
+    whose point is the INIT-ONCE lifecycle: expensive per-worker
+    setup (loading a model, opening a tokenizer) runs a single time
+    before the batch loop instead of per batch (a plain SCALAR UDF
+    re-enters the function per batch; per-row Python would pay per
+    row). The 'model' here is a deterministic +7 bias loaded in the
+    prologue, so the oracle stays exact while the lifecycle, batch
+    iteration and Arrow transfer are the real surface — swap the
+    prologue for torch.load and the plan is unchanged. Completes the
+    UDF matrix: scalar, scalar-iter, grouped agg, grouped map,
+    cogrouped, mapInArrow, UDTF."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model_bias = 7  # init-once: runs one time per worker, not per batch
+        for cents in batches:
+            yield cents + model_bias
+
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_orderkey") < 5000)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_orderkey", score(cents).alias("scored_cents")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -23953,7 +23994,7 @@ _PRIORITY = [
     "ml_minmax_scale", "window_rolling_corr", "scan_recursive_glob",
     "graph_reciprocity", "sink_decimal_roundtrip",
     "multimodal_scene_cuts", "scan_json_corrupt_modes",
-    "event_growth_accounting",
+    "event_growth_accounting", "udf_pandas_scalar_iter",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

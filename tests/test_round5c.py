@@ -1540,3 +1540,17 @@ def test_growth_accounting_identities(spark):
             # the self-auditing identity
             assert len(prev) == r["n_retained"] + r["n_churned"]
         seen |= cur
+
+
+def test_scalar_iter_udf_exact(spark):
+    rows = QUERIES["udf_pandas_scalar_iter"](spark, SF_DIR).collect()
+    orders = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+        if r["o_orderkey"] < 5000
+    }
+    assert len(rows) == len(orders)
+    for r in rows:
+        assert r["scored_cents"] == round(
+            orders[r["o_orderkey"]] * 100
+        ) + 7
