@@ -23902,6 +23902,86 @@ def udf_pandas_scalar_iter(spark, sf_dir):
     )
 
 
+@query(
+    "graph_powerlaw_fit",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    edges AS (
+      SELECT a.i AS u, c.i AS v
+      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+      GROUP BY a.i, c.i HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ),
+    dist AS (SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY d),
+    q AS (
+      SELECT CAST(floor(ln(d) * 1000000) AS BIGINT) AS x,
+             CAST(floor(ln(cnt) * 1000000) AS BIGINT) AS y
+      FROM dist WHERE d >= 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM q
+    )
+    SELECT n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS powerlaw_slope
+    FROM m
+    """,
+)
+def graph_powerlaw_fit(spark, sf_dir):
+    """Power-law exponent of the co-purchase degree distribution:
+    regress ln(#nodes with degree d) on ln(d) — the scale-free-ness
+    check (slope ≈ −2..−3 for heavy-tailed graphs) that predicts
+    whether hub guards (link prediction's degree cap, orientation
+    tricks) will matter on this data. Same discipline as
+    text_zipf_fit: logs nano-quantized to exact integers, moments
+    exact, ONE double formula at the end — and the regression frame
+    is the degree-distribution domain (|distinct degrees| rows), so
+    the fit costs nothing beyond the degree count itself."""
+    li = _cat(spark, sf_dir).lineitem
+    edges = (
+        G.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .filter(F.col("n_cooc") >= 2)
+        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    dist = deg.groupBy("d").agg(F.count("*").alias("cnt"))
+    q = dist.select(
+        F.floor(F.log(F.col("d").cast("double")) * 1000000)
+        .cast("long").alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000000)
+        .cast("long").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    m = q.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast("double")
+        .alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast("double")
+        .alias("sxy"),
+    )
+    return m.select(
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("powerlaw_slope"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -23995,6 +24075,7 @@ _PRIORITY = [
     "graph_reciprocity", "sink_decimal_roundtrip",
     "multimodal_scene_cuts", "scan_json_corrupt_modes",
     "event_growth_accounting", "udf_pandas_scalar_iter",
+    "graph_powerlaw_fit",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

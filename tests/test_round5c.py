@@ -1554,3 +1554,34 @@ def test_scalar_iter_udf_exact(spark):
         assert r["scored_cents"] == round(
             orders[r["o_orderkey"]] * 100
         ) + 7
+
+
+def test_powerlaw_fit_replay(spark):
+    import math
+
+    from php_etl_spark.operators import graph as G
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    d = defaultdict(int)
+    for r in (G.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+              .filter("n_cooc >= 2").collect()):
+        d[r["item_a"]] += 1
+        d[r["item_b"]] += 1
+    dist = defaultdict(int)
+    for v in d.values():
+        dist[v] += 1
+    pts = [
+        (math.floor(math.log(k) * 1_000_000),
+         math.floor(math.log(c) * 1_000_000))
+        for k, c in dist.items()
+    ]
+    n = len(pts)
+    sx = float(sum(x for x, _ in pts))
+    sy = float(sum(y for _, y in pts))
+    sxx = float(sum(x * x for x, _ in pts))
+    sxy = float(sum(x * y for x, y in pts))
+    want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = QUERIES["graph_powerlaw_fit"](spark, SF_DIR).collect()[0]
+    assert row["n"] == n
+    assert abs(row["powerlaw_slope"] - want) < 1e-9
+    assert row["powerlaw_slope"] < 0  # heavy tail slopes down
