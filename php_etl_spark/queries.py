@@ -23982,6 +23982,123 @@ def graph_powerlaw_fit(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_pretrain_build",
+    oracle="""
+    WITH flags AS (SELECT doc_id, keep FROM ({gopher}) g),
+    safety AS (SELECT doc_id, needs_review FROM ({safety}) s),
+    kept AS (
+      SELECT d.doc_id, len(string_split(d.text, ' ')) AS ntok
+      FROM documents d
+      JOIN flags f USING (doc_id)
+      JOIN safety s USING (doc_id)
+      WHERE f.keep AND NOT s.needs_review
+    ),
+    c AS (
+      SELECT doc_id, ntok,
+             CAST(SUM(ntok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM kept
+    ),
+    s2 AS (SELECT doc_id, ntok, cum, cum - ntok AS strt FROM c),
+    b AS (
+      SELECT doc_id, ntok, cum, strt,
+             unnest(generate_series(strt // 512, (cum - 1) // 512))
+               AS bin_id
+      FROM s2
+    )
+    SELECT bin_id, count(*) AS n_docs,
+           CAST(SUM(least(cum, (bin_id + 1) * 512)
+                    - greatest(strt, bin_id * 512)) AS BIGINT)
+             AS fill_tokens
+    FROM b GROUP BY bin_id
+    """,
+)
+def corpus_pretrain_build(spark, sf_dir):
+    """End-to-end pretraining corpus build — the composite that ties
+    the pipeline together: documents pass the Gopher quality gate AND
+    the safety screen (both REUSED operators; the oracle embeds their
+    oracle SQL, so this composite can never drift from its stages),
+    and the survivors are concat-and-chunk packed into 512-token
+    training bins with the segmented two-phase prefix sum. This is
+    the query a switcher actually runs nightly; every stage is the
+    already-audited plan — the composite adds one join per gate and
+    the packing shuffle, nothing else."""
+    docs = _cat(spark, sf_dir).documents
+    keep = docs_gopher_rules(spark, sf_dir).select("doc_id", "keep")
+    safe = docs_safety_lexicon(spark, sf_dir).select(
+        "doc_id", "needs_review"
+    )
+    kept = (
+        docs.join(keep, "doc_id")
+        .join(safe, "doc_id")
+        .filter(F.col("keep") & ~F.col("needs_review"))
+        .select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).alias("ntok")
+        )
+    )
+    cap = 512
+    n_buckets = 256
+    bounds = kept.agg((F.max("doc_id") + 1).alias("n_ids"))
+    bucketed = kept.join(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr(f"CAST(doc_id * {n_buckets} / n_ids AS BIGINT)")
+    )
+    local = bucketed.withColumn(
+        "local_start",
+        F.coalesce(
+            F.sum("ntok").over(
+                Window.partitionBy("bucket")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("ntok").alias("btot"))
+        .withColumn(
+            "boff",
+            F.coalesce(
+                F.sum("btot").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "boff")
+    )
+    placed = local.join(F.broadcast(offsets), "bucket").select(
+        (F.col("boff") + F.col("local_start")).alias("strt"),
+        (F.col("boff") + F.col("local_start") + F.col("ntok")).alias("cum"),
+    )
+    bins = placed.select(
+        "strt", "cum",
+        F.explode(
+            F.sequence(
+                F.expr(f"strt DIV {cap}"), F.expr(f"(cum - 1) DIV {cap}")
+            )
+        ).alias("bin_id"),
+    )
+    return bins.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.least(F.col("cum"), (F.col("bin_id") + 1) * cap)
+            - F.greatest(F.col("strt"), F.col("bin_id") * cap)
+        ).alias("fill_tokens"),
+    )
+
+
+ORACLES["corpus_pretrain_build"] = (
+    ORACLES["corpus_pretrain_build"]
+    .replace("{gopher}", ORACLES["docs_gopher_rules"])
+    .replace("{safety}", ORACLES["docs_safety_lexicon"])
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -24075,7 +24192,7 @@ _PRIORITY = [
     "graph_reciprocity", "sink_decimal_roundtrip",
     "multimodal_scene_cuts", "scan_json_corrupt_modes",
     "event_growth_accounting", "udf_pandas_scalar_iter",
-    "graph_powerlaw_fit",
+    "graph_powerlaw_fit", "corpus_pretrain_build",
     # round-5 second session:
     # new keys + the four rows-only keys upgraded to full oracles
     "graph_pagerank_exact", "ts_holt_winters", "window_lttb_downsample",

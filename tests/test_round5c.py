@@ -1588,3 +1588,30 @@ def test_powerlaw_fit_replay(spark):
     # graph has too few distinct degrees to be heavy-tailed); the
     # exact replay above is the real check
     assert abs(row["powerlaw_slope"]) < 10
+
+
+def test_pretrain_build_composes_its_stages(spark):
+    """The composite's bins must pack exactly the gopher-AND-safety
+    survivors, bins full except the tail."""
+    keep = {
+        r["doc_id"] for r in
+        QUERIES["docs_gopher_rules"](spark, SF_DIR).collect() if r["keep"]
+    }
+    safe = {
+        r["doc_id"] for r in
+        QUERIES["docs_safety_lexicon"](spark, SF_DIR).collect()
+        if not r["needs_review"]
+    }
+    survivors = keep & safe
+    total = sum(
+        len(d["text"].split(" ")) for d in _docs(spark)
+        if d["doc_id"] in survivors
+    )
+    rows = {r["bin_id"]: r for r in
+            QUERIES["corpus_pretrain_build"](spark, SF_DIR).collect()}
+    n_bins = (total + 511) // 512
+    assert set(rows) == set(range(n_bins))
+    assert 0 < len(survivors) < len(_docs(spark))  # gates actually gate
+    for b, r in rows.items():
+        want = 512 if b < n_bins - 1 else total - (n_bins - 1) * 512
+        assert r["fill_tokens"] == want
