@@ -24099,6 +24099,399 @@ ORACLES["corpus_pretrain_build"] = (
 )
 
 
+@query(
+    "agg_spearman_rho",
+    oracle="""
+    WITH sup AS (
+      SELECT s_nationkey AS nk,
+             CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents,
+             COUNT(*) AS n_sup
+      FROM supplier GROUP BY s_nationkey
+    ), vol AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    ), j AS (
+      SELECT s.nk, s.bal_cents AS xq, s.n_sup AS xd,
+             vol.n_orders AS y
+      FROM sup s JOIN vol USING (nk)
+    ), r AS (
+      SELECT nk,
+             2 * CAST(RANK() OVER (ORDER BY xq * 1.0 / xd, nk) AS BIGINT)
+               + CAST(COUNT(*) OVER (PARTITION BY xq * 1.0 / xd)
+                      AS BIGINT) - 1 AS rx2,
+             2 * CAST(RANK() OVER (ORDER BY y) AS BIGINT)
+               + CAST(COUNT(*) OVER (PARTITION BY y) AS BIGINT) - 1 AS ry2
+      FROM j
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(rx2) AS BIGINT) AS sx,
+             CAST(SUM(ry2) AS BIGINT) AS sy,
+             CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+             CAST(SUM(ry2 * ry2) AS BIGINT) AS syy,
+             CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy
+      FROM r
+    )
+    SELECT n,
+           CAST(ROUND(1000000.0 * (n * sxy - sx * sy)
+                / SQRT(CAST((n * sxx - sx * sx) AS DOUBLE)
+                       * CAST((n * syy - sy * sy) AS DOUBLE)))
+                AS BIGINT) AS rho_ppm
+    FROM s
+    """,
+)
+def agg_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation at NATION grain (avg supplier
+    balance vs customer order volume): rank-transform then Pearson.
+    Scale design: both series aggregate to the 25-nation dimension —
+    the fact scans do map-side partial aggs and shuffle 25 keys no
+    matter the fact size, and the rank window runs on a fixed-25-row
+    frame, so the plan is identical at sf0.001 and 100 TB. Exactness:
+    ties use average rank DOUBLED (rank + tiecount - 1, integral),
+    all sums are int64, and the only float ops are one mul, one sqrt
+    and one div of exact integers — identical correctly-rounded
+    sequences in both engines, reported at ppm grain. Avg-balance
+    ordering compares exact cent totals cross-multiplied by supplier
+    counts (xq/xd) to dodge float-division rank flips."""
+    cat = _cat(spark, sf_dir)
+    sup = cat.supplier.groupBy(
+        F.col("s_nationkey").alias("nk")
+    ).agg(
+        F.sum(F.round(F.col("s_acctbal") * 100).cast("long"))
+        .alias("bal_cents"),
+        F.count("*").alias("n_sup"),
+    )
+    vol = (
+        cat.orders.join(
+            cat.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = sup.join(vol, "nk").select(
+        "nk",
+        F.col("bal_cents").alias("xq"),
+        F.col("n_sup").alias("xd"),
+        F.col("n_orders").alias("y"),
+    )
+    xkey = F.col("xq") * 1.0 / F.col("xd")
+    r = j.select(
+        "nk",
+        (
+            F.rank().over(Window.orderBy(xkey, F.col("nk"))).cast("long")
+            * 2
+            + F.count("*").over(Window.partitionBy(xkey)).cast("long")
+            - 1
+        ).alias("rx2"),
+        (
+            F.rank().over(Window.orderBy("y")).cast("long") * 2
+            + F.count("*").over(Window.partitionBy("y")).cast("long")
+            - 1
+        ).alias("ry2"),
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        "n",
+        F.round(F.lit(1000000.0) * num / F.sqrt(denx * deny))
+        .cast("long")
+        .alias("rho_ppm"),
+    )
+
+
+@query(
+    "agg_kendall_tau",
+    oracle="""
+    WITH sup AS (
+      SELECT s_nationkey AS nk,
+             CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents,
+             COUNT(*) AS n_sup
+      FROM supplier GROUP BY s_nationkey
+    ), vol AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    ), j AS (
+      SELECT s.nk, s.bal_cents AS bq, s.n_sup AS bd, vol.n_orders AS y
+      FROM sup s JOIN vol USING (nk)
+    ), pairs AS (
+      SELECT CASE WHEN a.bq * b.bd = b.bq * a.bd THEN 0
+                  WHEN (a.bq * b.bd < b.bq * a.bd) = (a.y < b.y)
+                       AND a.y <> b.y THEN 1
+                  WHEN a.y = b.y THEN 0 ELSE -1 END AS cd,
+             CASE WHEN a.bq * b.bd = b.bq * a.bd THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      FROM j a JOIN j b ON a.nk < b.nk
+    ), s AS (
+      SELECT COUNT(*) AS n0,
+             CAST(SUM(CASE WHEN cd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN cd = -1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(tx) AS BIGINT) AS ntx,
+             CAST(SUM(ty) AS BIGINT) AS nty
+      FROM pairs
+    )
+    SELECT n0, c AS concordant, d AS discordant,
+           CAST(ROUND(1000000.0 * (c - d)
+                / SQRT(CAST((n0 - ntx) AS DOUBLE)
+                       * CAST((n0 - nty) AS DOUBLE))) AS BIGINT)
+             AS tau_b_ppm
+    FROM s
+    """,
+)
+def agg_kendall_tau(spark, sf_dir):
+    """Kendall tau-b at nation grain: exact concordant/discordant
+    pair counts over the 25x25 self-join of nation-level aggregates.
+    The quadratic pair join is SAFE here because it runs on the
+    fixed-cardinality dimension AFTER the facts collapse to 25 rows
+    (map-side partials, 25-key shuffle) — the textbook way to get an
+    O(n^2) statistic at 100 TB is to aggregate to a bounded grain
+    first. Ties in x compare exact cross-multiplied cent totals
+    (never float averages); tau-b = (C-D)/sqrt((n0-tx)(n0-ty)) with
+    one mul+sqrt+div of exact int64s, ppm grain."""
+    cat = _cat(spark, sf_dir)
+    sup = cat.supplier.groupBy(
+        F.col("s_nationkey").alias("nk")
+    ).agg(
+        F.sum(F.round(F.col("s_acctbal") * 100).cast("long"))
+        .alias("bq"),
+        F.count("*").alias("bd"),
+    )
+    vol = (
+        cat.orders.join(
+            cat.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("y"))
+    )
+    j = sup.join(vol, "nk")
+    a = j.alias("a")
+    b = j.alias("b")
+    ax = F.col("a.bq") * F.col("b.bd")
+    bx = F.col("b.bq") * F.col("a.bd")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.nk") < F.col("b.nk")
+    ).select(
+        F.when(ax == bx, 0)
+        .when((ax < bx) == (F.col("a.y") < F.col("b.y")),
+              F.when(F.col("a.y") != F.col("b.y"), 1).otherwise(0))
+        .when(F.col("a.y") == F.col("b.y"), 0)
+        .otherwise(-1)
+        .alias("cd"),
+        F.when(ax == bx, 1).otherwise(0).alias("tx"),
+        F.when(F.col("a.y") == F.col("b.y"), 1).otherwise(0).alias("ty"),
+    )
+    s = pairs.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(F.col("cd") == 1, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("cd") == -1, 1).otherwise(0)).alias("d"),
+        F.sum("tx").alias("ntx"),
+        F.sum("ty").alias("nty"),
+    )
+    return s.select(
+        "n0",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("c") - F.col("d"))
+            / F.sqrt(
+                (F.col("n0") - F.col("ntx")).cast("double")
+                * (F.col("n0") - F.col("nty")).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("tau_b_ppm"),
+    )
+
+
+# SPRT constants for H0: p=0.3 vs H1: p=0.5, alpha=beta=0.05, in
+# micro-nats (precomputed in Python — ANSI Spark would constant-fold
+# lit*lit in 32-bit, and both engines must share the EXACT integers).
+_SPRT_WIN = 510826     # round(ln(0.5/0.3) * 1e6)
+_SPRT_LOSE = -336472   # round(ln(0.5/0.7) * 1e6)
+_SPRT_BOUND = 2944439  # round(ln(0.95/0.05) * 1e6)
+
+
+@query(
+    "agg_sprt_boundary",
+    oracle=f"""
+    WITH trials AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS trial,
+             CASE WHEN value > 50
+                  THEN {_SPRT_WIN} ELSE {_SPRT_LOSE} END AS llr_step
+      FROM events
+    ), walk AS (
+      SELECT event_type, trial,
+             CAST(SUM(llr_step) OVER (PARTITION BY event_type
+               ORDER BY trial
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS llr
+      FROM trials
+    ), crossed AS (
+      SELECT event_type, trial, llr,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY trial) AS k
+      FROM walk
+      WHERE llr >= {_SPRT_BOUND} OR llr <= -{_SPRT_BOUND}
+    ), verdict AS (
+      SELECT event_type, trial AS decided_at, llr AS llr_at_decision
+      FROM crossed WHERE k = 1
+    )
+    SELECT w.event_type,
+           CAST(MAX(w.trial) AS BIGINT) AS n_trials,
+           MAX(v.decided_at) AS decided_at,
+           MAX(v.llr_at_decision) AS llr_at_decision,
+           COALESCE(MAX(CASE WHEN v.llr_at_decision >= {_SPRT_BOUND}
+                             THEN 'accept_h1'
+                             WHEN v.llr_at_decision IS NOT NULL
+                             THEN 'accept_h0' END),
+                    'continue') AS decision
+    FROM walk w LEFT JOIN verdict v USING (event_type)
+    GROUP BY w.event_type
+    """,
+)
+def agg_sprt_boundary(spark, sf_dir):
+    """Wald SPRT over event streams, one experiment per event_type:
+    Bernoulli success = value>50, H0 p=0.3 vs H1 p=0.5 at
+    alpha=beta=0.05. The log-likelihood-ratio walk is an INTEGER
+    cumsum of two precomputed micro-nat constants, so the first
+    boundary crossing (+-ln(19)) is engine-exact — the standard
+    always-valid alternative to the fixed-horizon z-test
+    (event_ab_srm_check / agg_ab_wilson_ci cover those). Scale: one
+    shuffle on event_type for the per-key ordered walk; the crossing
+    scan is a windowed rank, no self-join, no collect."""
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    walk = ev.select(
+        "event_type",
+        F.row_number().over(w).alias("trial"),
+        F.when(F.col("value") > 50, F.lit(_SPRT_WIN))
+        .otherwise(F.lit(_SPRT_LOSE))
+        .alias("llr_step"),
+    ).withColumn(
+        "llr",
+        F.sum("llr_step").over(
+            Window.partitionBy("event_type")
+            .orderBy("trial")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    crossed = walk.filter(
+        (F.col("llr") >= _SPRT_BOUND) | (F.col("llr") <= -_SPRT_BOUND)
+    ).withColumn(
+        "k",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("trial")
+        ),
+    )
+    verdict = crossed.filter(F.col("k") == 1).select(
+        "event_type",
+        F.col("trial").alias("decided_at"),
+        F.col("llr").alias("llr_at_decision"),
+    )
+    return (
+        walk.join(verdict, "event_type", "left")
+        .groupBy("event_type")
+        .agg(
+            F.max("trial").cast("long").alias("n_trials"),
+            F.max("decided_at").cast("long").alias("decided_at"),
+            F.max("llr_at_decision").alias("llr_at_decision"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("llr_at_decision") >= _SPRT_BOUND,
+                        F.lit("accept_h1"),
+                    ).when(
+                        F.col("llr_at_decision").isNotNull(),
+                        F.lit("accept_h0"),
+                    )
+                ),
+                F.lit("continue"),
+            ).alias("decision"),
+        )
+    )
+
+
+@query(
+    "ml_brier_score",
+    oracle="""
+    WITH mx AS (
+      SELECT MAX(o_totalprice) AS mt FROM orders
+    ), scored AS (
+      SELECT o_orderstatus,
+             LEAST(999, GREATEST(1,
+               CAST(FLOOR(o_totalprice * 1000 / mt) AS BIGINT)))
+               AS p_milli,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1000 ELSE 0 END
+               AS y_milli
+      FROM orders, mx
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM((p_milli - y_milli) * (p_milli - y_milli))
+                AS BIGINT) AS sse_milli2,
+           CAST(SUM((p_milli - y_milli) * (p_milli - y_milli)) * 1000
+                // COUNT(*) AS BIGINT) AS brier_nano
+    FROM scored GROUP BY o_orderstatus
+    """,
+)
+def ml_brier_score(spark, sf_dir):
+    """Brier score (mean squared error of probabilistic forecasts)
+    per order status, with a deterministic milli-prob forecast
+    (price-proportional, clipped to [1,999]) predicting urgency.
+    Complements ml_calibration_bins (reliability diagram) and
+    ml_auc_rank (discrimination) with the proper-scoring-rule view.
+    Exact: probs and labels live on the milli grid, the score is an
+    integer SSE with a truncating integer division — no float path
+    at all. Scale: one broadcast scalar (max price) + one groupBy;
+    the max itself is a partial-agg reduction."""
+    orders = _cat(spark, sf_dir).orders
+    mx = orders.agg(F.max("o_totalprice").alias("mt"))
+    scored = orders.join(F.broadcast(mx)).select(
+        "o_orderstatus",
+        F.least(
+            F.lit(999).cast("long"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(
+                    F.col("o_totalprice") * F.lit(1000.0) / F.col("mt")
+                ).cast("long"),
+            ),
+        ).alias("p_milli"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1000)
+        .otherwise(0)
+        .alias("y_milli"),
+    )
+    d = F.col("p_milli") - F.col("y_milli")
+    return scored.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(d * d).alias("sse_milli2"),
+        F.expr(
+            "CAST(SUM((p_milli - y_milli) * (p_milli - y_milli)) * 1000 "
+            "AS BIGINT) div COUNT(*)"
+        ).alias("brier_nano"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -24166,7 +24559,10 @@ DRIVER_GREEN = [
 # financial/stats). Zero repeats of already-green keys by construction
 # (_reorder_for_driver drops green keys from this list).
 _PRIORITY = [
-    # round-5 third session (freshest code = highest residual risk)
+    # round-5 fourth session (freshest code = highest residual risk)
+    "agg_spearman_rho", "agg_kendall_tau", "agg_sprt_boundary",
+    "ml_brier_score",
+    # round-5 third session
     "docs_pack_sequences", "docs_pack_greedy", "docs_paragraph_dedup",
     "privacy_t_closeness", "graph_link_prediction", "profile_fk_integrity",
     "sim_binary_hamming_topk", "sim_mmr_rerank", "docs_ccnet_buckets",

@@ -1,0 +1,153 @@
+"""Round-5 fourth batch: rank correlations (Spearman/Kendall at the
+fixed nation grain), Wald SPRT sequential testing, Brier proper
+scoring — differential replays against straight-line Python."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from php_etl_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _nation_series(spark):
+    """(avg supplier balance key, order volume) per nation as exact
+    integers: (bal_cents, n_sup, n_orders)."""
+    sup = defaultdict(lambda: [0, 0])
+    for r in spark.read.parquet(f"{SF_DIR}/supplier.parquet").collect():
+        s = sup[r["s_nationkey"]]
+        s[0] += round(r["s_acctbal"] * 100)
+        s[1] += 1
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    vol = defaultdict(int)
+    for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect():
+        vol[cust[r["o_custkey"]]] += 1
+    return {
+        nk: (sup[nk][0], sup[nk][1], vol[nk])
+        for nk in sup
+        if nk in vol
+    }
+
+
+def _avg_ranks_doubled(keyed):
+    """keyed: list of (sort_key, id). Returns id -> 2*average rank."""
+    keyed.sort()
+    out = {}
+    i = 0
+    while i < len(keyed):
+        j = i
+        while j < len(keyed) and keyed[j][0] == keyed[i][0]:
+            j += 1
+        # ranks i+1 .. j (1-based); doubled average = (i+1) + j
+        for k in range(i, j):
+            out[keyed[k][1]] = (i + 1) + j
+        i = j
+    return out
+
+
+def test_spearman_matches_python_replay(spark):
+    series = _nation_series(spark)
+    rx = _avg_ranks_doubled(
+        [(s[0] / s[1], nk) for nk, s in series.items()]
+    )
+    ry = _avg_ranks_doubled([(s[2], nk) for nk, s in series.items()])
+    n = len(series)
+    sx = sum(rx.values())
+    sy = sum(ry.values())
+    sxx = sum(v * v for v in rx.values())
+    syy = sum(v * v for v in ry.values())
+    sxy = sum(rx[nk] * ry[nk] for nk in series)
+    num = n * sxy - sx * sy
+    want = round(
+        1e6 * num / math.sqrt(float(n * sxx - sx * sx)
+                              * float(n * syy - sy * sy))
+    )
+    row = QUERIES["agg_spearman_rho"](spark, SF_DIR).collect()[0]
+    assert row["n"] == n
+    assert row["rho_ppm"] == want
+    assert -1_000_000 <= row["rho_ppm"] <= 1_000_000
+
+
+def test_kendall_matches_python_replay(spark):
+    series = _nation_series(spark)
+    nks = sorted(series)
+    c = d = ntx = nty = n0 = 0
+    for i in range(len(nks)):
+        for j in range(i + 1, len(nks)):
+            (bqa, bda, ya) = series[nks[i]]
+            (bqb, bdb, yb) = series[nks[j]]
+            n0 += 1
+            tiex = bqa * bdb == bqb * bda
+            tiey = ya == yb
+            if tiex:
+                ntx += 1
+            if tiey:
+                nty += 1
+            if tiex or tiey:
+                continue
+            if (bqa * bdb < bqb * bda) == (ya < yb):
+                c += 1
+            else:
+                d += 1
+    want = round(1e6 * (c - d) / math.sqrt(float(n0 - ntx) * float(n0 - nty)))
+    row = QUERIES["agg_kendall_tau"](spark, SF_DIR).collect()[0]
+    assert (row["n0"], row["concordant"], row["discordant"]) == (n0, c, d)
+    assert row["tau_b_ppm"] == want
+
+
+def test_sprt_matches_python_walk(spark):
+    WIN, LOSE, BOUND = 510826, -336472, 2944439
+    ev = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]),
+    )
+    walks = defaultdict(list)
+    for r in ev:
+        walks[r["event_type"]].append(WIN if r["value"] > 50 else LOSE)
+    want = {}
+    for et, steps in walks.items():
+        llr, decided, at = 0, None, None
+        for i, s in enumerate(steps, 1):
+            llr += s
+            if decided is None and (llr >= BOUND or llr <= -BOUND):
+                decided = "accept_h1" if llr >= BOUND else "accept_h0"
+                at = i
+                llr_at = llr
+        want[et] = (
+            len(steps),
+            at,
+            llr_at if decided else None,
+            decided or "continue",
+        )
+    got = {
+        r["event_type"]: (
+            r["n_trials"], r["decided_at"], r["llr_at_decision"],
+            r["decision"],
+        )
+        for r in QUERIES["agg_sprt_boundary"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_brier_decomposes_and_bounds(spark):
+    rows = QUERIES["ml_brier_score"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    mt = max(r["o_totalprice"] for r in orders)
+    sse = defaultdict(int)
+    n = defaultdict(int)
+    for r in orders:
+        p = min(999, max(1, math.floor(r["o_totalprice"] * 1000 / mt)))
+        y = 1000 if r["o_orderpriority"] == "1-URGENT" else 0
+        sse[r["o_orderstatus"]] += (p - y) ** 2
+        n[r["o_orderstatus"]] += 1
+    assert {r["o_orderstatus"]: (r["n"], r["sse_milli2"]) for r in rows} == {
+        k: (n[k], sse[k]) for k in n
+    }
+    for r in rows:
+        # brier_nano = sse*1000 // n, and brier in [0, 1] => nano <= 1e9
+        assert r["brier_nano"] == r["sse_milli2"] * 1000 // r["n"]
+        assert 0 <= r["brier_nano"] <= 1_000_000_000
