@@ -24492,6 +24492,301 @@ def ml_brier_score(spark, sf_dir):
     )
 
 
+_SAX_W = 8  # PAA segments per series
+_SAX_A = 4  # alphabet size
+
+
+@query(
+    "ts_sax_symbols",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), idx AS (
+      SELECT event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), paa AS (
+      SELECT event_type, CAST(i * {_SAX_W} // n AS BIGINT) AS seg,
+             CAST(SUM(cnt) AS BIGINT) AS seg_sum,
+             COUNT(*) AS seg_days
+      FROM idx GROUP BY event_type, i * {_SAX_W} // n
+    )
+    SELECT event_type, seg, seg_sum, seg_days,
+           CASE NTILE({_SAX_A}) OVER (PARTITION BY event_type
+                                      ORDER BY seg_sum, seg)
+             WHEN 1 THEN 'a' WHEN 2 THEN 'b'
+             WHEN 3 THEN 'c' ELSE 'd' END AS symbol
+    FROM paa
+    """,
+)
+def ts_sax_symbols(spark, sf_dir):
+    """SAX (Symbolic Aggregate approXimation) of the per-type daily
+    event-count series: Piecewise Aggregate Approximation into 8
+    equal-length segments (integer index partitioning i*W div n —
+    no float boundaries), then a 4-letter alphabet assigned by
+    EMPIRICAL quartiles (ntile over the segment sums) instead of the
+    classic Gaussian breakpoints — keeps every step integer-exact
+    across engines while preserving the SAX property that symbols
+    equalize mass. Scale: two keyed aggs + an 8-row-per-key window;
+    the series index window partitions by event_type (bounded key
+    set; for high-cardinality series keys the same shape shards by
+    (key, coarse-time) like corpus_pretrain_build's prefix sum)."""
+    ev = _cat(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    idx = daily.select(
+        "event_type",
+        "cnt",
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day")
+            )
+            - 1
+        ).alias("i"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    paa = (
+        idx.withColumn(
+            "seg", F.expr(f"CAST(i * {_SAX_W} DIV n AS BIGINT)")
+        )
+        .groupBy("event_type", "seg")
+        .agg(
+            F.sum("cnt").alias("seg_sum"),
+            F.count("*").alias("seg_days"),
+        )
+    )
+    tile = F.ntile(_SAX_A).over(
+        Window.partitionBy("event_type").orderBy("seg_sum", "seg")
+    )
+    return paa.select(
+        "event_type", "seg", "seg_sum", "seg_days",
+        F.when(tile == 1, "a")
+        .when(tile == 2, "b")
+        .when(tile == 3, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )
+
+
+_DECAY_TERMS_SQL = " + ".join(
+    f"COALESCE(LAG(v_cents, {k}) OVER w, 0) * {1 << (15 - k)}"
+    for k in range(16)
+)
+
+
+@query(
+    "window_decayed_sum",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+      FROM events
+    ), d AS (
+      SELECT user_id, ts, event_id,
+             CAST({_DECAY_TERMS_SQL} AS BIGINT) AS decayed_32768,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, decayed_32768
+    FROM d WHERE rk = 1 ORDER BY decayed_32768 DESC, user_id LIMIT 100
+    """,
+)
+def window_decayed_sum(spark, sf_dir):
+    """Exponentially time-decayed engagement score (half-life = one
+    event step) at each user's latest event: sum of the last 16
+    event values weighted 2^-age. The power-of-two half-life makes
+    every weight an exact integer scale (x 2^15), so the score is a
+    plain BIGINT — the standard feature-engineering trick of
+    computing decay on a shifted integer grid. Implementation is 16
+    windowed LAGs folded in ONE window pass (no self-join, no
+    per-row array build); at 100 TB it is a single user_id shuffle.
+    Top-100 by score with user tie-break."""
+    ev = _cat(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    score = sum(
+        F.coalesce(F.lag("v_cents", k).over(w), F.lit(0))
+        * F.lit(1 << (15 - k))
+        for k in range(16)
+    )
+    d = ev.select(
+        "user_id",
+        score.cast("long").alias("decayed_32768"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        d.filter(F.col("rk") == 1)
+        .select("user_id", "decayed_32768")
+        .orderBy(F.col("decayed_32768").desc(), "user_id")
+        .limit(100)
+    )
+
+
+@query(
+    "graph_hits_authorities",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), a1 AS (
+      SELECT dst, CAST(COUNT(*) AS BIGINT) AS auth1 FROM edges GROUP BY dst
+    ), h1 AS (
+      SELECT e.src, CAST(SUM(a1.auth1) AS BIGINT) AS hub1
+      FROM edges e JOIN a1 ON e.dst = a1.dst GROUP BY e.src
+    ), a2 AS (
+      SELECT e.dst, CAST(SUM(h1.hub1) AS BIGINT) AS auth2
+      FROM edges e JOIN h1 ON e.src = h1.src GROUP BY e.dst
+    )
+    SELECT a2.dst AS custkey, a2.auth2, a1.auth1
+    FROM a2 JOIN a1 ON a2.dst = a1.dst
+    ORDER BY a2.auth2 DESC, a2.dst LIMIT 20
+    """,
+)
+def graph_hits_authorities(spark, sf_dir):
+    """HITS (Kleinberg) hubs-and-authorities, two exact iterations
+    over the supplier->customer supply graph, UNNORMALIZED so every
+    score is an integer path count (auth2(v) = # of length-3
+    alternating paths ending at v) — bit-exact across engines where
+    the normalized variant would drift. Complements graph_pagerank
+    (random-walk centrality) with the bipartite-reinforcement view.
+    Scale: each iteration is one join + partial-agg groupBy on the
+    edge key — the same shuffle shape PageRank uses; k iterations =
+    k joins, never materialized driver-side. Kept to k=2 so the
+    oracle stays a finite SQL pipeline; more rounds reuse the same
+    step."""
+    cat = _cat(spark, sf_dir)
+    edges = (
+        cat.lineitem.join(
+            cat.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_suppkey").alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .distinct()
+    )
+    a1 = edges.groupBy("dst").agg(F.count("*").alias("auth1"))
+    h1 = (
+        edges.join(a1, "dst")
+        .groupBy("src")
+        .agg(F.sum("auth1").alias("hub1"))
+    )
+    a2 = (
+        edges.join(h1, "src")
+        .groupBy("dst")
+        .agg(F.sum("hub1").alias("auth2"))
+    )
+    return (
+        a2.join(a1, "dst")
+        .select(F.col("dst").alias("custkey"), "auth2", "auth1")
+        .orderBy(F.col("auth2").desc(), "custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "ml_lift_cumulative_gains",
+    oracle="""
+    WITH scored AS (
+      SELECT o_totalprice AS score,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+             NTILE(10) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS decile
+      FROM orders
+    ), per AS (
+      SELECT decile, COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM scored GROUP BY decile
+    ), cum AS (
+      SELECT decile, n, pos,
+             CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+             CAST(SUM(pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+             CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+             CAST(SUM(pos) OVER () AS BIGINT) AS tot_pos
+      FROM per
+    )
+    SELECT decile, n, pos, cum_n, cum_pos,
+           CAST(CAST(cum_pos AS HUGEINT) * tot_n * 1000000
+                // (CAST(cum_n AS HUGEINT) * tot_pos) AS BIGINT)
+             AS lift_ppm
+    FROM cum
+    """,
+)
+def ml_lift_cumulative_gains(spark, sf_dir):
+    """Cumulative gains / lift table: decile the orders by a model
+    score (price, descending — the same deterministic forecast
+    ml_brier_score calibrates) and report per-decile and cumulative
+    capture of the positive class, with lift as an EXACT truncating
+    integer ratio in ppm (cum_pos*tot_n*1e6 div cum_n*tot_pos,
+    computed in decimal38 so sf10-size products cannot overflow
+    int64). The campaign-targeting view that complements
+    ml_pr_curve_points / ml_auc_rank. Scale: ntile needs a global
+    sort — deciles at 100 TB would switch to approx-percentile
+    boundaries (agg_approx_percentile_sketch) + a broadcast
+    range-bucket join; the exact global-window form is the oracle
+    anchor."""
+    orders = _cat(spark, sf_dir).orders
+    scored = orders.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+        F.ntile(10)
+        .over(
+            Window.orderBy(
+                F.col("o_totalprice").desc(), F.col("o_orderkey")
+            )
+        )
+        .alias("decile"),
+    )
+    per = scored.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "decile", "n", "pos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("pos").over(wc).alias("cum_pos"),
+        F.sum("n").over(wt).alias("tot_n"),
+        F.sum("pos").over(wt).alias("tot_pos"),
+    )
+    d38 = "decimal(38,0)"
+    return cum.select(
+        "decile", "n", "pos", "cum_n", "cum_pos",
+        F.floor(
+            (
+                F.col("cum_pos").cast(d38)
+                * F.col("tot_n")
+                * F.lit(1000000)
+            )
+            / (F.col("cum_n").cast(d38) * F.col("tot_pos"))
+        )
+        .cast("long")
+        .alias("lift_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -24561,7 +24856,8 @@ DRIVER_GREEN = [
 _PRIORITY = [
     # round-5 fourth session (freshest code = highest residual risk)
     "agg_spearman_rho", "agg_kendall_tau", "agg_sprt_boundary",
-    "ml_brier_score",
+    "ml_brier_score", "ts_sax_symbols", "window_decayed_sum",
+    "graph_hits_authorities", "ml_lift_cumulative_gains",
     # round-5 third session
     "docs_pack_sequences", "docs_pack_greedy", "docs_paragraph_dedup",
     "privacy_t_closeness", "graph_link_prediction", "profile_fk_integrity",

@@ -151,3 +151,118 @@ def test_brier_decomposes_and_bounds(spark):
         # brier_nano = sse*1000 // n, and brier in [0, 1] => nano <= 1e9
         assert r["brier_nano"] == r["sse_milli2"] * 1000 // r["n"]
         assert 0 <= r["brier_nano"] <= 1_000_000_000
+
+
+def test_sax_symbols_replay(spark):
+    """PAA segmentation + empirical-quartile symbols replayed in
+    Python; also asserts the SAX mass-equalization property (each
+    letter covers n_seg/4 +- 1 segments per series)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r["event_type"], r["ts"].date())] += 1
+    series = defaultdict(list)
+    for (et, day), cnt in sorted(daily.items()):
+        series[et].append(cnt)
+    want = {}
+    for et, cnts in series.items():
+        n = len(cnts)
+        segs = defaultdict(lambda: [0, 0])
+        for i, c in enumerate(cnts):
+            s = segs[i * 8 // n]
+            s[0] += c
+            s[1] += 1
+        ordered = sorted(segs.items(), key=lambda kv: (kv[1][0], kv[0]))
+        m = len(ordered)
+        for pos, (seg, (tot, days)) in enumerate(ordered):
+            # NTILE(4): first (m % 4) tiles get ceil(m/4) rows
+            big, rem = divmod(m, 4)
+            tile, acc = 1, 0
+            for t in range(1, 5):
+                size = big + (1 if t <= rem else 0)
+                if pos < acc + size:
+                    tile = t
+                    break
+                acc += size
+            want[(et, seg)] = (tot, days, "abcd"[tile - 1])
+    got = {
+        (r["event_type"], r["seg"]): (
+            r["seg_sum"], r["seg_days"], r["symbol"],
+        )
+        for r in QUERIES["ts_sax_symbols"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_decayed_sum_replay(spark):
+    ev = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    hist = defaultdict(list)
+    for r in ev:
+        hist[r["user_id"]].append(round(r["value"] * 100))
+    want_scores = {
+        u: sum(
+            v * (1 << (15 - k))
+            for k, v in enumerate(reversed(vals[-16:]))
+        )
+        for u, vals in hist.items()
+    }
+    top = sorted(want_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    got = [
+        (r["user_id"], r["decayed_32768"])
+        for r in QUERIES["window_decayed_sum"](spark, SF_DIR).collect()
+    ]
+    assert got == top
+
+
+def test_hits_counts_alternating_paths(spark):
+    """auth2(v) must equal the number of (s1 -> c1 <- s2 -> v)
+    alternating path triples — replayed from the edge set."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    edges = {(r["l_suppkey"], orders[r["l_orderkey"]]) for r in li}
+    auth1 = defaultdict(int)
+    for s, c in edges:
+        auth1[c] += 1
+    hub1 = defaultdict(int)
+    for s, c in edges:
+        hub1[s] += auth1[c]
+    auth2 = defaultdict(int)
+    for s, c in edges:
+        auth2[c] += hub1[s]
+    want = sorted(
+        ((c, a2, auth1[c]) for c, a2 in auth2.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    got = [
+        (r["custkey"], r["auth2"], r["auth1"])
+        for r in QUERIES["graph_hits_authorities"](spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_lift_table_invariants(spark):
+    rows = sorted(
+        QUERIES["ml_lift_cumulative_gains"](spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    tot_n = rows[-1]["cum_n"]
+    tot_pos = rows[-1]["cum_pos"]
+    assert tot_n == sum(r["n"] for r in rows)
+    assert tot_pos == sum(r["pos"] for r in rows)
+    run_n = run_pos = 0
+    for r in rows:
+        run_n += r["n"]
+        run_pos += r["pos"]
+        assert (r["cum_n"], r["cum_pos"]) == (run_n, run_pos)
+        assert r["lift_ppm"] == run_pos * tot_n * 1_000_000 // (
+            run_n * tot_pos
+        )
+    # final cumulative lift is exactly 1.0 (ppm floor)
+    assert rows[-1]["lift_ppm"] == 1_000_000
