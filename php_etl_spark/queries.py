@@ -24787,6 +24787,432 @@ def ml_lift_cumulative_gains(spark, sf_dir):
     )
 
 
+@query(
+    "ml_mutual_information",
+    oracle="""
+    WITH cell AS (
+      SELECT lang, source, COUNT(*) AS nxy FROM documents GROUP BY 1, 2
+    ), mx AS (SELECT lang, CAST(SUM(nxy) AS BIGINT) AS nx
+              FROM cell GROUP BY 1),
+       my AS (SELECT source, CAST(SUM(nxy) AS BIGINT) AS ny
+              FROM cell GROUP BY 1),
+       tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cell)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(round(SUM(CAST(nxy AS DOUBLE)
+                  * (ln(CAST(nxy AS DOUBLE) * n)
+                     - ln(CAST(nx AS DOUBLE) * ny)))
+                / MAX(n) * 1000000) AS BIGINT) AS mi_micronats
+    FROM cell JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN tot
+    """,
+)
+def ml_mutual_information(spark, sf_dir):
+    """Mutual information I(lang; source) — the feature-selection /
+    leakage-screening statistic, companion to agg_entropy (H) and
+    agg_chi_square on the same contingency table. Per-cell terms are
+    n_xy·(ln(n_xy·N) − ln(n_x·n_y)) over EXACT integer products, so
+    both engines feed identical doubles into correctly-rounded ln;
+    micro-nat rounding absorbs summation-order ulps (entropy
+    precedent). Scale: marginals are tiny broadcast aggregates; one
+    cell-level groupBy with map-side partials."""
+    docs = _cat(spark, sf_dir).documents
+    cell = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("nxy")
+    )
+    mx = cell.groupBy("lang").agg(F.sum("nxy").alias("nx"))
+    my = cell.groupBy("source").agg(F.sum("nxy").alias("ny"))
+    tot = cell.agg(F.sum("nxy").alias("n"))
+    term = F.col("nxy").cast("double") * (
+        F.log(F.col("nxy").cast("double") * F.col("n"))
+        - F.log(F.col("nx").cast("double") * F.col("ny"))
+    )
+    return (
+        cell.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.round(F.sum(term) / F.max("n") * 1000000)
+            .cast("long")
+            .alias("mi_micronats"),
+        )
+        .select("n_cells", "mi_micronats")
+    )
+
+
+@query(
+    "ml_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s,
+             CAST(COUNT(*) AS DOUBLE) AS o
+      FROM orders GROUP BY 1, 2
+    ), rowm AS (SELECT p, SUM(o) AS r FROM obs GROUP BY 1),
+       colm AS (SELECT s, SUM(o) AS c FROM obs GROUP BY 1),
+       tot AS (SELECT SUM(o) AS t,
+                      COUNT(DISTINCT p) AS nr,
+                      COUNT(DISTINCT s) AS nc
+               FROM obs)
+    SELECT CAST(round(SQRT(
+             SUM((o - r * c / t) * (o - r * c / t) / (r * c / t))
+             / (MAX(t) * (LEAST(MAX(nr), MAX(nc)) - 1))) * 1000000)
+           AS BIGINT) AS cramers_v_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM obs JOIN rowm USING (p) JOIN colm USING (s) CROSS JOIN tot
+    """,
+)
+def ml_cramers_v(spark, sf_dir):
+    """Cramér's V — chi-square normalized to [0,1] for categorical
+    association strength (order priority × status), the effect-size
+    companion to agg_chi_square's raw statistic. Same exact-integer
+    marginal construction; V = sqrt(chi2 / (N·(min(r,c)−1))) rounded
+    at ppm. All marginal frames are broadcast; one cell-level agg."""
+    orders = _cat(spark, sf_dir).orders
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_orderstatus").alias("s"),
+    ).agg(F.count("*").cast("double").alias("o"))
+    rowm = obs.groupBy("p").agg(F.sum("o").alias("r"))
+    colm = obs.groupBy("s").agg(F.sum("o").alias("c"))
+    tot = obs.agg(
+        F.sum("o").alias("t"),
+        F.countDistinct("p").alias("nr"),
+        F.countDistinct("s").alias("nc"),
+    )
+    e = F.col("r") * F.col("c") / F.col("t")
+    return (
+        obs.join(F.broadcast(rowm), "p")
+        .join(F.broadcast(colm), "s")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum((F.col("o") - e) * (F.col("o") - e) / e)
+                    / (
+                        F.max("t")
+                        * (F.least(F.max("nr"), F.max("nc")) - 1)
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("cramers_v_ppm"),
+            F.count("*").alias("n_cells"),
+        )
+    )
+
+
+@query(
+    "ml_iv_woe",
+    oracle="""
+    WITH scored AS (
+      SELECT NTILE(5) OVER (ORDER BY o_totalprice, o_orderkey)
+               AS bucket,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS bad
+      FROM orders
+    ), b AS (
+      SELECT bucket, COUNT(*) AS n,
+             CAST(SUM(bad) AS BIGINT) AS n_bad,
+             CAST(COUNT(*) - SUM(bad) AS BIGINT) AS n_good
+      FROM scored GROUP BY bucket
+    ), t AS (
+      SELECT CAST(SUM(n_bad) AS BIGINT) AS tb,
+             CAST(SUM(n_good) AS BIGINT) AS tg
+      FROM b
+    )
+    SELECT bucket, n, n_bad,
+           CAST(round((ln(CAST(n_good AS DOUBLE) * tb)
+                       - ln(CAST(n_bad AS DOUBLE) * tg)) * 1000000)
+             AS BIGINT) AS woe_micronats,
+           CAST(round((CAST(n_good AS DOUBLE) / tg
+                       - CAST(n_bad AS DOUBLE) / tb)
+                      * (ln(CAST(n_good AS DOUBLE) * tb)
+                         - ln(CAST(n_bad AS DOUBLE) * tg)) * 1000000)
+             AS BIGINT) AS iv_contrib_micro
+    FROM b CROSS JOIN t
+    """,
+)
+def ml_iv_woe(spark, sf_dir):
+    """Weight-of-Evidence / Information-Value table (credit-scoring
+    feature screening): quintile-bucket the price feature, WoE_b =
+    ln(good-share/bad-share) via the single-ln-of-exact-integer-
+    products form, IV contribution per bucket. Complements
+    ml_target_encoding (mean encoding) with the log-odds encoding.
+    Scale note: ntile is the exact oracle anchor; production swaps
+    in sketch quantile boundaries exactly like
+    ml_lift_cumulative_gains."""
+    orders = _cat(spark, sf_dir).orders
+    scored = orders.select(
+        F.ntile(5)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("bad"),
+    )
+    b = scored.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("bad").alias("n_bad"),
+        (F.count("*") - F.sum("bad")).alias("n_good"),
+    )
+    t = b.agg(
+        F.sum("n_bad").alias("tb"), F.sum("n_good").alias("tg")
+    )
+    woe = F.log(F.col("n_good").cast("double") * F.col("tb")) - F.log(
+        F.col("n_bad").cast("double") * F.col("tg")
+    )
+    share_gap = (
+        F.col("n_good").cast("double") / F.col("tg")
+        - F.col("n_bad").cast("double") / F.col("tb")
+    )
+    return b.crossJoin(F.broadcast(t)).select(
+        "bucket", "n", "n_bad",
+        F.round(woe * 1000000).cast("long").alias("woe_micronats"),
+        F.round(share_gap * woe * 1000000)
+        .cast("long")
+        .alias("iv_contrib_micro"),
+    )
+
+
+@query(
+    "privacy_rr_estimate",
+    oracle="""
+    WITH truth AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS attr
+      FROM events GROUP BY user_id
+    ), reported AS (
+      SELECT user_id, attr,
+             CASE WHEN CAST(concat('0x',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 4 = 0
+                  THEN 1 - attr ELSE attr END AS response
+      FROM truth
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(response) AS BIGINT) AS yes,
+             CAST(SUM(attr) AS BIGINT) AS true_yes
+      FROM reported
+    )
+    SELECT n, yes, true_yes,
+           CAST((4 * yes - n) * 1000000 // (2 * n) AS BIGINT)
+             AS est_true_ppm,
+           CAST(true_yes * 1000000 // n AS BIGINT) AS actual_ppm
+    FROM agg
+    """,
+)
+def privacy_rr_estimate(spark, sf_dir):
+    """Warner randomized response (local differential privacy): each
+    user's sensitive bit (ever purchased) is flipped with p=1/4 by a
+    DETERMINISTIC md5 coin (hash-derandomized — the registry
+    convention for samplable randomness), and the true rate is
+    recovered by the unbiased estimator (obs − 1/4)/(1/2), reported
+    as an exact truncating-integer ppm next to the actual rate for
+    the bias check. eps = ln(3) per response. One user-level agg +
+    one scalar reduction; the coin is a narrow map."""
+    ev = _cat(spark, sf_dir).events
+    truth = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("attr")
+    )
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    reported = truth.select(
+        "attr",
+        F.when(coin == 0, 1 - F.col("attr"))
+        .otherwise(F.col("attr"))
+        .alias("response"),
+    )
+    agg = reported.agg(
+        F.count("*").alias("n"),
+        F.sum("response").alias("yes"),
+        F.sum("attr").alias("true_yes"),
+    )
+    return agg.select(
+        "n", "yes", "true_yes",
+        F.expr("(4 * yes - n) * 1000000 div (2 * n)").alias(
+            "est_true_ppm"
+        ),
+        F.expr("true_yes * 1000000 div n").alias("actual_ppm"),
+    )
+
+
+@query(
+    "privacy_small_cell_suppression",
+    oracle="""
+    WITH cell AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nk, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    ), prim AS (
+      SELECT seg, nk, n,
+             CASE WHEN n < 5 THEN 1 ELSE 0 END AS p
+      FROM cell
+    ), rowsec AS (
+      SELECT seg, nk, n, p,
+             CASE WHEN p = 0
+                  AND CAST(SUM(p) OVER (PARTITION BY seg) AS BIGINT) = 1
+                  AND ROW_NUMBER() OVER (PARTITION BY seg, p
+                                         ORDER BY n, nk) = 1
+                  THEN 1 ELSE 0 END AS rs
+      FROM prim
+    ), colsec AS (
+      SELECT seg, nk, n, p, rs,
+             CASE WHEN p = 0 AND rs = 0
+                  AND CAST(SUM(p + rs) OVER (PARTITION BY nk)
+                           AS BIGINT) = 1
+                  AND ROW_NUMBER() OVER (PARTITION BY nk, p + rs
+                                         ORDER BY n, seg) = 1
+                  THEN 1 ELSE 0 END AS cs
+      FROM rowsec
+    )
+    SELECT seg, nk, n,
+           CASE WHEN p = 1 THEN 'primary'
+                WHEN rs = 1 THEN 'row_secondary'
+                WHEN cs = 1 THEN 'col_secondary'
+                ELSE 'published' END AS status
+    FROM colsec
+    """,
+)
+def privacy_small_cell_suppression(spark, sf_dir):
+    """Census-style small-cell suppression on the segment × nation
+    count table: primary-suppress cells under the threshold (n<5),
+    then one deterministic round each of row- and column-wise
+    COMPLEMENTARY suppression (a row/column with exactly one hidden
+    cell would let it be recovered from the margin — hide its
+    smallest published cell too; ties break on the key). The
+    publish-safety step k-anonymity (privacy_k_anonymity) doesn't
+    cover: margins are public here. All windowed integer logic over
+    the |seg|x|nation| cell table — the fact scan collapses first,
+    so the suppression pass is constant-size at any corpus scale."""
+    cust = _cat(spark, sf_dir).customer
+    cell = cust.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nk"),
+    ).agg(F.count("*").alias("n"))
+    prim = cell.withColumn(
+        "p", F.when(F.col("n") < 5, 1).otherwise(0)
+    )
+    rowsec = prim.withColumn(
+        "rs",
+        F.when(
+            (F.col("p") == 0)
+            & (
+                F.sum("p")
+                .over(Window.partitionBy("seg"))
+                .cast("long")
+                == 1
+            )
+            & (
+                F.row_number().over(
+                    Window.partitionBy("seg", "p").orderBy("n", "nk")
+                )
+                == 1
+            ),
+            1,
+        ).otherwise(0),
+    )
+    colsec = rowsec.withColumn(
+        "cs",
+        F.when(
+            (F.col("p") == 0)
+            & (F.col("rs") == 0)
+            & (
+                F.sum(F.col("p") + F.col("rs"))
+                .over(Window.partitionBy("nk"))
+                .cast("long")
+                == 1
+            )
+            & (
+                F.row_number().over(
+                    Window.partitionBy(
+                        "nk", (F.col("p") + F.col("rs"))
+                    ).orderBy("n", "seg")
+                )
+                == 1
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return colsec.select(
+        "seg", "nk", "n",
+        F.when(F.col("p") == 1, "primary")
+        .when(F.col("rs") == 1, "row_secondary")
+        .when(F.col("cs") == 1, "col_secondary")
+        .otherwise("published")
+        .alias("status"),
+    )
+
+
+@query(
+    "event_stickiness_dau_mau",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS day_num
+      FROM events
+    ), days AS (SELECT DISTINCT day_num FROM active),
+    contrib AS (
+      SELECT DISTINCT a.user_id, d.day_num
+      FROM active a
+      JOIN days d ON d.day_num BETWEEN a.day_num AND a.day_num + 27
+    ), mau AS (
+      SELECT day_num, CAST(COUNT(*) AS BIGINT) AS mau FROM contrib
+      GROUP BY day_num
+    ), dau AS (
+      SELECT day_num, CAST(COUNT(*) AS BIGINT) AS dau FROM active
+      GROUP BY day_num
+    )
+    SELECT d.day_num, d.dau, m.mau,
+           CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
+    FROM dau d JOIN mau m USING (day_num)
+    """,
+)
+def event_stickiness_dau_mau(spark, sf_dir):
+    """DAU/MAU stickiness per day: daily actives over trailing-28-day
+    actives, the canonical product-engagement ratio. The trailing
+    distinct count uses the EXPAND trick (each active (user, day)
+    contributes to the next 28 days, then distinct + count) instead
+    of a distinct-over-range window Spark doesn't support — a
+    bounded 28x fanout that shuffles on (user, day), exactly how
+    window_sliding_distinct handles its frame. Days ride as epoch-day
+    integers (fn_business_days convention) so the band join is pure
+    BIGINT arithmetic. Stickiness is a truncating integer ppm."""
+    ev = _cat(spark, sf_dir).events
+    active = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_num"),
+    ).distinct()
+    days = active.select("day_num").distinct()
+    contrib = (
+        active.alias("a")
+        .join(
+            F.broadcast(days.alias("d")),
+            F.col("d.day_num").between(
+                F.col("a.day_num"), F.col("a.day_num") + 27
+            ),
+        )
+        .select(F.col("a.user_id"), F.col("d.day_num"))
+        .distinct()
+    )
+    mau = contrib.groupBy("day_num").agg(F.count("*").alias("mau"))
+    dau = active.groupBy("day_num").agg(F.count("*").alias("dau"))
+    return dau.join(mau, "day_num").select(
+        "day_num", "dau", "mau",
+        F.expr("dau * 1000000 div mau").alias("stickiness_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -24858,6 +25284,9 @@ _PRIORITY = [
     "agg_spearman_rho", "agg_kendall_tau", "agg_sprt_boundary",
     "ml_brier_score", "ts_sax_symbols", "window_decayed_sum",
     "graph_hits_authorities", "ml_lift_cumulative_gains",
+    "ml_mutual_information", "ml_cramers_v", "ml_iv_woe",
+    "privacy_rr_estimate", "privacy_small_cell_suppression",
+    "event_stickiness_dau_mau",
     # round-5 third session
     "docs_pack_sequences", "docs_pack_greedy", "docs_paragraph_dedup",
     "privacy_t_closeness", "graph_link_prediction", "profile_fk_integrity",

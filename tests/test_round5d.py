@@ -4,6 +4,7 @@ scoring — differential replays against straight-line Python."""
 
 from __future__ import annotations
 
+import hashlib
 import math
 from collections import defaultdict
 
@@ -266,3 +267,129 @@ def test_lift_table_invariants(spark):
         )
     # final cumulative lift is exactly 1.0 (ppm floor)
     assert rows[-1]["lift_ppm"] == 1_000_000
+
+
+def test_mutual_information_replay(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    cell = defaultdict(int)
+    for r in docs:
+        cell[(r["lang"], r["source"])] += 1
+    nx = defaultdict(int)
+    ny = defaultdict(int)
+    for (x, y), n in cell.items():
+        nx[x] += n
+        ny[y] += n
+    N = sum(cell.values())
+    mi = sum(
+        n * (math.log(n * N) - math.log(nx[x] * ny[y]))
+        for (x, y), n in cell.items()
+    ) / N
+    row = QUERIES["ml_mutual_information"](spark, SF_DIR).collect()[0]
+    assert row["n_cells"] == len(cell)
+    assert abs(row["mi_micronats"] - round(mi * 1e6)) <= 1
+    assert row["mi_micronats"] >= 0
+
+
+def test_cramers_v_bounds_and_replay(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cell = defaultdict(float)
+    for r in orders:
+        cell[(r["o_orderpriority"], r["o_orderstatus"])] += 1.0
+    rm = defaultdict(float)
+    cm = defaultdict(float)
+    for (p, s), o in cell.items():
+        rm[p] += o
+        cm[s] += o
+    t = sum(cell.values())
+    chi2 = sum(
+        (o - rm[p] * cm[s] / t) ** 2 / (rm[p] * cm[s] / t)
+        for (p, s), o in cell.items()
+    )
+    want = round(
+        math.sqrt(chi2 / (t * (min(len(rm), len(cm)) - 1))) * 1e6
+    )
+    row = QUERIES["ml_cramers_v"](spark, SF_DIR).collect()[0]
+    assert abs(row["cramers_v_ppm"] - want) <= 1
+    assert 0 <= row["cramers_v_ppm"] <= 1_000_000
+
+
+def test_iv_woe_identity(spark):
+    """Sum of signed bucket shares must vanish; IV >= 0 overall and
+    each bucket's WoE sign matches its good/bad share imbalance."""
+    rows = QUERIES["ml_iv_woe"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    tb = sum(r["n_bad"] for r in rows)
+    tg = sum(r["n"] - r["n_bad"] for r in rows)
+    iv_total = 0
+    for r in rows:
+        good, bad = r["n"] - r["n_bad"], r["n_bad"]
+        woe = math.log(good * tb) - math.log(bad * tg)
+        assert abs(r["woe_micronats"] - round(woe * 1e6)) <= 1
+        assert (r["woe_micronats"] > 0) == (good * tb > bad * tg)
+        iv_total += r["iv_contrib_micro"]
+        assert r["iv_contrib_micro"] >= -1  # each term is >= 0 up to grain
+    assert iv_total >= 0
+
+
+def test_rr_estimator_identity(spark):
+    """Exact estimator arithmetic + md5-coin flip-count replay. The
+    statistical recovery band is only meaningful at sf>=0.01 user
+    counts (15 users here), so the test pins the deterministic parts:
+    the flip set, the truncating division, and the estimator range."""
+    row = QUERIES["privacy_rr_estimate"](spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    attr = defaultdict(int)
+    for r in ev:
+        if r["event_type"] == "purchase":
+            attr[r["user_id"]] = 1
+        attr.setdefault(r["user_id"], 0)
+    yes = 0
+    for u, a in attr.items():
+        flip = int(hashlib.md5(str(u).encode()).hexdigest()[:6], 16) % 4 == 0
+        yes += (1 - a) if flip else a
+    assert (row["n"], row["yes"], row["true_yes"]) == (
+        len(attr), yes, sum(attr.values()),
+    )
+    num = (4 * row["yes"] - row["n"]) * 1_000_000
+    den = 2 * row["n"]
+    assert row["est_true_ppm"] == int(num / den) if num < 0 else num // den
+    # estimator range for a p=1/4 flip: [-0.5, 1.5]
+    assert -500_000 <= row["est_true_ppm"] <= 1_500_000
+
+
+def test_small_cell_suppression_margin_safety(spark):
+    """After suppression no row or column may contain EXACTLY ONE
+    hidden cell (the recoverability invariant the pass enforces),
+    and every under-threshold cell is hidden."""
+    rows = QUERIES["privacy_small_cell_suppression"](spark, SF_DIR).collect()
+    by_row = defaultdict(list)
+    by_col = defaultdict(list)
+    for r in rows:
+        assert (r["n"] < 5) == (r["status"] == "primary")
+        hidden = r["status"] != "published"
+        by_row[r["seg"]].append(hidden)
+        by_col[r["nk"]].append(hidden)
+    for sups in by_row.values():
+        assert sum(sups) != 1
+    # columns: one round of column pass can't be broken by later steps
+    for sups in by_col.values():
+        assert sum(sups) != 1
+
+
+def test_stickiness_dau_mau_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    epoch = __import__("datetime").date(1970, 1, 1)
+    active = {
+        (r["user_id"], (r["ts"].date() - epoch).days) for r in ev
+    }
+    days = sorted({d for _, d in active})
+    got = {
+        r["day_num"]: (r["dau"], r["mau"], r["stickiness_ppm"])
+        for r in QUERIES["event_stickiness_dau_mau"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(days)
+    for d in days:
+        dau = sum(1 for (_, dd) in active if dd == d)
+        mau = len({u for (u, dd) in active if d - 27 <= dd <= d})
+        assert got[d] == (dau, mau, dau * 1_000_000 // mau)
+        assert got[d][0] <= got[d][1]
