@@ -252,3 +252,74 @@ def resize_images(
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(resize, RESIZED_SCHEMA)
+
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def frame_energies(df: DataFrame, frame_bytes: int = 64) -> DataFrame:
+    """Per-frame signal energy over the binary payload: numpy sums of
+    unsigned byte amplitudes per non-overlapping ``frame_bytes``
+    frame (trailing partial frame dropped), Arrow-batched through
+    mapInPandas — the REAL kernel shape for audio feature extraction
+    (a mel/FFT transform slots into the same loop). Output rows ∝
+    bytes/frame_bytes; no shuffle, energies are exact integers."""
+    import numpy as np
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = (len(raw) // frame_bytes) * frame_bytes
+                if not n:
+                    continue
+                sums = raw[:n].reshape(-1, frame_bytes).sum(
+                    axis=1, dtype=np.int64
+                )
+                out["doc_id"].extend([doc_id] * len(sums))
+                out["frame_idx"].extend(range(len(sums)))
+                out["energy"].extend(int(s) for s in sums)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(energies, ENERGY_SCHEMA)
+
+
+def vad_segments(
+    energy: DataFrame, threshold: int
+) -> DataFrame:
+    """Energy-threshold voice-activity detection: frames above
+    ``threshold`` are speech; consecutive speech frames merge into
+    segments by the gaps-and-islands identity (frame_idx − per-doc
+    speech rank is constant within a run). Pure windowed integer
+    logic over the energy table — partitioned by doc_id, one
+    shuffle, scale-independent."""
+    from pyspark.sql import Window
+
+    speech = energy.filter(F.col("energy") > threshold)
+    isl = speech.withColumn(
+        "island",
+        F.col("frame_idx")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("frame_idx")
+        ),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count("*").alias("n_frames"),
+            F.sum("energy").alias("total_energy"),
+        )
+        .select(
+            "doc_id", "start_frame", "end_frame", "n_frames",
+            "total_energy",
+        )
+    )

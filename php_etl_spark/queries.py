@@ -25213,6 +25213,267 @@ def event_stickiness_dau_mau(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_audio_vad",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, CAST((i - 1) // 64 AS BIGINT) AS frame_idx,
+             ascii(substr(text, i, 1)) AS v
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+             1, (length(text) // 64) * 64)) AS i)
+    ), e AS (
+      SELECT doc_id, frame_idx, CAST(SUM(v) AS BIGINT) AS energy
+      FROM b GROUP BY 1, 2
+    ), sp AS (
+      SELECT doc_id, frame_idx, energy,
+             frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx) AS island
+      FROM e WHERE energy > 6040
+    )
+    SELECT doc_id,
+           CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+           CAST(MAX(frame_idx) AS BIGINT) AS end_frame,
+           COUNT(*) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS total_energy
+    FROM sp GROUP BY doc_id, island
+    """,
+)
+def multimodal_audio_vad(spark, sf_dir):
+    """Voice-activity detection over opaque audio payloads: per-frame
+    energy (numpy byte sums, Arrow-batched mapInPandas — the real
+    kernel loop a mel/FFT transform would share) thresholded at the
+    corpus median, then consecutive speech frames merged into
+    segments with the gaps-and-islands window. The oracle replays
+    the byte sums per character (payloads are ASCII-derived in this
+    fixture, so numpy byte sums == ascii sums exactly). Scale: the
+    energy pass is embarrassingly parallel over payload bytes; the
+    island merge shuffles once on doc_id."""
+    payloads = M.with_binary_payload(_cat(spark, sf_dir).documents)
+    energy = M.frame_energies(payloads, frame_bytes=64)
+    return M.vad_segments(energy, threshold=6040)
+
+
+@query(
+    "docs_tokenizer_fertility",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_extract_all(text,
+                 ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe,
+             len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS tot_tokens,
+           CAST(SUM(n_words) AS BIGINT) AS tot_words,
+           CAST(SUM(n_bpe) * 1000000 // SUM(n_words) AS BIGINT)
+             AS fertility_ppm
+    FROM t GROUP BY lang
+    """,
+)
+def docs_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language: BPE-style pre-tokens per
+    word (the multilingual-tokenizer health metric — high fertility
+    means the vocabulary underserves that language and its docs cost
+    more compute per unit text). Reuses text_token_count_bpe's
+    RE2-safe splitter; the ratio is an exact truncating integer ppm.
+    One map + one lang-keyed partial agg — nothing scales with doc
+    size but the regexp scan itself."""
+    pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+    d = _cat(spark, sf_dir).documents
+    t = d.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias(
+            "n_bpe"
+        ),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[A-Za-z]+"), 0)
+        ).alias("n_words"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe").alias("tot_tokens"),
+        F.sum("n_words").alias("tot_words"),
+        F.expr(
+            "CAST(SUM(n_bpe) * 1000000 AS BIGINT) div SUM(n_words)"
+        ).alias("fertility_ppm"),
+    )
+
+
+@query(
+    "docs_sentence_stats",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             list_filter(
+               list_transform(
+                 string_split_regex(text, '[.!?]+'),
+                 x -> trim(x)),
+               x -> x <> '') AS sents
+      FROM documents
+    ), per AS (
+      SELECT doc_id, source, len(sents) AS n_sents,
+             CAST(list_sum(list_transform(sents,
+               x -> len(list_filter(string_split(x, ' '),
+                                    w -> w <> '')))) AS BIGINT)
+               AS n_words
+      FROM s
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sents) AS BIGINT) AS tot_sents,
+           CAST(SUM(n_words) AS BIGINT) AS tot_words,
+           CAST(SUM(n_words) * 1000 // SUM(n_sents) AS BIGINT)
+             AS words_per_sent_milli
+    FROM per GROUP BY source
+    """,
+)
+def docs_sentence_stats(spark, sf_dir):
+    """Sentence segmentation stats per source: terminal-punctuation
+    splitting ([.!?]+ runs), trimmed/empty-filtered, with mean
+    sentence length in words (milli grain, truncating). The
+    readability/chunking primitive text_readability builds on,
+    exposed as its own rollup. All higher-order array functions
+    JVM-side; one source-keyed agg."""
+    d = _cat(spark, sf_dir).documents
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), "[.!?]+"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    per = d.select(
+        "source",
+        F.size(sents).alias("n_sents"),
+        F.aggregate(
+            F.transform(
+                sents,
+                lambda x: F.size(
+                    F.filter(
+                        F.split(x, " "), lambda w: w != ""
+                    )
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n_words"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_sents").alias("tot_sents"),
+        F.sum("n_words").alias("tot_words"),
+        F.expr(
+            "CAST(SUM(n_words) * 1000 AS BIGINT) div SUM(n_sents)"
+        ).alias("words_per_sent_milli"),
+    )
+
+
+@query(
+    "docs_dup_rate_by_source",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, md5({_NORM_SQL}) AS content_hash
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY content_hash
+                                ORDER BY doc_id) AS rk
+      FROM h
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dups,
+           CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_rate_ppm
+    FROM ranked GROUP BY source
+    """,
+)
+def docs_dup_rate_by_source(spark, sf_dir):
+    """Duplicate-rate scorecard per source: global first-wins exact
+    dedup (normalized-content md5, lowest doc_id keeps), then each
+    source is charged for the copies IT contributed — the shard-level
+    health metric a corpus pipeline tracks per ingest source (which
+    feed is mostly mirrors?). Complements dedup_exact (the dedup
+    itself) and docs_source_overlap_matrix (pairwise view) with the
+    per-source rollup. One hash shuffle + one source agg."""
+    d = _cat(spark, sf_dir).documents
+    h = d.select(
+        "doc_id",
+        "source",
+        T.normalized_hash("text").alias("content_hash"),
+    )
+    ranked = h.select(
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("content_hash").orderBy("doc_id"))
+        .alias("rk"),
+    )
+    dup = F.when(F.col("rk") > 1, 1).otherwise(0)
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(dup).alias("n_dups"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) * 1000000 "
+            "AS BIGINT) div COUNT(*)"
+        ).alias("dup_rate_ppm"),
+    )
+
+
+@query(
+    "text_char_trigram_profile",
+    oracle="""
+    WITH g AS (
+      SELECT lang, substr(lower(text), i, 3) AS tri
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - 2))
+                    AS i)
+    ), filtered AS (
+      SELECT lang, tri FROM g
+      WHERE NOT regexp_matches(tri, '[^a-z]')
+    ), cnt AS (
+      SELECT lang, tri, COUNT(*) AS n FROM filtered GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, tri, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, tri) AS rk
+      FROM cnt
+    )
+    SELECT lang, tri, n, rk FROM ranked WHERE rk <= 10
+    """,
+)
+def text_char_trigram_profile(spark, sf_dir):
+    """Top-10 character trigrams per language — the classic n-gram
+    language-ID feature profile (text_language_id consumes exactly
+    these statistics; this key exposes the profile itself for model
+    training/debugging). Letters-only trigrams from a sliding
+    3-char window; exact counts, deterministic (n DESC, tri) rank.
+    Scale: the explode is 1 row per char — heavy but linear and
+    shuffle-free until the (lang, tri) partial agg, which combines
+    map-side to |langs|x26^3 max."""
+    d = _cat(spark, sf_dir).documents
+    g = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                " i -> substr(lower(text), i, 3))"
+            )
+        ).alias("tri"),
+    ).filter(~F.col("tri").rlike("[^a-z]"))
+    cnt = g.groupBy("lang", "tri").agg(F.count("*").alias("n"))
+    ranked = cnt.select(
+        "lang", "tri", "n",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.col("n").desc(), "tri"
+            )
+        )
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= 10)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -25286,7 +25547,9 @@ _PRIORITY = [
     "graph_hits_authorities", "ml_lift_cumulative_gains",
     "ml_mutual_information", "ml_cramers_v", "ml_iv_woe",
     "privacy_rr_estimate", "privacy_small_cell_suppression",
-    "event_stickiness_dau_mau",
+    "event_stickiness_dau_mau", "multimodal_audio_vad",
+    "docs_tokenizer_fertility", "docs_sentence_stats",
+    "docs_dup_rate_by_source", "text_char_trigram_profile",
     # round-5 third session
     "docs_pack_sequences", "docs_pack_greedy", "docs_paragraph_dedup",
     "privacy_t_closeness", "graph_link_prediction", "profile_fk_integrity",

@@ -393,3 +393,107 @@ def test_stickiness_dau_mau_replay(spark):
         mau = len({u for (u, dd) in active if d - 27 <= dd <= d})
         assert got[d] == (dau, mau, dau * 1_000_000 // mau)
         assert got[d][0] <= got[d][1]
+
+
+def test_audio_vad_segments_replay(spark):
+    """Frame energies + island merge replayed bytewise in Python."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    want = set()
+    for d in docs:
+        raw = d["text"].encode()
+        n = (len(raw) // 64) * 64
+        speech = [
+            i
+            for i in range(n // 64)
+            if sum(raw[i * 64:(i + 1) * 64]) > 6040
+        ]
+        if not speech:
+            continue
+        start = prev = speech[0]
+        seg_e = sum(raw[start * 64:(start + 1) * 64])
+        for f in speech[1:]:
+            if f == prev + 1:
+                prev = f
+                seg_e += sum(raw[f * 64:(f + 1) * 64])
+            else:
+                want.add((d["doc_id"], start, prev, prev - start + 1, seg_e))
+                start = prev = f
+                seg_e = sum(raw[f * 64:(f + 1) * 64])
+        want.add((d["doc_id"], start, prev, prev - start + 1, seg_e))
+    got = {
+        (r["doc_id"], r["start_frame"], r["end_frame"], r["n_frames"],
+         r["total_energy"])
+        for r in QUERIES["multimodal_audio_vad"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_tokenizer_fertility_invariants(spark):
+    rows = QUERIES["docs_tokenizer_fertility"](spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        # BPE pre-tokens can only split words further: fertility >= 1
+        assert r["fertility_ppm"] >= 1_000_000
+        assert r["tot_tokens"] >= r["tot_words"]
+        assert r["fertility_ppm"] == r["tot_tokens"] * 1_000_000 // r["tot_words"]
+
+
+def test_sentence_stats_replay(spark):
+    import re as _re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for d in docs:
+        sents = [
+            s.strip() for s in _re.split(r"[.!?]+", d["text"]) if s.strip()
+        ]
+        words = sum(len([w for w in s.split(" ") if w]) for s in sents)
+        a = agg[d["source"]]
+        a[0] += 1
+        a[1] += len(sents)
+        a[2] += words
+    got = {
+        r["source"]: (
+            r["n_docs"], r["tot_sents"], r["tot_words"],
+            r["words_per_sent_milli"],
+        )
+        for r in QUERIES["docs_sentence_stats"](spark, SF_DIR).collect()
+    }
+    assert got == {
+        k: (n, s, w, w * 1000 // s) for k, (n, s, w) in agg.items()
+    }
+
+
+def test_dup_rate_charges_copies_not_originals(spark):
+    rows = QUERIES["docs_dup_rate_by_source"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    import re as _re
+
+    first = {}
+    dups = defaultdict(int)
+    tot = defaultdict(int)
+    for d in sorted(docs, key=lambda r: r["doc_id"]):
+        norm = _re.sub(r"\s+", " ", d["text"]).strip().lower()
+        tot[d["source"]] += 1
+        if norm in first:
+            dups[d["source"]] += 1
+        else:
+            first[norm] = d["doc_id"]
+    got = {r["source"]: (r["n_docs"], r["n_dups"]) for r in rows}
+    assert got == {k: (tot[k], dups[k]) for k in tot}
+    total_dups = sum(dups.values())
+    assert total_dups == len(docs) - len(first)
+
+
+def test_char_trigram_profile_topk(spark):
+    rows = QUERIES["text_char_trigram_profile"](spark, SF_DIR).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append((r["rk"], r["n"], r["tri"]))
+        assert len(r["tri"]) == 3 and r["tri"].isalpha() and r["tri"].islower()
+    for lang, items in by_lang.items():
+        items.sort()
+        assert [rk for rk, _, _ in items] == list(range(1, len(items) + 1))
+        # counts non-increasing with rank; ties broken by trigram asc
+        for (r1, n1, t1), (r2, n2, t2) in zip(items, items[1:]):
+            assert n1 > n2 or (n1 == n2 and t1 < t2)
