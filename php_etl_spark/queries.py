@@ -25474,6 +25474,289 @@ def text_char_trigram_profile(spark, sf_dir):
     return ranked.filter(F.col("rk") <= 10)
 
 
+@query(
+    "fn_base64_hex_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           base64(CAST(c_name AS BLOB)) AS name_b64,
+           lower(hex(c_name)) AS name_hex,
+           CAST(c_name = CAST(from_base64(base64(CAST(c_name AS BLOB)))
+                              AS VARCHAR) AS BIGINT) AS roundtrip_ok
+    FROM customer WHERE c_custkey <= 1000
+    """,
+)
+def fn_base64_hex_roundtrip(spark, sf_dir):
+    """Binary-to-text codec surface: base64 and hex encodings of a
+    string column plus a decode-roundtrip check — the wire-format
+    parity every export/import path depends on (fn_hash covers the
+    digest side; this covers the reversible codecs). Spark hex() is
+    uppercase and DuckDB's lowercase, so both sides normalize with
+    lower() — the kind of cross-engine canonicalization a switcher
+    must know about. Narrow map, filter pushed to the scan."""
+    cust = _cat(spark, sf_dir).customer.filter(
+        F.col("c_custkey") <= 1000
+    )
+    b64 = F.base64(F.encode(F.col("c_name"), "UTF-8"))
+    return cust.select(
+        "c_custkey",
+        b64.alias("name_b64"),
+        F.lower(F.hex(F.col("c_name"))).alias("name_hex"),
+        (
+            F.col("c_name")
+            == F.decode(F.unbase64(b64), "UTF-8")
+        )
+        .cast("long")
+        .alias("roundtrip_ok"),
+    )
+
+
+@query(
+    "fn_iso_week_parity",
+    oracle="""
+    SELECT CAST(isoyear(CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS iso_year,
+           CAST(week(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(isodow(CAST(o_orderdate AS DATE))) AS BIGINT)
+             AS first_dow
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def fn_iso_week_parity(spark, sf_dir):
+    """ISO-8601 week calendar parity: ISO week-year + week number +
+    ISO day-of-week (Mon=1) rollup of orders. The early-January /
+    late-December edges (2021-01-01 is ISO 2020-W53) are exactly
+    where naive YEAR()/WEEK() reports go wrong, and where engines
+    silently disagree unless both implement ISO-8601 — Spark
+    yearofweek/weekofyear vs DuckDB isoyear/week, weekday()+1 vs
+    isodow. Pure date arithmetic on the scan + one small agg."""
+    orders = _cat(spark, sf_dir).orders
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(
+            F.expr(
+                "CAST(extract(yearofweek FROM CAST(o_orderdate AS DATE))"
+                " AS BIGINT)"
+            ).alias("iso_year"),
+            F.weekofyear(d).cast("long").alias("iso_week"),
+            (F.weekday(d) + 1).cast("long").alias("dow"),
+        )
+        .groupBy("iso_year", "iso_week")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("dow").alias("first_dow"),
+        )
+    )
+
+
+@query(
+    "sql_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def sql_distinct_on(spark, sf_dir):
+    """DISTINCT ON semantics (each customer's highest-value order,
+    deterministic tie-break) — the Postgres/DuckDB idiom a switcher
+    reaches for that Spark spells as a ranked-window filter. The
+    row_number form is also the SCALE-correct one: it partial-sorts
+    within hash partitions of o_custkey, no global sort, and AQE can
+    coalesce; first-wins dedup (dedup_first) is the unordered cousin.
+    One shuffle on the key."""
+    orders = _cat(spark, sf_dir).orders
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number()
+            .over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.col("o_totalprice").desc(), F.col("o_orderkey")
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+# 5%/yr discount as the exact rational 21/20; base year 1995, max
+# exponent T=6 (order dates span 1995-2001), so NPV·21^6 is an exact
+# integer and the single closing division is identical in both
+# engines. 21^6 precomputed (ANSI constant-folding pitfall).
+_NPV_DEN_T = 85766121  # 21**6
+
+
+@query(
+    "agg_npv_exact",
+    oracle=f"""
+    WITH cf AS (
+      SELECT c_mktsegment AS segment,
+             CAST(year(o_orderdate) - 1995 AS BIGINT) AS t,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), scaled AS (
+      SELECT segment,
+             CAST(SUM(CAST(cents AS HUGEINT)
+                      * CAST(20 ** t AS HUGEINT)
+                      * CAST(21 ** (6 - t) AS HUGEINT)) AS HUGEINT)
+               AS npv_scaled,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM cf GROUP BY segment
+    )
+    SELECT segment, n_orders,
+           CAST(round(CAST(npv_scaled AS DOUBLE) / {_NPV_DEN_T})
+                AS BIGINT) AS npv_cents
+    FROM scaled
+    """,
+)
+def agg_npv_exact(spark, sf_dir):
+    """Net present value of order cashflows per market segment at 5%
+    annual discount: each year-t flow is weighted by the EXACT
+    rational (20/21)^t via integer numerators — Σ cents·20^t·21^(T-t)
+    accumulates in decimal38 with zero rounding, and only the single
+    closing division by 21^T touches floating point (two correctly-
+    rounded ops, identical in both engines, cents grain). The
+    discounted-cashflow primitive agg_cohort_ltv and window_drawdown
+    sit beside; exact powers-of-rationals is the same trick
+    ml_ridge_closed_form uses for Cramer determinants. One join +
+    one segment agg, all map-side combinable."""
+    cat = _cat(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    cf = cat.orders.join(
+        cat.customer.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.year("o_orderdate") - 1995).cast("long").alias("t"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    weight = F.expr(
+        "CAST(power(20, t) AS DECIMAL(38,0)) "
+        "* CAST(power(21, 6 - t) AS DECIMAL(38,0))"
+    )
+    scaled = cf.groupBy("segment").agg(
+        F.sum(F.col("cents").cast(d38) * weight).alias("npv_scaled"),
+        F.count("*").alias("n_orders"),
+    )
+    return scaled.select(
+        "segment", "n_orders",
+        F.round(
+            F.col("npv_scaled").cast("double") / F.lit(_NPV_DEN_T)
+        )
+        .cast("long")
+        .alias("npv_cents"),
+    )
+
+
+@query(
+    "ts_rsi_wilder",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS px
+      FROM events GROUP BY 1, 2
+    ), seq AS (
+      SELECT event_type, day, px,
+             px - LAG(px) OVER (PARTITION BY event_type ORDER BY day)
+               AS delta,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn
+      FROM daily
+    ), r AS (
+      SELECT event_type, day, rn,
+             CAST(GREATEST(delta, 0) AS DOUBLE) AS u,
+             CAST(GREATEST(-delta, 0) AS DOUBLE) AS d
+      FROM seq WHERE rn = 2
+      UNION ALL
+      SELECT s.event_type, s.day, s.rn,
+             0.5 * CAST(GREATEST(s.delta, 0) AS DOUBLE) + 0.5 * r.u,
+             0.5 * CAST(GREATEST(-s.delta, 0) AS DOUBLE) + 0.5 * r.d
+      FROM r JOIN seq s
+        ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, day,
+           CASE WHEN u + d > 0
+                THEN CAST(round(100000.0 * u / (u + d)) AS BIGINT)
+           END AS rsi_milli
+    FROM r
+    """,
+)
+def ts_rsi_wilder(spark, sf_dir):
+    """Relative Strength Index with binary Wilder smoothing (α=½)
+    over per-type daily cent totals: gains and losses each follow
+    u_i = ½·g_i + ½·u_{i-1} — with α=½ every step is exact binary
+    scalings + one IEEE add (ts_ewma_recursive precedent), so the
+    smoothed averages are bit-identical to the oracle's recursive
+    CTE and RSI = 100·u/(u+d) is one correctly-rounded division,
+    milli grain. (Classic Wilder α=1/14 is not binary-exact; the
+    documented deviation trades period for exactness.) Scale: the
+    JVM computes prices and deltas (lag window); one mapInPandas
+    carry pass replays the two recurrences per key — parallel over
+    keys, sequential within, like every IIR."""
+    import numpy as np
+    import pandas as pd  # noqa: F811 — local alias for the UDF
+
+    ev = _cat(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("px")
+    )
+    seq = daily.select(
+        "event_type", "day", "px",
+        (
+            F.col("px")
+            - F.lag("px").over(
+                Window.partitionBy("event_type").orderBy("day")
+            )
+        ).alias("delta"),
+    ).filter(F.col("delta").isNotNull())
+    by_key = seq.repartition(F.col("event_type")).sortWithinPartitions(
+        "event_type", "day"
+    )
+
+    def _rsi(batches):
+        cur = None
+        u = d = 0.0
+        for pdf in batches:
+            keys = pdf["event_type"].to_numpy()
+            deltas = pdf["delta"].to_numpy(dtype="float64")
+            out = np.empty(len(deltas), dtype="object")
+            for i in range(len(deltas)):
+                g = deltas[i] if deltas[i] > 0 else 0.0
+                l = -deltas[i] if deltas[i] < 0 else 0.0
+                if keys[i] != cur:
+                    cur = keys[i]
+                    u, d = g, l
+                else:
+                    u = 0.5 * g + 0.5 * u
+                    d = 0.5 * l + 0.5 * d
+                if u + d > 0:
+                    x = 100000.0 * u / (u + d)
+                    out[i] = int(
+                        np.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
+                    )
+                else:
+                    out[i] = None
+            yield pd.DataFrame(
+                {
+                    "event_type": keys,
+                    "day": pdf["day"].to_numpy(),
+                    "rsi_milli": out,
+                }
+            )
+
+    return by_key.mapInPandas(
+        _rsi, "event_type string, day date, rsi_milli bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -25550,6 +25833,8 @@ _PRIORITY = [
     "event_stickiness_dau_mau", "multimodal_audio_vad",
     "docs_tokenizer_fertility", "docs_sentence_stats",
     "docs_dup_rate_by_source", "text_char_trigram_profile",
+    "fn_base64_hex_roundtrip", "fn_iso_week_parity", "sql_distinct_on",
+    "agg_npv_exact", "ts_rsi_wilder",
     # round-5 third session
     "docs_pack_sequences", "docs_pack_greedy", "docs_paragraph_dedup",
     "privacy_t_closeness", "graph_link_prediction", "profile_fk_integrity",

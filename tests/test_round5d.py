@@ -497,3 +497,117 @@ def test_char_trigram_profile_topk(spark):
         # counts non-increasing with rank; ties broken by trigram asc
         for (r1, n1, t1), (r2, n2, t2) in zip(items, items[1:]):
             assert n1 > n2 or (n1 == n2 and t1 < t2)
+
+
+def test_base64_hex_roundtrip_all_ok(spark):
+    import base64 as _b64
+
+    rows = QUERIES["fn_base64_hex_roundtrip"](spark, SF_DIR).collect()
+    cust = {
+        r["c_custkey"]: r["c_name"]
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+        if r["c_custkey"] <= 1000
+    }
+    assert len(rows) == len(cust)
+    for r in rows:
+        name = cust[r["c_custkey"]]
+        assert r["roundtrip_ok"] == 1
+        assert r["name_b64"] == _b64.b64encode(name.encode()).decode()
+        assert r["name_hex"] == name.encode().hex()
+
+
+def test_iso_week_parity_replay(spark):
+    import datetime as _dt
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    agg = defaultdict(lambda: [0, 8])
+    for r in orders:
+        d = r["o_orderdate"].date()
+        iso = d.isocalendar()
+        a = agg[(iso[0], iso[1])]
+        a[0] += 1
+        a[1] = min(a[1], iso[2])
+    got = {
+        (r["iso_year"], r["iso_week"]): (r["n_orders"], r["first_dow"])
+        for r in QUERIES["fn_iso_week_parity"](spark, SF_DIR).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_distinct_on_picks_max_order(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    best = {}
+    for r in orders:
+        k = r["o_custkey"]
+        cand = (-r["o_totalprice"], r["o_orderkey"])
+        if k not in best or cand < best[k]:
+            best[k] = cand
+    got = {
+        r["o_custkey"]: r["o_orderkey"]
+        for r in QUERIES["sql_distinct_on"](spark, SF_DIR).collect()
+    }
+    assert got == {k: v[1] for k, v in best.items()}
+
+
+def test_npv_exact_replay(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    seg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    scaled = defaultdict(int)
+    n = defaultdict(int)
+    for r in orders:
+        s = seg[r["o_custkey"]]
+        t = r["o_orderdate"].year - 1995
+        assert 0 <= t <= 6
+        scaled[s] += round(r["o_totalprice"] * 100) * 20**t * 21 ** (6 - t)
+        n[s] += 1
+    got = {
+        r["segment"]: (r["n_orders"], r["npv_cents"])
+        for r in QUERIES["agg_npv_exact"](spark, SF_DIR).collect()
+    }
+    want = {
+        s: (n[s], round(float(v) / 21**6)) for s, v in scaled.items()
+    }
+    assert got == want
+    for s, (_, npv) in got.items():
+        undiscounted = sum(
+            round(r["o_totalprice"] * 100)
+            for r in orders
+            if seg[r["o_custkey"]] == s
+        )
+        assert 0 < npv < undiscounted
+
+
+def test_rsi_wilder_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r["event_type"], r["ts"].date())] += round(r["value"] * 100)
+    series = defaultdict(list)
+    for (et, day), px in sorted(daily.items()):
+        series[et].append((day, px))
+    want = {}
+    for et, pts in series.items():
+        u = d = None
+        for (pd0, p0), (pd1, p1) in zip(pts, pts[1:]):
+            delta = p1 - p0
+            g, l = max(delta, 0), max(-delta, 0)
+            if u is None:
+                u, d = float(g), float(l)
+            else:
+                u = 0.5 * g + 0.5 * u
+                d = 0.5 * l + 0.5 * d
+            if u + d > 0:
+                x = 100000.0 * u / (u + d)
+                want[(et, pd1)] = int(math.floor(x + 0.5))
+            else:
+                want[(et, pd1)] = None
+    got = {
+        (r["event_type"], r["day"]): r["rsi_milli"]
+        for r in QUERIES["ts_rsi_wilder"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    for v in got.values():
+        assert v is None or 0 <= v <= 100_000
