@@ -25757,6 +25757,306 @@ def ts_rsi_wilder(spark, sf_dir):
     )
 
 
+@query(
+    "fn_str_to_map_entries",
+    oracle="""
+    WITH s AS (
+      SELECT c_custkey,
+             'seg=' || c_mktsegment || ';nat=' || c_nationkey
+               || ';bal=' || CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                                  AS VARCHAR) AS packed
+      FROM customer WHERE c_custkey <= 500
+    )
+    SELECT c_custkey,
+           string_split(kv, '=')[1] AS k,
+           string_split(kv, '=')[2] AS v
+    FROM s, LATERAL (SELECT unnest(string_split(packed, ';')) AS kv)
+    """,
+)
+def fn_str_to_map_entries(spark, sf_dir):
+    """str_to_map surface: pack columns into a 'k=v;k=v' connection-
+    string shape, parse back with Spark's str_to_map, and emit the
+    exploded entries — the config/DSN parsing idiom (reference DSN
+    parsing, sdk/src/ConnectionConfig.php) done columnar. The oracle
+    splits the same string with list functions, proving the parse is
+    engine-portable. Narrow map + one explode; no shuffle."""
+    cust = _cat(spark, sf_dir).customer.filter(
+        F.col("c_custkey") <= 500
+    )
+    m = F.expr(
+        "str_to_map("
+        "concat('seg=', c_mktsegment, ';nat=', CAST(c_nationkey AS STRING),"
+        " ';bal=', CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS STRING)),"
+        " ';', '=')"
+    )
+    return (
+        cust.select("c_custkey", F.explode(m).alias("k", "v"))
+        .select("c_custkey", "k", "v")
+    )
+
+
+@query(
+    "agg_levene_bf",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), med AS (
+      SELECT grp,
+             CAST(round(quantile_cont(cents, 0.5) * 2) AS BIGINT)
+               AS med2
+      FROM x GROUP BY grp
+    ), z AS (
+      SELECT x.grp, ABS(2 * x.cents - m.med2) AS z2
+      FROM x JOIN med m ON x.grp = m.grp
+    ), g AS (
+      SELECT grp, COUNT(*) AS n,
+             CAST(SUM(z2) AS BIGINT) AS sz,
+             CAST(SUM(CAST(z2 AS HUGEINT) * z2) AS HUGEINT) AS szz
+      FROM z GROUP BY grp
+    ), t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(sz) AS HUGEINT) AS tz
+      FROM g
+    )
+    SELECT MAX(nn) AS n_total, MAX(k) AS n_groups,
+           CAST(round(1000.0 * (MAX(nn) - MAX(k))
+                / (MAX(k) - 1)
+                * SUM(CAST(n AS DOUBLE)
+                      * (CAST(sz AS DOUBLE) / n
+                         - CAST(tz AS DOUBLE) / nn)
+                      * (CAST(sz AS DOUBLE) / n
+                         - CAST(tz AS DOUBLE) / nn))
+                / SUM(CAST(szz AS DOUBLE)
+                      - CAST(sz AS DOUBLE) * sz / n)) AS BIGINT)
+             AS levene_w_milli
+    FROM g CROSS JOIN t
+    """,
+)
+def agg_levene_bf(spark, sf_dir):
+    """Brown-Forsythe (median-based Levene) homogeneity-of-variance
+    test across order priorities: z = |x − group median| on the
+    DOUBLED cent grid (interpolated medians land on halves — doubling
+    keeps z integral and engine-exact), then W from exact integer
+    (n, Σz, Σz²) per group assembled in an identical float expression
+    on both sides, milli grain. The variance-equality gate that
+    belongs in front of agg_ttest_welch / agg_anova_f. Scale: two
+    fact aggs (one for exact medians — the honest full-sort cost
+    agg_median_exact documents — one for the z moments) + a
+    broadcast of k group rows."""
+    orders = _cat(spark, sf_dir).orders
+    x = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    med = x.groupBy("grp").agg(
+        F.round(F.percentile("cents", F.lit(0.5)) * 2)
+        .cast("long")
+        .alias("med2")
+    )
+    z = x.join(F.broadcast(med), "grp").select(
+        "grp",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("z2"),
+    )
+    d38 = "decimal(38,0)"
+    g = z.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("z2").alias("sz"),
+        F.sum(F.col("z2").cast(d38) * F.col("z2")).alias("szz"),
+    )
+    t = g.agg(
+        F.sum("n").alias("nn"),
+        F.count("*").alias("k"),
+        F.sum(F.col("sz").cast(d38)).alias("tz"),
+    )
+    dev = (
+        F.col("sz").cast("double") / F.col("n")
+        - F.col("tz").cast("double") / F.col("nn")
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .agg(
+            F.max("nn").alias("n_total"),
+            F.max("k").alias("n_groups"),
+            F.round(
+                F.lit(1000.0)
+                * (F.max("nn") - F.max("k"))
+                / (F.max("k") - 1)
+                * F.sum(F.col("n").cast("double") * dev * dev)
+                / F.sum(
+                    F.col("szz").cast("double")
+                    - F.col("sz").cast("double")
+                    * F.col("sz")
+                    / F.col("n")
+                )
+            )
+            .cast("long")
+            .alias("levene_w_milli"),
+        )
+    )
+
+
+@query(
+    "event_power_user_curve",
+    oracle="""
+    WITH mx AS (
+      SELECT MAX(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS last_day
+      FROM events
+    ), act AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS day_num
+      FROM events
+    ), per_user AS (
+      SELECT a.user_id, COUNT(*) AS days_active
+      FROM act a, mx
+      WHERE a.day_num BETWEEN mx.last_day - 27 AND mx.last_day
+      GROUP BY a.user_id
+    )
+    SELECT days_active, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY days_active
+    """,
+)
+def event_power_user_curve(spark, sf_dir):
+    """L28 power-user curve: distribution of days-active (1..28) per
+    user over the last 28 days — the smile-shaped histogram growth
+    teams read next to DAU/MAU (event_stickiness_dau_mau). Exact
+    integer pipeline: epoch-day distinct activity, a broadcast scalar
+    for the window end, two partial-agg groupBys."""
+    ev = _cat(spark, sf_dir).events
+    act = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_num"),
+    ).distinct()
+    mx = act.agg(F.max("day_num").alias("last_day"))
+    per_user = (
+        act.join(F.broadcast(mx))
+        .filter(
+            F.col("day_num").between(
+                F.col("last_day") - 27, F.col("last_day")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("days_active"))
+    )
+    return per_user.groupBy("days_active").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@query(
+    "stream_left_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def stream_left_outer_join(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join: purchases with their
+    preceding-hour clicks OR a null-padded row if none arrived. The
+    outer semantics are the hard part of streaming joins — an
+    unmatched left row can only emit once the right-side watermark
+    passes its interval (the engine must prove no match can still
+    arrive), so state retention and the null-emission trigger are
+    both watermark-driven. Structured Streaming emits these closing
+    nulls in the post-data no-data batch under availableNow — but
+    only up to the final watermark, which trails max(ts) by the
+    watermark delay, so rows near the end of input would stay open
+    forever. The fix is the standard WATERMARK-FLUSH SENTINEL (the
+    role Flink's idle-source watermarks / Kafka heartbeat topics
+    play): stage the input plus one far-future row per side; the
+    sentinels push both watermarks past every real row's closing
+    point, all real unmatched purchases emit their nulls, and the
+    sentinels themselves (matchless, still open at shutdown) never
+    surface. With every real row closed the result equals the batch
+    LEFT JOIN — the oracle. Same bounded state as
+    stream_stream_join (inner)."""
+    import os
+    import shutil
+    import tempfile
+
+    from php_etl_spark.streaming.events import events_stream, run_to_files
+
+    src = f"{sf_dir}/events.parquet"
+    stage_root = tempfile.mkdtemp(prefix="stream_loj_")
+    table_dir = os.path.join(stage_root, "events.parquet")
+    os.makedirs(table_dir)
+    if os.path.isfile(src):
+        shutil.copy(src, os.path.join(table_dir, "part-data.parquet"))
+    else:
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(src, f),
+                    os.path.join(table_dir, f"data-{f}"),
+                )
+    base = spark.read.parquet(src)
+    template = base.limit(1).collect()[0].asDict()
+    flush_ts = base.agg(F.max("ts")).collect()[0][0]
+    if isinstance(flush_ts, int):  # nanos-as-long layout
+        flush_ts += 10 * 86400 * 10**9
+    else:
+        import datetime as _dt
+
+        flush_ts = flush_ts + _dt.timedelta(days=10)
+    rows = []
+    for sid, stype in ((-1, "purchase"), (-2, "click")):
+        r = dict(template)
+        r.update(
+            event_id=sid, user_id=-999, event_type=stype, ts=flush_ts
+        )
+        rows.append(r)
+    spark.createDataFrame(rows, base.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(table_dir)
+
+    ev1 = events_stream(spark, stage_root)
+    ev2 = events_stream(spark, stage_root)
+    purchases = (
+        ev1.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id")
+    )
+    # Sentinel rows are filtered on the BATCH read-back, not inside
+    # the streaming plan: a pushable predicate (purchase_id >= 0)
+    # would be pushed past the watermark operator into the file scan,
+    # silently deleting the sentinels and reverting the watermark —
+    # the exact pushdown-vs-watermark interaction this query exists
+    # to document.
+    res = run_to_files(joined, "append")
+    return res.filter(F.col("purchase_id") >= 0)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -25834,7 +26134,8 @@ _PRIORITY = [
     "docs_tokenizer_fertility", "docs_sentence_stats",
     "docs_dup_rate_by_source", "text_char_trigram_profile",
     "fn_base64_hex_roundtrip", "fn_iso_week_parity", "sql_distinct_on",
-    "agg_npv_exact", "ts_rsi_wilder",
+    "agg_npv_exact", "ts_rsi_wilder", "fn_str_to_map_entries",
+    "agg_levene_bf", "event_power_user_curve", "stream_left_outer_join",
     # round-5 third session
     "docs_pack_sequences", "docs_pack_greedy", "docs_paragraph_dedup",
     "privacy_t_closeness", "graph_link_prediction", "profile_fk_integrity",

@@ -611,3 +611,96 @@ def test_rsi_wilder_replay(spark):
     assert got == want
     for v in got.values():
         assert v is None or 0 <= v <= 100_000
+
+
+def test_str_to_map_entries_replay(spark):
+    rows = QUERIES["fn_str_to_map_entries"](spark, SF_DIR).collect()
+    cust = [
+        r
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+        if r["c_custkey"] <= 500
+    ]
+    want = set()
+    for r in cust:
+        want.add((r["c_custkey"], "seg", r["c_mktsegment"]))
+        want.add((r["c_custkey"], "nat", str(r["c_nationkey"])))
+        want.add((r["c_custkey"], "bal", str(round(r["c_acctbal"] * 100))))
+    assert {(r["c_custkey"], r["k"], r["v"]) for r in rows} == want
+
+
+def test_levene_bf_replay(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    groups = defaultdict(list)
+    for r in orders:
+        groups[r["o_orderpriority"]].append(round(r["o_totalprice"] * 100))
+    stats = []
+    for vals in groups.values():
+        vals.sort()
+        n = len(vals)
+        # interpolated median doubled (matches quantile_cont * 2)
+        if n % 2:
+            med2 = 2 * vals[n // 2]
+        else:
+            med2 = vals[n // 2 - 1] + vals[n // 2]
+        z = [abs(2 * v - med2) for v in vals]
+        stats.append((n, sum(z), sum(x * x for x in z)))
+    nn = sum(s[0] for s in stats)
+    k = len(stats)
+    tz = sum(s[1] for s in stats)
+    num = sum(
+        n * (sz / n - tz / nn) ** 2 for (n, sz, _) in stats
+    )
+    den = sum(szz - sz / n * sz for (n, sz, szz) in stats)
+    want = round(1000.0 * (nn - k) / (k - 1) * num / den)
+    row = QUERIES["agg_levene_bf"](spark, SF_DIR).collect()[0]
+    assert (row["n_total"], row["n_groups"]) == (nn, k)
+    assert abs(row["levene_w_milli"] - want) <= 1
+    assert row["levene_w_milli"] >= 0
+
+
+def test_power_user_curve_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    epoch = __import__("datetime").date(1970, 1, 1)
+    active = {(r["user_id"], (r["ts"].date() - epoch).days) for r in ev}
+    last = max(d for _, d in active)
+    per_user = defaultdict(int)
+    for u, d in active:
+        if last - 27 <= d <= last:
+            per_user[u] += 1
+    hist = defaultdict(int)
+    for n in per_user.values():
+        hist[n] += 1
+    got = {
+        r["days_active"]: r["n_users"]
+        for r in QUERIES["event_power_user_curve"](spark, SF_DIR).collect()
+    }
+    assert got == dict(hist)
+    assert all(1 <= d <= 28 for d in got)
+
+
+def test_stream_left_outer_matches_batch(spark):
+    """Streaming left-outer with the watermark-flush sentinel must
+    equal the batch LEFT JOIN exactly — including the null-padded
+    unmatched purchases in the final 2h that only close because the
+    sentinel advanced the watermark."""
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in QUERIES["stream_left_outer_join"](spark, SF_DIR).collect()
+    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    purchases = [r for r in ev if r["event_type"] == "purchase"]
+    clicks = [r for r in ev if r["event_type"] == "click"]
+    want = []
+    HOUR = __import__("datetime").timedelta(hours=1)
+    for p in purchases:
+        matched = False
+        for cl in clicks:
+            if cl["user_id"] == p["user_id"] and (
+                p["ts"] - HOUR <= cl["ts"] <= p["ts"]
+            ):
+                want.append((p["event_id"], cl["event_id"]))
+                matched = True
+        if not matched:
+            want.append((p["event_id"], None))
+    assert got == sorted(want, key=lambda t: (t[0], t[1] is None, t[1] or 0))
+    assert any(c is None for _, c in got)
