@@ -26057,6 +26057,342 @@ def stream_left_outer_join(spark, sf_dir):
     return res.filter(F.col("purchase_id") >= 0)
 
 
+@query("graph_mst_boruvka")
+def graph_mst_boruvka(spark, sf_dir):
+    """Minimum spanning forest by distributed Borůvka over the
+    co-purchase graph (same integer 1e6/n_cooc costs as
+    graph_sssp_weighted): every round each component selects its
+    cheapest outgoing edge under the (w, u, v) total order — ties
+    can't create cycles because the tie-broken minimum is unique per
+    component pair — the selected edges join the forest, and
+    components recompute by star-contraction (duplicate_clusters).
+    Components at least halve per round, so O(log V) rounds
+    regardless of diameter; each round is one broadcast-label join +
+    one per-component argmin window + the contraction. The classic
+    MapReduce-MST recipe (Karloff-Suri-Vassilvitskii model), which
+    is why Borůvka and not Kruskal: no sequential union-find.
+    Rows-only (a faithful SQL oracle would need data-dependent
+    iteration); tests/test_round5d.py proves forest weight equals a
+    Kruskal replay and validates acyclicity/coverage. Returns the
+    forest edges (u, v, w)."""
+    from php_etl_spark.materialize import materialize, unmaterialize
+
+    cat = _cat(spark, sf_dir)
+    items = (
+        cat.lineitem.select(
+            F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
+        )
+        .distinct()
+    )
+    a = items.alias("a")
+    c = items.alias("c")
+    edges = materialize(
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.i") < F.col("c.i")),
+        )
+        .groupBy(
+            F.col("a.i").alias("u"), F.col("c.i").alias("v")
+        )
+        .agg(F.count("*").alias("n_cooc"))
+        .filter(F.col("n_cooc") >= 2)
+        .select(
+            "u", "v", F.expr("1000000 div n_cooc").alias("w")
+        )
+    )
+    mst = None
+    comp = edges.select(F.col("u").alias("node")).union(
+        edges.select(F.col("v").alias("node"))
+    ).distinct().select(
+        "node", F.col("node").alias("cluster")
+    )
+    comp = materialize(comp)
+    for _ in range(12):
+        lab = (
+            edges.join(
+                comp.select(
+                    F.col("node").alias("u"),
+                    F.col("cluster").alias("cu"),
+                ),
+                "u",
+            )
+            .join(
+                comp.select(
+                    F.col("node").alias("v"),
+                    F.col("cluster").alias("cv"),
+                ),
+                "v",
+            )
+            .filter(F.col("cu") != F.col("cv"))
+        )
+        # cheapest outgoing edge per component, both directions
+        both = lab.select("u", "v", "w", F.col("cu").alias("comp")).union(
+            lab.select("u", "v", "w", F.col("cv").alias("comp"))
+        )
+        cand = (
+            both.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("comp").orderBy("w", "u", "v")
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("u", "v", "w")
+            .distinct()
+        )
+        n_new = cand.count()
+        if n_new == 0:
+            break
+        mst = materialize(
+            cand if mst is None else mst.union(cand).distinct()
+        )
+        cc = D.duplicate_clusters(
+            mst.select(
+                F.col("u").alias("doc_a"), F.col("v").alias("doc_b")
+            )
+        )
+        new_comp = materialize(
+            cc.select(F.col(cc.columns[0]).alias("node"), "cluster")
+        )
+        unmaterialize(comp)
+        comp = new_comp
+    unmaterialize(edges)
+    return mst.orderBy("w", "u", "v") if mst is not None else edges.limit(0)
+
+
+@query(
+    "window_bollinger_breakout",
+    oracle="""
+    WITH px AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, day, cents,
+             CAST(SUM(cents) OVER win AS BIGINT) AS s1,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) OVER win
+                  AS HUGEINT) AS s2,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n
+      FROM px
+      WINDOW win AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, cents, n,
+           CASE WHEN n < 2 THEN NULL
+                WHEN CAST(n * cents - s1 AS HUGEINT)
+                     * CAST(n * cents - s1 AS HUGEINT)
+                     * (n - 1)
+                     > 4 * n * (n * s2 - CAST(s1 AS HUGEINT) * s1)
+                THEN CAST(CASE WHEN n * cents > s1 THEN 1 ELSE -1 END
+                          AS BIGINT)
+                ELSE 0 END AS breakout
+    FROM w
+    """,
+)
+def window_bollinger_breakout(spark, sf_dir):
+    """Bollinger-band breakout flags WITHOUT floats: a day breaks
+    out when |x − mean| > 2·stddev over the trailing 10-day window,
+    tested in cleared exact form (n·x − Σ)²·(n−1) > 4·n·(n·Σx² − Σ²)
+    — every term an integer (decimal38), so the flag is engine-exact
+    where the usual sqrt-based bands drift. +1 above, −1 below, 0
+    inside, NULL until the window has 2 points. One event_type
+    shuffle; trailing frame excludes the current day (the band must
+    not contain the point it tests)."""
+    ev = _cat(spark, sf_dir).events
+    px = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    d38 = "decimal(38,0)"
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-9, -1)
+    )
+    w = px.select(
+        "event_type", "day", "cents",
+        F.sum("cents").over(win).alias("s1"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents"))
+        .over(win)
+        .alias("s2"),
+        F.count("*").over(win).alias("n"),
+    )
+    dev = (F.col("n") * F.col("cents") - F.col("s1")).cast(d38)
+    lhs = dev * dev * (F.col("n") - 1)
+    rhs = (
+        F.lit(4).cast(d38)
+        * F.col("n")
+        * (
+            F.col("n") * F.col("s2")
+            - F.col("s1").cast(d38) * F.col("s1")
+        )
+    )
+    return w.select(
+        "event_type", "day", "cents", "n",
+        F.when(F.col("n") < 2, F.lit(None).cast("long"))
+        .when(
+            lhs > rhs,
+            F.when(
+                F.col("n") * F.col("cents") > F.col("s1"), 1
+            )
+            .otherwise(-1)
+            .cast("long"),
+        )
+        .otherwise(0)
+        .alias("breakout"),
+    )
+
+
+@query(
+    "window_missing_ranges",
+    oracle="""
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ), gaps AS (
+      SELECT key,
+             LEAD(key) OVER (ORDER BY key) AS nxt
+      FROM k
+    )
+    SELECT key + 1 AS gap_start, nxt - 1 AS gap_end,
+           nxt - key - 1 AS n_missing
+    FROM gaps WHERE nxt - key > 1
+    """,
+)
+def window_missing_ranges(spark, sf_dir):
+    """Missing-range report over a surrogate-key sequence: each
+    (gap_start, gap_end, n_missing) run of absent key values in the
+    audited subset (urgent orders — the base sequence is dense, so
+    the subset provides real gaps at every scale) — the completeness
+    audit for ingest pipelines with sequence keys (did the CDC feed
+    skip a block?), the inverse of window_islands. One LEAD over the
+    sorted distinct keys — and at 100 TB the same report shards per
+    key-range bucket with a two-phase boundary fix-up exactly like
+    corpus_pretrain_build's prefix sum."""
+    orders = _cat(spark, sf_dir).orders
+    k = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+    )
+    gaps = k.select(
+        "key", F.lead("key").over(Window.orderBy("key")).alias("nxt")
+    )
+    return gaps.filter(F.col("nxt") - F.col("key") > 1).select(
+        (F.col("key") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("key") - 1).alias("n_missing"),
+    )
+
+
+@query(
+    "agg_runs_test",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(round(quantile_cont(value, 0.5) * 2000000) AS BIGINT)
+               AS med2
+      FROM events GROUP BY event_type
+    ), seq AS (
+      SELECT e.event_type,
+             CASE WHEN CAST(round(e.value * 2000000) AS BIGINT) > m.med2
+                  THEN 1 ELSE 0 END AS above,
+             ROW_NUMBER() OVER (PARTITION BY e.event_type
+                                ORDER BY e.ts, e.event_id) AS rn
+      FROM events e JOIN m ON e.event_type = m.event_type
+      WHERE CAST(round(e.value * 2000000) AS BIGINT) <> m.med2
+    ), chg AS (
+      SELECT event_type, above,
+             CASE WHEN above <> LAG(above)
+                    OVER (PARTITION BY event_type ORDER BY rn)
+                  THEN 1 ELSE 0 END AS is_chg
+      FROM seq
+    ), runs AS (
+      SELECT event_type,
+             CAST(SUM(is_chg) + 1 AS BIGINT) AS n_runs,
+             CAST(SUM(above) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(above) AS BIGINT) AS n2
+      FROM chg GROUP BY event_type
+    )
+    SELECT event_type, n_runs, n1, n2,
+           CAST(round(1000.0
+                * (n_runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                       / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))))
+             AS BIGINT) AS z_milli
+    FROM runs
+    """,
+)
+def agg_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test for serial randomness per event
+    stream: dichotomize values against the group median (exact
+    doubled-micro grid; exact-median points dropped, the standard
+    treatment), count sign runs with one LAG, and z-score against
+    the exact run-count moments. Run/ones/zeros counts are integers
+    — the statistic the hash pins — and z is an identical float
+    expression of those integers at milli grain. The randomness
+    gate for ts_dominant_period / agg_autocorr_lag findings. One
+    event_type shuffle end to end."""
+    ev = _cat(spark, sf_dir).events
+    m = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)) * 2000000)
+        .cast("long")
+        .alias("med2")
+    )
+    v2 = F.round(F.col("value") * 2000000).cast("long")
+    seq = (
+        ev.join(F.broadcast(m), "event_type")
+        .filter(v2 != F.col("med2"))
+        .select(
+            "event_type",
+            F.when(v2 > F.col("med2"), 1).otherwise(0).alias("above"),
+            F.row_number()
+            .over(
+                Window.partitionBy("event_type").orderBy(
+                    "ts", "event_id"
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    chg = seq.select(
+        "event_type", "above",
+        F.when(
+            F.col("above")
+            != F.lag("above").over(
+                Window.partitionBy("event_type").orderBy("rn")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_chg"),
+    )
+    runs = chg.groupBy("event_type").agg(
+        (F.sum("is_chg") + 1).alias("n_runs"),
+        F.sum("above").alias("n1"),
+        (F.count("*") - F.sum("above")).alias("n2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return runs.select(
+        "event_type", "n_runs", "n1", "n2",
+        F.round(1000.0 * (F.col("n_runs") - mu) / F.sqrt(var))
+        .cast("long")
+        .alias("z_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation
 # ---------------------------------------------------------------------------
@@ -26136,6 +26472,8 @@ _PRIORITY = [
     "fn_base64_hex_roundtrip", "fn_iso_week_parity", "sql_distinct_on",
     "agg_npv_exact", "ts_rsi_wilder", "fn_str_to_map_entries",
     "agg_levene_bf", "event_power_user_curve", "stream_left_outer_join",
+    "graph_mst_boruvka", "window_bollinger_breakout",
+    "window_missing_ranges", "agg_runs_test",
     # round-5 third session
     "docs_pack_sequences", "docs_pack_greedy", "docs_paragraph_dedup",
     "privacy_t_closeness", "graph_link_prediction", "profile_fk_integrity",

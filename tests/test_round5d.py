@@ -704,3 +704,136 @@ def test_stream_left_outer_matches_batch(spark):
             want.append((p["event_id"], None))
     assert got == sorted(want, key=lambda t: (t[0], t[1] is None, t[1] or 0))
     assert any(c is None for _, c in got)
+
+
+def _copurchase_edges(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    per_order = defaultdict(set)
+    for r in li:
+        per_order[r["l_orderkey"]].add(r["l_partkey"])
+    cooc = defaultdict(int)
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                cooc[(ps[i], ps[j])] += 1
+    return {
+        (u, v): 1_000_000 // n for (u, v), n in cooc.items() if n >= 2
+    }
+
+
+def test_mst_boruvka_weight_matches_kruskal(spark):
+    """Borůvka's forest must have the same component coverage, edge
+    count (V - #components), acyclicity, and TOTAL WEIGHT as a
+    sequential Kruskal replay (the forest itself need not be unique
+    under duplicate weights; the weight is)."""
+    edges = _copurchase_edges(spark)
+    got = [
+        (r["u"], r["v"], r["w"])
+        for r in QUERIES["graph_mst_boruvka"](spark, SF_DIR).collect()
+    ]
+    for u, v, w in got:
+        assert edges.get((u, v)) == w  # forest edges come from the graph
+    # union-find Kruskal
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    kruskal_w = 0
+    n_edges = 0
+    for (u, v), w in sorted(edges.items(), key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            kruskal_w += w
+            n_edges += 1
+    assert sum(w for _, _, w in got) == kruskal_w
+    assert len(got) == n_edges
+    # acyclic: |edges| == |nodes| - |components| in the returned forest
+    parent.clear()
+    for u, v, _ in got:
+        ru, rv = find(u), find(v)
+        assert ru != rv  # adding a forest edge never closes a cycle
+        parent[ru] = rv
+
+
+def test_bollinger_breakout_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r["event_type"], r["ts"].date())] += round(r["value"] * 100)
+    series = defaultdict(list)
+    for (et, day), cents in sorted(daily.items()):
+        series[et].append((day, cents))
+    want = {}
+    for et, pts in series.items():
+        for i, (day, x) in enumerate(pts):
+            wnd = [c for _, c in pts[max(0, i - 9):i]]
+            n = len(wnd)
+            if n < 2:
+                want[(et, day)] = None
+                continue
+            s1, s2 = sum(wnd), sum(c * c for c in wnd)
+            lhs = (n * x - s1) ** 2 * (n - 1)
+            rhs = 4 * n * (n * s2 - s1 * s1)
+            if lhs > rhs:
+                want[(et, day)] = 1 if n * x > s1 else -1
+            else:
+                want[(et, day)] = 0
+    got = {
+        (r["event_type"], r["day"]): r["breakout"]
+        for r in QUERIES["window_bollinger_breakout"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert set(got.values()) >= {0}  # sanity: at least interior points
+
+
+def test_missing_ranges_cover_exact_complement(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    keys = sorted(
+        {r["o_orderkey"] for r in orders
+         if r["o_orderpriority"] == "1-URGENT"}
+    )
+    rows = QUERIES["window_missing_ranges"](spark, SF_DIR).collect()
+    missing = set()
+    for r in rows:
+        assert r["n_missing"] == r["gap_end"] - r["gap_start"] + 1 > 0
+        missing.update(range(r["gap_start"], r["gap_end"] + 1))
+    inner = set(range(keys[0], keys[-1] + 1)) - set(keys)
+    assert missing == inner
+
+
+def test_runs_test_replay(spark):
+    ev = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]),
+    )
+    series = defaultdict(list)
+    for r in ev:
+        series[r["event_type"]].append(round(r["value"] * 2_000_000))
+    got = {
+        r["event_type"]: (r["n_runs"], r["n1"], r["n2"], r["z_milli"])
+        for r in QUERIES["agg_runs_test"](spark, SF_DIR).collect()
+    }
+    for et, vals in series.items():
+        sv = sorted(vals)
+        n = len(sv)
+        if n % 2:
+            med2 = 2 * sv[n // 2]
+        else:
+            med2 = sv[n // 2 - 1] + sv[n // 2]
+        signs = [1 if 2 * v > med2 else 0 for v in vals if 2 * v != med2]
+        n1, n2 = sum(signs), len(signs) - sum(signs)
+        n_runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+        var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+               / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
+        z = round(1000.0 * (n_runs - mu) / math.sqrt(var))
+        grow = got[et]
+        assert (grow[0], grow[1], grow[2]) == (n_runs, n1, n2)
+        assert abs(grow[3] - z) <= 1
