@@ -450,6 +450,72 @@ def label_propagation(
     return labels
 
 
+def edge_triangle_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical (u < v) edge frame:
+    support(u,v) = |N(u) ∩ N(v)|, the number of triangles the edge
+    closes. Computed as a common-neighbor count — adjacency (both
+    directions) joined once per endpoint, keyed equi-joins only.
+    Join volume is Σ_e d(u), the wedge count; production graphs with
+    power-law hubs cap degree upstream or orient by degree first
+    (triangle_count's trick), which this keeps out of the inner loop
+    so the truss peel below stays simple. Edges closing zero
+    triangles are absent from the output (callers treat missing as
+    support 0)."""
+    adj = und.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    ).unionAll(und.select(F.col("v").alias("x"), F.col("u").alias("y")))
+    a1 = adj.select(F.col("x").alias("u"), F.col("y").alias("w"))
+    a2 = adj.select(F.col("x").alias("v"), F.col("y").alias("w"))
+    return (
+        und.join(a1, "u")
+        .join(a2, ["v", "w"])
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    a: str,
+    b: str,
+    k: int,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-truss of an undirected graph (Cohen 2008): the maximal
+    subgraph in which every edge participates in ≥ k-2 triangles —
+    the edge-grained cousin of the k-core, and a much stronger
+    cohesion filter (a k-core can be a star; a k-truss is built from
+    overlapping triangles, so it finds genuinely clique-ish cores:
+    communities, collusion rings, dense co-purchase pockets).
+
+    Iterative peel to the fixpoint: each round recomputes per-edge
+    triangle support on the REMAINING edges (edge_triangle_support —
+    two keyed joins + one agg) and drops edges with support < k-2;
+    dropping an edge can only lower its neighbors' support, so the
+    edge set shrinks monotonically and the loop converges in a few
+    waves on real graphs (``max_rounds`` is a backstop). Per-round
+    work ∝ wedges of the surviving subgraph; the frame is
+    re-materialized per round (lineage truncation, same as k_core and
+    pagerank) and the only driver traffic is the one-scalar
+    surviving-edge count. Returns the truss edges with their in-truss
+    support."""
+    if k < 3:
+        raise ValueError("k must be >= 3 (k=2 is every edge)")
+    und = materialize(undirected_edges(edges, a, b))
+    n_edges = und.count()
+    sup = None
+    for _ in range(max_rounds):
+        sup = materialize(
+            edge_triangle_support(und).filter(F.col("support") >= k - 2)
+        )
+        n_kept = sup.count()
+        if n_kept == n_edges:
+            break
+        n_edges = n_kept
+        und = sup.select("u", "v")
+    return sup
+
+
 def k_core(
     edges: DataFrame,
     a: str,

@@ -1,0 +1,205 @@
+"""Round-5 fifth batch: Misra-Gries heavy hitters, k-truss cohesion,
+Haar wavelets, quantile normalization, Lorenz curve, Benjamini-
+Hochberg FDR — differential replays against straight-line Python."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from php_etl_spark.operators.agg import heavy_hitters
+from php_etl_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _bucket(orderkey: int) -> int:
+    return ((orderkey * 2654435761) % 65536 + 1).bit_length() - 1
+
+
+def test_heavy_hitters_matches_exact_counts(spark):
+    rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey"
+    ).collect()
+    counts = Counter(_bucket(r["l_orderkey"]) for r in rows)
+    n = sum(counts.values())
+    want = {b: c for b, c in counts.items() if c * 20 > n}
+    got = {
+        r["bucket"]: r["n_rows"]
+        for r in QUERIES["agg_heavy_hitters"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert want, "probe data should contain heavy hitters"
+
+
+def test_heavy_hitters_partition_layout_independent(spark):
+    """Phase 1's MG survivors vary with partitioning; the phase-2
+    exact recount + filter must cancel that."""
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        (F.length(F.bin((F.col("l_orderkey") * 2654435761) % 65536 + 1)) - 1)
+        .cast("long")
+        .alias("bucket")
+    )
+    one = {
+        (r["bucket"], r["n_rows"])
+        for r in heavy_hitters(df.repartition(1), "bucket", k=20).collect()
+    }
+    many = {
+        (r["bucket"], r["n_rows"])
+        for r in heavy_hitters(df.repartition(13), "bucket", k=20).collect()
+    }
+    assert one == many and one
+
+
+def _copurchase_edges(spark):
+    baskets = defaultdict(set)
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for items in baskets.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                edges.add((s[i], s[j]))
+    return edges
+
+
+def _truss_fixpoint(edges: set, k: int):
+    """Reference peel; returns (surviving edge -> support, depth)."""
+    depth = 0
+    while True:
+        depth += 1
+        adj = defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        sup = {
+            (u, v): len(adj[u] & adj[v]) for u, v in edges
+        }
+        kept = {e for e, s in sup.items() if s >= k - 2}
+        if kept == edges:
+            return {e: sup[e] for e in kept}, depth
+        edges = kept
+
+
+def test_k_truss_matches_reference_peel(spark):
+    edges = _copurchase_edges(spark)
+    want, depth = _truss_fixpoint(edges, k=10)
+    assert depth <= 12, "oracle unrolls 16 rounds; depth must stay under"
+    got = {
+        (r["u"], r["v"]): r["support"]
+        for r in QUERIES["graph_k_truss"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert want, "probe graph should retain a 10-truss"
+
+
+def test_haar_wavelet_reconstructs(spark):
+    """Unnormalized Haar is invertible: x₀ = (a+d)/2, x₁ = (a−d)/2.
+    Reconstruct the first 32 hourly counts from the coefficients and
+    compare with the directly-computed series."""
+    rows = QUERIES["ts_haar_wavelet"](spark, SF_DIR).collect()
+    l1 = {(r["event_type"], r["idx"]): (r["approx"], r["detail"])
+          for r in rows if r["level"] == 1}
+    l2 = {(r["event_type"], r["idx"]): (r["approx"], r["detail"])
+          for r in rows if r["level"] == 2}
+    # rebuild level-1 approximations from level 2, then the series
+    hourly = defaultdict(Counter)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        hourly[r["event_type"]][r["ts"].replace(
+            minute=0, second=0, microsecond=0
+        )] += 1
+    for et in {k[0] for k in l1}:
+        series = [c for _, c in sorted(hourly[et].items())[:32]]
+        assert len(series) == 32
+        for j2 in range(8):
+            a2, d2 = l2[(et, j2)]
+            assert (a2 + d2) % 2 == 0
+            a_even, a_odd = (a2 + d2) // 2, (a2 - d2) // 2
+            for j, a_want in ((2 * j2, a_even), (2 * j2 + 1, a_odd)):
+                a, d = l1[(et, j)]
+                assert a == a_want
+                assert series[2 * j] == (a + d) // 2
+                assert series[2 * j + 1] == (a - d) // 2
+
+
+def test_quantile_normalize_equalizes_distributions(spark):
+    rows = QUERIES["ml_quantile_normalize"](spark, SF_DIR).collect()
+    by_source = defaultdict(list)
+    for r in rows:
+        by_source[r["source"]].append((r["r"], r["ref_val"]))
+    dists = {
+        s: tuple(v for _, v in sorted(vals))
+        for s, vals in by_source.items()
+    }
+    sizes = {len(v) for v in dists.values()}
+    # equal-size groups (capped at 100 docs/source; sf0.001 ships 25
+    # per source) must end with IDENTICAL normalized distributions —
+    # the defining property of QN
+    cap = max(sizes)
+    full = [v for v in dists.values() if len(v) == cap]
+    assert len(full) >= 2
+    assert len({v for v in full}) == 1
+    # and the reference value at each rank is the cross-group mean
+    ranked = defaultdict(list)
+    per_src = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect():
+        per_src[r["source"]].append((r["doc_id"], r["n_chars"]))
+    for s, docs in per_src.items():
+        first = [nc for _, nc in sorted(docs)[:100]]
+        for i, v in enumerate(sorted(first), start=1):
+            ranked[i].append(v)
+    want = {i: sum(vs) // len(vs) for i, vs in ranked.items()}
+    got = {r["r"]: r["ref_val"] for r in rows}
+    assert got == want
+    assert sizes, "nonempty"
+
+
+def test_lorenz_curve_matches_python_replay(spark):
+    spend = defaultdict(int)
+    for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect():
+        spend[r["o_custkey"]] += round(r["o_totalprice"] * 100)
+    ordered = sorted((c, k) for k, c in spend.items())
+    n = len(ordered)
+    base, extra = divmod(n, 10)
+    deciles, pos = [], 0
+    for i in range(1, 11):
+        size = base + (1 if i <= extra else 0)
+        deciles.append(ordered[pos:pos + size])
+        pos += size
+    total = sum(c for c, _ in ordered)
+    cum = 0
+    want = []
+    for i, chunk in enumerate(deciles, start=1):
+        dc = sum(c for c, _ in chunk)
+        cum += dc
+        want.append((i, len(chunk), dc, cum * 1000000 // total))
+    got = sorted(
+        (r["decile"], r["n_cust"], r["decile_cents"], r["cum_share_ppm"])
+        for r in QUERIES["agg_lorenz_curve"](spark, SF_DIR).collect()
+    )
+    assert got == want
+    # Lorenz invariants: shares are monotone and end at 100%
+    shares = [w[3] for w in want]
+    assert shares == sorted(shares) and shares[-1] == 1000000
+
+
+def test_benjamini_hochberg_step_up(spark):
+    rows = QUERIES["agg_benjamini_hochberg"](spark, SF_DIR).collect()
+    m = len(rows)
+    ranked = sorted(rows, key=lambda r: r["rk"])
+    # ranks are a permutation ordered by p
+    assert [r["rk"] for r in ranked] == list(range(1, m + 1))
+    ps = [r["p_micro"] for r in ranked]
+    assert ps == sorted(ps)
+    passing = [r["rk"] for r in ranked if r["p_micro"] * m <= r["rk"] * 50000]
+    k_star = max(passing) if passing else 0
+    for r in ranked:
+        assert r["rejected"] == (1 if r["rk"] <= k_star else 0)
+    # BH rejects at least every Bonferroni rejection
+    bonf = sum(1 for p in ps if p * m <= 50000)
+    assert sum(r["rejected"] for r in rows) >= bonf
