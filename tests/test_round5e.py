@@ -203,3 +203,145 @@ def test_benjamini_hochberg_step_up(spark):
     # BH rejects at least every Bonferroni rejection
     bonf = sum(1 for p in ps if p * m <= 50000)
     assert sum(r["rejected"] for r in rows) >= bonf
+
+
+def _user_hashes_by_type(spark):
+    by_type = defaultdict(set)
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "user_id")
+        .collect()
+    ):
+        by_type[r["event_type"]].add((r["user_id"] * 2654435761) % 1000000007)
+    return by_type
+
+
+def test_kmv_set_ops_matches_python_replay(spark):
+    K, M = 64, 1000000007
+    by_type = _user_hashes_by_type(spark)
+
+    def est(hashes):
+        sk = sorted(hashes)[:K]
+        return len(sk) if len(sk) < K else (K - 1) * M // sk[-1]
+
+    rows = QUERIES["sketch_kmv_set_ops"](spark, SF_DIR).collect()
+    assert len(rows) == len(by_type) * (len(by_type) - 1) // 2
+    for r in rows:
+        a, b = by_type[r["ta"]], by_type[r["tb"]]
+        ska, skb = set(sorted(a)[:K]), set(sorted(b)[:K])
+        union_sk = sorted(ska | skb)[:K]
+        c_both = sum(1 for h in union_sk if h in ska and h in skb)
+        assert r["est_a"] == est(a)
+        assert r["est_b"] == est(b)
+        assert r["est_union"] == est(a | b)
+        if len(union_sk) < K:
+            assert r["est_inter"] == c_both
+        else:
+            assert r["est_inter"] == c_both * est(a | b) // K
+        # KMV accuracy: estimates within 50% of truth at k=64
+        true_union = len(a | b)
+        assert abs(r["est_union"] - true_union) <= max(3, true_union // 2)
+
+
+def test_closeness_sampled_matches_bfs_replay(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    ).collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    adj = defaultdict(set)
+    for r in li:
+        c, s = orders[r["l_orderkey"]], r["l_suppkey"] + 1000000
+        adj[c].add(s)
+        adj[s].add(c)
+    sups = [
+        r["s_suppkey"] + 1000000
+        for r in spark.read.parquet(f"{SF_DIR}/supplier.parquet").collect()
+    ]
+    seeds = sorted(sups, key=lambda n: ((n * 2654435761) % 1000000007, n))[:4]
+    got = {
+        r["seed"]: (r["n1"], r["n2"], r["n3"], r["harmonic_micro"])
+        for r in QUERIES["graph_closeness_sampled"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(seeds)
+    for seed in seeds:
+        visited, frontier, levels = {seed}, {seed}, []
+        for _ in range(3):
+            nxt = set()
+            for n in frontier:
+                nxt |= adj[n]
+            nxt -= visited
+            levels.append(len(nxt))
+            visited |= nxt
+            frontier = nxt
+        n1, n2, n3 = levels
+        assert got[seed] == (
+            n1, n2, n3, n1 * 1000000 + n2 * 500000 + n3 * 333333
+        )
+
+
+def test_tukey_fences_matches_python_replay(spark):
+    vals = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        if r["value"] is not None:
+            vals[r["event_type"]].append(round(r["value"] * 100))
+    got = {
+        r["event_type"]: (r["n"], r["q1"], r["q3"], r["iqr"],
+                          r["n_low"], r["n_high"])
+        for r in QUERIES["agg_tukey_fences"](spark, SF_DIR).collect()
+    }
+    for et, cs in vals.items():
+        cs.sort()
+        n = len(cs)
+        q1, q3 = cs[(n + 3) // 4 - 1], cs[(3 * n + 3) // 4 - 1]
+        iqr = q3 - q1
+        lo = sum(1 for c in cs if 2 * c < 2 * q1 - 3 * iqr)
+        hi = sum(1 for c in cs if 2 * c > 2 * q3 + 3 * iqr)
+        assert got[et] == (n, q1, q3, iqr, lo, hi)
+
+
+def test_theil_decomposition_identity(spark):
+    """Theil T = between + Σ (X_g/X)·T_g — reassemble the exact
+    integer pieces and compare against a float recomputation."""
+    import math
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    nation = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    spend = defaultdict(int)
+    for r in orders:
+        spend[r["o_custkey"]] += round(r["o_totalprice"] * 100)
+    rows = QUERIES["agg_theil_index"](spark, SF_DIR).collect()
+    xt = sum(r["x_cents"] for r in rows)
+    nt = sum(r["n_cust"] for r in rows)
+    # exact-piece reassembly (floats only at the very end)
+    between = sum(
+        r["x_cents"] / xt * (r["ln_between_nano"] / 1e9) for r in rows
+    )
+    within = sum(
+        r["x_cents"] / xt * (r["within_micro"] / 1e6) for r in rows
+    )
+    # float ground truth
+    groups = defaultdict(list)
+    for ck, x in spend.items():
+        groups[nation[ck]].append(x)
+    t_total = 0.0
+    for g in groups.values():
+        xg = sum(g)
+        for x in g:
+            t_total += (x / xt) * math.log(x * nt / xt)
+    assert abs((between + within) - t_total) < 1e-3
+    assert within >= 0 and t_total >= 0
+    # per-nation within replay in exact integers
+    for r in rows:
+        g = groups[r["nationkey"]]
+        xg, ng = sum(g), len(g)
+        num = sum(
+            x * math.floor(math.log(x * ng / xg) * 1000000) for x in g
+        )
+        want = num // xg if num >= 0 else -((-num) // xg)
+        assert r["within_micro"] == want
