@@ -345,3 +345,127 @@ def test_theil_decomposition_identity(spark):
         )
         want = num // xg if num >= 0 else -((-num) // xg)
         assert r["within_micro"] == want
+
+
+def test_markov_steadystate_matches_python_replay(spark):
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    trans = defaultdict(int)
+    prev = {}
+    for r in rows:
+        u = r["user_id"]
+        if u in prev:
+            trans[(prev[u], r["event_type"])] += 1
+        prev[u] = r["event_type"]
+    outs = defaultdict(int)
+    for (a, _), c in trans.items():
+        outs[a] += c
+    r_vec = {a: 1000000000 // len(outs) for a in outs}
+    for _ in range(6):
+        nxt = defaultdict(int)
+        for (a, b), c in trans.items():
+            nxt[b] += r_vec[a] * c // outs[a]
+        r_vec = dict(nxt)
+    got = {
+        r["event_type"]: r["rank_nano"]
+        for r in QUERIES["event_markov_steadystate"](spark, SF_DIR).collect()
+    }
+    assert got == r_vec
+    # stationary mass stays within truncation loss of 1e9
+    assert 0 < sum(got.values()) <= 1000000000
+
+
+def test_compaction_bins_respect_target_and_order(spark):
+    rows = QUERIES["table_compaction_bins"](spark, SF_DIR).collect()
+    assert rows
+    by_bin = defaultdict(list)
+    for r in rows:
+        by_bin[r["bin"]].append(r)
+    total = sum(r["bytes"] for r in rows)
+    assert max(by_bin) == (total - 1) // 200000 or total <= 200000
+    for b, members in by_bin.items():
+        bin_bytes = sum(m["bytes"] for m in members)
+        assert all(m["bin_bytes"] == bin_bytes for m in members)
+        assert all(m["bin_files"] == len(members) for m in members)
+    # size-descending packing: every file in bin i is <= every file
+    # in bin i-1 is violated only at boundaries; check the prefix-sum
+    # invariant directly instead
+    ordered = sorted(
+        rows, key=lambda r: (-r["bytes"], r["source"], r["file_id"])
+    )
+    cum = 0
+    for r in ordered:
+        assert r["bin"] == cum // 200000
+        cum += r["bytes"]
+
+
+def test_log_loss_matches_python_replay(spark):
+    import math
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    mt = max(r["o_totalprice"] for r in orders)
+    agg = defaultdict(lambda: [0, 0])
+    for r in orders:
+        p = min(999, max(1, math.floor(r["o_totalprice"] * 1000 / mt)))
+        y = 1 if r["o_orderpriority"] == "1-URGENT" else 0
+        t = -math.floor(
+            math.log(p / 1000.0 if y else 1.0 - p / 1000.0) * 1000000
+        )
+        a = agg[r["o_orderstatus"]]
+        a[0] += 1
+        a[1] += t
+    got = {
+        r["o_orderstatus"]: (r["n"], r["sum_micro"], r["logloss_micro"])
+        for r in QUERIES["ml_log_loss"](spark, SF_DIR).collect()
+    }
+    want = {s: (n, t, t // n) for s, (n, t) in agg.items()}
+    assert got == want
+    # log loss is positive and bounded by the clip: -ln(0.001) ≈ 6.9
+    for _, (_, _, ll) in got.items():
+        assert 0 < ll < 6908000
+
+
+def test_burstiness_in_range_and_matches_moments(spark):
+    import math
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "ts", "event_id")
+        .collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]),
+    )
+    gaps = defaultdict(list)
+    prev = {}
+    for r in rows:
+        et = r["event_type"]
+        us = int(r["ts"].timestamp() * 1000000)
+        if et in prev:
+            gaps[et].append((us - prev[et]) // 1000000)
+        prev[et] = us
+    got = {
+        r["event_type"]: (r["n"], r["s1"], r["burstiness_milli"])
+        for r in QUERIES["event_burstiness"](spark, SF_DIR).collect()
+    }
+    for et, dts in gaps.items():
+        n, s1 = len(dts), sum(dts)
+        s2 = sum(d * d for d in dts)
+        sd = math.sqrt(float(n * s2 - s1 * s1))
+        want_b = math.floor((sd - s1) / (sd + s1) * 1000)
+        assert got[et] == (n, s1, want_b)
+        assert -1000 <= want_b <= 1000
+
+
+def test_pca_2var_eigen_identities(spark):
+    r = QUERIES["ml_pca_2var"](spark, SF_DIR).collect()[0]
+    # trace and determinant identities of the 2x2 eigen split
+    # (integer floors: allow one unit of slack per eigenvalue)
+    assert abs((r["lam1"] + r["lam2"]) - (r["cxx"] + r["cyy"])) <= 2
+    det = r["cxx"] * r["cyy"] - r["cxy"] * r["cxy"]
+    # lam1*lam2 ≈ det with relative tolerance from the floors
+    assert abs(r["lam1"] * r["lam2"] - det) <= 2 * (abs(r["lam1"]) + abs(r["lam2"]) + 1)
+    assert r["lam1"] >= r["lam2"] >= 0  # covariance PSD
+    assert 500000 <= r["explained_ppm"] <= 1000000
