@@ -469,3 +469,51 @@ def test_pca_2var_eigen_identities(spark):
     assert abs(r["lam1"] * r["lam2"] - det) <= 2 * (abs(r["lam1"]) + abs(r["lam2"]) + 1)
     assert r["lam1"] >= r["lam2"] >= 0  # covariance PSD
     assert 500000 <= r["explained_ppm"] <= 1000000
+
+
+def test_streak_longest_matches_python_replay(spark):
+    days = defaultdict(set)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        days[r["user_id"]].add(r["ts"].date())
+    got = {
+        r["user_id"]: (r["longest_streak"], r["n_streaks"], r["active_days"])
+        for r in QUERIES["window_streak_longest"](spark, SF_DIR).collect()
+    }
+    for u, ds in days.items():
+        sd = sorted(ds)
+        runs, cur = [], 1
+        for a, b in zip(sd, sd[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        assert got[u] == (max(runs), len(runs), len(sd))
+        assert sum(runs) == len(sd)
+
+
+def test_matryoshka_recall_matches_python_replay(spark):
+    vecs = {
+        r["vec_id"]: [round(float(x) * 1000000) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    queries = {k: v for k, v in vecs.items() if k < 8}
+    corpus = {k: v for k, v in vecs.items() if k >= 8}
+    got = {
+        r["qid"]: (r["n_overlap"], r["recall_milli"])
+        for r in QUERIES["emb_matryoshka_recall"](spark, SF_DIR).collect()
+    }
+    for qid, qv in queries.items():
+        full = sorted(
+            corpus,
+            key=lambda c: (-sum(a * b for a, b in zip(qv, corpus[c])), c),
+        )[:10]
+        pre = sorted(
+            corpus,
+            key=lambda c: (
+                -sum(a * b for a, b in zip(qv[:16], corpus[c][:16])), c,
+            ),
+        )[:10]
+        n_ov = len(set(full) & set(pre))
+        assert got[qid] == (n_ov, n_ov * 100)
