@@ -517,3 +517,141 @@ def test_matryoshka_recall_matches_python_replay(spark):
         )[:10]
         n_ov = len(set(full) & set(pre))
         assert got[qid] == (n_ov, n_ov * 100)
+
+
+def _norm_tokens(text):
+    import re
+
+    return [t for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+            if t]
+
+
+def test_winnowing_matches_python_replay(spark):
+    import hashlib
+
+    docs = {
+        r["doc_id"]: _norm_tokens(r["text"])
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    fps = defaultdict(set)
+    for did, tk in docs.items():
+        hs = [
+            hashlib.md5(
+                " ".join(tk[i:i + 3]).encode()
+            ).hexdigest()
+            for i in range(len(tk) - 2)
+        ]
+        for i in range(len(hs) - 3):
+            fps[did].add(min(hs[i:i + 4]))
+    df = Counter(h for s in fps.values() for h in s)
+    want = Counter()
+    dids = sorted(fps)
+    inv = defaultdict(list)
+    for did in dids:
+        for h in fps[did]:
+            if df[h] <= 50:
+                inv[h].append(did)
+    for h, members in inv.items():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                want[(members[i], members[j])] += 1
+    want = {p: c for p, c in want.items() if c >= 2}
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in QUERIES["docs_winnowing"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert want, "synthetic corpus should contain near-dups"
+
+
+def test_lindley_matches_direct_recursion(spark):
+    """Replay Lindley's recursion DIRECTLY (not the prefix-min
+    identity the query uses) — validates the transform."""
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "ts", "event_id")
+        .collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]),
+    )
+    gaps = defaultdict(list)
+    prev = {}
+    for r in rows:
+        et = r["event_type"]
+        us = int(r["ts"].timestamp() * 1000000)
+        if et in prev:
+            gaps[et].append((us - prev[et]) // 1000000)
+        prev[et] = us
+    got = {
+        r["event_type"]: (r["service_s"], r["n_jobs"], r["n_delayed"],
+                          r["max_wait_s"], r["total_wait_s"])
+        for r in QUERIES["event_lindley_queue"](spark, SF_DIR).collect()
+    }
+    for et, a in gaps.items():
+        s = sum(a) // len(a)
+        w, waits = 0, []
+        for ai in a:
+            w = max(0, w + s - ai)
+            waits.append(w)
+        assert got[et] == (
+            s, len(a), sum(1 for x in waits if x > 0),
+            max(waits), sum(waits),
+        )
+
+
+def test_prefix_filter_join_equals_bruteforce(spark):
+    import hashlib
+
+    docs = {
+        r["doc_id"]: _norm_tokens(r["text"])
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    sk = {}
+    for did, tk in docs.items():
+        hs = {
+            hashlib.md5(" ".join(tk[i:i + 3]).encode()).hexdigest()
+            for i in range(len(tk) - 2)
+        }
+        sk[did] = {h for h in hs if ord(h[0]) % 4 == 0}
+    want = {}
+    dids = sorted(sk)
+    for i, a in enumerate(dids):
+        for b in dids[i + 1:]:
+            ix = len(sk[a] & sk[b])
+            if ix == 0:
+                continue
+            un = len(sk[a] | sk[b])
+            j = ix * 1000000 // un
+            if j >= 600000:
+                want[(a, b)] = (ix, un, j)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["ix"], r["un"], r["jaccard_ppm"])
+        for r in QUERIES["dedup_prefix_filter_join"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert want, "synthetic corpus should contain high-Jaccard pairs"
+
+
+def test_jackknife_matches_textbook_definition(spark):
+    """Recompute var_jack from the individual leave-one-out
+    estimates — validates the closed-form algebra the query uses."""
+    from fractions import Fraction
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        if r["value"] is not None:
+            daily[r["event_type"]][r["ts"].date()] += round(
+                r["value"] * 100
+            )
+    got = {
+        r["event_type"]: (r["n"], r["total_cents"], r["mean_cents"],
+                          r["var_jack_cents2"])
+        for r in QUERIES["agg_jackknife_variance"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        xs = list(days.values())
+        n, s = len(xs), sum(xs)
+        theta = [Fraction(s - x, n - 1) for x in xs]
+        mean_t = sum(theta) / n
+        var = Fraction(n - 1, n) * sum((t - mean_t) ** 2 for t in theta)
+        assert got[et] == (n, s, s // n, int(var))
