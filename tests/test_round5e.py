@@ -655,3 +655,86 @@ def test_jackknife_matches_textbook_definition(spark):
         mean_t = sum(theta) / n
         var = Fraction(n - 1, n) * sum((t - mean_t) ** 2 for t in theta)
         assert got[et] == (n, s, s // n, int(var))
+
+
+def test_hodges_lehmann_matches_python_replay(spark):
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        daily[r["event_type"]][r["ts"].date()] += 1
+    got = {
+        r["event_type"]: (r["n_walsh"], r["hl_doubled"])
+        for r in QUERIES["agg_hodges_lehmann"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        xs = [c for _, c in sorted(days.items())]
+        w2 = sorted(
+            xs[i] + xs[j]
+            for i in range(len(xs))
+            for j in range(i, len(xs))
+        )
+        m = len(w2)
+        assert got[et] == (m, w2[(m + 1) // 2 - 1])
+        assert m == len(xs) * (len(xs) + 1) // 2
+        # HL lies within the data range
+        assert 2 * min(xs) <= got[et][1] <= 2 * max(xs)
+
+
+def test_sequence_regex_matches_python_replay(spark):
+    import re
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    seqs = defaultdict(str)
+    for r in rows:
+        seqs[r["user_id"]] += r["event_type"][0]
+    got = {
+        r["user_id"]: (r["seq_len"], r["n_click_buy"], r["n_view_binges"])
+        for r in QUERIES["event_sequence_regex"](spark, SF_DIR).collect()
+    }
+    for u, s in seqs.items():
+        assert got[u] == (
+            len(s),
+            len(re.findall(r"c+p", s)),
+            len(re.findall(r"v{3,}", s)),
+        )
+
+
+def test_locf_fill_carries_last_level(spark):
+    rows = QUERIES["window_locf_forward_fill"](spark, SF_DIR).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append((r["hour"], r["observed"], r["filled"]))
+    assert by_type
+    for _, series in by_type.items():
+        series.sort()
+        # dense spine: consecutive hours
+        hours = [h for h, _, _ in series]
+        assert all(
+            (b - a).total_seconds() == 3600 for a, b in zip(hours, hours[1:])
+        )
+        last = None
+        for _, obs, filled in series:
+            if obs is not None:
+                last = obs
+            assert filled == last  # None before first observation
+
+
+def test_ece_reassembles_exactly(spark):
+    rows = QUERIES["ml_ece"](spark, SF_DIR).collect()
+    n_total = sum(r["n"] for r in rows)
+    # exact integer reassembly of ECE from the per-bin gap numerators
+    ece_micro = sum(r["gap_n"] for r in rows) * 1000 // n_total
+    assert 0 <= ece_micro <= 1000000
+    # conf_milli is the truncating mean of Σp, so Σp lies in
+    # [conf·n, conf·n + n); the gap numerator must sit in that band
+    for r in rows:
+        sp_lo = r["conf_milli"] * r["n"]
+        assert (
+            abs(sp_lo - 1000 * r["n_pos"]) - r["n"]
+            <= r["gap_n"]
+            <= abs(sp_lo - 1000 * r["n_pos"]) + r["n"]
+        )
