@@ -738,3 +738,79 @@ def test_ece_reassembles_exactly(spark):
             <= r["gap_n"]
             <= abs(sp_lo - 1000 * r["n_pos"]) + r["n"]
         )
+
+
+def test_pmi_matches_python_replay(spark):
+    import math
+
+    docs = [
+        _norm_tokens(r["text"])
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    ]
+    uni, bi = Counter(), Counter()
+    for tk in docs:
+        uni.update(tk)
+        bi.update(zip(tk, tk[1:]))
+    nt, nb = sum(uni.values()), sum(bi.values())
+    want = {}
+    for (w1, w2), c in bi.items():
+        if c >= 5:
+            want[(w1, w2)] = (
+                c,
+                math.floor(
+                    math.log(c * nt * nt / (nb * uni[w1] * uni[w2]))
+                    * 1000000
+                ),
+            )
+    got = {
+        (r["w1"], r["w2"]): (r["c_ab"], r["pmi_micro"])
+        for r in QUERIES["text_collocations_pmi"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert want, "corpus should contain recurring bigrams"
+    # template text must surface genuinely associated pairs
+    assert any(p > 0 for _, p in want.values())
+
+
+def test_absorbing_markov_matches_python_replay(spark):
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    trans = defaultdict(int)
+    prev = {}
+    states = set()
+    for r in rows:
+        states.add(r["event_type"])
+        u = r["user_id"]
+        if u in prev and prev[u] not in ("purchase", "error"):
+            trans[(prev[u], r["event_type"])] += 1
+        prev[u] = r["event_type"]
+    outs = defaultdict(int)
+    for (a, _), c in trans.items():
+        outs[a] += c
+    h = {s: (1000000000 if s == "purchase" else 0) for s in states}
+    for _ in range(6):
+        nxt = {}
+        for s in states:
+            if s == "purchase":
+                nxt[s] = 1000000000
+            elif s == "error":
+                nxt[s] = 0
+            else:
+                nxt[s] = sum(
+                    c * h[b] // outs[a]
+                    for (a, b), c in trans.items()
+                    if a == s
+                )
+        h = nxt
+    got = {
+        r["event_type"]: r["p_convert_nano"]
+        for r in QUERIES["event_absorbing_markov"](spark, SF_DIR).collect()
+    }
+    assert got == h
+    assert got["purchase"] == 1000000000 and got["error"] == 0
+    # transient states get a strictly-between probability
+    assert any(0 < v < 1000000000 for v in got.values())
