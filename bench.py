@@ -78,6 +78,12 @@ HEADLINE = [
     # frame robust window — first-run baselines in BASELINE.md
     "ml_ridge_closed_form",  # nine moments -> Cramer solve, one pass
     "window_hampel_filter",  # 7-sample sorted-frame median/MAD despike
+    # round-5 fifth session: the sketch (mapInPandas MG), exact
+    # similarity-join, and queueing-window shapes — first-run
+    # baselines in BASELINE.md
+    "agg_heavy_hitters",     # per-partition Misra-Gries + exact recount
+    "dedup_prefix_filter_join",  # rarity-prefix index + exact verify
+    "event_lindley_queue",   # stacked prefix windows (queue sim)
 ]
 
 

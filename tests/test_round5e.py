@@ -814,3 +814,21 @@ def test_absorbing_markov_matches_python_replay(spark):
     assert got["purchase"] == 1000000000 and got["error"] == 0
     # transient states get a strictly-between probability
     assert any(0 < v < 1000000000 for v in got.values())
+
+
+def test_junk_dimension_keys_and_counts(spark):
+    rows = QUERIES["dim_junk_dimension"](spark, SF_DIR).collect()
+    combos = Counter()
+    for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect():
+        q = (r["o_orderdate"].month - 1) // 3 + 1
+        combos[(r["o_orderstatus"], r["o_orderpriority"], q)] += 1
+    got = {
+        (r["status"], r["priority"], r["qtr"]): (r["junk_key"], r["n_facts"])
+        for r in rows
+    }
+    assert {k: v for k, (_, v) in got.items()} == dict(combos)
+    # surrogate keys: dense 1..n in sort order of the combo tuple
+    ordered = sorted(got)
+    assert [got[c][0] for c in ordered] == list(range(1, len(ordered) + 1))
+    # every fact row accounted for (the integrity check the join doubles as)
+    assert sum(v for _, v in got.values()) == sum(combos.values())
