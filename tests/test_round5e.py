@@ -832,3 +832,115 @@ def test_junk_dimension_keys_and_counts(spark):
     assert [got[c][0] for c in ordered] == list(range(1, len(ordered) + 1))
     # every fact row accounted for (the integrity check the join doubles as)
     assert sum(v for _, v in got.values()) == sum(combos.values())
+
+
+def _ppr_seeds(spark):
+    sups = [
+        r["s_suppkey"] + 1000000
+        for r in spark.read.parquet(f"{SF_DIR}/supplier.parquet").collect()
+    ]
+    return set(
+        sorted(sups, key=lambda n: ((n * 2654435761) % 1000000007, n))[:4]
+    )
+
+
+def test_ppr_localizes_on_seeds(spark):
+    seeds = _ppr_seeds(spark)
+    rows = QUERIES["graph_ppr_personalized"](spark, SF_DIR).collect()
+    assert rows and seeds
+    scores = {r["node"]: r["ppr_nano"] for r in rows}
+    # teleportation pins mass on the seeds: every seed present and a
+    # seed holds the top score
+    top = max(scores, key=lambda n: (scores[n], -n))
+    assert top in seeds
+    assert seeds <= set(scores)
+    # mass conservation within truncation: total <= 1e9
+    assert 0 < sum(scores.values()) <= 1000000000
+
+
+def test_ppr_matches_python_replay(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    adj = defaultdict(set)
+    for r in li:
+        c, s = orders[r["l_orderkey"]], r["l_suppkey"] + 1000000
+        adj[c].add(s)
+        adj[s].add(c)
+    seeds = sorted(_ppr_seeds(spark))
+    ev = {n: (1000000000 // len(seeds) if n in set(seeds) else 0)
+          for n in adj}
+    r_vec = dict(ev)
+    for _ in range(6):
+        inflow = defaultdict(int)
+        for a, nbrs in adj.items():
+            share = r_vec[a] // len(nbrs)
+            for b in nbrs:
+                inflow[b] += share
+        r_vec = {
+            n: (15 * ev[n] + 85 * inflow.get(n, 0)) // 100 for n in adj
+        }
+    want = sorted(
+        ((r, n) for n, r in r_vec.items() if r > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:50]
+    got = [
+        (r["ppr_nano"], r["node"])
+        for r in QUERIES["graph_ppr_personalized"](spark, SF_DIR).collect()
+    ]
+    assert sorted(got, key=lambda t: (-t[0], t[1])) == want
+
+
+def test_durbin_watson_matches_python_replay(spark):
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        daily[r["event_type"]][r["ts"].date()] += 1
+    got = {
+        r["event_type"]: (r["n"], r["dw_milli"])
+        for r in QUERIES["ml_durbin_watson"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        xs = [c for _, c in sorted(days.items())]
+        n, s = len(xs), sum(xs)
+        res = [n * x - s for x in xs]
+        num = sum(
+            (b - a) ** 2 for a, b in zip(res, res[1:])
+        )
+        den = sum(e * e for e in res)
+        assert got[et] == (n, num * 1000 // den)
+        # DW lives in [0, 4]
+        assert 0 <= got[et][1] <= 4000
+
+
+def test_dickey_fuller_matches_python_replay(spark):
+    import math
+
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        daily[r["event_type"]][r["ts"].date()] += 1
+    got = {
+        r["event_type"]: (r["n"], r["rho_micro"], r["t_milli"])
+        for r in QUERIES["ts_dickey_fuller"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        ys = [c for _, c in sorted(days.items())]
+        xs, ds = ys[:-1], [b - a for a, b in zip(ys, ys[1:])]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ds)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ds))
+        syy = sum(y * y for y in ds)
+        cxx = float(n) * float(sxx) - float(sx) * float(sx)
+        cxy = float(n) * float(sxy) - float(sx) * float(sy)
+        cyy = float(n) * float(syy) - float(sy) * float(sy)
+        beta = cxy / cxx
+        se = math.sqrt((cyy - cxy * beta) / ((float(n) - 2) * cxx))
+        assert got[et] == (
+            n,
+            math.floor(beta * 1000000),
+            math.floor(beta / se * 1000),
+        )
+        # a stationary-ish count series should mean-revert: rho < 0
+        assert got[et][1] < 0
