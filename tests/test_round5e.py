@@ -944,3 +944,102 @@ def test_dickey_fuller_matches_python_replay(spark):
         )
         # a stationary-ish count series should mean-revert: rho < 0
         assert got[et][1] < 0
+
+
+def test_pvm_bridge_identity(spark):
+    """Price + volume + mix must reassemble Δrev·1e6 exactly."""
+    rows = QUERIES["agg_price_volume_mix"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["price_effect_micro"]
+            + r["volume_effect_micro"]
+            + r["mix_residual_micro"]
+            == r["delta_rev_cents"] * 1000000
+        )
+
+
+def test_pvm_matches_python_replay(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    orders = {
+        r["o_orderkey"]: r["o_orderdate"].year
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    brand = {
+        r["p_partkey"]: r["p_brand"]
+        for r in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    per = defaultdict(lambda: [0, 0, 0, 0])  # qa, ra, qb, rb
+    for r in li:
+        yr = orders[r["l_orderkey"]]
+        if yr not in (1996, 1997):
+            continue
+        s = per[r["l_partkey"]]
+        off = 0 if yr == 1996 else 2
+        s[off] += int(r["l_quantity"])
+        s[off + 1] += round(r["l_extendedprice"] * 100)
+    def tdiv(a, b):
+        # engines truncate toward zero; Python // floors
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for pk, (qa, ra, qb, rb) in per.items():
+        if qa == 0 or qb == 0:
+            continue
+        pe = rb * 1000000 - tdiv(qb * ra * 1000000, qa)
+        ve = tdiv((qb - qa) * ra * 1000000, qa)
+        g = agg[brand[pk]]
+        g[0] += 1
+        g[1] += rb - ra
+        g[2] += pe
+        g[3] += ve
+        g[4] += (rb - ra) * 1000000 - pe - ve
+    got = {
+        r["p_brand"]: (
+            r["n_parts"], r["delta_rev_cents"], r["price_effect_micro"],
+            r["volume_effect_micro"], r["mix_residual_micro"],
+        )
+        for r in QUERIES["agg_price_volume_mix"](spark, SF_DIR).collect()
+    }
+    assert got == {b: tuple(v) for b, v in agg.items()}
+
+
+def test_fifo_matching_invariants_and_replay(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    receipts, issues = defaultdict(list), defaultdict(list)
+    for r in sorted(li, key=lambda x: (x["l_orderkey"], x["l_linenumber"])):
+        lot = int(r["l_quantity"])
+        (receipts if r["l_orderkey"] % 2 == 0 else issues)[
+            r["l_partkey"]
+        ].append(lot)
+    # sequential FIFO replay
+    want = {}
+    for pk in set(receipts) & set(issues):
+        ri, ii = 0, 0
+        rrem = receipts[pk][0] if receipts[pk] else 0
+        irem = issues[pk][0] if issues[pk] else 0
+        while ri < len(receipts[pk]) and ii < len(issues[pk]):
+            m = min(rrem, irem)
+            if m > 0:
+                want[(pk, ri + 1, ii + 1)] = m
+            rrem -= m
+            irem -= m
+            if rrem == 0:
+                ri += 1
+                rrem = receipts[pk][ri] if ri < len(receipts[pk]) else 0
+            if irem == 0:
+                ii += 1
+                irem = issues[pk][ii] if ii < len(issues[pk]) else 0
+    got = {
+        (r["pk"], r["receipt_seq"], r["issue_seq"]): r["matched_qty"]
+        for r in QUERIES["join_fifo_lot_matching"](spark, SF_DIR).collect()
+        if r["matched_qty"] > 0
+    }
+    assert got == want
+    # conservation: matched total per part = min(receipts, issues)
+    per_part = defaultdict(int)
+    for (pk, _, _), m in got.items():
+        per_part[pk] += m
+    for pk, tot in per_part.items():
+        assert tot == min(sum(receipts[pk]), sum(issues[pk]))
