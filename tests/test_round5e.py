@@ -1043,3 +1043,78 @@ def test_fifo_matching_invariants_and_replay(spark):
         per_part[pk] += m
     for pk, tot in per_part.items():
         assert tot == min(sum(receipts[pk]), sum(issues[pk]))
+
+
+def test_shapley_efficiency_axiom_and_replay(spark):
+    from itertools import permutations
+
+    ux = defaultdict(lambda: [0, 0, 0, 0])
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        u = ux[r["user_id"]]
+        idx = {"click": 0, "view": 1, "signup": 2, "purchase": 3}.get(
+            r["event_type"]
+        )
+        if idx is not None:
+            u[idx] = 1
+    coal = defaultdict(lambda: [0, 0])
+    for c, v, s, y in ux.values():
+        g = coal[c * 4 + v * 2 + s]
+        g[0] += 1
+        g[1] += y
+    vm = {m: (coal[m][1] * 1000000) // coal[m][0] if m in coal else 0
+          for m in range(8)}
+    bits = {"click": 4, "view": 2, "signup": 1}
+    want = {}
+    for ch, bit in bits.items():
+        phi = 0
+        for perm in permutations(bits.values()):
+            pre = 0
+            for b in perm:
+                if b == bit:
+                    break
+                pre |= b
+            phi += vm[pre | bit] - vm[pre]
+        want[ch] = phi
+    got = {
+        r["channel"]: r["phi6_micro"]
+        for r in QUERIES["event_shapley_attribution"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    # efficiency: the six-permutation credits sum to 6*(v(full)-v(empty))
+    assert sum(got.values()) == 6 * (vm[7] - vm[0])
+
+
+def test_ttl_cache_hits_matches_python_replay(spark):
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "user_id", "ts", "event_id")
+        .collect(),
+        key=lambda r: (r["event_type"], r["user_id"], r["ts"], r["event_id"]),
+    )
+    prev = {}
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in rows:
+        k = (r["event_type"], r["user_id"])
+        us = int(r["ts"].timestamp() * 1000000)
+        a = agg[r["event_type"]]
+        a[0] += 1
+        if k in prev:
+            gap = us - prev[k]
+            if gap <= 60000000:
+                a[1] += 1
+            if gap <= 600000000:
+                a[2] += 1
+            if gap <= 3600000000:
+                a[3] += 1
+        prev[k] = us
+    got = {
+        r["event_type"]: (
+            r["n_requests"], r["hits_60s"], r["hits_600s"],
+            r["hits_3600s"], r["hit_rate_600s_ppm"],
+        )
+        for r in QUERIES["event_ttl_cache_hits"](spark, SF_DIR).collect()
+    }
+    for et, (n, h1, h2, h3) in agg.items():
+        assert got[et] == (n, h1, h2, h3, h2 * 1000000 // n)
+        # longer TTL can only help
+        assert h1 <= h2 <= h3 <= n
