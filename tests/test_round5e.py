@@ -1118,3 +1118,68 @@ def test_ttl_cache_hits_matches_python_replay(spark):
         assert got[et] == (n, h1, h2, h3, h2 * 1000000 // n)
         # longer TTL can only help
         assert h1 <= h2 <= h3 <= n
+
+
+KNUTH = 2654435761
+
+
+def _synth_pt(event_id):
+    glat = (event_id * KNUTH) % 180000000 - 90000000
+    glon = ((event_id * 40503) % 360000000) * KNUTH % 360000000 - 180000000
+    return glat, glon
+
+
+def _tdiv(a, b):
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_radius_of_gyration_matches_python_replay(spark):
+    import math
+
+    pts = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        pts[r["user_id"]].append(_synth_pt(r["event_id"]))
+    got = {
+        r["user_id"]: (r["n"], r["clat"], r["clon"], r["rg_microdeg"])
+        for r in QUERIES["geo_radius_of_gyration"](spark, SF_DIR).collect()
+    }
+    for u, ps in pts.items():
+        n = len(ps)
+        clat = _tdiv(sum(p[0] for p in ps), n)
+        clon = _tdiv(sum(p[1] for p in ps), n)
+        s2 = sum((la - clat) ** 2 + (lo - clon) ** 2 for la, lo in ps)
+        rg = math.floor(math.sqrt(float(s2) / float(n)))
+        assert got[u] == (n, clat, clon, rg)
+
+
+def test_od_matrix_matches_python_replay(spark):
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "ts", "event_id")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    trips = Counter()
+    users = defaultdict(set)
+    prev = {}
+    for r in rows:
+        glat, glon = _synth_pt(r["event_id"])
+        cell = (_tdiv(glat, 30000000), _tdiv(glon, 30000000))
+        u = r["user_id"]
+        if u in prev:
+            od = prev[u] + cell
+            trips[od] += 1
+            users[od].add(u)
+        prev[u] = cell
+    got = {
+        (r["o_lat"], r["o_lon"], r["d_lat"], r["d_lon"]):
+            (r["n_trips"], r["n_users"])
+        for r in QUERIES["geo_od_matrix"](spark, SF_DIR).collect()
+    }
+    want = {od: (c, len(users[od])) for od, c in trips.items()}
+    assert got == want
+    # total trips = events - users (one lag hop lost per user)
+    assert sum(c for c, _ in got.values()) == len(rows) - len(
+        {r["user_id"] for r in rows}
+    )
