@@ -1183,3 +1183,37 @@ def test_od_matrix_matches_python_replay(spark):
     assert sum(c for c, _ in got.values()) == len(rows) - len(
         {r["user_id"] for r in rows}
     )
+
+
+def test_harmonic_mean_am_hm_inequality(spark):
+    rows = QUERIES["agg_harmonic_mean"](spark, SF_DIR).collect()
+    vals = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        if r["value"] is not None and round(r["value"] * 100) > 0:
+            vals[r["event_type"]].append(round(r["value"] * 100))
+    for r in rows:
+        cs = vals[r["event_type"]]
+        n = len(cs)
+        inv = sum(1000000000000 // c for c in cs)
+        assert r["n"] == n and r["sum_inv_pico"] == inv
+        assert r["hmean_cents"] == n * 1000000000000 // inv
+        # AM >= HM (strict unless all equal)
+        assert r["hmean_cents"] <= sum(cs) // n + 1
+
+
+def test_eval_suite_matches_standalone_queries(spark):
+    suite = {
+        r["metric"]: r["value"]
+        for r in QUERIES["ml_eval_suite_shared_scan"](spark, SF_DIR).collect()
+    }
+    assert set(suite) == {"auc_ppm", "brier_nano", "ece_micro",
+                          "logloss_micro"}
+    # AUC must equal the standalone ml_auc_rank (same score recipe)
+    auc = QUERIES["ml_auc_rank"](spark, SF_DIR).collect()[0]["auc_ppm"]
+    assert suite["auc_ppm"] == auc
+    # ECE reassembles from the standalone per-bin gap numerators
+    bins = QUERIES["ml_ece"](spark, SF_DIR).collect()
+    n_total = sum(r["n"] for r in bins)
+    assert suite["ece_micro"] == sum(r["gap_n"] for r in bins) * 1000 // n_total
+    assert 0 <= suite["auc_ppm"] <= 1000000
+    assert suite["brier_nano"] > 0 and suite["logloss_micro"] > 0
