@@ -1217,3 +1217,46 @@ def test_eval_suite_matches_standalone_queries(spark):
     assert suite["ece_micro"] == sum(r["gap_n"] for r in bins) * 1000 // n_total
     assert 0 <= suite["auc_ppm"] <= 1000000
     assert suite["brier_nano"] > 0 and suite["logloss_micro"] > 0
+
+
+def test_pack_sweep_matches_python_replay(spark):
+    toks = {
+        r["doc_id"]: len(_norm_tokens(r["text"]))
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    got = {
+        r["ctx_len"]: (r["n_bins"], r["total_tokens"], r["waste_ppm"])
+        for r in QUERIES["docs_pack_efficiency_sweep"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for c in (512, 1024, 2048):
+        clipped = sorted(
+            ((min(n, c), d) for d, n in toks.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        bins = set()
+        cum = 0
+        for n, _ in clipped:
+            bins.add(cum // c)
+            cum += n
+        total = sum(n for n, _ in clipped)
+        waste = (len(bins) * c - total) * 1000000 // (len(bins) * c)
+        assert got[c] == (len(bins), total, waste)
+    # longer context cannot reduce total tokens; waste stays sane
+    assert got[512][1] <= got[2048][1]
+    for _, (_, _, w) in got.items():
+        assert 0 <= w < 1000000
+
+
+def test_dedup_sweep_consistent_with_prefix_join(spark):
+    hist = {
+        r["jaccard_decile"]: r["n_pairs"]
+        for r in QUERIES["dedup_threshold_sweep"](spark, SF_DIR).collect()
+    }
+    # pairs at deciles >= 6 must equal the prefix-filter join's
+    # theta=0.6 output count (same sketches, same integer Jaccard)
+    high = sum(n for d, n in hist.items() if d >= 6)
+    join_pairs = QUERIES["dedup_prefix_filter_join"](spark, SF_DIR).count()
+    assert high == join_pairs
+    assert sum(hist.values()) > 0
