@@ -1260,3 +1260,43 @@ def test_dedup_sweep_consistent_with_prefix_join(spark):
     join_pairs = QUERIES["dedup_prefix_filter_join"](spark, SF_DIR).count()
     assert high == join_pairs
     assert sum(hist.values()) > 0
+
+
+def test_reco_coverage_diversity_replay(spark):
+    import math
+
+    vecs = {
+        r["vec_id"]: [round(float(x) * 1000000) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    qs = {k: v for k, v in vecs.items() if k < 8}
+    corpus = {k: v for k, v in vecs.items() if k >= 8}
+    topk = {}
+    for qid, qv in qs.items():
+        topk[qid] = sorted(
+            corpus,
+            key=lambda c: (-sum(a * b for a, b in zip(qv, corpus[c])), c),
+        )[:5]
+    cov = len({c for lst in topk.values() for c in lst}) * 1000000 // len(
+        corpus
+    )
+    got = {
+        r["qid"]: (r["ild_ppm"], r["catalog_coverage_ppm"])
+        for r in QUERIES["ml_reco_coverage_diversity"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for qid, lst in topk.items():
+        terms = []
+        for i in range(len(lst)):
+            for j in range(i + 1, len(lst)):
+                a, b = corpus[lst[i]], corpus[lst[j]]
+                dotv = sum(x * y for x, y in zip(a, b))
+                na = math.sqrt(float(sum(x * x for x in a)))
+                nb = math.sqrt(float(sum(x * x for x in b)))
+                terms.append(
+                    1000000 - math.floor(float(dotv) * 1000000 / (na * nb))
+                )
+        want_ild = sum(terms) // len(terms)
+        assert got[qid] == (want_ild, cov)
+        assert 0 <= got[qid][0] <= 2000000
