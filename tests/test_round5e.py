@@ -1300,3 +1300,64 @@ def test_reco_coverage_diversity_replay(spark):
         want_ild = sum(terms) // len(terms)
         assert got[qid] == (want_ild, cov)
         assert 0 <= got[qid][0] <= 2000000
+
+
+def test_chain_ladder_matches_python_replay(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    oyear = {
+        r["o_orderkey"]: r["o_orderdate"].year
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    tri = defaultdict(int)
+    for r in li:
+        origin = oyear[r["l_orderkey"]]
+        if origin > 2001:
+            continue
+        dev = (r["l_orderkey"] * 2654435761 + r["l_linenumber"]) % 4
+        if origin + dev <= 2001:
+            tri[(origin, dev)] += round(r["l_extendedprice"] * 100)
+    cum = {}
+    for (o, d), _ in tri.items():
+        cum[(o, d)] = sum(v for (oo, dd), v in tri.items()
+                          if oo == o and dd <= d)
+    factors = {}
+    for j in range(3):
+        num = sum(cum[(o, j + 1)] for (o, d) in cum if d == j + 1)
+        den = sum(cum[(o, j)] for (o, d) in cum
+                  if d == j and (o, j + 1) in cum)
+        if den:
+            factors[j] = num * 1000000 // den
+    got = {
+        r["origin"]: (r["last_dev"], r["observed"], r["ultimate"], r["ibnr"])
+        for r in QUERIES["agg_chain_ladder"](spark, SF_DIR).collect()
+    }
+    origins = {o for o, _ in cum}
+    for o in origins:
+        last = max(d for (oo, d) in cum if oo == o)
+        obs = cum[(o, last)]
+        ult = obs
+        for j in range(last, 3):
+            ult = ult * factors[j] // 1000000
+        assert got[o] == (last, obs, ult, ult - obs)
+    # closed origins need no reserve; open origins a positive one
+    for o, (last, obs, ult, ibnr) in got.items():
+        assert (ibnr == 0) == (last == 3) or ibnr >= 0
+
+
+def test_hill_tail_index_replay(spark):
+    import math
+
+    spend = defaultdict(int)
+    for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect():
+        spend[r["o_custkey"]] += round(r["o_totalprice"] * 100)
+    ordered = sorted(spend.items(), key=lambda t: (-t[1], t[0]))
+    x_k1 = ordered[50][1]
+    s = sum(
+        math.floor(math.log(c / x_k1) * 1000000000)
+        for _, c in ordered[:50]
+    )
+    r = QUERIES["agg_hill_tail_index"](spark, SF_DIR).collect()[0]
+    assert (r["k"], r["x_k1"], r["hill_sum_nano"], r["alpha_milli"]) == (
+        50, x_k1, s, 50 * 1000000000000 // s,
+    )
+    assert r["alpha_milli"] > 0
