@@ -1361,3 +1361,70 @@ def test_hill_tail_index_replay(spark):
         50, x_k1, s, 50 * 1000000000000 // s,
     )
     assert r["alpha_milli"] > 0
+
+
+def test_stratified_ate_matches_python_replay(spark):
+    ux = defaultdict(lambda: [0, 0, 0])  # events, signups, purchases
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        u = ux[r["user_id"]]
+        u[0] += 1
+        if r["event_type"] == "signup":
+            u[1] += 1
+        if r["event_type"] == "purchase":
+            u[2] += 1
+    te = sum(v[0] for v in ux.values())
+    ts = sum(v[1] for v in ux.values())
+    tp = sum(v[2] for v in ux.values())
+    ordered = sorted(ux.items(), key=lambda kv: (kv[1][0], kv[0]))
+    n_users = len(ordered)
+    base, extra = divmod(n_users, 3)
+    cells = defaultdict(lambda: [0, 0, 0, 0, 0])  # n1 y1 n0 y0 n
+    pos = 0
+    for i in range(1, 4):
+        size = base + (1 if i <= extra else 0)
+        for uid, (ne, ns, np_) in ordered[pos:pos + size]:
+            t = 1 if ns * te > ts * ne else 0
+            y = 1 if np_ * te > tp * ne else 0
+            c = cells[i]
+            c[4] += 1
+            if t:
+                c[0] += 1
+                c[1] += y
+            else:
+                c[2] += 1
+                c[3] += y
+        pos += size
+    kept = {s: c for s, c in cells.items() if c[0] > 0 and c[2] > 0}
+    nt = sum(c[4] for c in kept.values())
+    got = {
+        r["stratum"]: (r["n"], r["n1"], r["n0"], r["p1_micro"],
+                       r["p0_micro"], r["ate_micro"],
+                       r["weighted_contrib_micro"])
+        for r in QUERIES["ml_stratified_ate"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(kept)
+    for s, (n1, y1, n0, y0, n) in kept.items():
+        p1 = y1 * 1000000 // n1
+        p0 = y0 * 1000000 // n0
+        ate = p1 - p0
+        contrib = ate * n // nt if ate * n >= 0 else -((-ate * n) // nt)
+        assert got[s] == (n, n1, n0, p1, p0, ate, contrib)
+
+
+def test_intersect_all_bag_semantics(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    left = Counter(
+        r["o_custkey"] for r in orders if r["o_orderstatus"] == "O"
+    )
+    right = Counter(
+        r["o_custkey"] for r in orders if r["o_orderpriority"] == "1-URGENT"
+    )
+    want = Counter()
+    for k in left.keys() & right.keys():
+        want[k] = min(left[k], right[k])
+    got = Counter(
+        r["o_custkey"]
+        for r in QUERIES["set_intersect_all"](spark, SF_DIR).collect()
+    )
+    assert got == want
+    assert sum(want.values()) > 0
