@@ -1428,3 +1428,66 @@ def test_intersect_all_bag_semantics(spark):
     )
     assert got == want
     assert sum(want.values()) > 0
+
+
+def test_capture_recapture_matches_python_replay(spark):
+    import datetime
+
+    cut = datetime.date(2024, 1, 15)
+    w1, w2 = defaultdict(set), defaultdict(set)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        (w1 if r["ts"].date() < cut else w2)[r["event_type"]].add(
+            r["user_id"]
+        )
+    got = {
+        r["event_type"]: (r["n1"], r["n2"], r["n_both"], r["n_hat"],
+                          r["n_hat_chapman"])
+        for r in QUERIES["agg_capture_recapture"](spark, SF_DIR).collect()
+    }
+    for et in set(w1) & set(w2):
+        n1, n2 = len(w1[et]), len(w2[et])
+        m = len(w1[et] & w2[et])
+        if m == 0:
+            assert et not in got
+            continue
+        lp = n1 * n2 // m
+        ch = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+        assert got[et] == (n1, n2, m, lp, ch)
+        # the estimate can never undershoot what was actually seen
+        assert lp >= len(w1[et] | w2[et]) or m == n1 or m == n2
+
+
+def test_sample_size_power_monotonicity(spark):
+    import math
+
+    base = defaultdict(lambda: [0, 0])
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        b = base[r["event_type"]]
+        b[1] += 1
+        days = (r["ts"].date() - __import__("datetime").date(1970, 1, 1)).days
+        if (days + 4) % 7 in (0, 6):
+            b[0] += 1
+    rows = QUERIES["ml_sample_size_power"](spark, SF_DIR).collect()
+    by_type = defaultdict(dict)
+    for r in rows:
+        by_type[r["event_type"]][r["d_micro"]] = (
+            r["p_micro"], r["n_per_arm"]
+        )
+    assert by_type
+    for et, grid in by_type.items():
+        assert set(grid) == {10000, 20000, 50000}
+        # bigger detectable effect -> smaller required sample
+        ns = [grid[d][1] for d in (10000, 20000, 50000)]
+        assert ns[0] > ns[1] > ns[2] > 0
+        # baseline equals the weekend share
+        wk, n = base[et]
+        assert grid[10000][0] == wk * 1000000 // n
+        # replay the closed form
+        for d, (p_micro, n_arm) in grid.items():
+            p1 = p_micro / 1000000
+            p2 = (p_micro + d) / 1000000
+            dd = d / 1000000
+            want = math.floor(
+                7.849 * (p1 * (1 - p1) + p2 * (1 - p2)) / (dd * dd)
+            )
+            assert n_arm == want
