@@ -1556,3 +1556,54 @@ def test_ipf_converges_to_marginals(spark):
     for rk, tot in rowm.items():
         # IPF converges geometrically; 3 sweeps gets within 1% here
         assert abs(fit_row[rk] - tot) <= max(2, tot // 100)
+
+
+def test_burrows_delta_matches_python_replay(spark):
+    import math
+
+    docs = [
+        (r["source"], _norm_tokens(r["text"]))
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    ]
+    words = Counter()
+    per_src = defaultdict(Counter)
+    src_tot = Counter()
+    for s, tk in docs:
+        words.update(tk)
+        per_src[s].update(tk)
+        src_tot[s] += len(tk)
+    top30 = [
+        w for w, _ in sorted(words.items(), key=lambda t: (-t[1], t[0]))[:30]
+    ]
+    srcs = sorted(per_src)
+    f = {
+        (s, w): per_src[s][w] * 1000000000 // src_tot[s]
+        for s in srcs
+        for w in top30
+    }
+    z = {}
+    for w in top30:
+        vals = [f[(s, w)] for s in srcs]
+        k, sf = len(vals), sum(vals)
+        sff = sum(v * v for v in vals)
+        if sff * k <= sf * sf:
+            continue
+        mu = sf / k
+        sigma = math.sqrt(sff / k - mu * mu)
+        for s in srcs:
+            z[(s, w)] = (f[(s, w)] - mu) / sigma
+    want = {}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            ts = [
+                math.floor(abs(z[(sa, w)] - z[(sb, w)]) * 1000000)
+                for w in top30
+                if (sa, w) in z
+            ]
+            want[(sa, sb)] = (len(ts), sum(ts) // len(ts))
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_words"], r["delta_micro"])
+        for r in QUERIES["text_burrows_delta"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert all(d >= 0 for _, d in got.values())
