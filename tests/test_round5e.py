@@ -1607,3 +1607,40 @@ def test_burrows_delta_matches_python_replay(spark):
     }
     assert got == want
     assert all(d >= 0 for _, d in got.values())
+
+
+def test_lateness_audit_matches_python_replay(spark):
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "event_id", "ts")
+        .collect(),
+        key=lambda r: (r["event_type"], r["event_id"]),
+    )
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    hwm = {}
+    for r in rows:
+        et = r["event_type"]
+        us = int(r["ts"].timestamp() * 1000000)
+        hwm[et] = max(hwm.get(et, us), us)
+        late = hwm[et] - us
+        a = agg[et]
+        a[0] += 1
+        if late > 0:
+            a[1] += 1
+        a[2] = max(a[2], late)
+        if late > 60000000:
+            a[3] += 1
+        if late > 600000000:
+            a[4] += 1
+        if late > 3600000000:
+            a[5] += 1
+    got = {
+        r["event_type"]: (r["n_events"], r["n_late"], r["max_late_us"],
+                          r["dropped_at_1m"], r["dropped_at_10m"],
+                          r["dropped_at_1h"])
+        for r in QUERIES["stream_lateness_audit"](spark, SF_DIR).collect()
+    }
+    assert got == {et: tuple(a) for et, a in agg.items()}
+    # widening the watermark can only drop fewer events
+    for _, (_, _, _, d1, d10, d60) in got.items():
+        assert d1 >= d10 >= d60
