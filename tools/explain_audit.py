@@ -880,6 +880,43 @@ AUDITS = {
          "column never leaves the parquet reader",
          lambda p: all(n <= 2 for n in read_schema_cols(p))),
     ],
+    "agg_heavy_hitters": [
+        ("MG candidate set broadcasts into the semi-join (never a "
+         "shuffled join on the full key stream)",
+         lambda p: "BroadcastHashJoin" in p and "LeftSemi" in p),
+        ("phase-1 sketch runs in Arrow batches (mapInPandas), not a "
+         "row-at-a-time Python UDF",
+         lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
+        ("lineitem scan prunes to the single key column",
+         lambda p: all(n <= 1 for n in read_schema_cols(p))),
+    ],
+    "dedup_prefix_filter_join": [
+        ("candidate generation and verification are keyed joins — no "
+         "cartesian / nested loop anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("documents scan prunes to (doc_id, text)",
+         lambda p: all(n <= 2 for n in read_schema_cols(p))),
+    ],
+    "event_lindley_queue": [
+        ("both prefix passes share one per-key window exchange",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 2),
+        ("service-rate side broadcasts",
+         lambda p: "BroadcastHashJoin" in p),
+    ],
+    "docs_winnowing": [
+        ("pair join rides keyed equi-joins (no cartesian)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("gram construction is columnar (no Python row path)",
+         lambda p: "BatchEvalPython" not in p),
+    ],
+    "ml_eval_suite_shared_scan": [
+        ("all four metrics read the materialized scored frame — no "
+         "repeated lineitem scans in the final plan",
+         lambda p: "lineitem" not in p.lower()),
+    ],
 }
 
 
