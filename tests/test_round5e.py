@@ -1644,3 +1644,104 @@ def test_lateness_audit_matches_python_replay(spark):
     # widening the watermark can only drop fewer events
     for _, (_, _, _, d1, d10, d60) in got.items():
         assert d1 >= d10 >= d60
+
+
+def test_permutation_entropy_matches_python_replay(spark):
+    import math
+
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        daily[r["event_type"]][r["ts"].date()] += 1
+    got = {
+        r["event_type"]: (r["n_patterns"], r["n_windows"], r["pe_micro"])
+        for r in QUERIES["ts_permutation_entropy"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        xs = [c for _, c in sorted(days.items())]
+        pats = Counter()
+        for a, b, c in zip(xs, xs[1:], xs[2:]):
+            if a <= b <= c:
+                p = 0
+            elif a <= c < b:
+                p = 1
+            elif b < a <= c:
+                p = 2
+            elif c < a <= b:
+                p = 3
+            elif b <= c < a:
+                p = 4
+            else:
+                p = 5
+            pats[p] += 1
+        m = sum(pats.values())
+        s = -sum(
+            n * math.floor(math.log(n / m) * 1000000)
+            for n in pats.values()
+        )
+        assert got[et] == (len(pats), m, s // m)
+        # PE of a 3-window is at most ln(6)
+        assert 0 <= got[et][2] <= 1791760
+
+
+def test_gumbel_fit_matches_python_replay(spark):
+    import math
+
+    blocks = defaultdict(dict)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        if r["value"] is None:
+            continue
+        d = r["ts"].date()
+        wk = d - __import__("datetime").timedelta(days=d.weekday())
+        et = r["event_type"]
+        c = round(r["value"] * 100)
+        blocks[et][wk] = max(blocks[et].get(wk, c), c)
+    got = {
+        r["event_type"]: (r["k"], r["s1"], r["beta_milli"], r["mu_milli"],
+                          r["level100_milli"])
+        for r in QUERIES["agg_gumbel_block_maxima"](spark, SF_DIR).collect()
+    }
+    for et, bm in blocks.items():
+        xs = list(bm.values())
+        k, s1 = len(xs), sum(xs)
+        s2 = sum(x * x for x in xs)
+        sigma = math.sqrt((float(s2) * k - float(s1) * s1) / (float(k) * k))
+        beta = sigma * 0.7796968012336093
+        mu = s1 / k - beta * 0.5772156649015329
+        assert got[et] == (
+            k, s1,
+            math.floor(beta * 1000),
+            math.floor(mu * 1000),
+            math.floor((mu + beta * 4.600149226776579) * 1000),
+        )
+        # the 1-in-100 level must exceed the fitted location
+        assert got[et][4] > got[et][3]
+
+
+def test_equalized_odds_matches_python_replay(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    mt = max(r["o_totalprice"] for r in orders)
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # tp p fp neg
+    for r in orders:
+        y = 1 if r["o_orderpriority"] == "1-URGENT" else 0
+        yhat = 1 if r["o_totalprice"] * 1000 > mt * 500 else 0
+        c = cells[r["o_orderstatus"]]
+        if y:
+            c[1] += 1
+            c[0] += yhat
+        else:
+            c[3] += 1
+            c[2] += yhat
+    kept = {g: c for g, c in cells.items() if c[1] > 0 and c[3] > 0}
+    tprs = {g: c[0] * 1000000 // c[1] for g, c in kept.items()}
+    fprs = {g: c[2] * 1000000 // c[3] for g, c in kept.items()}
+    got = {
+        r["grp"]: (r["p"], r["neg"], r["tpr_micro"], r["fpr_micro"],
+                   r["tpr_gap_to_min_micro"], r["fpr_gap_to_min_micro"])
+        for r in QUERIES["ml_equalized_odds"](spark, SF_DIR).collect()
+    }
+    for g, c in kept.items():
+        assert got[g] == (
+            c[1], c[3], tprs[g], fprs[g],
+            tprs[g] - min(tprs.values()), fprs[g] - min(fprs.values()),
+        )
+    assert any(v[4] > 0 or v[5] > 0 for v in got.values()) or len(got) == 1
