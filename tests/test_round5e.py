@@ -1745,3 +1745,22 @@ def test_equalized_odds_matches_python_replay(spark):
             tprs[g] - min(tprs.values()), fprs[g] - min(fprs.values()),
         )
     assert any(v[4] > 0 or v[5] > 0 for v in got.values()) or len(got) == 1
+
+
+def test_unicity_matches_python_replay(spark):
+    qi = {}
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        u = r["user_id"]
+        key = (r["ts"].date(), r["event_type"])
+        if u not in qi:
+            qi[u] = key
+        else:
+            qi[u] = (min(qi[u][0], key[0]), min(qi[u][1], key[1]))
+    cells = Counter(qi.values())
+    n = len(qi)
+    uniq = sum(1 for v in qi.values() if cells[v] == 1)
+    pairs = sum(1 for v in qi.values() if cells[v] <= 2)
+    r = QUERIES["privacy_unicity"](spark, SF_DIR).collect()[0]
+    assert (r["n_users"], r["n_unique"], r["n_in_pairs_or_less"],
+            r["unicity_ppm"]) == (n, uniq, pairs, uniq * 1000000 // n)
+    assert 0 <= r["unicity_ppm"] <= 1000000
