@@ -1764,3 +1764,54 @@ def test_unicity_matches_python_replay(spark):
     assert (r["n_users"], r["n_unique"], r["n_in_pairs_or_less"],
             r["unicity_ppm"]) == (n, uniq, pairs, uniq * 1000000 // n)
     assert 0 <= r["unicity_ppm"] <= 1000000
+
+
+def test_simpson_diversity_matches_python_replay(spark):
+    cnt = defaultdict(Counter)
+    for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect():
+        cnt[r["source"]][r["lang"]] += 1
+    got = {
+        r["source"]: (r["n_langs"], r["simpson_ppm"],
+                      r["effective_langs_micro"])
+        for r in QUERIES["agg_simpson_diversity"](spark, SF_DIR).collect()
+    }
+    for s, langs in cnt.items():
+        tot = sum(langs.values())
+        ssq = sum(n * n for n in langs.values())
+        simpson = 1000000 - ssq * 1000000 // (tot * tot)
+        eff = (tot * tot) * 1000000 // ssq
+        assert got[s] == (len(langs), simpson, eff)
+        # inverse Simpson lies in [1, n_langs]
+        assert 1000000 <= eff <= len(langs) * 1000000
+
+
+def test_local_bridges_matches_python_replay(spark):
+    edges = _copurchase_edges(spark)
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    closed = sum(1 for u, v in edges if adj[u] & adj[v])
+    r = QUERIES["graph_local_bridges"](spark, SF_DIR).collect()[0]
+    n = len(edges)
+    assert (r["n_edges"], r["n_in_triangles"], r["n_local_bridges"],
+            r["bridge_share_ppm"]) == (
+        n, closed, n - closed, (n - closed) * 1000000 // n,
+    )
+
+
+def test_feistel_pseudonym_bijective_and_invertible(spark):
+    rows = QUERIES["fn_feistel_pseudonym"](spark, SF_DIR).collect()
+    toks = {r["o_custkey"]: r["token"] for r in rows}
+    # bijective over the key set: no collisions
+    assert len(set(toks.values())) == len(toks)
+    # invertible: run the rounds backwards
+    for k, t in list(toks.items())[:200]:
+        l2, r2 = t // 65536, t % 65536
+        r1 = l2
+        l1 = (r2 - (r1 * 2654435761 + 67890) % 65536) % 65536
+        r0 = l1
+        l0 = (r1 - (r0 * 2654435761 + 12345) % 65536) % 65536
+        assert l0 * 65536 + r0 == k
+    # the map is not the identity on this key set
+    assert any(k != t for k, t in toks.items())
