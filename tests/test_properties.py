@@ -471,3 +471,67 @@ def test_star_contraction_matches_union_find(spark, edges):
         r["doc"]: r["cluster"] for r in duplicate_clusters(df).collect()
     }
     assert got == truth
+
+
+# --- round-5 fifth session: heavy hitters + k-truss properties ---------
+
+
+@PROP
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=8), min_size=1,
+                  max_size=120),
+    k=st.integers(min_value=2, max_value=8),
+)
+def test_heavy_hitters_exact_for_any_data(spark, vals, k):
+    """The two-phase MG plan must return EXACTLY the >n/k set with
+    exact counts, for any value distribution and any k."""
+    from collections import Counter
+
+    from php_etl_spark.operators.agg import heavy_hitters
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        (r["v"], r["n_rows"])
+        for r in heavy_hitters(df.repartition(3), "v", k).collect()
+    }
+    c = Counter(vals)
+    n = len(vals)
+    want = {(v, m) for v, m in c.items() if m * k > n}
+    assert got == want
+
+
+@PROP
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1, max_size=25,
+    ),
+    k=st.integers(min_value=3, max_value=5),
+)
+def test_k_truss_matches_reference_peel_random_graphs(spark, edges, k):
+    from collections import defaultdict
+
+    from php_etl_spark.operators.graph import k_truss
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "a long, b long"
+    )
+    got = {
+        (r["u"], r["v"]): r["support"]
+        for r in k_truss(df, "a", "b", k).collect()
+    }
+    # reference peel on the canonicalized edge set
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    while True:
+        adj = defaultdict(set)
+        for u, v in und:
+            adj[u].add(v)
+            adj[v].add(u)
+        sup = {(u, v): len(adj[u] & adj[v]) for u, v in und}
+        kept = {e for e, s in sup.items() if s >= k - 2}
+        if kept == und:
+            break
+        und = kept
+    assert got == {e: sup[e] for e in und}
