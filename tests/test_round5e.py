@@ -1815,3 +1815,48 @@ def test_feistel_pseudonym_bijective_and_invertible(spark):
         assert l0 * 65536 + r0 == k
     # the map is not the identity on this key set
     assert any(k != t for k, t in toks.items())
+
+
+def test_mean_shift_breakpoint_matches_python_replay(spark):
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        daily[r["event_type"]][r["ts"].date()] += 1
+    got = {
+        r["event_type"]: (r["break_at"], r["n"], r["mean_before"],
+                          r["mean_after"], r["shift"])
+        for r in QUERIES["ts_mean_shift_breakpoint"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        xs = [c for _, c in sorted(days.items())]
+        n, s = len(xs), sum(xs)
+        best_t, best_gain = None, None
+        s1 = 0
+        for t in range(1, n):
+            s1 += xs[t - 1]
+            gain = (float(s1) * n - float(t) * s) ** 2 / (
+                float(t) * (n - t)
+            )
+            if best_gain is None or gain > best_gain:
+                best_gain, best_t, best_s1 = gain, t, s1
+        mb = best_s1 // best_t
+        ma = (s - best_s1) // (n - best_t)
+        assert got[et] == (best_t, n, mb, ma, ma - mb)
+        # the split truly is the SSE-optimal one: exhaustive check done
+
+
+def test_diurnal_profile_matches_python_replay(spark):
+    hourly = defaultdict(Counter)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        hourly[r["event_type"]][r["ts"].hour] += 1
+    got = {
+        r["event_type"]: (r["peak_hour"], r["peak_share_ppm"],
+                          r["effective_hours_micro"])
+        for r in QUERIES["event_diurnal_profile"](spark, SF_DIR).collect()
+    }
+    for et, hs in hourly.items():
+        total = sum(hs.values())
+        ssq = sum(n * n for n in hs.values())
+        peak_h = min(hs, key=lambda h: (-hs[h], h))
+        eff = total * total * 1000000 // ssq
+        assert got[et] == (peak_h, hs[peak_h] * 1000000 // total, eff)
+        assert 1000000 <= eff <= 24000000
