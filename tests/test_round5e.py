@@ -1860,3 +1860,54 @@ def test_diurnal_profile_matches_python_replay(spark):
         eff = total * total * 1000000 // ssq
         assert got[et] == (peak_h, hs[peak_h] * 1000000 // total, eff)
         assert 1000000 <= eff <= 24000000
+
+
+def test_pinball_loss_propriety(spark):
+    vals = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        if r["value"] is not None:
+            vals[r["event_type"]].append(
+                (round(r["value"] * 100), r["event_id"])
+            )
+    got = {
+        r["event_type"]: (r["n"], r["p90"], r["p50"],
+                          r["pinball90_at_p90_decicents"],
+                          r["pinball90_at_p50_decicents"])
+        for r in QUERIES["ml_pinball_loss"](spark, SF_DIR).collect()
+    }
+    for et, cs in vals.items():
+        cs.sort()
+        n = len(cs)
+        p90 = cs[(9 * n + 9) // 10 - 1][0]
+        p50 = cs[(n + 1) // 2 - 1][0]
+
+        def pb(pred):
+            return sum(
+                9 * (c - pred) if c >= pred else (pred - c)
+                for c, _ in cs
+            )
+
+        assert got[et] == (n, p90, p50, pb(p90), pb(p50))
+        # propriety: the true 90th percentile minimizes pinball@0.9
+        assert pb(p90) <= pb(p50)
+
+
+def test_rich_club_matches_python_replay(spark):
+    edges = _copurchase_edges(spark)
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    got = {
+        r["k"]: (r["n_club"], r["e_club"], r["phi_ppm"])
+        for r in QUERIES["graph_rich_club"](spark, SF_DIR).collect()
+    }
+    for k in (4, 8, 16):
+        club = {n for n, d in deg.items() if d > k}
+        if len(club) < 2:
+            assert k not in got
+            continue
+        e_club = sum(1 for u, v in edges if u in club and v in club)
+        phi = e_club * 2000000 // (len(club) * (len(club) - 1))
+        assert got[k] == (len(club), e_club, phi)
+        assert 0 <= phi <= 1000000
