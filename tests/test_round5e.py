@@ -1911,3 +1911,99 @@ def test_rich_club_matches_python_replay(spark):
         phi = e_club * 2000000 // (len(club) * (len(club) - 1))
         assert got[k] == (len(club), e_club, phi)
         assert 0 <= phi <= 1000000
+
+
+def test_mincer_zarnowitz_matches_python_replay(spark):
+    import math
+
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        daily[r["event_type"]][r["ts"].date()] += 1
+    got = {
+        r["event_type"]: (r["n"], r["beta_milli"], r["alpha_milli"])
+        for r in QUERIES["agg_mincer_zarnowitz"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        ys = [c for _, c in sorted(days.items())]
+        fs, acts = ys[:-1], ys[1:]
+        n = len(fs)
+        sf, sy = sum(fs), sum(acts)
+        sff = sum(f * f for f in fs)
+        sfy = sum(f * y for f, y in zip(fs, acts))
+        beta = (float(n) * sfy - float(sf) * sy) / (
+            float(n) * sff - float(sf) * sf
+        )
+        alpha = sy / n - beta * (sf / n)
+        assert got[et] == (
+            n, math.floor(beta * 1000), math.floor(alpha * 1000),
+        )
+
+
+def test_chao1_matches_python_replay(spark):
+    per_user = defaultdict(Counter)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        per_user[r["event_type"]][r["user_id"]] += 1
+    got = {
+        r["event_type"]: (r["s_obs"], r["f1"], r["f2"], r["chao1_hat"])
+        for r in QUERIES["event_chao1_richness"](spark, SF_DIR).collect()
+    }
+    for et, users in per_user.items():
+        s = len(users)
+        f1 = sum(1 for n in users.values() if n == 1)
+        f2 = sum(1 for n in users.values() if n == 2)
+        assert got[et] == (s, f1, f2, s + f1 * f1 // (2 * (f2 + 1)))
+        # the estimator never undercounts the observed richness
+        assert got[et][3] >= s
+
+
+def test_staleness_aoi_matches_python_replay(spark):
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    last_p = {}
+    ages = []
+    for r in rows:
+        us = int(r["ts"].timestamp() * 1000000)
+        u = r["user_id"]
+        if r["event_type"] == "purchase":
+            last_p[u] = max(last_p.get(u, us), us)
+        if r["event_type"] == "view" and u in last_p:
+            ages.append(us - last_p[u])
+    r = QUERIES["event_staleness_aoi"](spark, SF_DIR).collect()[0]
+    assert (r["n_views"], r["avg_age_us"], r["max_age_us"],
+            r["n_stale_over_1d"]) == (
+        len(ages), sum(ages) // len(ages), max(ages),
+        sum(1 for a in ages if a > 86400000000),
+    )
+
+
+def test_medallion_gold_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    best = {}
+    for r in rows:
+        if r["user_id"] is None or r["event_type"] is None:
+            continue
+        k = r["event_id"]
+        if k not in best or (r["ts"],) < (best[k]["ts"],):
+            best[k] = r
+    gold = defaultdict(lambda: [0, set(), 0])
+    for r in best.values():
+        g = gold[(r["ts"].date(), r["event_type"])]
+        g[0] += 1
+        g[1].add(r["user_id"])
+        if r["value"] is not None:
+            g[2] += round(r["value"] * 100)
+    got = {
+        (r["day"], r["event_type"]): (r["n_events"], r["n_users"],
+                                      r["revenue_cents"],
+                                      r["revenue_per_user_millicents"])
+        for r in QUERIES["pipeline_medallion_gold"](spark, SF_DIR).collect()
+    }
+    want = {
+        k: (n, len(us), rev, rev * 1000 // len(us))
+        for k, (n, us, rev) in gold.items()
+    }
+    assert got == want
