@@ -2007,3 +2007,60 @@ def test_medallion_gold_matches_python_replay(spark):
         for k, (n, us, rev) in gold.items()
     }
     assert got == want
+
+
+def test_conformal_interval_matches_python_replay(spark):
+    import datetime
+
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        daily[r["event_type"]][r["ts"].date()] += 1
+    epoch = datetime.date(2024, 1, 1)
+    got = {
+        r["event_type"]: (r["qhat"], r["n_test"], r["n_covered"],
+                          r["coverage_ppm"])
+        for r in QUERIES["ml_conformal_interval"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        seq = sorted(days.items())
+        resid = []
+        for (d0, y0), (d1, y1) in zip(seq, seq[1:]):
+            dn = (d1 - epoch).days
+            resid.append((dn, abs(y1 - y0)))
+        cal = sorted(
+            (r for dn, r in resid if dn % 2 == 0)
+        )
+        n = len(cal)
+        q = cal[min(n, (9 * (n + 1) + 9) // 10) - 1]
+        test = [r for dn, r in resid if dn % 2 == 1]
+        cov = sum(1 for r in test if r <= q)
+        assert got[et] == (
+            q, len(test), cov, cov * 1000000 // len(test),
+        )
+        # coverage targets 90% but wobbles hard on ~15 test points
+        # (and persistence residuals are serially dependent, so the
+        # exchangeability premise is only approximate here)
+        assert got[et][3] >= 500000
+
+
+def test_interval_union_matches_python_replay(spark):
+    iv = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        us = int(r["ts"].timestamp() * 1000000)
+        iv[r["user_id"]].append((us, us + 300000000))
+    got = {
+        r["user_id"]: (r["n_spans"], r["active_seconds"])
+        for r in QUERIES["agg_interval_union_time"](spark, SF_DIR).collect()
+    }
+    for u, spans in iv.items():
+        spans.sort()
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        total = sum(e - s for s, e in merged)
+        assert got[u] == (len(merged), total // 1000000)
+        # union never exceeds the naive sum, never undershoots one span
+        assert 300 <= got[u][1] <= len(spans) * 300
