@@ -2064,3 +2064,55 @@ def test_interval_union_matches_python_replay(spark):
         assert got[u] == (len(merged), total // 1000000)
         # union never exceeds the naive sum, never undershoots one span
         assert 300 <= got[u][1] <= len(spans) * 300
+
+
+def test_cramer_von_mises_matches_python_replay(spark):
+    u = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        u[r["event_type"]].append(
+            ((r["event_id"] * 2654435761) % 1000000, r["event_id"])
+        )
+    got = {
+        r["event_type"]: (r["n"], r["cvm_sum_micro"], r["omega2_micro"])
+        for r in QUERIES["agg_cramer_von_mises"](spark, SF_DIR).collect()
+    }
+    for et, xs in u.items():
+        xs.sort()
+        n = len(xs)
+        num = sum(
+            ((2 * i - 1) * 1000000 - 2 * n * x) ** 2
+            for i, (x, _) in enumerate(xs, start=1)
+        )
+        cvm_sum = num // (4 * n * n * 1000000)
+        omega2 = (cvm_sum + 1000000 // (12 * n)) // n
+        assert got[et] == (n, cvm_sum, omega2)
+        # a uniform hash stream should be nearly calibrated
+        assert omega2 < 5000
+
+
+def test_running_records_matches_python_replay(spark):
+    import math
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]),
+    )
+    agg = defaultdict(lambda: [0, 0, None])
+    for r in rows:
+        if r["value"] is None:
+            continue
+        c = round(r["value"] * 100)
+        a = agg[r["event_type"]]
+        a[0] += 1
+        if a[2] is None or c > a[2]:
+            a[1] += 1
+            a[2] = c
+    got = {
+        r["event_type"]: (r["n"], r["n_records"], r["final_record"])
+        for r in QUERIES["window_running_records"](spark, SF_DIR).collect()
+    }
+    assert got == {et: tuple(a) for et, a in agg.items()}
+    # i.i.d. theory: record count concentrates near H_n ~ ln n + gamma
+    for et, (n, nr, _) in got.items():
+        expect = math.log(n) + 0.5772
+        assert nr <= 6 * expect  # generous trend band
