@@ -2116,3 +2116,61 @@ def test_running_records_matches_python_replay(spark):
     for et, (n, nr, _) in got.items():
         expect = math.log(n) + 0.5772
         assert nr <= 6 * expect  # generous trend band
+
+
+def test_brier_decomposition_sanity_and_replay(spark):
+    bins = QUERIES["ml_ece"](spark, SF_DIR).collect()
+    r = QUERIES["ml_brier_decomposition"](spark, SF_DIR).collect()[0]
+    n = sum(b["n"] for b in bins)
+    ypos = sum(b["n_pos"] for b in bins)
+    rows = QUERIES["ml_eval_suite_shared_scan"](spark, SF_DIR).collect()
+    assert r["n"] == n and r["ypos"] == ypos
+    # sanity: each Murphy term lives in [0, 250000] micro (= 0.25)
+    for k in ("reliability_micro", "resolution_micro",
+              "uncertainty_micro"):
+        assert 0 <= r[k] <= 250000
+    # resolution can never exceed uncertainty
+    assert r["resolution_micro"] <= r["uncertainty_micro"]
+    # the 3-term Murphy sum UNDERSHOOTS the raw Brier by the
+    # within-bin variance/covariance residual (Stephenson et al.
+    # 2008) — sizable with 11-score-wide bins; check direction + band
+    suite = {x["metric"]: x["value"] for x in rows}
+    approx_bs_micro = (
+        r["reliability_micro"] - r["resolution_micro"]
+        + r["uncertainty_micro"]
+    )
+    assert approx_bs_micro * 1000 <= suite["brier_nano"] + 1000000
+    assert suite["brier_nano"] - approx_bs_micro * 1000 <= 150000000
+
+
+def test_delta_method_ratio_var_replay(spark):
+    import math
+
+    per_user = defaultdict(lambda: [0, 0])
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        u = per_user[r["user_id"]]
+        if r["event_type"] == "purchase" and r["value"] is not None:
+            u[0] += round(r["value"] * 100)
+        if r["event_type"] == "view":
+            u[1] += 1
+    xs = [x for x, _ in per_user.values()]
+    ys = [y for _, y in per_user.values()]
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    ratio = sx / sy
+    var = (
+        (sx / sy) * (sx / sy)
+        * (
+            (float(n) * sxx - float(sx) * sx) / (float(sx) * sx)
+            + (float(n) * syy - float(sy) * sy) / (float(sy) * sy)
+            - 2 * (float(n) * sxy - float(sx) * sy) / (float(sx) * sy)
+        )
+        / n
+    )
+    r = QUERIES["agg_delta_method_ratio_var"](spark, SF_DIR).collect()[0]
+    assert (r["n"], r["sx"], r["sy"]) == (n, sx, sy)
+    assert r["ratio_micro"] == math.floor(ratio * 1000000)
+    assert r["var_ratio_pico"] == math.floor(var * 1000000000000)
+    assert r["var_ratio_pico"] >= 0
