@@ -2174,3 +2174,96 @@ def test_delta_method_ratio_var_replay(spark):
     assert r["ratio_micro"] == math.floor(ratio * 1000000)
     assert r["var_ratio_pico"] == math.floor(var * 1000000000000)
     assert r["var_ratio_pico"] >= 0
+
+
+def test_heaps_fit_matches_python_replay(spark):
+    import math
+
+    docs = {
+        r["doc_id"]: _norm_tokens(r["text"])
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    first = {}
+    tpd = {}
+    for did in sorted(docs):
+        tpd[did] = len(docs[did])
+        for w in docs[did]:
+            first.setdefault(w, did)
+    pts = []
+    for k in (10, 20, 40, 80, 160, 320):
+        n_tok = sum(n for d, n in tpd.items() if d < k)
+        v = sum(1 for d in first.values() if d < k)
+        if n_tok > 0 and v > 0:
+            pts.append((
+                math.floor(math.log(n_tok) * 1000000),
+                math.floor(math.log(v) * 1000000),
+            ))
+    m = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    beta = (float(m) * sxy - float(sx) * sy) / (
+        float(m) * sxx - float(sx) * sx
+    )
+    r = QUERIES["text_heaps_law_fit"](spark, SF_DIR).collect()[0]
+    assert (r["m"], r["beta_milli"]) == (m, math.floor(beta * 1000))
+    # sublinear growth; the synthetic template vocabulary saturates
+    # early, so beta can sit near 0 — just pin the sane band
+    assert 0 <= r["beta_milli"] < 1200
+
+
+def test_deadman_alerts_match_python_replay(spark):
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    gaps = defaultdict(list)
+    last = {}
+    for r in rows:
+        us = int(r["ts"].timestamp() * 1000000)
+        u = r["user_id"]
+        if u in last:
+            gaps[u].append((us - last[u]) // 1000000)
+        last[u] = us
+    now = max(last.values())
+    got = {
+        r["user_id"]: (r["median_gap_s"], r["silent_s"], r["is_alert"])
+        for r in QUERIES["event_deadman_alerts"](spark, SF_DIR).collect()
+    }
+    for u, gs in gaps.items():
+        gs.sort()
+        med = gs[(len(gs) + 1) // 2 - 1]
+        silent = (now - last[u]) // 1000000
+        alert = 1 if now - last[u] > 3 * med * 1000000 else 0
+        assert got[u] == (med, silent, alert)
+
+
+def test_entropy_rate_matches_python_replay(spark):
+    import math
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    trans = Counter()
+    prev = {}
+    for r in rows:
+        u = r["user_id"]
+        if u in prev:
+            trans[(prev[u], r["event_type"])] += 1
+        prev[u] = r["event_type"]
+    outs = Counter()
+    for (a, _), c in trans.items():
+        outs[a] += c
+    grand = sum(trans.values())
+    s = -sum(
+        c * math.floor(math.log(c / outs[a]) * 1000000)
+        for (a, _), c in trans.items()
+    )
+    r = QUERIES["event_entropy_rate"](spark, SF_DIR).collect()[0]
+    assert (r["n_cells"], r["entropy_rate_micronats"]) == (
+        len(trans), s // grand,
+    )
+    # bounded by ln(n_states) for a 5-state chain
+    assert 0 <= r["entropy_rate_micronats"] <= 1609438
