@@ -2267,3 +2267,43 @@ def test_entropy_rate_matches_python_replay(spark):
     )
     # bounded by ln(n_states) for a 5-state chain
     assert 0 <= r["entropy_rate_micronats"] <= 1609438
+
+
+def test_filter_clause_matches_python_replay(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    agg = defaultdict(lambda: [0, 0, 0, set()])
+    for r in orders:
+        a = agg[r["o_orderstatus"]]
+        a[0] += 1
+        if r["o_orderpriority"] == "1-URGENT":
+            a[1] += 1
+            a[2] += round(r["o_totalprice"] * 100)
+        if r["o_orderdate"].year == 1997:
+            a[3].add(r["o_custkey"])
+    got = {
+        r["o_orderstatus"]: (r["n"], r["n_urgent"], r["urgent_cents"],
+                             r["custs_1997"])
+        for r in QUERIES["sql_filter_clause_aggs"](spark, SF_DIR).collect()
+    }
+    want = {
+        s: (n, nu, uc if nu else None, len(cs))
+        for s, (n, nu, uc, cs) in agg.items()
+    }
+    assert got == want
+
+
+def test_fano_matches_python_replay(spark):
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        daily[r["event_type"]][r["ts"].date()] += 1
+    got = {
+        r["event_type"]: (r["n"], r["s"], r["fano_milli"])
+        for r in QUERIES["agg_fano_overdispersion"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        xs = list(days.values())
+        n, s = len(xs), sum(xs)
+        ss = sum(x * x for x in xs)
+        fano = (n * ss - s * s) * 1000 // (n * (n - 1) * s)
+        assert got[et] == (n, s, fano)
+        assert got[et][2] >= 0
