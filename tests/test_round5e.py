@@ -2307,3 +2307,49 @@ def test_fano_matches_python_replay(spark):
         fano = (n * ss - s * s) * 1000 // (n * (n - 1) * s)
         assert got[et] == (n, s, fano)
         assert got[et][2] >= 0
+
+
+def test_western_electric_matches_python_replay(spark):
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        daily[r["event_type"]][r["ts"].date()] += 1
+    got = {
+        r["event_type"]: (r["n_days"], r["n_rule1"], r["n_rule2"],
+                          r["n_rule3"], r["n_rule4"])
+        for r in QUERIES["window_western_electric"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        xs = [c for _, c in sorted(days.items())]
+        n, s = len(xs), sum(xs)
+        q = sum(x * x for x in xs)
+        var_num = n * q - s * s
+
+        def beyond(x, k):
+            return (n - 1) * (n * x - s) ** 2 > k * k * n * var_num
+
+        sides = [1 if n * x - s > 0 else -1 for x in xs]
+        b3 = [beyond(x, 3) for x in xs]
+        b2 = [beyond(x, 2) for x in xs]
+        b1 = [beyond(x, 1) for x in xs]
+        r1 = sum(b3)
+        r2 = r3 = r4 = 0
+        for i in range(n):
+            lo3, lo5, lo8 = max(0, i - 2), max(0, i - 4), max(0, i - 7)
+            for sgn in (1, -1):
+                if sum(
+                    1 for j in range(lo3, i + 1)
+                    if sides[j] == sgn and b2[j]
+                ) >= 2:
+                    r2 += 1
+                    break
+            for sgn in (1, -1):
+                if sum(
+                    1 for j in range(lo5, i + 1)
+                    if sides[j] == sgn and b1[j]
+                ) >= 4:
+                    r3 += 1
+                    break
+            w = sides[lo8:i + 1]
+            if len(w) == 8 and abs(sum(w)) == 8:
+                r4 += 1
+        assert got[et] == (n, r1, r2, r3, r4)
