@@ -2353,3 +2353,79 @@ def test_western_electric_matches_python_replay(spark):
             if len(w) == 8 and abs(sum(w)) == 8:
                 r4 += 1
         assert got[et] == (n, r1, r2, r3, r4)
+
+
+def test_hexbin_matches_python_replay(spark):
+    import math
+
+    got = {
+        (r["hq"], r["hr"]): r["n"]
+        for r in QUERIES["geo_hexbin_rollup"](spark, SF_DIR).collect()
+    }
+    cells = Counter()
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        y, x = _synth_pt(r["event_id"])
+        q = (0.5773502691896258 * x - 0.3333333333333333 * y) / 10000000
+        rr = (0.6666666666666666 * y) / 10000000
+        s = -q - rr
+        rq, rrr, rs = (
+            math.floor(q + 0.5), math.floor(rr + 0.5), math.floor(s + 0.5),
+        )
+        dq, dr, ds = abs(rq - q), abs(rrr - rr), abs(rs - s)
+        if dq > dr and dq > ds:
+            hq, hr = -rrr - rs, rrr
+        elif dr > ds:
+            hq, hr = rq, -rq - rs
+        else:
+            hq, hr = rq, rrr
+        cells[(hq, hr)] += 1
+    want = {c: n for c, n in cells.items() if n >= 5}
+    assert got == want
+    # cube invariant holds for every emitted cell implicitly (q+r+s=0)
+    assert want
+
+
+def test_js_divergence_matches_python_replay(spark):
+    import math
+
+    docs = [
+        (r["source"], _norm_tokens(r["text"]))
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    ]
+    words = Counter()
+    per_src = defaultdict(Counter)
+    for s, tk in docs:
+        words.update(tk)
+        per_src[s].update(tk)
+    top30 = [
+        w for w, _ in sorted(words.items(), key=lambda t: (-t[1], t[0]))[:30]
+    ]
+    srcs = sorted(per_src)
+    c = {(s, w): per_src[s][w] for s in srcs for w in top30}
+    ct = {s: sum(c[(s, w)] for w in top30) for s in srcs}
+    want = {}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            tot = 0
+            for w in top30:
+                ca, cb = c[(sa, w)], c[(sb, w)]
+                cta, ctb = ct[sa], ct[sb]
+                t = 0
+                if ca > 0:
+                    t += _tdiv(ca * math.floor(math.log(
+                        (2.0 * ca * ctb) / (ca * ctb + cb * cta)
+                    ) * 1000000), 2 * cta)
+                if cb > 0:
+                    t += _tdiv(cb * math.floor(math.log(
+                        (2.0 * cb * cta) / (ca * ctb + cb * cta)
+                    ) * 1000000), 2 * ctb)
+                tot += t
+            want[(sa, sb)] = tot
+    got = {
+        (r["src_a"], r["src_b"]): r["js_micronats"]
+        for r in QUERIES["text_js_divergence"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    # JS is bounded by ln 2 (floor-quantization can push a term
+    # slightly below 0 but never above the bound)
+    assert all(v <= 693148 for v in got.values())
