@@ -2429,3 +2429,57 @@ def test_js_divergence_matches_python_replay(spark):
     # JS is bounded by ln 2 (floor-quantization can push a term
     # slightly below 0 but never above the bound)
     assert all(v <= 693148 for v in got.values())
+
+
+def test_kruskal_wallis_matches_python_replay(spark):
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        daily[r["event_type"]][r["ts"].date()] += 1
+    rows = [
+        (et, c) for et, days in daily.items() for _, c in days.items()
+    ]
+    vals = sorted(c for _, c in rows)
+    less = {}
+    eq = Counter(vals)
+    seen = 0
+    for v in vals:
+        if v not in less:
+            less[v] = seen
+        seen += 1
+    grp = defaultdict(lambda: [0, 0])
+    for et, c in rows:
+        r2 = 2 * less[c] + eq[c] + 1
+        g = grp[et]
+        g[0] += 1
+        g[1] += r2
+    n = sum(g[0] for g in grp.values())
+    ssum = sum(_tdiv(s2 * s2, ng) for ng, s2 in grp.values())
+    h = _tdiv(3000 * (ssum - n * (n + 1) * (n + 1)), n * (n + 1))
+    r = QUERIES["agg_kruskal_wallis"](spark, SF_DIR).collect()[0]
+    assert (r["n_groups"], r["n"], r["h_milli"]) == (len(grp), n, h)
+    # H is chi-square(k-1)-ish under the null: sane magnitude
+    assert -1000 <= r["h_milli"] < 1000000
+
+
+def test_stochastic_k_matches_python_replay(spark):
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        if r["value"] is not None:
+            daily[r["event_type"]][r["ts"].date()] += round(
+                r["value"] * 100
+            )
+    got = {
+        (r["event_type"], r["day"]): (r["c"], r["pct_k_ppm"])
+        for r in QUERIES["window_stochastic_k"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        seq = sorted(days.items())
+        for i in range(13, len(seq)):
+            frame = [c for _, c in seq[i - 13:i + 1]]
+            lo, hi = min(frame), max(frame)
+            c = frame[-1]
+            want = (
+                (c - lo) * 1000000 // (hi - lo) if hi > lo else 500000
+            )
+            assert got[(et, seq[i][0])] == (c, want)
+            assert 0 <= want <= 1000000
