@@ -2483,3 +2483,56 @@ def test_stochastic_k_matches_python_replay(spark):
             )
             assert got[(et, seq[i][0])] == (c, want)
             assert 0 <= want <= 1000000
+
+
+def test_theil_u2_matches_python_replay(spark):
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        daily[r["event_type"]][r["ts"].date()] += 1
+    got = {
+        r["event_type"]: (r["n"], r["sse_model"], r["sse_naive"],
+                          r["u2_ppm"])
+        for r in QUERIES["ts_theil_u2"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        ys = [c for _, c in sorted(days.items())]
+        em = [(ys[i] - ys[i - 7]) for i in range(7, len(ys))]
+        en = [(ys[i] - ys[i - 1]) for i in range(7, len(ys))]
+        sm = sum(e * e for e in em)
+        sn = sum(e * e for e in en)
+        assert got[et] == (len(em), sm, sn, sm * 1000000 // sn)
+
+
+def test_anderson_darling_matches_python_replay(spark):
+    import math
+
+    u = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        u[r["event_type"]].append(
+            ((r["event_id"] * 2654435761) % 1000000, r["event_id"])
+        )
+    got = {
+        r["event_type"]: (r["n"], r["a2_micro"])
+        for r in QUERIES["agg_anderson_darling"](spark, SF_DIR).collect()
+    }
+    for et, xs in u.items():
+        xs.sort()
+        n = len(xs)
+        ln_f = [
+            math.floor(math.log(max(x, 1) / 1000000.0) * 1000000)
+            for x, _ in xs
+        ]
+        ln_1mf = [
+            math.floor(
+                math.log(max(1000000 - x, 1) / 1000000.0) * 1000000
+            )
+            for x, _ in xs
+        ]
+        s = sum(
+            (2 * i - 1) * (ln_f[i - 1] + ln_1mf[n - i])
+            for i in range(1, n + 1)
+        )
+        a2 = -n * 1000000 - _tdiv(s, n)
+        assert got[et] == (n, a2)
+        # uniform hash stream: A^2 near 1 (micro units), never huge
+        assert -1000000 < got[et][1] < 10000000
