@@ -2536,3 +2536,66 @@ def test_anderson_darling_matches_python_replay(spark):
         assert got[et] == (n, a2)
         # uniform hash stream: A^2 near 1 (micro units), never huge
         assert -1000000 < got[et][1] < 10000000
+
+
+def test_retention_decay_fit_matches_python_replay(spark):
+    import math
+
+    firsts = {}
+    acts = set()
+    rows = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    for r in rows:
+        d = r["ts"].date()
+        u = r["user_id"]
+        if u not in firsts or d < firsts[u]:
+            firsts[u] = d
+    for r in rows:
+        age = (r["ts"].date() - firsts[r["user_id"]]).days
+        if 1 <= age <= 14:
+            acts.add((r["user_id"], age))
+    curve = Counter(age for _, age in acts)
+    pts = [
+        (
+            math.floor(math.log(age) * 1000000),
+            math.floor(math.log(n) * 1000000),
+        )
+        for age, n in sorted(curve.items())
+        if n > 0
+    ]
+    m = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    beta = (float(m) * sxy - float(sx) * sy) / (
+        float(m) * sxx - float(sx) * sx
+    )
+    r = QUERIES["event_retention_decay_fit"](spark, SF_DIR).collect()[0]
+    assert (r["m"], r["decay_exponent_milli"]) == (
+        m, math.floor(beta * 1000),
+    )
+
+
+def test_ulcer_index_matches_python_replay(spark):
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        if r["value"] is not None:
+            daily[r["event_type"]][r["ts"].date()] += round(
+                r["value"] * 100
+            )
+    got = {
+        r["event_type"]: (r["n"], r["max_drawdown_ppm"],
+                          r["ulcer_sq_ppm2"])
+        for r in QUERIES["window_ulcer_index"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        xs = [c for _, c in sorted(days.items())]
+        peak, dds = None, []
+        for c in xs:
+            peak = c if peak is None else max(peak, c)
+            if peak > 0:
+                dds.append((peak - c) * 1000000 // peak)
+        ui2 = sum(d * d for d in dds) // len(dds)
+        assert got[et] == (len(dds), max(dds), ui2)
+        # UI^2 never exceeds maxdd^2
+        assert ui2 <= max(dds) ** 2
