@@ -2599,3 +2599,67 @@ def test_ulcer_index_matches_python_replay(spark):
         assert got[et] == (len(dds), max(dds), ui2)
         # UI^2 never exceeds maxdd^2
         assert ui2 <= max(dds) ** 2
+
+
+def test_dft_weekly_power_matches_python_replay(spark):
+    import datetime
+    import math
+
+    daily = defaultdict(lambda: defaultdict(int))
+    epoch = datetime.date(2024, 1, 1)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        daily[r["event_type"]][(r["ts"].date() - epoch).days] += 1
+    cos7 = [math.cos(2 * math.pi * k / 7) for k in range(7)]
+    sin7 = [math.sin(2 * math.pi * k / 7) for k in range(7)]
+    # the query carries these as fixed literals; pin them
+    lits_c = [1.0, 0.6234898018587336, -0.2225209339563144,
+              -0.9009688679024191, -0.9009688679024191,
+              -0.2225209339563144, 0.6234898018587336]
+    lits_s = [0.0, 0.7818314824680298, 0.9749279121818236,
+              0.43388373911755823, -0.43388373911755823,
+              -0.9749279121818236, -0.7818314824680298]
+    for k in range(7):
+        assert abs(cos7[k] - lits_c[k]) < 1e-12
+        assert abs(sin7[k] - (-lits_s[k])) < 1e-12 or abs(
+            sin7[k] - lits_s[k]
+        ) < 1e-12
+    got = {
+        r["event_type"]: (r["n"], r["re_milli"], r["im_milli"],
+                          r["weekly_power"])
+        for r in QUERIES["ts_dft_weekly_power"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        re = sum(
+            math.floor(x * lits_c[t % 7] * 1000)
+            for t, x in days.items()
+        )
+        im = sum(
+            math.floor(x * lits_s[t % 7] * 1000)
+            for t, x in days.items()
+        )
+        power = (re * re + im * im) // 1000000
+        assert got[et] == (len(days), re, im, power)
+
+
+def test_oaxaca_identity(spark):
+    r = QUERIES["agg_oaxaca_blinder"](spark, SF_DIR).collect()[0]
+    # two-fold identity within the milli flooring slack
+    assert abs(
+        r["gap_milli"] - (r["explained_milli"] + r["unexplained_milli"])
+    ) <= 2
+
+
+def test_mod97_validates_and_detects_corruption(spark):
+    rows = QUERIES["fn_mod97_checkdigits"](spark, SF_DIR).collect()
+    assert rows and all(r["valid"] == 1 for r in rows)
+    for r in rows[:100]:
+        acct = r["account_no"]
+        assert acct % 97 == 1
+        # any single-digit corruption breaks the checksum
+        corrupted = acct + 1
+        assert corrupted % 97 != 1
+        # adjacent transposition in the last two digits breaks it too
+        d1, d0 = (acct // 10) % 10, acct % 10
+        if d1 != d0:
+            swapped = acct - d1 * 10 - d0 + d0 * 10 + d1
+            assert swapped % 97 != 1
