@@ -2663,3 +2663,53 @@ def test_mod97_validates_and_detects_corruption(spark):
         if d1 != d0:
             swapped = acct - d1 * 10 - d0 + d0 * 10 + d1
             assert swapped % 97 != 1
+
+
+def test_mcc_matches_python_replay(spark):
+    import math
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    mt = max(r["o_totalprice"] for r in orders)
+    tp = tn = fp = fn = 0
+    for r in orders:
+        y = 1 if r["o_orderpriority"] == "1-URGENT" else 0
+        yhat = 1 if r["o_totalprice"] * 1000 > mt * 500 else 0
+        if y and yhat:
+            tp += 1
+        elif not y and not yhat:
+            tn += 1
+        elif not y and yhat:
+            fp += 1
+        else:
+            fn += 1
+    mcc = math.floor(
+        (float(tp) * tn - float(fp) * fn)
+        / math.sqrt(
+            float(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+        )
+        * 1000000
+    )
+    r = QUERIES["ml_mcc_matthews"](spark, SF_DIR).collect()[0]
+    assert (r["tp"], r["tn"], r["fp"], r["fn"], r["mcc_micro"]) == (
+        tp, tn, fp, fn, mcc,
+    )
+    assert -1000000 <= r["mcc_micro"] <= 1000000
+
+
+def test_smape_matches_python_replay(spark):
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        daily[r["event_type"]][r["ts"].date()] += 1
+    got = {
+        r["event_type"]: (r["n"], r["smape_ppm"])
+        for r in QUERIES["ts_smape"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        ys = [c for _, c in sorted(days.items())]
+        ts = [
+            2 * abs(b - a) * 1000000 // (a + b) if a + b > 0 else 0
+            for a, b in zip(ys, ys[1:])
+        ]
+        assert got[et] == (len(ts), sum(ts) // len(ts))
+        # sMAPE is bounded at 200%
+        assert 0 <= got[et][1] <= 2000000
