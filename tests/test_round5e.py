@@ -2713,3 +2713,69 @@ def test_smape_matches_python_replay(spark):
         assert got[et] == (len(ts), sum(ts) // len(ts))
         # sMAPE is bounded at 200%
         assert 0 <= got[et][1] <= 2000000
+
+
+def test_realized_volatility_matches_python_replay(spark):
+    import math
+
+    ticks = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        if r["value"] is not None:
+            c = round(r["value"] * 100)
+            if c > 0:
+                ticks[(r["event_type"], r["ts"].date())].append(
+                    (r["ts"], r["event_id"], c)
+                )
+    got = {
+        (r["event_type"], r["day"]): (r["n_returns"], r["rv_micro2"])
+        for r in QUERIES["window_realized_volatility"](
+            spark, SF_DIR
+        ).collect()
+    }
+    want = {}
+    for key, seq in ticks.items():
+        seq.sort()
+        rets = [
+            math.floor(math.log(b[2] / a[2]) * 1000000)
+            for a, b in zip(seq, seq[1:])
+        ]
+        if len(rets) >= 5:
+            want[key] = (
+                len(rets),
+                _tdiv(sum(x * x for x in rets), 1000000),
+            )
+    assert got == want
+
+
+def test_gap_autocorr_matches_python_replay(spark):
+    import math
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]),
+    )
+    gaps = defaultdict(list)
+    prev = {}
+    for r in rows:
+        us = int(r["ts"].timestamp() * 1000000)
+        et = r["event_type"]
+        if et in prev:
+            gaps[et].append((us - prev[et]) // 1000000)
+        prev[et] = us
+    got = {
+        r["event_type"]: (r["n"], r["rho1_milli"])
+        for r in QUERIES["event_gap_autocorr"](spark, SF_DIR).collect()
+    }
+    for et, gs in gaps.items():
+        xs, ys = gs[1:], gs[:-1]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        rho = (float(n) * sxy - float(sx) * sy) / math.sqrt(
+            (float(n) * sxx - float(sx) * sx)
+            * (float(n) * syy - float(sy) * sy)
+        )
+        assert got[et] == (n, math.floor(rho * 1000))
+        assert -1000 <= got[et][1] <= 1000
