@@ -2779,3 +2779,35 @@ def test_gap_autocorr_matches_python_replay(spark):
         )
         assert got[et] == (n, math.floor(rho * 1000))
         assert -1000 <= got[et][1] <= 1000
+
+
+def test_role_playing_dates_matches_python_replay(spark):
+    import datetime
+
+    orders = {
+        r["o_orderkey"]: r["o_orderdate"].date()
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+
+    def wk(d):
+        return 1 if ((d - datetime.date(1970, 1, 1)).days + 4) % 7 in (
+            0, 6,
+        ) else 0
+
+    agg = defaultdict(lambda: [0, 0])
+    for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect():
+        od = orders[r["l_orderkey"]]
+        sd = r["l_shipdate"].date() if hasattr(
+            r["l_shipdate"], "date"
+        ) else r["l_shipdate"]
+        k = (od.year, wk(od), wk(sd))
+        agg[k][0] += 1
+        agg[k][1] += round(r["l_extendedprice"] * 100)
+    got = {
+        (r["order_year"], r["ordered_weekend"], r["shipped_weekend"]):
+            (r["n_lines"], r["cents"])
+        for r in QUERIES["dim_role_playing_dates"](spark, SF_DIR).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # both roles genuinely vary
+    assert len({k[1] for k in got}) == 2 and len({k[2] for k in got}) == 2
