@@ -2811,3 +2811,49 @@ def test_role_playing_dates_matches_python_replay(spark):
     assert got == {k: tuple(v) for k, v in agg.items()}
     # both roles genuinely vary
     assert len({k[1] for k in got}) == 2 and len({k[2] for k in got}) == 2
+
+
+def test_qini_matches_python_replay(spark):
+    ux = defaultdict(lambda: [0, 0, 0])
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        u = ux[r["user_id"]]
+        u[0] += 1
+        if r["event_type"] == "signup":
+            u[1] += 1
+        if r["event_type"] == "purchase":
+            u[2] += 1
+    te = sum(v[0] for v in ux.values())
+    ts = sum(v[1] for v in ux.values())
+    tp = sum(v[2] for v in ux.values())
+    ordered = sorted(ux.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    n_users = len(ordered)
+    base, extra = divmod(n_users, 5)
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    pos = 0
+    for i in range(1, 6):
+        size = base + (1 if i <= extra else 0)
+        for uid, (ne, ns, np_) in ordered[pos:pos + size]:
+            t = 1 if ns * te > ts * ne else 0
+            y = 1 if np_ * te > tp * ne else 0
+            c = cells[i]
+            if t:
+                c[0] += 1
+                c[1] += y
+            else:
+                c[2] += 1
+                c[3] += y
+        pos += size
+    got = {
+        r["seg"]: (r["cnt_t"], r["cnt_c"], r["cy_t"], r["cy_c"],
+                   r["qini_incremental"])
+        for r in QUERIES["ml_qini_curve"](spark, SF_DIR).collect()
+    }
+    ct = cc = yt = yc = 0
+    for seg in range(1, 6):
+        nt, yts, nc, ycs = cells[seg]
+        ct += nt
+        yt += yts
+        cc += nc
+        yc += ycs
+        if cc > 0:
+            assert got[seg] == (ct, cc, yt, yc, yt - yc * ct // cc)
