@@ -2857,3 +2857,26 @@ def test_qini_matches_python_replay(spark):
         yc += ycs
         if cc > 0:
             assert got[seg] == (ct, cc, yt, yc, yt - yc * ct // cc)
+
+
+def test_retrieval_suite_consistent_with_matryoshka(spark):
+    suite = {
+        r["metric"]: r["value"]
+        for r in QUERIES["sim_retrieval_eval_suite"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(suite) == {"recall_at_10_ppm", "mrr_micro", "coverage_ppm"}
+    # recall@10 must be the mean of matryoshka's per-query overlaps
+    mat = QUERIES["emb_matryoshka_recall"](spark, SF_DIR).collect()
+    total_hits = sum(r["n_overlap"] for r in mat)
+    want_recall = total_hits * 100000 // len(mat)
+    assert suite["recall_at_10_ppm"] == want_recall
+    # coverage must match the standalone beyond-accuracy metric
+    cov = QUERIES["ml_reco_coverage_diversity"](spark, SF_DIR).collect()[0][
+        "catalog_coverage_ppm"
+    ]
+    # the suite covers top-10 lists; the standalone uses top-5 — so
+    # suite coverage can only be >= the top-5 coverage
+    assert suite["coverage_ppm"] >= cov
+    assert 0 <= suite["mrr_micro"] <= 1000000
