@@ -2880,3 +2880,40 @@ def test_retrieval_suite_consistent_with_matryoshka(spark):
     # suite coverage can only be >= the top-5 coverage
     assert suite["coverage_ppm"] >= cov
     assert 0 <= suite["mrr_micro"] <= 1000000
+
+
+def test_segment_migration_matches_python_replay(spark):
+    import datetime
+
+    weekly = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        d = r["ts"].date()
+        wk = d - datetime.timedelta(days=d.weekday())
+        weekly[wk][r["user_id"]] += 1
+    tiers = {}
+    for wk, users in weekly.items():
+        ordered = sorted(users.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(ordered)
+        base, extra = divmod(n, 3)
+        pos = 0
+        for t in range(1, 4):
+            size = base + (1 if t <= extra else 0)
+            for uid, _ in ordered[pos:pos + size]:
+                tiers[(uid, wk)] = t
+            pos += size
+    flows = Counter()
+    for (uid, wk), t in tiers.items():
+        nxt = (uid, wk + datetime.timedelta(days=7))
+        if nxt in tiers:
+            flows[(wk, t, tiers[nxt])] += 1
+    got = {
+        (r["from_wk"], r["from_tier"], r["to_tier"]): r["n_users"]
+        for r in QUERIES["event_segment_migration"](spark, SF_DIR).collect()
+    }
+    assert got == dict(flows)
+    # flows out of a week can't exceed that week's population
+    by_week = Counter()
+    for (wk, _, _), c in flows.items():
+        by_week[wk] += c
+    for wk, c in by_week.items():
+        assert c <= len(weekly[wk])
