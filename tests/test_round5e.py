@@ -2917,3 +2917,27 @@ def test_segment_migration_matches_python_replay(spark):
         by_week[wk] += c
     for wk, c in by_week.items():
         assert c <= len(weekly[wk])
+
+
+def test_membership_inference_matches_python_replay(spark):
+    import hashlib
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t).strip().lower()
+
+    docs = {
+        r["doc_id"]: hashlib.md5(norm(r["text"]).encode()).hexdigest()
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    train = {h for d, h in docs.items() if d % 2 == 0}
+    n_mem = sum(1 for d in docs if d % 2 == 0)
+    n_non = len(docs) - n_mem
+    fp = sum(1 for d, h in docs.items() if d % 2 == 1 and h in train)
+    r = QUERIES["privacy_membership_inference"](spark, SF_DIR).collect()[0]
+    assert (r["n_members"], r["n_nonmembers"], r["n_false_members"],
+            r["attack_advantage_ppm"]) == (
+        n_mem, n_non, fp, 1000000 - fp * 1000000 // n_non,
+    )
+    # advantage bounded by the perfect-attack ceiling
+    assert 0 <= r["attack_advantage_ppm"] <= 1000000
