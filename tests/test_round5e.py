@@ -2941,3 +2941,37 @@ def test_membership_inference_matches_python_replay(spark):
     )
     # advantage bounded by the perfect-attack ceiling
     assert 0 <= r["attack_advantage_ppm"] <= 1000000
+
+
+def test_critical_path_matches_python_replay(spark):
+    orders = {
+        r["o_orderkey"]: r["o_orderdate"].date()
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    per_order = {}
+    for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect():
+        sd = r["l_shipdate"]
+        sd = sd.date() if hasattr(sd, "date") else sd
+        key = r["l_orderkey"]
+        cand = (sd, -r["l_suppkey"])
+        if key not in per_order or cand > per_order[key][0]:
+            per_order[key] = (cand, r["l_suppkey"], sd)
+    agg = defaultdict(lambda: [0, 0, None])
+    for ok, (_, supp, sd) in per_order.items():
+        lag = (sd - orders[ok]).days
+        a = agg[supp]
+        a[0] += 1
+        a[1] += lag
+        a[2] = lag if a[2] is None else max(a[2], lag)
+    want = {
+        s: tuple(v) for s, v in agg.items() if v[0] >= 3
+    }
+    got = {
+        r["l_suppkey"]: (r["n_orders_bottlenecked"], r["total_lag_days"],
+                         r["worst_lag_days"])
+        for r in QUERIES["join_critical_path_supplier"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want
+    assert want
