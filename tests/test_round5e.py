@@ -2975,3 +2975,42 @@ def test_critical_path_matches_python_replay(spark):
     }
     assert got == want
     assert want
+
+
+def test_group_roc_points_matches_python_replay(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    mt = max(r["o_totalprice"] for r in orders)
+    cells = defaultdict(lambda: [0, 0])
+    import math
+
+    for r in orders:
+        band = min(math.floor(r["o_totalprice"] * 10 / mt), 9)
+        y = 1 if r["o_orderpriority"] == "1-URGENT" else 0
+        c = cells[(r["o_orderstatus"], band)]
+        if y:
+            c[0] += 1
+        else:
+            c[1] += 1
+    groups = {g for g, _ in cells}
+    got = {
+        (r["grp"], r["threshold_band"]): (r["tpr_micro"], r["fpr_micro"])
+        for r in QUERIES["ml_group_roc_points"](spark, SF_DIR).collect()
+    }
+    for g in groups:
+        p = sum(c[0] for (gg, _), c in cells.items() if gg == g)
+        n = sum(c[1] for (gg, _), c in cells.items() if gg == g)
+        if p == 0 or n == 0:
+            continue
+        bands = sorted(
+            {b for (gg, b) in cells if gg == g}, reverse=True
+        )
+        tp = fp = 0
+        prev_tpr = prev_fpr = -1
+        for b in bands:
+            tp += cells[(g, b)][0]
+            fp += cells[(g, b)][1]
+            want = (tp * 1000000 // p, fp * 1000000 // n)
+            assert got[(g, b)] == want
+            # ROC points are monotone along the sweep
+            assert want[0] >= prev_tpr and want[1] >= prev_fpr
+            prev_tpr, prev_fpr = want
