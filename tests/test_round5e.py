@@ -3014,3 +3014,60 @@ def test_group_roc_points_matches_python_replay(spark):
             # ROC points are monotone along the sweep
             assert want[0] >= prev_tpr and want[1] >= prev_fpr
             prev_tpr, prev_fpr = want
+
+
+def test_obv_matches_python_replay(spark):
+    daily = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        d = daily[r["event_type"]][r["ts"].date()]
+        if r["value"] is not None:
+            d[0] += round(r["value"] * 100)
+        d[1] += 1
+    got = {
+        (r["event_type"], r["day"]): r["obv"]
+        for r in QUERIES["window_on_balance_volume"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        seq = sorted(days.items())
+        obv, prev = 0, None
+        for d, (px, vol) in seq:
+            if prev is not None:
+                if px > prev:
+                    obv += vol
+                elif px < prev:
+                    obv -= vol
+            prev = px
+            assert got[(et, d)] == obv
+
+
+def test_tpr_at_fpr_matches_python_replay(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    import hashlib
+
+    cells = defaultdict(lambda: [0, 0])
+    for r in li:
+        noise = int(hashlib.md5(
+            f"{r['l_orderkey']}:{r['l_linenumber']}".encode()
+        ).hexdigest()[:4], 16) % 10
+        score = round(r["l_discount"] * 100) * 10 + noise
+        y = 1 if r["l_returnflag"] == "R" else 0
+        c = cells[score]
+        if y:
+            c[0] += 1
+        else:
+            c[1] += 1
+    p = sum(c[0] for c in cells.values())
+    n = sum(c[1] for c in cells.values())
+    tp = fp = 0
+    best = None
+    for s in sorted(cells, reverse=True):
+        tp += cells[s][0]
+        fp += cells[s][1]
+        if fp * 100 <= n:
+            if best is None or tp > best[1]:
+                best = (s, tp, fp)
+    r = QUERIES["ml_tpr_at_fpr"](spark, SF_DIR).collect()[0]
+    assert (r["threshold_score"], r["tpr_micro"], r["fpr_micro"]) == (
+        best[0], best[1] * 1000000 // p, best[2] * 1000000 // n,
+    )
+    assert r["fpr_micro"] <= 10000
