@@ -3071,3 +3071,31 @@ def test_tpr_at_fpr_matches_python_replay(spark):
         best[0], best[1] * 1000000 // p, best[2] * 1000000 // n,
     )
     assert r["fpr_micro"] <= 10000
+
+
+def test_upset_counts_matches_python_replay(spark):
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    seen = Counter()
+    masks = defaultdict(int)
+    bits = {"click": 16, "view": 8, "purchase": 4, "signup": 2,
+            "error": 1}
+    for r in rows:
+        u = r["user_id"]
+        seen[u] += 1
+        if seen[u] <= 5:
+            masks[u] |= bits[r["event_type"]]
+    want = Counter(masks.values())
+    got = {
+        r["mask"]: (r["set_size"], r["n_exclusive"])
+        for r in QUERIES["event_type_upset_counts"](spark, SF_DIR).collect()
+    }
+    assert {m: c for m, (_, c) in got.items()} == dict(want)
+    for m, (sz, _) in got.items():
+        assert sz == bin(m).count("1")
+    # the early window genuinely differentiates users
+    assert len(got) >= 5
+    # total users conserved
+    assert sum(c for _, c in got.values()) == len(masks)
