@@ -3099,3 +3099,45 @@ def test_upset_counts_matches_python_replay(spark):
     assert len(got) >= 5
     # total users conserved
     assert sum(c for _, c in got.values()) == len(masks)
+
+
+def test_concentration_ratios_matches_python_replay(spark):
+    spend = defaultdict(int)
+    for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect():
+        spend[r["l_suppkey"]] += round(r["l_extendedprice"] * 100)
+    ordered = sorted(spend.items(), key=lambda kv: (-kv[1], kv[0]))
+    t = sum(spend.values())
+    r = QUERIES["agg_concentration_ratios"](spark, SF_DIR).collect()[0]
+    for k, col in ((1, "cr1_ppm"), (4, "cr4_ppm"), (8, "cr8_ppm")):
+        want = sum(c for _, c in ordered[:k]) * 1000000 // t
+        assert r[col] == want
+    assert r["n_suppliers"] == len(spend)
+    assert r["cr1_ppm"] <= r["cr4_ppm"] <= r["cr8_ppm"] <= 1000000
+
+
+def test_otif_matches_python_replay(spark):
+    orders = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    per_order = {}
+    for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect():
+        od = orders[r["l_orderkey"]]
+        sd = r["l_shipdate"]
+        sd = sd.date() if hasattr(sd, "date") else sd
+        lag = (sd - od.date()).days
+        ok = 0 <= lag <= 90
+        key = (r["l_orderkey"], od.year)
+        per_order[key] = per_order.get(key, True) and ok
+    agg = defaultdict(lambda: [0, 0])
+    for (_, yr), ok in per_order.items():
+        a = agg[yr]
+        a[0] += 1
+        if ok:
+            a[1] += 1
+    got = {
+        r["yr"]: (r["n_orders"], r["n_otif"], r["otif_ppm"])
+        for r in QUERIES["join_otif_rate"](spark, SF_DIR).collect()
+    }
+    for yr, (n, ok) in agg.items():
+        assert got[yr] == (n, ok, ok * 1000000 // n)
