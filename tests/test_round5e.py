@@ -3141,3 +3141,47 @@ def test_otif_matches_python_replay(spark):
     }
     for yr, (n, ok) in agg.items():
         assert got[yr] == (n, ok, ok * 1000000 // n)
+
+
+def test_covariate_balance_smd_matches_python_replay(spark):
+    import math
+
+    ux = defaultdict(lambda: [0, 0, set(), 0])
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        u = ux[r["user_id"]]
+        u[0] += 1
+        if r["event_type"] == "signup":
+            u[1] += 1
+        u[2].add(r["ts"].date())
+        if r["value"] is not None:
+            u[3] += round(r["value"] * 100)
+    te = sum(v[0] for v in ux.values())
+    ts = sum(v[1] for v in ux.values())
+    arms = defaultdict(lambda: defaultdict(list))
+    for ne, ns, days, cents in (
+        (v[0], v[1], len(v[2]), v[3]) for v in ux.values()
+    ):
+        t = 1 if ns * te > ts * ne else 0
+        arms["n_events"][t].append(ne)
+        arms["active_days"][t].append(days)
+        arms["cents"][t].append(cents)
+    got = {
+        r["covariate"]: (r["smd_milli"], r["balanced"])
+        for r in QUERIES["ml_covariate_balance_smd"](spark, SF_DIR).collect()
+    }
+    for cov, sides in arms.items():
+        stats = {}
+        for t in (0, 1):
+            xs = sides[t]
+            n, s = len(xs), sum(xs)
+            ss = sum(x * x for x in xs)
+            stats[t] = (
+                s / n,
+                (float(ss) * n - float(s) * s) / (float(n) * (n - 1)),
+            )
+        smd = (stats[1][0] - stats[0][0]) / math.sqrt(
+            (stats[1][1] + stats[0][1]) / 2
+        )
+        assert got[cov] == (
+            math.floor(smd * 1000), 1 if abs(smd) < 0.1 else 0,
+        )
