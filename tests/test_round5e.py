@@ -3185,3 +3185,51 @@ def test_covariate_balance_smd_matches_python_replay(spark):
         assert got[cov] == (
             math.floor(smd * 1000), 1 if abs(smd) < 0.1 else 0,
         )
+
+
+def test_pettitt_matches_python_replay(spark):
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        daily[r["event_type"]][r["ts"].date()] += 1
+    got = {
+        r["event_type"]: (r["change_at"], r["n"], r["k_stat"])
+        for r in QUERIES["ts_pettitt_test"](spark, SF_DIR).collect()
+    }
+    for et, days in daily.items():
+        xs = [c for _, c in sorted(days.items())]
+        n = len(xs)
+        # doubled midranks over the value order
+        vals = sorted(xs)
+        less, eq = {}, Counter(vals)
+        seen = 0
+        for v in vals:
+            if v not in less:
+                less[v] = seen
+            seen += 1
+        r2 = [2 * less[x] + eq[x] + 1 for x in xs]
+        best = None
+        s = 0
+        for t in range(1, n):
+            s += r2[t - 1]
+            u = s - t * (n + 1)
+            if best is None or abs(u) > abs(best[1]):
+                best = (t, u)
+        assert got[et] == (best[0], n, abs(best[1]))
+
+
+def test_degree_gini_matches_python_replay(spark):
+    edges = _copurchase_edges(spark)
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    ordered = sorted(deg.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ordered)
+    s = sum(d for _, d in ordered)
+    num = 2 * sum(i * d for i, (_, d) in enumerate(ordered, start=1))
+    gini = (num - (n + 1) * s) * 1000000 // (n * s)
+    r = QUERIES["graph_degree_gini"](spark, SF_DIR).collect()[0]
+    assert (r["n_nodes"], r["total_degree"], r["gini_ppm"]) == (
+        n, s, gini,
+    )
+    assert 0 <= r["gini_ppm"] < 1000000
