@@ -112,3 +112,66 @@ def test_rotation_priority_list_is_clean():
     assert not missing, missing
     missing_green = [k for k in DRIVER_GREEN if k not in QUERIES]
     assert not missing_green, missing_green
+
+
+def test_driver_history_latest_row_wins(tmp_path):
+    """A key whose NEWEST driver row is red must not count as green
+    (it re-enters the window next round), and rows-only rows must
+    report the round of their most recent clean run."""
+    import json
+
+    from php_etl_spark.queries import _driver_history_from_files
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "a": {"hash_match": True},
+                "b": {"hash_match": True},
+                "c": {"err": "no_oracle", "spark_rows": 5},
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {
+                "b": {"hash_match": False},  # regression: latest row is red
+                "c": {"err": "no_oracle", "spark_rows": 5},
+                "d": {"err": "boom", "spark_rows": None},
+            }
+        )
+    )
+    hash_green, rows_only_last, n_rounds = _driver_history_from_files(
+        root=str(tmp_path)
+    )
+    assert n_rounds == 2
+    assert hash_green == ["a"]  # b's newer red row demotes it
+    assert rows_only_last == {"c": 2}
+
+
+def test_rotation_window_shape():
+    """The driver verifies the first 50 keys in registry order. With the
+    real repo ledgers present, the window head must be: the 10 ex-red
+    recast keys (positions 1-10), then the aged rows-only re-exposures,
+    then never-driver-checked debt in registration order — and no key
+    with a current green driver row may burn a debt slot."""
+    from php_etl_spark.queries import (
+        QUERIES,
+        _PRIORITY,
+        _ROWS_ONLY_REEXPOSE,
+        _driver_history_from_files,
+    )
+
+    hash_green, rows_only_last, n_rounds = _driver_history_from_files()
+    if n_rounds == 0:
+        pytest.skip("no driver ledgers present (standalone install)")
+    keys = list(QUERIES)
+    still_red = [k for k in _PRIORITY if k not in set(hash_green)]
+    assert keys[: len(still_red)] == still_red
+    window = set(keys[:50])
+    # aged rows-only keys re-enter the window (judge directive r5 #3)
+    reexposed = [k for k in rows_only_last if k in window]
+    if len(rows_only_last) > _ROWS_ONLY_REEXPOSE:
+        assert len(reexposed) >= min(_ROWS_ONLY_REEXPOSE, len(rows_only_last))
+    # nothing currently hash-green may appear inside the window
+    leaked = [k for k in keys[:50] if k in set(hash_green)]
+    assert not leaked, leaked
