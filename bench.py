@@ -113,12 +113,14 @@ def main() -> int:
             except Exception:
                 pass
 
-    # min of two timed runs per query: one-shot numbers on a shared
-    # box carry 10-20% scheduler noise; the min measures the engine
+    # min of three timed runs per query (r6, was min-of-two): one-shot
+    # numbers on a shared box carry 10-20% scheduler noise — two of five
+    # driver rounds recorded box-load artifacts; the min measures the
+    # engine. Totals across the harness change are not comparable.
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             force(Q.QUERIES[name](spark, sf_dir))
             best = min(best, time.time() - t0)
