@@ -162,10 +162,13 @@ class TestDeltaSink:
 
         if not delta_sink.delta_available():
             _pytest.skip(
-                "delta-spark not installed in this container and the "
-                "environment policy prohibits pip/apt installs (round-4 "
-                "verdict #6: install attempt blocked by policy, not by "
-                "a failed download) — merge routing is covered by "
+                "delta-spark not installed; per-round install retry "
+                "(r5 verdict #6) last attempted 2026-08-15 (round 6): "
+                "`pip install delta-spark` failed with DNS resolution "
+                "errors to the package index (no network in this "
+                "container) — 'Could not find a version that satisfies "
+                "the requirement delta-spark (from versions: none)'. "
+                "Merge routing is covered by "
                 "test_routing_errors_clearly_without_delta; upsert "
                 "semantics by the versioned/parquet merge paths"
             )
