@@ -142,61 +142,60 @@ def brute_force_topk(
 
 def hyperplane_coefficients(
     spark, n_tables: int, n_planes: int, dim: int
-) -> list[list[list[float]]]:
+) -> list[list[list[int]]]:
     """Deterministic pseudo-random hyperplanes for ``n_tables``
     independent hash tables of ``n_planes`` bits each, derived from
-    xxhash64 — reproducible across runs/cluster sizes with no RNG
-    state. Coefficients ~uniform in [-1, 1].
+    md5("plane:t:p:i") — a PORTABLE hash both engines implement, so
+    the bucket assignment is bit-reproducible in plain SQL (this is
+    what gives sim_ann_lsh its exact cross-engine oracle). Integer
+    coefficients ~uniform in [-1000, 1000]: the projection of a
+    quantized vector is then exact BIGINT arithmetic — sign decisions
+    cannot flip with partitioning, reduction order, or engine.
 
-    Returns nested Python lists ``[tbl][plane] -> dim floats`` — this
-    is *configuration*, a few KiB regardless of data size, so it lives
-    driver-side and is embedded into the plan as literals (the fold in
-    ``lsh_buckets`` then needs no coefficient join at all)."""
-    per_table = n_planes * dim
-    rows = (
-        spark.range(n_tables * per_table)
-        .select(
-            (
-                F.xxhash64(F.concat(F.lit("plane:"), F.col("id"))).cast("double")
-                / F.lit(float(2**63))
-            ).alias("coef")
-        )
-        .collect()
-    )
-    flat = [r["coef"] for r in rows]
+    Returns nested Python lists ``[tbl][plane] -> dim ints`` — this is
+    *configuration*, a few KiB regardless of data size, computed
+    driver-side with hashlib (no Spark job) and shipped as ONE
+    broadcast row (the fold in ``lsh_buckets`` then needs no
+    coefficient join at all). ``spark`` is accepted for signature
+    compatibility and unused."""
+    import hashlib as _hashlib
+
+    def coef(t: int, p: int, i: int) -> int:
+        h = _hashlib.md5(f"plane:{t}:{p}:{i}".encode()).hexdigest()[:8]
+        return int(h, 16) % 2001 - 1000
+
     return [
-        [
-            flat[t * per_table + p * dim : t * per_table + (p + 1) * dim]
-            for p in range(n_planes)
-        ]
+        [[coef(t, p, i) for i in range(dim)] for p in range(n_planes)]
         for t in range(n_tables)
     ]
 
 
 def lsh_buckets(
     emb: DataFrame,
-    coefs: list[list[list[float]]],
+    coefs: list[list[list[int]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vector, table) → sign-pattern bucket id, fully NARROW: the
     coefficient tensor rides along as ONE broadcast row (a
     BroadcastNestedLoopJoin against a 1-row frame — no shuffle), each
-    projection is a ``zip_with``+``aggregate`` fold of the vector
-    against a coefficient slice, signs pack per table via an indexed
-    ``transform``, and one explode emits a row per (vector, table).
+    projection is a ``zip_with``+``aggregate`` fold of the QUANTIZED
+    vector against an integer coefficient slice (exact BIGINT — the
+    sign of the projection is engine/order-independent), signs pack
+    per table via an indexed ``transform``, and one explode emits a
+    row per (vector, table).
 
     The previous shape posexploded N×dim rows and shuffled them twice
     — dim× the corpus through the exchange for what is a per-row
     computation. Keeping the coefficients in a column (not as literal
-    expression nodes) also keeps the plan tree small: 8×4×64 floats as
+    expression nodes) also keeps the plan tree small: 8×4×64 values as
     literals made Catalyst spend seconds folding constants."""
     spark = emb.sparkSession
     one = spark.createDataFrame(
-        [(coefs,)], "cf: array<array<array<double>>>"
+        [(coefs,)], "cf: array<array<array<long>>>"
     )
-    vec = F.col(vec_col)
-    # bucket per table t: Σ_p [proj_p > 0] << p, proj_p = vec · cf[t][p]
+    qvec = quantize(F.col(vec_col))
+    # bucket per table t: Σ_p [proj_p > 0] << p, proj_p = q(vec) · cf[t][p]
     buckets = F.transform(
         F.col("cf"),
         lambda tbl_arr, t: F.struct(
@@ -206,10 +205,8 @@ def lsh_buckets(
                     tbl_arr,
                     lambda plane_arr, p: F.when(
                         F.aggregate(
-                            F.zip_with(
-                                vec, plane_arr, lambda x, c: x.cast("double") * c
-                            ),
-                            F.lit(0.0),
+                            F.zip_with(qvec, plane_arr, lambda x, c: x * c),
+                            F.lit(0).cast("long"),
                             lambda acc, x: acc + x,
                         )
                         > 0,
@@ -241,8 +238,11 @@ def ann_topk_lsh(
     """Approximate top-k via multi-table random-hyperplane LSH:
     candidates match the query's bucket in ANY of ``n_tables`` tables
     (OR-amplification — recall 1-(1-p^planes)^tables), then exact
-    rescore of the candidate set only. Approximate by construction;
-    recall vs brute force is asserted in tests.
+    rescore of the candidate set only. Approximate vs brute force
+    (recall asserted in tests) but fully DETERMINISTIC: md5-derived
+    integer hyperplanes over quantized vectors make the bucket
+    assignment and the rescore exact cross-engine arithmetic, so the
+    whole query carries a bit-exact SQL oracle (sim_ann_lsh).
 
     Pass ``dim`` (the embedding dimensionality — schema knowledge the
     caller has) to keep the plan fully lazy; omitting it probes one
@@ -550,6 +550,73 @@ def kmeans_seed_rank(col):
     return F.pmod(
         F.pmod(col, F.lit(1000003)) * F.lit(2654435761), F.lit(999999937)
     )
+
+
+def kmeans_lloyd1_exact(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE Lloyd iteration in exact integer arithmetic — the oracle-
+    gated pin of the k-means training algebra (emb_kmeans_lloyd1).
+    Seeds are the k smallest kmeans_seed_rank vectors (the same exact
+    step emb_kmeans_seeds verifies); every vector is assigned to the
+    nearest seed by quantized integer L2 (ties → smallest cell); the
+    update step's per-dimension integer sums are reported per cell as
+    (n_members, Σ_i S_i, Σ_i (S_i² mod 1e9+7)) — a checksum that pins
+    the centroid sums to the last bit at any scale (the mod keeps the
+    square inside BIGINT however large the cell). The full float loop
+    (kmeans_codebook) stays rows-only by nature — float reduction
+    order — which is exactly why this key exists.
+
+    Scale shape: the k×d seed codebook rides as ONE broadcast row, the
+    assignment is a narrow per-vector fold (no shuffle), and the sums
+    are map-side-combinable (cell, dim) partials — k·d rows through
+    the exchange, k rows out."""
+    P = F.lit(1_000_000_007).cast("long")
+    q = quantize(F.col(vec_col))
+    base = emb.filter(F.size(vec_col) > 0).select(
+        F.col(id_col).alias("id"),
+        q.alias("qv"),
+        kmeans_seed_rank(F.col(id_col)).alias("r"),
+    )
+    w = Window.orderBy("r", "id")
+    seeds = base.withColumn("cell", F.row_number().over(w)).filter(
+        F.col("cell") <= k
+    )
+    one = seeds.agg(
+        F.sort_array(F.collect_list(F.struct("cell", "qv"))).alias("seeds")
+    )
+    dists = F.transform(
+        F.col("seeds"),
+        lambda s: F.aggregate(
+            F.zip_with(F.col("qv"), s["qv"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    assigned = (
+        base.join(F.broadcast(one))
+        .withColumn("dists", dists)
+        .select(
+            "qv",
+            F.array_position(F.col("dists"), F.array_min("dists"))
+            .cast("int")
+            .alias("cell"),
+        )
+    )
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+    dimsum = (
+        assigned.select("cell", F.posexplode("qv").alias("i", "qd"))
+        .groupBy("cell", "i")
+        .agg(F.sum("qd").alias("s"))
+    )
+    sums = dimsum.groupBy("cell").agg(
+        F.sum("s").alias("sum_q"),
+        F.sum((F.col("s") % P) * (F.col("s") % P) % P).alias("sum_sq_mod"),
+    )
+    return counts.join(sums, "cell").orderBy("cell")
 
 
 def kmeans_codebook(
