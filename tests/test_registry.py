@@ -175,3 +175,23 @@ def test_rotation_window_shape():
     # nothing currently hash-green may appear inside the window
     leaked = [k for k in keys[:50] if k in set(hash_green)]
     assert not leaked, leaked
+
+
+def test_coverage_ledger_not_stale():
+    """COVERAGE.md is auto-generated from the registry; its headline
+    counts must match len(QUERIES)/len(ORACLES) or the ledger went
+    stale (r5 verdict #5 — regenerate with `make coverage`)."""
+    import os
+    import re
+
+    from php_etl_spark.queries import ORACLES, QUERIES
+
+    path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    with open(path) as f:
+        head = f.read(2000)
+    m = re.search(r"\*\*(\d+) queries, (\d+) with DuckDB SQL oracles\*\*", head)
+    assert m, "COVERAGE.md headline count line not found"
+    assert (int(m.group(1)), int(m.group(2))) == (len(QUERIES), len(ORACLES)), (
+        f"COVERAGE.md says {m.group(1)}/{m.group(2)} but the registry has "
+        f"{len(QUERIES)}/{len(ORACLES)} — run `make coverage` and commit"
+    )
