@@ -776,3 +776,97 @@ def containment_pairs(
         (F.col("i") / F.col("sz_b")).alias("containment"),
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+def longest_duplicate_substrings(
+    docs: DataFrame,
+    k: int = 8,
+    min_tokens: int = 20,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Longest exact duplicate substring per document pair — the
+    suffix-array-free, distributed rendition of the ExactSubstr dedup
+    in Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", which builds a corpus suffix array on one big
+    machine; a 100 TB corpus can't). Completes the exact-substring
+    story next to the span blocklist (text_duplicate_spans) and
+    winnowing fingerprints (docs_winnowing): those DETECT shared
+    spans, this one MEASURES the longest shared run and locates it.
+
+    Method — anchor chaining on the k-gram diagonal:
+    1. every positional word k-gram hashes to an anchor (doc, pos, h);
+    2. a df-capped inverted index self-join yields cross-doc anchor
+       matches (doc_a < doc_b) — cost Σ df², bounded by ``max_df``;
+    3. a common substring of L ≥ k tokens is EXACTLY a run of
+       L - k + 1 consecutive anchors on one diagonal (pa - pb const),
+       so per (pair, diagonal) the classic islands trick (pos minus
+       row_number) groups each run, and the longest island per pair
+       is the longest common substring: dup_tokens = island + k - 1.
+
+    Exact modulo xxhash64 collisions (~2⁻⁶⁴ per anchor pair) and the
+    df cap (a k-gram repeated in > max_df positions corpus-wide is
+    boilerplate the blocklist removes first; the cap never binds at
+    oracle scale, so the SQL oracle — which joins raw gram strings,
+    no hash at all — proves the hashed pipeline end-to-end). Scale
+    shape: one explode (tokens-k+1 anchors per doc), map-side-combined
+    df counts, a bucket join bounded by the cap, and windows keyed by
+    (pair, diagonal) — no all-pairs stage anywhere; ties break
+    deterministically (smallest a_start, then b_start).
+
+    Returns (doc_a, doc_b, a_start, b_start, dup_tokens) for pairs
+    with dup_tokens ≥ ``min_tokens``; starts are 1-based token
+    positions in the normalized token stream."""
+    from pyspark.sql import Window as _W
+
+    from php_etl_spark.llm import text as _text
+
+    grams = (
+        docs.select(F.col(id_col).alias("doc"), _text.tokens(F.col(text_col)).alias("tk"))
+        .filter(F.size("tk") >= k)
+        .select(
+            "doc",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {k - 1}),"
+                    f" i -> xxhash64(concat_ws(' ', slice(tk, i, {k}))))"
+                )
+            ).alias("pos0", "h"),
+        )
+        .select("doc", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    capped = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("h")
+    )
+    g = grams.join(capped, "h")
+    anchors = (
+        g.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pa"), "h")
+        .join(
+            g.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "h"),
+            "h",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = _W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = (
+        anchors.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").cast("int").alias("a_start"),
+            F.min("pb").cast("int").alias("b_start"),
+            (F.count("*") + F.lit(k - 1)).cast("int").alias("dup_tokens"),
+        )
+    )
+    wp = _W.partitionBy("doc_a", "doc_b").orderBy(
+        F.col("dup_tokens").desc(), "a_start", "b_start"
+    )
+    return (
+        islands.withColumn("rn", F.row_number().over(wp))
+        .filter((F.col("rn") == 1) & (F.col("dup_tokens") >= min_tokens))
+        .select("doc_a", "doc_b", "a_start", "b_start", "dup_tokens")
+    )
