@@ -581,9 +581,12 @@ def kmeans_lloyd1_exact(
         q.alias("qv"),
         kmeans_seed_rank(F.col(id_col)).alias("r"),
     )
+    # distributed TakeOrdered for the k seeds (never a global
+    # single-partition window over the corpus); the row_number window
+    # then runs on the k-row frame only
     w = Window.orderBy("r", "id")
-    seeds = base.withColumn("cell", F.row_number().over(w)).filter(
-        F.col("cell") <= k
+    seeds = base.orderBy("r", "id").limit(k).withColumn(
+        "cell", F.row_number().over(w)
     )
     one = seeds.agg(
         F.sort_array(F.collect_list(F.struct("cell", "qv"))).alias("seeds")
