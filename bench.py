@@ -84,6 +84,10 @@ HEADLINE = [
     "agg_heavy_hitters",     # per-partition Misra-Gries + exact recount
     "dedup_prefix_filter_join",  # rarity-prefix index + exact verify
     "event_lindley_queue",   # stacked prefix windows (queue sim)
+    # round-6 addition: the exact-substring measurement shape
+    # (positional anchor index join + diagonal islands) — first-run
+    # baseline in BASELINE.md
+    "docs_longest_dup_substring",  # Lee-et-al ExactSubstr, distributed
 ]
 
 
