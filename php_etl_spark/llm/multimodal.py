@@ -119,6 +119,33 @@ def perceptual_hash64(
     )
 
 
+def perceptual_hash64_q(
+    feats: DataFrame,
+    feature_col: str = "features",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """aHash fingerprint in EXACT integer arithmetic for features that
+    are rationals k/997 (the deterministic fake decoder's contract):
+    bit i is set iff n·k_i > Σk — algebraically identical to
+    ``feature_i > mean`` but free of float-tie ambiguity (the float
+    mean of float32 ratios can land on either side of a true tie), so
+    the fingerprint and every Hamming distance over it replay
+    bit-for-bit in SQL (multimodal_near_dup_phash's oracle).
+    Production float features keep ``perceptual_hash64``."""
+    q = (
+        f"transform({feature_col},"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 997) AS BIGINT))"
+    )
+    tot = f"aggregate({q}, CAST(0 AS BIGINT), (a, x) -> a + x)"
+    packed = (
+        f"aggregate(zip_with({q}, sequence(0, size({feature_col}) - 1), "
+        f"(x, i) -> IF(size({feature_col}) * x > {tot}, "
+        f"shiftleft(CAST(1 AS BIGINT), i), "
+        f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (acc, v) -> acc | v)"
+    )
+    return feats.select(F.col(id_col), F.expr(packed).alias("phash"))
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
