@@ -917,6 +917,35 @@ AUDITS = {
          "repeated lineitem scans in the final plan",
          lambda p: "lineitem" not in p.lower()),
     ],
+    "docs_longest_dup_substring": [
+        ("anchor self-join is a keyed equi-join on the gram hash "
+         "(no cartesian / nested loop)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("anchor construction is columnar (no Python row path)",
+         lambda p: "BatchEvalPython" not in p),
+        ("islands + per-pair argmax are keyed windows, not global",
+         lambda p: "Window [" not in p
+         or "Exchange SinglePartition" not in
+         p.split("== Initial Plan ==")[0]),
+    ],
+    "emb_kmeans_lloyd1": [
+        ("the k×d seed codebook rides as a broadcast row (assignment "
+         "is narrow)",
+         lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
+        ("no cartesian product",
+         lambda p: "CartesianProduct" not in p),
+        ("centroid sums are map-side combinable hash aggregates",
+         lambda p: "HashAggregate" in p),
+    ],
+    "dedup_simhash_portable": [
+        ("vote aggregation is one hash aggregate over the token "
+         "explode (64 sums in one pass, no per-bit passes)",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 2),
+        ("token hashing is JVM-side (no Python row path)",
+         lambda p: "BatchEvalPython" not in p),
+    ],
 }
 
 
