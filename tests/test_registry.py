@@ -195,3 +195,40 @@ def test_coverage_ledger_not_stale():
         f"COVERAGE.md says {m.group(1)}/{m.group(2)} but the registry has "
         f"{len(QUERIES)}/{len(ORACLES)} — run `make coverage` and commit"
     )
+
+
+def test_no_oracle_orders_by_nonunique_lineitem_key():
+    """(l_orderkey, l_linenumber) is NOT unique in the synthetic
+    lineitem (round-6 sf0.1 sweep finding: part 8636 carries two rows
+    of order 119384 line 1), so no oracle window/sort may use
+    l_linenumber as its FINAL tiebreak — the row order, and any
+    prefix sum or row_number built on it, would be engine-dependent.
+    (pk, orderkey, linenumber, quantity) is duplicate-free at every
+    SF; append l_quantity (or more) to make the order total."""
+    import re
+
+    from php_etl_spark.queries import ORACLES
+
+    pat = re.compile(r"ORDER BY[^()]*l_linenumber\s*[\)\n]", re.I)
+    bad = sorted(
+        k for k, sql in ORACLES.items() if pat.search(sql)
+    )
+    assert not bad, bad
+
+
+def test_lineitem_totality_facts(spark):
+    """The uniqueness facts the sort-key fixes rely on, asserted
+    against the actual test data: every per-part ordering that ends
+    in quantity is total."""
+    from tests.conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    dup = (
+        li.groupBy("l_partkey", "l_orderkey", "l_linenumber", "l_quantity")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
