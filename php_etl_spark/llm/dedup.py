@@ -785,6 +785,7 @@ def longest_duplicate_substrings(
     max_df: int = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "longest",
 ) -> DataFrame:
     """Longest exact duplicate substring per document pair — the
     suffix-array-free, distributed rendition of the ExactSubstr dedup
@@ -817,7 +818,10 @@ def longest_duplicate_substrings(
 
     Returns (doc_a, doc_b, a_start, b_start, dup_tokens) for pairs
     with dup_tokens ≥ ``min_tokens``; starts are 1-based token
-    positions in the normalized token stream."""
+    positions in the normalized token stream. ``mode="longest"``
+    (default) reports one row per pair — the longest run with
+    deterministic tie-breaks; ``mode="all"`` reports EVERY maximal
+    run ≥ min_tokens (the input the removal step consumes)."""
     from pyspark.sql import Window as _W
 
     from php_etl_spark.llm import text as _text
@@ -862,6 +866,10 @@ def longest_duplicate_substrings(
             (F.count("*") + F.lit(k - 1)).cast("int").alias("dup_tokens"),
         )
     )
+    if mode == "all":
+        return islands.filter(F.col("dup_tokens") >= min_tokens).select(
+            "doc_a", "doc_b", "a_start", "b_start", "dup_tokens"
+        )
     wp = _W.partitionBy("doc_a", "doc_b").orderBy(
         F.col("dup_tokens").desc(), "a_start", "b_start"
     )
@@ -869,4 +877,99 @@ def longest_duplicate_substrings(
         islands.withColumn("rn", F.row_number().over(wp))
         .filter((F.col("rn") == 1) & (F.col("dup_tokens") >= min_tokens))
         .select("doc_a", "doc_b", "a_start", "b_start", "dup_tokens")
+    )
+
+
+def exactsubstr_dedup_apply(
+    docs: DataFrame,
+    k: int = 8,
+    min_tokens: int = 20,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY the exact-substring dedup — the removal step of Lee et
+    al. 2022 (their ExactSubstr deletes every duplicated span ≥ the
+    threshold from all-but-one occurrence; we keep the occurrence in
+    the SMALLER doc id — the same first-wins rule the rest of this
+    module uses). Consumes every maximal duplicate run from
+    ``longest_duplicate_substrings(mode="all")``, keeps only the
+    spans whose doc is the pair's LARGER id, merges overlapping spans
+    per doc with the standard sweep (sort by start, running max of
+    end, new island when a span starts past the running max), and
+    rebuilds each document from the tokens outside every merged span.
+
+    Scale shape: spans per doc are few and bounded by the df cap; the
+    merge is a per-doc window; the rebuild joins each doc's merged
+    span LIST back as one array column and filters the token array
+    with a higher-order lambda — narrow, no token-level shuffle.
+
+    Returns (doc_id, n_tokens_before, n_tokens_removed, kept_md5)
+    where kept_md5 is md5 of the space-joined surviving tokens (the
+    cross-engine value the oracle can recompute)."""
+    from pyspark.sql import Window as _W
+
+    from php_etl_spark.llm import text as _text
+
+    spans = longest_duplicate_substrings(
+        docs, k=k, min_tokens=min_tokens, max_df=max_df,
+        id_col=id_col, text_col=text_col, mode="all",
+    ).select(
+        F.col("doc_b").alias("doc"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("dup_tokens") - 1).alias("e"),
+    )
+    w = _W.partitionBy("doc").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(_W.unboundedPreceding, -1))
+    merged = (
+        spans.withColumn(
+            "new_island",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+        )
+        .withColumn(
+            "grp",
+            F.sum("new_island").over(
+                w.rowsBetween(_W.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc", "grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("cuts")
+        )
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc"), _text.tokens(F.col(text_col)).alias("tk")
+    )
+    joined = toks.join(merged, "doc", "left").select(
+        "doc",
+        "tk",
+        F.coalesce(
+            "cuts", F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+        ).alias("cuts"),
+    )
+    # sequence(1, 0) runs DESCENDING in Spark — guard empty docs with
+    # an explicit empty list (same trap word_shingles documents)
+    positions = F.when(
+        F.size("tk") > 0, F.sequence(F.lit(1), F.size("tk"))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    kept = F.filter(
+        F.zip_with(
+            F.col("tk"),
+            positions,
+            lambda t, p: F.struct(t.alias("t"), p.alias("p")),
+        ),
+        lambda tp: ~F.exists(
+            F.col("cuts"),
+            lambda c: (tp["p"] >= c["s"]) & (tp["p"] <= c["e"]),
+        ),
+    )
+    return joined.select(
+        F.col("doc").alias("doc_id"),
+        F.size("tk").alias("n_tokens_before"),
+        (F.size("tk") - F.size(kept)).alias("n_tokens_removed"),
+        F.md5(
+            F.concat_ws(" ", F.transform(kept, lambda tp: tp["t"]))
+        ).alias("kept_md5"),
     )

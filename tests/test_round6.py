@@ -111,3 +111,51 @@ def test_lsh_hyperplanes_are_portable_md5(spark):
     h = hashlib.md5(b"plane:1:2:3").hexdigest()[:8]
     assert cf[1][2][3] == int(h, 16) % 2001 - 1000
     assert all(-1000 <= c <= 1000 for t in cf for p in t for c in p)
+
+
+def test_exactsubstr_apply_removes_merged_spans(spark):
+    import hashlib
+
+    from php_etl_spark.llm.dedup import exactsubstr_dedup_apply
+
+    run = " ".join(f"w{i}" for i in range(12))  # 12 shared tokens
+    d1 = run + " tail1 tail2"
+    d2 = "lead1 " + run + " tail3"
+    docs = _docs(spark, [(1, d1), (2, d2), (3, "nothing shared here at all")])
+    got = {
+        r.doc_id: (r.n_tokens_before, r.n_tokens_removed, r.kept_md5)
+        for r in exactsubstr_dedup_apply(docs, k=4, min_tokens=10).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 1 is the smaller id of the pair: keeps everything
+    assert got[1] == (14, 0, md5(d1))
+    # doc 2 loses the 12-token run, keeps lead1 + tail3
+    assert got[2] == (14, 12, md5("lead1 tail3"))
+    # doc 3 untouched
+    assert got[3] == (5, 0, md5("nothing shared here at all"))
+
+
+def test_exactsubstr_apply_merges_overlapping_spans(spark):
+    import hashlib
+
+    from php_etl_spark.llm.dedup import exactsubstr_dedup_apply
+
+    # doc 3 shares tokens 1-10 with doc 1 and tokens 6-15 with doc 2:
+    # overlapping spans in doc 3 must merge to one cut of 15 tokens
+    toks = [f"w{i}" for i in range(15)]
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(toks[:10])),
+            (2, " ".join(toks[5:])),
+            (3, " ".join(toks) + " extra1 extra2"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_tokens_before, r.n_tokens_removed, r.kept_md5)
+        for r in exactsubstr_dedup_apply(docs, k=4, min_tokens=10).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1] == (10, 0, md5(" ".join(toks[:10])))
+    assert got[2] == (10, 0, md5(" ".join(toks[5:])))
+    assert got[3] == (17, 15, md5("extra1 extra2"))
