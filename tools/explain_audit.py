@@ -946,6 +946,15 @@ AUDITS = {
         ("token hashing is JVM-side (no Python row path)",
          lambda p: "BatchEvalPython" not in p),
     ],
+    "docs_exactsubstr_dedup_apply": [
+        ("span detection and rebuild are keyed joins only "
+         "(no cartesian / nested loop)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("token rebuild is a columnar higher-order filter "
+         "(no Python row path)",
+         lambda p: "BatchEvalPython" not in p),
+    ],
 }
 
 
