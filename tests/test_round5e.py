@@ -1008,7 +1008,13 @@ def test_pvm_matches_python_replay(spark):
 def test_fifo_matching_invariants_and_replay(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
     receipts, issues = defaultdict(list), defaultdict(list)
-    for r in sorted(li, key=lambda x: (x["l_orderkey"], x["l_linenumber"])):
+    # qty completes the total order — (l_orderkey, l_linenumber) is NOT
+    # unique in the synthetic lineitem (round-6 sf0.1 sweep finding);
+    # the replay must order lots exactly as the query does
+    for r in sorted(
+        li,
+        key=lambda x: (x["l_orderkey"], x["l_linenumber"], int(x["l_quantity"])),
+    ):
         lot = int(r["l_quantity"])
         (receipts if r["l_orderkey"] % 2 == 0 else issues)[
             r["l_partkey"]
