@@ -185,4 +185,20 @@ class JsonlLinesDataSource(DataSource):
 
 
 def register(spark) -> None:
+    """Register the format AND mark this module pickle-by-value: the
+    data source classes are cloudpickled to Spark's Python workers,
+    which unpickle by importing ``php_etl_spark`` — a module the
+    worker can't see unless the driver process happens to run from
+    the repo root (the streaming source runner is a separate worker
+    process and fails with ModuleNotFoundError under a plain
+    driver-style session; caught by the round-6 plain-session
+    preflight). By-value serialization ships the class bodies inside
+    the pickle, so workers need nothing on sys.path. Safe here: this
+    module is self-contained (stdlib + pyspark imports only, both
+    importable in every worker)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(JsonlLinesDataSource)
