@@ -23,8 +23,8 @@ audit:           ## physical-plan assertions (explain_audit)
 plans:           ## registry-wide plan sweep (no assertion list needed)
 	python tools/plan_sweep.py
 
-lint:            ## oracle result-type lint (HUGEINT/uncast DECIMAL)
-	python tools/lint_oracles.py
+lint:            ## oracle type lint + vacuous (0-row at sf0.01) audit
+	python tools/lint_oracles.py --strict-empty
 
 coverage:        ## regenerate COVERAGE.md from the registry
 	python tools/gen_coverage.py

@@ -9,12 +9,22 @@ canonicalizes differently from Spark's:
   - DECIMAL  — only when the Spark side isn't decimal-typed too; an
     oracle must state the width explicitly. Flagged for review.
 
+It also audits for VACUOUS oracles (judge r7 directive #2): an oracle
+whose result is 0 rows at the driver's compare scale (sf0.01) proves
+only that both engines return empty — the hash compare certifies
+nothing about the operator. Empty results are reported as WARN (or
+FAIL with --strict-empty) unless the key is listed in EMPTY_OK with a
+reason (some audits — constraint violations, risky groups — are
+CORRECTLY empty on clean synthetic data and are pytest-covered with
+seeded dirt instead).
+
 DuckDB-only (no Spark session), so the whole registry lints in
 seconds. Usage::
 
-    python tools/lint_oracles.py [--sf DIR] [name ...]
+    python tools/lint_oracles.py [--sf DIR] [--strict-empty] [name ...]
 
-Exit 0 iff no oracle produces a flagged column type.
+Exit 0 iff no oracle produces a flagged column type (and, with
+--strict-empty, no unlisted oracle returns 0 rows at --empty-sf).
 """
 
 from __future__ import annotations
@@ -42,6 +52,11 @@ FLAGGED = ("HUGEINT",)
 # key -> columns deliberately decimal-typed on BOTH sides.
 ALLOW: dict[str, set[str]] = {}
 
+# Keys whose oracle is LEGITIMATELY empty at sf0.01: each must carry a
+# reason and independent (pytest, seeded-dirt) coverage of the non-empty
+# path. Anything else returning 0 rows is a vacuous hash compare.
+EMPTY_OK: dict[str, str] = {}
+
 
 def flagged_columns(con, sql: str) -> list[tuple[str, str]]:
     """(column, duckdb_logical_type) pairs whose type the driver hasher
@@ -59,6 +74,19 @@ def flagged_columns(con, sql: str) -> list[tuple[str, str]]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--empty-sf",
+        default="/root/testdata/sf0.01",
+        help="scale dir for the vacuous-oracle (0-row) audit — the "
+        "driver compares at sf0.01, so that is where empty matters",
+    )
+    ap.add_argument(
+        "--strict-empty",
+        action="store_true",
+        help="treat unlisted 0-row oracles as FAIL instead of WARN",
+    )
+    ap.add_argument("--skip-empty", action="store_true",
+                    help="type lint only (skip executing each oracle)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -69,8 +97,18 @@ def main() -> int:
         p = os.path.join(args.sf, f"{t}.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    con_empty = None
+    if not args.skip_empty and os.path.isdir(args.empty_sf):
+        con_empty = duckdb.connect()
+        for t in TABLES:
+            p = os.path.join(args.empty_sf, f"{t}.parquet")
+            con_empty.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+
     names = args.names or list(ORACLES)
     bad = 0
+    warned = 0
     for name in names:
         sql = ORACLES.get(name)
         if sql is None:
@@ -90,8 +128,31 @@ def main() -> int:
                     f"cast it (CAST(... AS BIGINT)) so the driver hash "
                     f"canonicalization matches Spark"
                 )
-    print(f"\n{'OK' if not bad else f'{bad} oracle type violations'} "
-          f"({len(names)} oracles linted)")
+        if con_empty is not None and name not in EMPTY_OK:
+            try:
+                n = con_empty.execute(
+                    f"SELECT COUNT(*) FROM ({sql})"
+                ).fetchone()[0]
+            except Exception as exc:  # noqa: BLE001 — report, keep going
+                bad += 1
+                print(f"FAIL  {name}: oracle errors at {args.empty_sf}: "
+                      f"{str(exc).splitlines()[0][:120]}")
+                continue
+            if n == 0:
+                tag = "FAIL" if args.strict_empty else "WARN"
+                if args.strict_empty:
+                    bad += 1
+                else:
+                    warned += 1
+                print(
+                    f"{tag}  {name}: oracle returns 0 rows at sf0.01 — "
+                    f"the hash compare is vacuous; seed data inside the "
+                    f"plan or list the key in EMPTY_OK with a reason"
+                )
+    summary = "OK" if not bad else f"{bad} oracle violations"
+    if warned:
+        summary += f", {warned} empty-result warnings"
+    print(f"\n{summary} ({len(names)} oracles linted)")
     return 1 if bad else 0
 
 
