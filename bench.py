@@ -97,6 +97,42 @@ def force(df) -> int:
     return 0
 
 
+# Quiet-box floor for the load sentinel, calibrated min-of-five on this
+# box (r7: runs 1.137-1.318 s idle). A sitting whose sentinel exceeds
+# 1.2x this floor is flagged "loaded" in the JSON itself, so uniform
+# suite-wide inflation (the r02/r04/r06 box-noise episodes) is
+# self-diagnosing instead of costing a judge round-trip (judge r6
+# directive #3).
+SENTINEL_FLOOR_SEC = 1.137
+SENTINEL_LOADED_RATIO = 1.2
+
+
+def sentinel_time(spark) -> float:
+    """Fixed pure-CPU + small-shuffle micro-op, independent of SF data:
+    400M-row range -> 8 chained xxhash64 -> 64-key grouped sum, forced
+    with a noop write (~1.15 s idle on this box — heavy enough per row
+    that compute dominates scheduler jitter). Inflates with box
+    contention exactly like the suite does. Min of two runs (a loaded
+    box inflates both)."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        c = F.col("id")
+        for _h in range(8):
+            c = F.xxhash64(c)
+        df = (
+            spark.range(0, 400_000_000, 1, 32)
+            .select((c % 64).alias("k"), F.col("id"))
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"))
+        )
+        force(df)
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> int:
     # streaming state-store count should track the keyspace (5 event
     # types x 24 windows here), not the 32-core default — each store
@@ -117,6 +153,8 @@ def main() -> int:
             except Exception:
                 pass
 
+    sentinel_before = sentinel_time(spark)
+
     # min of three timed runs per query (r6, was min-of-two): one-shot
     # numbers on a shared box carry 10-20% scheduler noise — two of five
     # driver rounds recorded box-load artifacts; the min measures the
@@ -130,6 +168,11 @@ def main() -> int:
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
 
+    sentinel_after = sentinel_time(spark)
+    sentinel = min(sentinel_before, sentinel_after)
+    floor = SENTINEL_FLOOR_SEC
+    loaded = bool(floor and sentinel > SENTINEL_LOADED_RATIO * floor)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -139,6 +182,10 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "sentinel_before_sec": sentinel_before,
+                "sentinel_after_sec": sentinel_after,
+                "sentinel_floor_sec": floor,
+                "loaded": loaded,
             }
         )
     )

@@ -1020,6 +1020,161 @@ def ann_topk_pq_adc(
     )
 
 
+def pq_codebook_by_id(
+    emb: DataFrame,
+    m: int = 8,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic INTEGER PQ codebook: the ``n_cells`` vectors with
+    the smallest ids donate their quantized subvectors as the cell
+    centroids of every subspace — the PQ twin of
+    ``ivf_centroids(by="id")`` (the SQL-expressible 'training' device
+    that let sim_ann_ivf carry an exact oracle in round 6). A worse
+    statistical codebook than k-means (``pq_train`` remains the
+    production trainer) but every distance it induces is exact integer
+    arithmetic, replayable in plain SQL. Returns the nested
+    ``cb[sub][cell] -> list[int]`` the ADC scorer broadcasts
+    (codebook-sized driver traffic: n_cells rows)."""
+    ranked = (
+        emb.select(
+            F.col(id_col).alias("c_id"), quantize(F.col(vec_col)).alias("cq")
+        )
+        .orderBy("c_id")
+        .limit(n_cells)
+    )
+    rows = ranked.collect()  # bounded: n_cells rows (codebook-sized)
+    d = len(rows[0]["cq"])
+    sub_d = d // m
+    return [
+        [list(r["cq"][s * sub_d:(s + 1) * sub_d]) for r in rows]
+        for s in range(m)
+    ]
+
+
+def ann_topk_pq_adc_exact(
+    emb: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    n_cells: int = 16,
+    k: int = 5,
+    oversample: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k with exact rescore over the id-ranked INTEGER
+    codebook — the same compressed-scan + rescore pipeline as
+    ``ann_topk_pq_adc`` (codes scored by m table lookups, only the
+    shortlist rejoins full vectors) but with every quantity exact:
+    squared distances are BIGINT sums over quantized components, cell
+    assignment breaks ties to the smallest cell, the ADC score is a
+    BIGINT, and the final cosine is the deterministic integer-dot
+    division ``cosine_q`` — so the whole pipeline replays bit-for-bit
+    in SQL (sim_ann_pq_adc's oracle). The per-row distance table is
+    staged in a COLUMN before the packing lambdas reference it (the
+    O(d) staging discipline from perceptual_hash64_q)."""
+    spark = emb.sparkSession
+    cb = pq_codebook_by_id(emb, m, n_cells, id_col, vec_col)
+    sub_d = len(cb[0][0])
+    one = spark.createDataFrame(
+        [(cb,)], schema="cb array<array<array<long>>>"
+    )
+
+    def dists(qcol: str) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.element_at(F.col("cb"), s + 1),
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col(qcol), s * sub_d + 1, sub_d),
+                        c,
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+        )
+
+    # corpus codes: per sub, first index of the min distance = nearest
+    # cell with ties to the smallest cell (array_position is first-hit)
+    codes = (
+        emb.join(F.broadcast(one))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            quantize(F.col(vec_col)).alias("__q"),
+            F.col("cb"),
+        )
+        .withColumn("__ds", dists("__q"))
+        .select(
+            "neighbor_id",
+            F.transform(
+                F.col("__ds"),
+                lambda ds: F.array_position(ds, F.array_min(ds)).cast("int"),
+            ).alias("codes"),
+        )
+    )
+    # query distance tables: the same staged expression, kept as the
+    # full m x n_cells BIGINT table
+    qt = (
+        queries.join(F.broadcast(one))
+        .select(
+            F.col(id_col).alias("query_id"),
+            quantize(F.col(vec_col)).alias("__q"),
+            F.col("cb"),
+        )
+        .withColumn("dtab", dists("__q"))
+        .select("query_id", "dtab")
+    )
+    paired = codes.join(F.broadcast(qt)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("dtab"),
+            F.col("codes"),
+            lambda tab, code: F.element_at(tab, code),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = paired.select("query_id", "neighbor_id", score.alias("adc_d2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k * oversample)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescore: only Q * k * oversample rows rejoin full vectors
+    cand = shortlist.join(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            quantize(F.col(vec_col)).alias("__nq"),
+        ),
+        "neighbor_id",
+    )
+    qside = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("__qq")
+    )
+    rescored = cand.join(F.broadcast(qside), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_q(F.col("__qq"), F.col("__nq")).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_topk_ivfpq(
     emb: DataFrame,
     queries: DataFrame,

@@ -285,17 +285,46 @@ def bpe_train(
             {"rank": rank, "left": a, "right": b,
              "merged": merged, "freq": int(freq)}
         )
-        folded = F.aggregate(
-            F.col("syms"),
-            F.expr("CAST(array() AS ARRAY<STRING>)"),
-            lambda acc, x: F.when(
-                (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.lit(merged)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+        state = materialize(
+            state.select("w", "f", merge_fold(a, b).alias("syms"))
         )
-        state = materialize(state.select("w", "f", folded.alias("syms")))
     return merges, state
+
+
+def merge_fold(a: str, b: str) -> Column:
+    """One BPE merge applied to a ``syms`` array column: the standard
+    greedy left-to-right non-overlapping replacement of every adjacent
+    (a, b) symbol pair with the concatenated symbol, as a columnar
+    ``aggregate`` fold (no Python, no shuffle). Shared by the training
+    loop above and ``bpe_apply_frozen``."""
+    merged = a + b
+    return F.aggregate(
+        F.col("syms"),
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_apply_frozen(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "w"
+) -> DataFrame:
+    """Tokenizer APPLICATION with a frozen merge table — the serving
+    path of BPE (the trained vocab ships with the model; corpora are
+    encoded against it, never re-trained). Each word splits to
+    characters and replays the merge list in rank order through the
+    same ``merge_fold`` the trainer uses. Pure narrow expressions:
+    applying a vocabulary to a 100 TB corpus is one map stage over the
+    distinct-word table. Returns (w, syms)."""
+    state = words.select(
+        F.col(word_col).alias("w"), F.split(word_col, "").alias("syms")
+    )
+    for a, b in merges:
+        state = state.select("w", merge_fold(a, b).alias("syms"))
+    return state

