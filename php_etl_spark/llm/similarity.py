@@ -1175,6 +1175,83 @@ def ann_topk_pq_adc_exact(
     )
 
 
+def pq_residual_encode_exact(
+    emb: DataFrame,
+    m: int = 8,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The RESIDUAL step of IVF-PQ, in exact integer arithmetic — the
+    last piece of ``ann_topk_ivfpq``'s algebra without an exact pin
+    (coarse assignment is pinned by sim_ann_ivf since r6, the ADC
+    scan by sim_ann_pq_adc since r7; this pins vector-minus-centroid
+    and the residual encode). Each vector coarse-assigns to its
+    nearest id-ranked centroid by the deterministic integer-cosine
+    rule, the residual is the component-wise BIGINT difference of
+    quantized vectors, and the residual encodes against a codebook
+    donated by the residuals of the NEXT ``n_cells`` ids after the
+    coarse donors (the coarse donors' own residuals are identically
+    zero — a degenerate codebook — so the donor window shifts past
+    them). Ties break to the smallest cell everywhere. Returns
+    (vec_id, cell, codes); every value replays bit-for-bit in SQL.
+    Production IVF-PQ keeps the float k-means codebook
+    (``ann_topk_ivfpq``); recall is pytest-asserted there."""
+    spark = emb.sparkSession
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col, by="id")
+    assign = ivf_assign(emb, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+    resid = (
+        emb.select(
+            F.col(id_col).alias("v_id"), quantize(F.col(vec_col)).alias("vq")
+        )
+        .join(assign, "v_id")
+        .join(F.broadcast(cents.select("cell", "c_q")), "cell")
+        .select(
+            "v_id",
+            "cell",
+            F.zip_with("vq", "c_q", lambda a, b: a - b).alias("rv"),
+        )
+    )
+    donors = (
+        resid.orderBy("v_id").limit(2 * n_cells).collect()
+    )  # bounded: 2 * n_cells rows (codebook-sized driver traffic)
+    donors = donors[n_cells:]
+    d = len(donors[0]["rv"])
+    sub_d = d // m
+    cb = [
+        [list(r["rv"][s * sub_d:(s + 1) * sub_d]) for r in donors]
+        for s in range(m)
+    ]
+    one = spark.createDataFrame([(cb,)], schema="cb array<array<array<long>>>")
+    dists = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.element_at(F.col("cb"), s + 1),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("rv"), s * sub_d + 1, sub_d),
+                    c,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    return (
+        resid.join(F.broadcast(one))
+        .withColumn("__ds", dists)
+        .select(
+            F.col("v_id").alias(id_col),
+            "cell",
+            F.transform(
+                F.col("__ds"),
+                lambda ds: F.array_position(ds, F.array_min(ds)).cast("int"),
+            ).alias("codes"),
+        )
+    )
+
+
 def ann_topk_ivfpq(
     emb: DataFrame,
     queries: DataFrame,
