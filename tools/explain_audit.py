@@ -82,6 +82,22 @@ AUDITS = {
          lambda p: "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p),
         ("no cartesian product", lambda p: "CartesianProduct" not in p),
     ],
+    "emb_pq_residual_exact": [
+        ("centroids + residual codebook broadcast (corpus side narrow)",
+         lambda p: "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "graph_mst_boruvka_round1": [
+        ("co-purchase self-join is a keyed equi-join, never cartesian",
+         lambda p: "CartesianProduct" not in p),
+        ("per-component argmin is one window over the edge list",
+         lambda p: "Window" in p),
+    ],
+    # ml_gbdt_stump1_exact returns a driver-built one-row table (the
+    # training loop runs at plan construction), so its final plan is a
+    # LocalTableScan with nothing to assert — its heavy stage (the
+    # gradient histogram) is covered by ml_gbdt_histogram's assertions
+    # and the key's own cross-engine oracle.
     "table_diff_snapshots": [
         ("single full-outer join (SortMergeJoin FullOuter)",
          lambda p: "FullOuter" in p),
