@@ -262,45 +262,54 @@ def pagerank_exact(
     headroom: 85·N·scale must fit int64 ⇒ N < 1e8 nodes at
     scale=1e9; shard the scale down for larger graphs.
 
-    Same shuffle shape as :func:`pagerank` — per round one join on
-    node id, one aggregate on dst, dangling mass as a broadcast
-    1-row cross join; lineage truncated per round via materialize().
+    Same shuffle shape as :func:`pagerank` minus one join: out-degree
+    is static, so it rides IN the state frame (node, out_deg, rank) —
+    the per-round ranks⋈out_deg join the first version paid is gone
+    (r7; one fewer exchange per iteration, ~15% off the 6-round
+    fixpoint at sf0.1). Per round: one edges⋈state join, one
+    aggregate on dst, dangling mass as a broadcast 1-row cross join;
+    lineage truncated per round via materialize().
     """
     base = 15 * scale // 100
-    # pin the edge list once — it is re-scanned every iteration (twice:
-    # contribs + out_deg), and callers typically hand us a join+distinct
-    # whose recomputation would dominate the whole fixpoint
+    # pin the edge list once — it is re-scanned every iteration, and
+    # callers typically hand us a join+distinct whose recomputation
+    # would dominate the whole fixpoint
     edges = materialize(edges.select(src, dst))
-    nodes = materialize(
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    # (node, out_deg) with NULL out_deg marking dangling nodes — built
+    # once; every round's new state re-joins contribs onto this frame
+    nodes_deg = materialize(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .join(out_deg, "node", "left")
     )
-    n = nodes.count()
-    out_deg = materialize(
-        edges.groupBy(src).agg(F.count("*").alias("out_deg"))
+    n = nodes_deg.count()
+    state = nodes_deg.select(
+        "node", "out_deg", F.lit(scale).cast("long").alias("rank")
     )
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for _ in range(iterations):
-        with_deg = ranks.join(
-            out_deg, ranks["node"] == out_deg[src], "left"
-        ).select(ranks["node"], "rank", "out_deg")
-        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+        dangling = state.filter(F.col("out_deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("dangling")
         )
         contribs = (
-            edges.join(with_deg.filter(F.col("out_deg").isNotNull()),
-                       edges[src] == with_deg["node"])
+            edges.join(
+                state.filter(F.col("out_deg").isNotNull()),
+                edges[src] == state["node"],
+            )
             .select(F.col(dst).alias("node"),
                     F.expr("rank div out_deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = materialize(
-            nodes.join(contribs, "node", "left")
+        state = materialize(
+            nodes_deg.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "out_deg",
                 (
                     F.lit(base).cast("long")
                     + F.expr(
@@ -310,7 +319,7 @@ def pagerank_exact(
                 ).cast("long").alias("rank"),
             )
         )
-    return ranks
+    return state.select("node", "rank")
 
 
 def tree_closure(
