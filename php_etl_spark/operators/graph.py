@@ -182,52 +182,56 @@ def pagerank(
 ) -> DataFrame:
     """PageRank by repeated join+aggregate, ranks normalized to sum N.
 
-    Per round: ranks ⋈ out-degrees (one shuffle on node id) → explode
-    contributions along edges (shuffle on dst) → aggregate. Dangling
-    mass is redistributed uniformly but stays IN the plan: the 1-row
-    dangling aggregate rides a broadcast cross join into the rank
-    update, so each iteration is a single Spark job (the materialize
-    action) with no driver-side scalar round-trip. materialize()
-    truncates lineage so the plan doesn't grow with the iteration
-    count — the same pattern as dedup_clusters. Iterative ⇒ no SQL
-    oracle; correctness is property-tested (mass conservation,
-    positivity, hub dominance) in tests/test_graph.py.
+    Out-degree is static and rides IN the state frame (node, out_deg,
+    rank), so each round is: explode contributions along edges
+    (shuffle on dst) → aggregate → rebuild state (r7 — one fewer
+    exchange per round than the original ranks⋈out_deg formulation,
+    same as pagerank_exact). Dangling mass is redistributed uniformly
+    but stays IN the plan: the 1-row dangling aggregate rides a
+    broadcast cross join into the rank update, so each iteration is a
+    single Spark job (the materialize action) with no driver-side
+    scalar round-trip. materialize() truncates lineage so the plan
+    doesn't grow with the iteration count — the same pattern as
+    dedup_clusters. Iterative ⇒ no SQL oracle; correctness is
+    property-tested (mass conservation, positivity, hub dominance) in
+    tests/test_graph.py.
     """
-    # pin the edge list once — re-scanned every iteration (contribs +
-    # out_deg); callers typically hand us a join+distinct whose
-    # recomputation would dominate the fixpoint
+    # pin the edge list once — re-scanned every iteration; callers
+    # typically hand us a join+distinct whose recomputation would
+    # dominate the fixpoint
     edges = materialize(edges.select(src, dst))
-    nodes = materialize(
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    nodes_deg = materialize(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .join(out_deg, "node", "left")
     )
-    n = nodes.count()
-    out_deg = materialize(
-        edges.groupBy(src).agg(F.count("*").alias("out_deg"))
-    )
-    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    n = nodes_deg.count()
+    state = nodes_deg.select("node", "out_deg", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
-        with_deg = ranks.join(
-            out_deg, ranks["node"] == out_deg[src], "left"
-        ).select(ranks["node"], "rank", "out_deg")
         # 1-row aggregate, broadcast below — never collected
-        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+        dangling = state.filter(F.col("out_deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
         )
         contribs = (
-            edges.join(with_deg.filter(F.col("out_deg").isNotNull()),
-                       edges[src] == with_deg["node"])
+            edges.join(
+                state.filter(F.col("out_deg").isNotNull()),
+                edges[src] == state["node"],
+            )
             .select(F.col(dst).alias("node"),
                     (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = materialize(
-            nodes.join(contribs, "node", "left")
+        state = materialize(
+            nodes_deg.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "out_deg",
                 (
                     F.lit(1.0 - damping)
                     + F.lit(damping) * F.col("dangling") / F.lit(float(n))
@@ -236,7 +240,7 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-    return ranks
+    return state.select("node", "rank")
 
 
 def pagerank_exact(
