@@ -434,7 +434,10 @@ def label_propagation(
     table is expressible as k unrolled SQL rounds, so LPA carries a
     full value oracle (rare for a community algorithm). materialize()
     truncates lineage per round, same as pagerank."""
-    und = (
+    # pin the symmetrized edge list once — its distinct is a shuffle
+    # that would otherwise re-run inside EVERY round's neigh join (r7;
+    # same static-frame discipline as pagerank/k_core/k_truss)
+    und = materialize(
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .union(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
         .filter(F.col("u") != F.col("v"))
