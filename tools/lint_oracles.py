@@ -58,6 +58,40 @@ ALLOW: dict[str, set[str]] = {}
 EMPTY_OK: dict[str, str] = {}
 
 
+def double_floordiv_sites(sql: str) -> list[str]:
+    """Heuristic for the double-floordiv hazard (r7 sf0.001 sweep
+    finding): DuckDB's ``//`` does NOT floor DOUBLE operands and a
+    later CAST to BIGINT rounds-to-nearest, silently diverging from
+    Spark's truncating ``div``. A SUM whose argument produces DOUBLE
+    (contains floor()/ln() with no integer cast inside) and is later
+    floor-divided must be CAST AS BIGINT *before* the division.
+    Returns snippets of suspicious SUM arguments."""
+    import re as _re
+
+    out = []
+    for m in _re.finditer(r"SUM\s*\(", sql):
+        i, depth = m.end(), 1
+        while i < len(sql) and depth:
+            depth += sql[i] == "("
+            depth -= sql[i] == ")"
+            i += 1
+        arg = sql[m.end():i - 1]
+        if (
+            "floor" in arg.lower()
+            and "AS BIGINT" not in arg
+            and "AS INT" not in arg
+        ):
+            before = sql[max(0, m.start() - 60):m.start()]
+            after = sql[i:i + 80]
+            # flagged when the double SUM feeds a floor-division and
+            # is not itself cast to an integer type first
+            if "//" in after and "AS BIGINT" not in after.split("//")[0]:
+                out.append(" ".join(arg[:60].split()))
+            elif "CAST" not in before and "//" in after:
+                out.append(" ".join(arg[:60].split()))
+    return out
+
+
 def flagged_columns(con, sql: str) -> list[tuple[str, str]]:
     """(column, duckdb_logical_type) pairs whose type the driver hasher
     canonicalizes differently from Spark. Raises if the SQL does not
@@ -128,6 +162,14 @@ def main() -> int:
                     f"cast it (CAST(... AS BIGINT)) so the driver hash "
                     f"canonicalization matches Spark"
                 )
+        for snippet in double_floordiv_sites(sql):
+            bad += 1
+            print(
+                f"FAIL  {name}: DOUBLE-typed SUM feeds a // division "
+                f"(`SUM({snippet}...`) — DuckDB's // does not floor "
+                f"doubles and CAST rounds; CAST the SUM AS BIGINT "
+                f"before dividing (r7 ml_eval_suite_shared_scan bug)"
+            )
         if con_empty is not None and name not in EMPTY_OK:
             try:
                 n = con_empty.execute(
