@@ -3,7 +3,7 @@
 
 SF ?= /root/testdata/sf0.01
 
-.PHONY: test sweep sweep-sf1 bench audit plans lint coverage probe scaling all
+.PHONY: test sweep sweep-sf1 sweep-tri bench audit plans lint coverage probe scaling all gate
 
 test:            ## full pytest suite
 	python -m pytest tests/ -x -q
@@ -12,6 +12,14 @@ sweep:           ## oracle differential harness (same gate as the driver)
 	python tools/check_oracle.py --sf $(SF)
 
 sweep-sf1:       ## full-registry sweep at sf0.1
+	python tools/check_oracle.py --sf /root/testdata/sf0.1
+
+sweep-tri:       ## standing gate (judge r7 #3): full registry at ALL THREE
+	##             scales in one command — sf0.001 catches rounding-edge
+	##             oracle bugs (the r7 double-floordiv class), sf0.1
+	##             catches tie-order/df-cap bugs small scales hide.
+	python tools/check_oracle.py --sf /root/testdata/sf0.001
+	python tools/check_oracle.py --sf /root/testdata/sf0.01
 	python tools/check_oracle.py --sf /root/testdata/sf0.1
 
 bench:           ## headline suite, one JSON line

@@ -97,13 +97,17 @@ def force(df) -> int:
     return 0
 
 
-# Quiet-box floor for the load sentinel, calibrated min-of-five on this
-# box (r7: runs 1.137-1.318 s idle). A sitting whose sentinel exceeds
-# 1.2x this floor is flagged "loaded" in the JSON itself, so uniform
-# suite-wide inflation (the r02/r04/r06 box-noise episodes) is
-# self-diagnosing instead of costing a judge round-trip (judge r6
-# directive #3).
-SENTINEL_FLOOR_SEC = 1.137
+# Quiet-box floor for the load sentinel, re-calibrated min-of-five at
+# the start of every round (judge r7 directive #7 — it is box-state
+# dependent). r8 calibration 2026-08-15: runs 1.723/1.377/1.348/1.362/
+# 1.345, floor 1.345 s (r7 floor was 1.137 s — the box sits ~18%
+# slower this round, stable across all five runs, so it is state, not
+# transient load). A sitting whose sentinel exceeds 1.2x this floor is
+# flagged "loaded" in the JSON itself, so uniform suite-wide inflation
+# (the r02/r04/r06 box-noise episodes) is self-diagnosing instead of
+# costing a judge round-trip (judge r6 directive #3).
+SENTINEL_FLOOR_SEC = 1.345
+SENTINEL_FLOOR_DATE = "2026-08-15"
 SENTINEL_LOADED_RATIO = 1.2
 
 
@@ -185,6 +189,7 @@ def main() -> int:
                 "sentinel_before_sec": sentinel_before,
                 "sentinel_after_sec": sentinel_after,
                 "sentinel_floor_sec": floor,
+                "sentinel_floor_date": SENTINEL_FLOOR_DATE,
                 "loaded": loaded,
             }
         )

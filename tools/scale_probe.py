@@ -34,12 +34,195 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
+def graph_iteration_probe(spark, args) -> None:
+    """Graph-iteration family at >=10M edges (r8, judge #4): flat
+    per-round exchange/stage cost and no lineage growth for
+    pagerank_exact / label_propagation / mst_boruvka. Run alone via
+    --graph-only."""
+    # The r7 pagerank win came from a static quantity (out-degree)
+    # being recomputed inside every round — a failure mode invisible
+    # in correctness tests and easy to reintroduce. This section runs
+    # the three iterative graph operators on a ≥10M-edge power-law
+    # graph at 1, 2 and 3 rounds and asserts, from the Spark UI's
+    # stage ledger, that the marginal cost of ONE MORE ROUND is flat:
+    #   - stage-submission delta round2→round3 == round1→round2
+    #     (a reintroduced per-round recomputation adds stages), and
+    #   - per-round shuffle-write records flat within 10% for the
+    #     constant-state operators (pagerank: state = all nodes every
+    #     round; LPA: votes = 2·edges + nodes every round),
+    #   - the RETURNED plan is iteration-count-independent (lineage
+    #     truncation working; a missing materialize() grows it).
+    # Borůvka's per-round data SHRINKS (components at least halve) and
+    # its contraction is itself an inner loop with data-dependent
+    # round count, so its assertions are the bounded forms: plan size
+    # constant, stage delta ≤ 2x the first marginal round, shuffle
+    # records non-increasing.
+    import urllib.request
+    import json as _json
+
+    from php_etl_spark.operators.graph import (
+        label_propagation,
+        mst_boruvka,
+        pagerank_exact,
+    )
+
+    def _stage_snapshot():
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages"
+        ) as r:
+            stages = _json.load(r)
+        return {s["stageId"]: s for s in stages}
+
+    def _measured(fn):
+        before = _stage_snapshot()
+        hi0 = max(before, default=-1)
+        t0 = time.time()
+        out = fn()
+        n_out = out.count()
+        dt = time.time() - t0
+        after = _stage_snapshot()
+        # stage ids are allocated monotonically, so the id delta counts
+        # every submission even if the UI evicts old entries between
+        # snapshots (main() raises spark.ui.retainedStages so the
+        # shuffle-record sum over the window stays complete too)
+        n_stages = max(after, default=hi0) - hi0
+        new = [s for sid, s in after.items() if sid > hi0]
+        shuf = sum(s.get("shuffleWriteRecords", 0) for s in new)
+        plan_lines = len(
+            out._jdf.queryExecution().analyzed().toString().splitlines()
+        )
+        return {
+            "rows": n_out,
+            "stages": n_stages,
+            "shuffle_records": shuf,
+            "sec": round(dt, 1),
+            "plan_lines": plan_lines,
+        }
+
+    n_gnodes = 1_000_000
+    n_gedges = args.graph_edges
+    u2 = (
+        F.abs(F.xxhash64("id", F.lit(3))).cast("double") / F.lit(float(2**63))
+    ).cast("double")
+    gsrc = F.least(
+        F.floor(F.lit(1.0) / F.pow(u2 + F.lit(1e-9), F.lit(0.7))).cast("long"),
+        F.lit(n_gnodes - 1),
+    )
+    gdst = F.abs(F.xxhash64("id", F.lit(7))) % n_gnodes
+    graph = (
+        spark.range(n_gedges)
+        .select(gsrc.alias("src"), gdst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    ghot = graph.groupBy("src").count().orderBy(F.desc("count")).first()
+    n_ge = graph.count()
+    print(
+        f"graph probe: {n_ge:,} edges, {n_gnodes:,} node space, "
+        f"hot src={ghot['src']} holds {ghot['count']:,} out-edges "
+        f"({100 * ghot['count'] / n_ge:.0f}%)"
+    )
+
+    def _flat(label, per_round, tol=0.10):
+        d21 = per_round[2]["stages"] - per_round[1]["stages"]
+        d32 = per_round[3]["stages"] - per_round[2]["stages"]
+        s21 = per_round[2]["shuffle_records"] - per_round[1]["shuffle_records"]
+        s32 = per_round[3]["shuffle_records"] - per_round[2]["shuffle_records"]
+        print(
+            f"  {label}: marginal round stages {d21} -> {d32}, "
+            f"shuffle records {s21:,} -> {s32:,}, "
+            f"times {[per_round[k]['sec'] for k in (1, 2, 3)]}s, "
+            f"plan_lines {[per_round[k]['plan_lines'] for k in (1, 2, 3)]}"
+        )
+        assert d21 == d32, (
+            f"{label}: per-round stage count grew {d21} -> {d32} — "
+            "a static quantity is being recomputed per round"
+        )
+        assert s21 > 0 and abs(s32 - s21) <= tol * s21, (
+            f"{label}: per-round shuffle records not flat: {s21} -> {s32}"
+        )
+        assert (
+            per_round[1]["plan_lines"] == per_round[3]["plan_lines"]
+        ), f"{label}: returned plan grows with iteration count"
+
+    pr = {
+        k: _measured(
+            lambda k=k: pagerank_exact(graph, "src", "dst", iterations=k)
+        )
+        for k in (1, 2, 3)
+    }
+    assert pr[1]["rows"] == pr[2]["rows"] == pr[3]["rows"]
+    _flat("pagerank_exact", pr)
+
+    lpa = {
+        k: _measured(
+            lambda k=k: label_propagation(graph, "src", "dst", iterations=k)
+        )
+        for k in (1, 2, 3)
+    }
+    assert lpa[1]["rows"] == lpa[2]["rows"] == lpa[3]["rows"]
+    _flat("label_propagation", lpa)
+
+    # Borůvka: add a disjoint 200k-node chain with globally-maximal
+    # weights — a path needs ~log2(200k) rounds, so rounds 1-3 always
+    # have outgoing candidates (no early exit truncating the probe).
+    n_chain_g = 200_000
+    gw = graph.select(
+        "src",
+        "dst",
+        (F.lit(1) + F.pmod(F.xxhash64("src", "dst", F.lit(13)), F.lit(1_000_000))).alias(
+            "w"
+        ),
+    ).select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+    chain_w = spark.range(n_chain_g - 1).select(
+        (F.col("id") + n_gnodes).alias("u"),
+        (F.col("id") + n_gnodes + 1).alias("v"),
+        (F.lit(2_000_000) + F.col("id")).alias("w"),
+    )
+    gw_all = gw.unionByName(chain_w).localCheckpoint(eager=True)
+    bor = {
+        k: _measured(lambda k=k: mst_boruvka(gw_all, max_rounds=k))
+        for k in (1, 2, 3)
+    }
+    bd21 = bor[2]["stages"] - bor[1]["stages"]
+    bd32 = bor[3]["stages"] - bor[2]["stages"]
+    bs21 = bor[2]["shuffle_records"] - bor[1]["shuffle_records"]
+    bs32 = bor[3]["shuffle_records"] - bor[2]["shuffle_records"]
+    print(
+        f"  mst_boruvka: marginal round stages {bd21} -> {bd32}, "
+        f"shuffle records {bs21:,} -> {bs32:,}, "
+        f"times {[bor[k]['sec'] for k in (1, 2, 3)]}s, "
+        f"plan_lines {[bor[k]['plan_lines'] for k in (1, 2, 3)]}, "
+        f"forest {[bor[k]['rows'] for k in (1, 2, 3)]} edges"
+    )
+    assert bor[1]["rows"] < bor[2]["rows"] < bor[3]["rows"], (
+        "chain must keep every probed round productive"
+    )
+    assert bor[1]["plan_lines"] == bor[3]["plan_lines"], (
+        "mst_boruvka: returned plan grows with round count"
+    )
+    assert bd32 <= 2 * max(bd21, 1), (
+        f"mst_boruvka: per-round stage delta grew {bd21} -> {bd32} "
+        "beyond the contraction's log^2 slack"
+    )
+    assert bs32 <= 1.10 * max(bs21, 1), (
+        f"mst_boruvka: per-round shuffle records grew {bs21} -> {bs32} "
+        "— rounds must shrink, not grow"
+    )
+
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--dim-rows", type=int, default=100_000)
     ap.add_argument("--jaccard-docs", type=int, default=100_000)
     ap.add_argument("--exactsubstr-docs", type=int, default=1_000_000)
+    ap.add_argument("--graph-edges", type=int, default=10_000_000)
+    ap.add_argument("--graph-only", action="store_true",
+                    help="run only the graph-iteration section")
     args = ap.parse_args()
 
     from php_etl_spark.operators.agg import first_wins_dedup
@@ -52,8 +235,18 @@ def main() -> int:
     # caller already chose (box has 128 GiB; a cluster run would hold
     # these in executor memory instead)
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
-    spark = get_spark("scale-probe")
+    # the graph section reads per-run stage windows off the UI REST
+    # API; default retention (1000 stages) can evict entries inside a
+    # measurement window and corrupt the shuffle-record sums
+    spark = get_spark(
+        "scale-probe", extra_conf={"spark.ui.retainedStages": "100000"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.graph_only:
+        graph_iteration_probe(spark, args)
+        print("scale probe OK (graph section only)")
+        return 0
 
     # power-law key: id -> key = floor(sqrt-like collapse). xxhash the
     # row id into [0,1), then key = int(1/u^0.7) bounded — a few keys
@@ -781,6 +974,8 @@ def main() -> int:
         f"{applied.removed:,} tokens removed "
         f"(overlapping spans merged, 31/victim)"
     )
+
+    graph_iteration_probe(spark, args)
 
     print("scale probe OK")
     return 0
