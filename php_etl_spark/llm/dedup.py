@@ -519,10 +519,18 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = base
     for _ in range(max_iter):
         new_edges = materialize(_small_star(_large_star(edges)))
-        gone = edges.exceptAll(new_edges).limit(1).count()
-        added = new_edges.exceptAll(edges).limit(1).count()
+        # convergence = multiset equality, probed as ONE job over the
+        # two checkpointed frames (was two exceptAll jobs per round —
+        # the probe is pure driver-round-trip overhead on converging
+        # iterations, so halving its job count matters on long chains)
+        changed = (
+            edges.exceptAll(new_edges)
+            .union(new_edges.exceptAll(edges))
+            .limit(1)
+            .count()
+        )
         edges = new_edges
-        if gone == 0 and added == 0:
+        if changed == 0:
             break
     final_mins = _mins(_sym(edges)).select(
         F.col("src").alias("node"), F.col("m").alias("cluster")
