@@ -44,3 +44,13 @@ scaling:         ## tri-scale log-log slope probe over the headline suite
 	python tools/bench_scaling.py
 
 all: lint coverage test sweep plans audit
+
+gate:            ## round-closing checklist (judge r7 #3): lint, tests,
+	##             tri-scale full sweep, plan gates, census, probes,
+	##             then bench LAST so it reads a quiet box.
+	$(MAKE) lint coverage test
+	$(MAKE) sweep-tri
+	$(MAKE) plans audit
+	python tools/shuffle_census.py
+	$(MAKE) probe scaling
+	$(MAKE) bench
