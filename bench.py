@@ -99,14 +99,16 @@ def force(df) -> int:
 
 # Quiet-box floor for the load sentinel, re-calibrated min-of-five at
 # the start of every round (judge r7 directive #7 — it is box-state
-# dependent). r8 calibration 2026-08-15: runs 1.723/1.377/1.348/1.362/
-# 1.345, floor 1.345 s (r7 floor was 1.137 s — the box sits ~18%
-# slower this round, stable across all five runs, so it is state, not
-# transient load). A sitting whose sentinel exceeds 1.2x this floor is
-# flagged "loaded" in the JSON itself, so uniform suite-wide inflation
-# (the r02/r04/r06 box-noise episodes) is self-diagnosing instead of
+# dependent). r8: the opening calibration read 1.345 (min-of-five) but
+# a later genuinely-idle sitting read 0.921/0.985 — the opening run
+# was itself under residual load, so the floor is the DAY'S MINIMUM
+# across all sentinel readings (2026-08-15: 0.921 s), not the first
+# min-of-five. Calibrate late-round on an idle box when possible. A
+# sitting whose sentinel exceeds 1.2x this floor is flagged "loaded"
+# in the JSON itself, so uniform suite-wide inflation (the
+# r02/r04/r06 box-noise episodes) is self-diagnosing instead of
 # costing a judge round-trip (judge r6 directive #3).
-SENTINEL_FLOOR_SEC = 1.345
+SENTINEL_FLOOR_SEC = 0.921
 SENTINEL_FLOOR_DATE = "2026-08-15"
 SENTINEL_LOADED_RATIO = 1.2
 
