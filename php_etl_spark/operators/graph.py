@@ -273,6 +273,20 @@ def pagerank_exact(
     fixpoint at sf0.1). Per round: one edges⋈state join, one
     aggregate on dst, dangling mass as a broadcast 1-row cross join;
     lineage truncated per round via materialize().
+
+    Deliberately NOT done (r8, measured): pinning the edge list's
+    hash partitioning across rounds (repartition by src before the
+    checkpoint) to skip the per-round edges exchange. Two reasons:
+    (a) localCheckpoint under AQE records UnknownPartitioning — the
+    AdaptiveSparkPlanExec's partitioning is not propagated into the
+    LogicalRDD — so the pin requires toggling AQE off around the
+    checkpoint; (b) worse, a leaf with baked-in partitioning is
+    invisible to OptimizeSkewedJoin (it only splits shuffle reads),
+    so a power-law hot source (63% of edges in the 10M-edge probe)
+    would serialize one task per round, while today's per-round
+    exchange lets AQE split exactly that partition. The transpose
+    aggregate on dst — the irreducible Pregel message exchange —
+    dominates per-round bytes either way.
     """
     base = 15 * scale // 100
     # pin the edge list once — it is re-scanned every iteration, and

@@ -212,6 +212,62 @@ def graph_iteration_probe(spark, args) -> None:
         "— rounds must shrink, not grow"
     )
 
+    # duplicate_clusters (large-star/small-star connected components —
+    # the keep/drop backbone behind every pairwise dedup family): the
+    # one iterative operator the sections above don't cover, with the
+    # same per-round failure classes (a static quantity recomputed per
+    # round; a missing materialize growing lineage with round count).
+    # Star contraction on a power-law blob converges almost at once,
+    # so the probed rounds are kept productive the same way Borůvka's
+    # are: a disjoint 200k-node PATH, the adversarial diameter case
+    # star contraction exists to beat (plain min-propagation needs
+    # 200k rounds; large/small-star needs O(log^2)). Edge volume per
+    # round stays ~n on a path while depth collapses, so the marginal
+    # round's cost must be FLAT-OR-SHRINKING, never growing.
+    from php_etl_spark.llm.dedup import duplicate_clusters
+
+    cc_pairs = (
+        graph.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+        .unionByName(
+            spark.range(n_chain_g - 1).select(
+                (F.col("id") + n_gnodes).alias("doc_a"),
+                (F.col("id") + n_gnodes + 1).alias("doc_b"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    cc = {
+        k: _measured(lambda k=k: duplicate_clusters(cc_pairs, max_iter=k))
+        for k in (1, 2, 3)
+    }
+    cd21 = cc[2]["stages"] - cc[1]["stages"]
+    cd32 = cc[3]["stages"] - cc[2]["stages"]
+    cs21 = cc[2]["shuffle_records"] - cc[1]["shuffle_records"]
+    cs32 = cc[3]["shuffle_records"] - cc[2]["shuffle_records"]
+    print(
+        f"  duplicate_clusters: marginal round stages {cd21} -> {cd32}, "
+        f"shuffle records {cs21:,} -> {cs32:,}, "
+        f"times {[cc[k]['sec'] for k in (1, 2, 3)]}s, "
+        f"plan_lines {[cc[k]['plan_lines'] for k in (1, 2, 3)]}"
+    )
+    # every node is labeled at every round count (left join + coalesce)
+    assert cc[1]["rows"] == cc[2]["rows"] == cc[3]["rows"], (
+        "duplicate_clusters: assignment cardinality must not depend on "
+        "round count"
+    )
+    assert cc[1]["plan_lines"] == cc[3]["plan_lines"], (
+        "duplicate_clusters: returned plan grows with round count"
+    )
+    # AQE re-plans as the edge set contracts, so the stage delta gets
+    # the bounded (Borůvka-style) form rather than strict equality
+    assert cd32 <= 2 * max(cd21, 1), (
+        f"duplicate_clusters: per-round stage delta grew {cd21} -> "
+        f"{cd32} — a static quantity is being recomputed per round"
+    )
+    assert cs32 <= 1.10 * max(cs21, 1), (
+        f"duplicate_clusters: per-round shuffle records grew {cs21} -> "
+        f"{cs32} — contraction must shrink rounds, not grow them"
+    )
 
 
 def main() -> int:
