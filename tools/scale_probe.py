@@ -17,6 +17,15 @@ computation):
   3. first-wins dedup on the skewed key at 10M rows
   4. AQE skew-join: fact⋈fact self-join on the skewed key
 
+Later sections (each with its own generator and --*-only flag where
+long-running): segmented window vs global window, two-phase skyline,
+100k-doc Jaccard via the df-capped inverted index, 1M-doc ExactSubstr
+with an engineered df=1e6 boilerplate gram, the ≥10M-edge
+graph-iteration section (pagerank/LPA/Borůvka/connected components:
+flat marginal-round cost, constant returned plans), and the
+streaming-state section (watermark eviction keeps state ∝ horizon,
+not ∝ stream).
+
 Usage::
 
     python tools/scale_probe.py [--rows 10000000]
@@ -270,6 +279,116 @@ def graph_iteration_probe(spark, args) -> None:
     )
 
 
+def streaming_state_probe(spark, args) -> None:
+    """Watermark-eviction family (r8): state-store rows must stay
+    BOUNDED as micro-batches accumulate — the #1 streaming scale
+    killer is state that grows with the stream instead of with the
+    watermark horizon. Run alone via --streaming-only.
+
+    Shape: 12 hour-files (one micro-batch each via maxFilesPerTrigger)
+    with a keyspace that is UNIQUE PER HOUR — the adversarial case,
+    because an operator that never evicts accumulates every hour's
+    keys (1.2M state rows by the last batch) while a working
+    1-hour watermark holds only the un-finalized horizon (~2 hours,
+    ~200k). Probed per micro-batch from StreamingQueryProgress
+    stateOperators.numRowsTotal:
+      - watermarked 1h-tumbling count per user, APPEND mode (agg
+        state: finalized windows must leave the store), and
+      - dropDuplicatesWithinWatermark on user_id (dedup state: seen
+        keys past the horizon must leave the store).
+    The NoTimeout applyInPandasWithState operators (running per-user
+    totals, streaming EWMA) are deliberately NOT probed: their state
+    ∝ keyspace is the operator's meaning (a running total never
+    expires), documented in streaming/events.py."""
+    import shutil
+    import tempfile
+
+    rows_per_hour = args.stream_rows_per_hour
+    n_hours = 12
+    base = "TIMESTAMP'2024-01-01 00:00:00'"
+    data_dir = tempfile.mkdtemp(prefix="stream_probe_data_")
+    ckpt_root = tempfile.mkdtemp(prefix="stream_probe_ckpt_")
+    try:
+        for h in range(n_hours):
+            (
+                spark.range(rows_per_hour)
+                .select(
+                    (F.col("id") + h * rows_per_hour).alias("user_id"),
+                    F.expr(
+                        f"{base} + make_interval(0,0,0,0,{h},0,0)"
+                        " + make_interval(0,0,0,0,0,0,id % 3600)"
+                    ).alias("ts"),
+                    (F.pmod(F.col("id"), F.lit(5))).alias("event_type"),
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(data_dir)
+            )
+        schema = spark.read.parquet(data_dir).schema
+        total_rows = n_hours * rows_per_hour
+        # working eviction holds ~2 hours of keys; 3.5 hours is the
+        # alarm line (no eviction reaches 12 hours = 1.2M)
+        bound = int(3.5 * rows_per_hour)
+
+        def _run(label, transform):
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(data_dir)
+            )
+            q = (
+                transform(src)
+                .writeStream.format("noop")
+                .outputMode("append")
+                .option(
+                    "checkpointLocation",
+                    os.path.join(ckpt_root, label),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            state_rows = [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in q.recentProgress
+                if p.get("stateOperators")
+                and p["stateOperators"][0]["numRowsTotal"] > 0
+            ]
+            print(
+                f"  {label}: {len(state_rows)} stateful micro-batches, "
+                f"state rows max {max(state_rows):,} / final "
+                f"{state_rows[-1]:,} (stream total {total_rows:,}, "
+                f"bound {bound:,})"
+            )
+            assert len(state_rows) >= n_hours - 2, (
+                f"{label}: expected ~{n_hours} micro-batches "
+                f"(maxFilesPerTrigger=1), saw {len(state_rows)}"
+            )
+            assert max(state_rows) <= bound, (
+                f"{label}: state store grew to {max(state_rows):,} rows "
+                f"(> {bound:,}) — watermark eviction is not working; "
+                f"state must track the horizon, not the stream"
+            )
+
+        _run(
+            "tumbling_append_watermark",
+            lambda ev: (
+                ev.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+                .agg(F.count("*").alias("n"))
+            ),
+        )
+        _run(
+            "dedup_within_watermark",
+            lambda ev: ev.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id"])
+            .select("user_id", "event_type"),
+        )
+    finally:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_root, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=10_000_000)
@@ -277,8 +396,11 @@ def main() -> int:
     ap.add_argument("--jaccard-docs", type=int, default=100_000)
     ap.add_argument("--exactsubstr-docs", type=int, default=1_000_000)
     ap.add_argument("--graph-edges", type=int, default=10_000_000)
+    ap.add_argument("--stream-rows-per-hour", type=int, default=100_000)
     ap.add_argument("--graph-only", action="store_true",
                     help="run only the graph-iteration section")
+    ap.add_argument("--streaming-only", action="store_true",
+                    help="run only the streaming-state section")
     args = ap.parse_args()
 
     from php_etl_spark.operators.agg import first_wins_dedup
@@ -302,6 +424,11 @@ def main() -> int:
     if args.graph_only:
         graph_iteration_probe(spark, args)
         print("scale probe OK (graph section only)")
+        return 0
+
+    if args.streaming_only:
+        streaming_state_probe(spark, args)
+        print("scale probe OK (streaming section only)")
         return 0
 
     # power-law key: id -> key = floor(sqrt-like collapse). xxhash the
@@ -1032,6 +1159,7 @@ def main() -> int:
     )
 
     graph_iteration_probe(spark, args)
+    streaming_state_probe(spark, args)
 
     print("scale probe OK")
     return 0
