@@ -106,7 +106,10 @@ class TestSeasonalAnomaly:
 class TestSparseTfidf:
     def test_matches_python_reference(self, spark, tmp_path):
         """Sparse cosine pairs vs a numpy-free pure-Python TF-IDF on a
-        6-doc corpus (df cutoff inactive at this size)."""
+        6-doc corpus (df cutoff inactive at this size). The reference
+        mirrors the query's four seeded rare-vocabulary docs (the r8
+        vacuity guard), so the comparison covers seeded and organic
+        pairs together under the seeded n_docs."""
         texts = [
             "red apple pie with apple sauce",
             "red apple tart and apple jam",
@@ -135,14 +138,23 @@ class TestSparseTfidf:
         def toks(t):
             return [w for w in t.lower().split() if w]
 
+        corpus = dict(enumerate(texts))
+        corpus.update(
+            {
+                9000001: "qqalpha qqbeta qqgamma qqdelta",
+                9000002: "qqalpha qqbeta qqgamma qqepsilon",
+                9000003: "qqalpha qqbeta qqzeta qqeta",
+                9000004: "qqtheta qqiota qqkappa qqlambda",
+            }
+        )
         tf: dict[tuple[int, str], int] = {}
-        for i, t in enumerate(texts):
+        for i, t in corpus.items():
             for w in toks(t):
                 tf[(i, w)] = tf.get((i, w), 0) + 1
         df: dict[str, int] = {}
         for (_i, w) in tf:
             df[w] = df.get(w, 0) + 1
-        n_docs = len(texts)
+        n_docs = len(corpus)
         widf = {
             w: round(math.log(n_docs / d) * 1000)
             for w, d in df.items()
@@ -153,8 +165,9 @@ class TestSparseTfidf:
             if w in widf:
                 wv.setdefault(i, {})[w] = c * widf[w]
         ref = {}
-        for a in range(n_docs):
-            for b in range(a + 1, n_docs):
+        ids = sorted(corpus)
+        for ai, a in enumerate(ids):
+            for b in ids[ai + 1:]:
                 shared = set(wv.get(a, {})) & set(wv.get(b, {}))
                 if not shared:
                     continue
