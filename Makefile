@@ -11,16 +11,19 @@ test:            ## full pytest suite
 sweep:           ## oracle differential harness (same gate as the driver)
 	python tools/check_oracle.py --sf $(SF)
 
-sweep-sf1:       ## full-registry sweep at sf0.1
-	python tools/check_oracle.py --sf /root/testdata/sf0.1
+sweep-sf1:       ## full-registry sweep at sf0.1 (+vacuity gate: results
+	##             that exist at the lint scale but vanish as data
+	##             grows fail here)
+	python tools/check_oracle.py --fail-empty --sf /root/testdata/sf0.1
 
 sweep-tri:       ## standing gate (judge r7 #3): full registry at ALL THREE
 	##             scales in one command — sf0.001 catches rounding-edge
 	##             oracle bugs (the r7 double-floordiv class), sf0.1
-	##             catches tie-order/df-cap bugs small scales hide.
+	##             catches tie-order/df-cap bugs small scales hide and
+	##             gates 0-row-at-scale vacuity (--fail-empty).
 	python tools/check_oracle.py --sf /root/testdata/sf0.001
 	python tools/check_oracle.py --sf /root/testdata/sf0.01
-	python tools/check_oracle.py --sf /root/testdata/sf0.1
+	python tools/check_oracle.py --fail-empty --sf /root/testdata/sf0.1
 
 bench:           ## headline suite, one JSON line
 	python bench.py

@@ -73,6 +73,18 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--fail-empty",
+        action="store_true",
+        help="fail if any oracle-backed query PASSes with 0 rows — the "
+        "vacuous-at-scale gate (two engines agreeing on an empty result "
+        "verify nothing). Used by the sf0.1 sweep: tools/lint_oracles.py "
+        "guards sf0.01, but results that exist at the lint scale can "
+        "still vanish as data GROWS (df cutoffs, min-support thresholds "
+        "— the r8 sim_sparse_tfidf_topk / agg_itemsets_apriori class). "
+        "Not used at sf0.001, where several thresholded queries are "
+        "legitimately empty for lack of data density.",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -92,6 +104,7 @@ def main() -> int:
     oracles = E.oracle_sql()
     names = args.names or list(queries)
     failures = []
+    empty_passes = []
     for name in names:
         t0 = time.time()
         try:
@@ -138,10 +151,18 @@ def main() -> int:
             for p in problems[1:]:
                 print(f"      {p}")
         else:
+            if not srows:
+                empty_passes.append(name)
             print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
-    return 1 if failures else 0
+    if empty_passes:
+        marker = "FAIL" if args.fail_empty else "note"
+        print(
+            f"{marker}: {len(empty_passes)} PASS with 0 rows "
+            f"(vacuous at this scale): {', '.join(sorted(empty_passes))}"
+        )
+    return 1 if failures or (args.fail_empty and empty_passes) else 0
 
 
 if __name__ == "__main__":
