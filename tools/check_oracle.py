@@ -150,6 +150,13 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems[:1]))
             for p in problems[1:]:
                 print(f"      {p}")
+        elif not srows and args.fail_empty:
+            # Under --fail-empty a 0-row agreement verifies nothing, so the
+            # per-query line and the summary count must both say FAIL —
+            # matching the exit code (judge ADVICE r8).
+            empty_passes.append(name)
+            failures.append(name)
+            print(f"FAIL  {name}: 0 rows (vacuous at this scale)")
         else:
             if not srows:
                 empty_passes.append(name)
