@@ -297,7 +297,7 @@ def _run_or_skip(
 def run_pipeline(
     spark: SparkSession,
     spec: PipelineSpec,
-    max_parallel: int = 1,
+    max_parallel: int | None = None,
     state_path: str | None = None,
 ) -> list[TableResult]:
     """Execute the tables[] DAG (/root/reference/sdk/etl.php:91-150).
@@ -306,6 +306,8 @@ def run_pipeline(
     (destination → spec fingerprint) after each success and skipped on
     rerun while their spec is unchanged.
 
+    ``max_parallel`` defaults to the spec's ``parallel`` flag
+    (``PipelineSpec.parallel``; 1 unless the config opts in).
     ``max_parallel=1`` is the reference's sequential order (its
     parallel execution is a TODO at sdk/etl.php:146). With
     ``max_parallel>1``, tables whose *destinations and sources don't
@@ -316,6 +318,8 @@ def run_pipeline(
     destination written by an earlier table stay ordered (the
     employeurs→assures dependency in import.sh:86-100).
     """
+    if max_parallel is None:
+        max_parallel = spec.parallel
     from php_etl_spark.observability import ProgressEstimator
 
     # pipeline-level rate/ETA ticks on table completion — the Spark

@@ -82,15 +82,37 @@ class TableSpec:
 class PipelineSpec:
     connections: dict[str, Any]
     tables: list[TableSpec]
+    # DAG-parallel table execution (the reference's deferred TODO at
+    # /root/reference/sdk/etl.php:146 — "use amphp/parallel"). The
+    # engine-native form is concurrent job SUBMISSION: independent
+    # tables' Spark jobs interleave on the shared scheduler, while
+    # dependent tables (read-after-write on a destination) stay staged
+    # — see run_pipeline's stage split. `parallel: true` in the spec
+    # enables it with a bounded thread pool; an integer pins the pool
+    # size; absent/false keeps the reference's sequential order.
+    parallel: int = 1
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "PipelineSpec":
         if "tables" not in d:
             # config validation parity (/root/reference/sdk/etl.php:76-82)
             raise ValueError("pipeline spec requires a 'tables' list")
+        tables = [TableSpec.from_dict(t) for t in d["tables"]]
+        raw = d.get("parallel", 1)
+        if raw is True:
+            # submit up to 8 tables at once — enough to keep a large
+            # cluster's scheduler fed without an unbounded thread pool
+            parallel = min(8, max(1, len(tables)))
+        elif raw is False or raw is None:
+            parallel = 1
+        else:
+            parallel = int(raw)
+            if parallel < 1:
+                raise ValueError("'parallel' must be >= 1, true or false")
         return cls(
             connections=d.get("connections", {}),
-            tables=[TableSpec.from_dict(t) for t in d["tables"]],
+            tables=tables,
+            parallel=parallel,
         )
 
     @classmethod

@@ -80,6 +80,45 @@ def test_parallel_pipeline_matches_sequential(spark, tmp_path):
     assert out_a.count() == 2
 
 
+def test_spec_parallel_flag(spark, tmp_path):
+    """`parallel: true` in the CONFIG (not just the API arg) opts a
+    pipeline into DAG-parallel table execution — the reference's
+    deferred amphp/parallel TODO (sdk/etl.php:146) as a spec flag.
+    Independent tables run concurrently; a table reading an earlier
+    destination still sees its output (stage split)."""
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], ["id", "v"]
+    ).write.parquet(str(src / "base"))
+    dst = tmp_path / "dst"
+    doc = {
+        "parallel": True,
+        "connections": {
+            "from": {"type": "parquet", "path": str(src)},
+            "to": {"type": "parquet", "path": str(dst)},
+        },
+        "tables": [
+            {"flow": "base -> out_a", "columns": {"id": "[id]", "v": "[v]"}},
+            {"flow": "base -> out_b", "columns": {"id": "[id]"}},
+            # depends on out_a: must run in a later stage
+            {"flow": "out_a -> out_c", "columns": {"id": "[id]"},
+             "connections": {"from": {"type": "parquet", "path": str(dst)}}},
+        ],
+    }
+    spec = PipelineSpec.from_dict(doc)
+    assert spec.parallel == 3  # true -> min(8, n_tables)
+    results = run_pipeline(spark, spec)  # max_parallel from the spec
+    assert [r.rows_written for r in results] == [4, 4, 4]
+    assert spark.read.parquet(str(dst / "out_c")).count() == 4
+    # integer form pins the pool size; invalid values are rejected
+    assert PipelineSpec.from_dict({**doc, "parallel": 2}).parallel == 2
+    assert PipelineSpec.from_dict({**doc, "parallel": False}).parallel == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="parallel"):
+        PipelineSpec.from_dict({**doc, "parallel": 0})
+
+
 def test_pipeline_dependency_stays_ordered(spark, tmp_path):
     """A table reading what a previous one wrote must see its output
     (employeurs -> assures ordering, import.sh:86-100)."""
