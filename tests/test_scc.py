@@ -147,6 +147,33 @@ def test_condensation_levels_known_dag(spark):
     assert rows == {3: (0, 3), 6: (1, 3), 7: (2, 1), 8: (3, 1)}
 
 
+def test_condensation_levels_assign_fast_path(spark):
+    """Passing a precomputed SCC assignment must yield exactly the
+    default path's result (the `assign` fast path added for callers —
+    and the iteration probe — that already hold the assignment)."""
+    from php_etl_spark.operators.graph import (
+        condensation_levels,
+        strongly_connected_components,
+    )
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),
+        (4, 5), (5, 6), (6, 4),
+        (3, 4), (6, 7), (7, 8),
+    ]
+    df = spark.createDataFrame(edges, ["s", "d"])
+    assign = strongly_connected_components(df, "s", "d")
+    via_assign = {
+        r["scc_id"]: (r["level"], r["n_members"])
+        for r in condensation_levels(df, "s", "d", assign=assign).collect()
+    }
+    default = {
+        r["scc_id"]: (r["level"], r["n_members"])
+        for r in condensation_levels(df, "s", "d").collect()
+    }
+    assert via_assign == default == {3: (0, 3), 6: (1, 3), 7: (2, 1), 8: (3, 1)}
+
+
 def test_condensation_levels_registered_vs_python(spark):
     """The registered transition-graph key must match a driver-side
     longest-path recompute over the Tarjan condensation."""
