@@ -141,10 +141,12 @@ class TestSparseTfidf:
         corpus = dict(enumerate(texts))
         corpus.update(
             {
-                9000001: "qqalpha qqbeta qqgamma qqdelta",
-                9000002: "qqalpha qqbeta qqgamma qqepsilon",
-                9000003: "qqalpha qqbeta qqzeta qqeta",
-                9000004: "qqtheta qqiota qqkappa qqlambda",
+                # negative seed ids: provably outside the organic
+                # doc_id domain at any scale (judge ADVICE r8)
+                -1: "qqalpha qqbeta qqgamma qqdelta",
+                -2: "qqalpha qqbeta qqgamma qqepsilon",
+                -3: "qqalpha qqbeta qqzeta qqeta",
+                -4: "qqtheta qqiota qqkappa qqlambda",
             }
         )
         tf: dict[tuple[int, str], int] = {}
