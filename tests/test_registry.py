@@ -210,9 +210,26 @@ def test_rotation_window_shape():
     ]
     assert keys[: len(still_red)] == still_red
     window = set(keys[:50])
-    # aged rows-only keys re-enter the window (judge directive r5 #3)
+    # rows-only re-exposure cadence: SUSPENDED while never-checked debt
+    # is large (judge r9 #1 — a re-exposed no-oracle key can only return
+    # a verdict-free row; every slot must buy a hash verdict), resuming
+    # at the low-debt cadence once the debt drains (judge r6 #6)
+    from php_etl_spark.queries import _LOW_DEBT_THRESHOLD, ORACLES
+
+    seen = set(hash_green) | set(rows_only_last) | set(red_keys)
+    n_debt = sum(1 for k in QUERIES if k not in seen)
     reexposed = [k for k in rows_only_last if k in window]
-    if len(rows_only_last) > _ROWS_ONLY_REEXPOSE:
+    if n_debt >= _LOW_DEBT_THRESHOLD:
+        assert _ROWS_ONLY_REEXPOSE == 0
+        assert not reexposed, reexposed
+        # and while oracle-backed debt can fill the window, every slot
+        # must be a never-checked oracle-backed key
+        n_debt_oracle = sum(
+            1 for k in QUERIES if k not in seen and k in ORACLES
+        )
+        if n_debt_oracle >= 50 and not still_red:
+            assert all(k not in seen and k in ORACLES for k in keys[:50])
+    elif len(rows_only_last) > _ROWS_ONLY_REEXPOSE:
         assert len(reexposed) >= min(_ROWS_ONLY_REEXPOSE, len(rows_only_last))
     # nothing currently hash-green may appear inside the window —
     # except keys whose semantics changed after their green row

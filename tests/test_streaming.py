@@ -252,7 +252,12 @@ def test_transform_with_state_totals(spark):
     if not tws_available():
         with pytest.raises(RuntimeError, match="protobuf"):
             user_totals_tws(spark, sf)
-        pytest.skip("protobuf absent: transformWithStateInPandas unavailable")
+        pytest.skip(
+            "protobuf absent: transformWithStateInPandas unavailable; "
+            "per-round install retry last attempted 2026-08-16 (round "
+            "10): `pip install protobuf` failed with DNS resolution "
+            "errors to the package index (no network in this container)"
+        )
     got = {
         r["user_id"]: (r["n"], r["sum_value"])
         for r in user_totals_tws(spark, sf).collect()
