@@ -112,6 +112,17 @@ SENTINEL_FLOOR_SEC = 0.921
 SENTINEL_FLOOR_DATE = "2026-08-15"
 SENTINEL_LOADED_RATIO = 1.2
 
+# Pre-suite load gate (judge r9 directive #2): r8 and r9 driver bench
+# artifacts were both taken on a loaded box, so before the timed suite
+# starts, measure the sentinel and — if it reads above the loaded
+# ratio — wait and retry, bounded, so a transient load spike (another
+# process's gate sweep, a stray pytest) passes before the numbers the
+# judge must trust are taken. Attempts and readings are recorded in
+# the output JSON; if the retries exhaust, the suite runs anyway and
+# the JSON says so (pre_gate_exhausted) — the driver window is finite.
+PRE_GATE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_ATTEMPTS", "3"))
+PRE_GATE_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "600"))
+
 
 def sentinel_time(spark) -> float:
     """Fixed pure-CPU + small-shuffle micro-op, independent of SF data:
@@ -159,7 +170,18 @@ def main() -> int:
             except Exception:
                 pass
 
-    sentinel_before = sentinel_time(spark)
+    # pre-suite load gate: spin (bounded) until the box reads quiet
+    pre_gate: list[float] = []
+    for attempt in range(max(1, PRE_GATE_ATTEMPTS)):
+        s = sentinel_time(spark)
+        pre_gate.append(s)
+        if s <= SENTINEL_LOADED_RATIO * SENTINEL_FLOOR_SEC:
+            break
+        if attempt < PRE_GATE_ATTEMPTS - 1:
+            time.sleep(PRE_GATE_WAIT_SEC)
+    pre_gate_exhausted = pre_gate[-1] > SENTINEL_LOADED_RATIO * SENTINEL_FLOOR_SEC
+
+    sentinel_before = pre_gate[-1]
 
     # min of three timed runs per query (r6, was min-of-two): one-shot
     # numbers on a shared box carry 10-20% scheduler noise — two of five
@@ -190,6 +212,9 @@ def main() -> int:
                 "sf": sf,
                 "sentinel_before_sec": sentinel_before,
                 "sentinel_after_sec": sentinel_after,
+                "pre_gate_sentinels_sec": pre_gate,
+                "pre_gate_wait_sec": PRE_GATE_WAIT_SEC,
+                "pre_gate_exhausted": pre_gate_exhausted,
                 "sentinel_floor_sec": floor,
                 "sentinel_floor_date": SENTINEL_FLOOR_DATE,
                 "loaded": loaded,
