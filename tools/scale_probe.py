@@ -677,6 +677,142 @@ def iteration_probe2(spark, args) -> None:
     )
 
 
+def sampling_probe(spark, args) -> None:
+    """Curation/sampling family (r10 — previously the one headline
+    family with no dedicated probe): the two operators whose NAIVE
+    formulation is a single global (or per-stratum) window — i.e. one
+    task sorting the whole corpus — must stay EXACTLY equal to that
+    naive formulation while executing as their bounded decompositions,
+    on a pathologically skewed corpus where ~90% of rows share one
+    stratum (the shape that serializes a per-stratum window at 100 TB).
+    Run alone via --sampling-only.
+
+    - cap_per_stratum (llm/sampling.py): salted two-phase top-k. Phase
+      1's subset-ordering lemma (a global top-k row is top-k within its
+      salt subgroup) must survive a 9M-row stratum with heavy rank
+      ties; result compared row-for-row against the one-window naive.
+    - select_by_budget (llm/sampling.py): score-histogram running-sum
+      decomposition (window over |distinct scores| <= 1000, never the
+      corpus) vs the naive global running-cost window, INCLUDING the
+      boundary bucket's per-row leg — asserted non-vacuous so the
+      probe can't pass by whole buckets alone."""
+    from pyspark.sql import Window
+
+    from php_etl_spark.llm.sampling import cap_per_stratum, select_by_budget
+
+    n = args.rows
+    corpus = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.pmod(F.xxhash64("id"), F.lit(10)) < 9, F.lit("hot"))
+            .otherwise(
+                F.concat(
+                    F.lit("s"),
+                    F.pmod(F.xxhash64("id", F.lit(2)), F.lit(32)).cast("string"),
+                )
+            )
+            .alias("stratum"),
+            # ~1000 distinct quality scores -> heavy rank ties inside
+            # the hot stratum (~9k rows per (stratum, score))
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1_000)).alias("quality"),
+            (F.lit(50) + F.pmod(F.xxhash64("id", F.lit(4)), F.lit(2_000))).alias(
+                "n_chars"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def timed(label, thunk):
+        t0 = time.time()
+        out = thunk()
+        print(f"  {label}: {time.time()-t0:.2f}s")
+        return out
+
+    # --- cap_per_stratum: two-phase vs one-window naive, k=100 ---
+    k = 100
+    two_phase = timed(
+        f"cap_per_stratum two-phase (k={k}, {n:,} rows, 90% one stratum)",
+        lambda: sorted(
+            (r["stratum"], r["doc_id"])
+            for r in cap_per_stratum(
+                corpus, "stratum", F.col("quality"), k
+            ).collect()
+        ),
+    )
+    w_naive = Window.partitionBy("stratum").orderBy("quality", "doc_id")
+    naive = timed(
+        "cap_per_stratum naive one-window (hot stratum = one task)",
+        lambda: sorted(
+            (r["stratum"], r["doc_id"])
+            for r in corpus.withColumn("__rn", F.row_number().over(w_naive))
+            .filter(F.col("__rn") <= k)
+            .collect()
+        ),
+    )
+    assert two_phase, "cap probe returned no rows — vacuous"
+    assert two_phase == naive, (
+        f"two-phase cap diverged from naive window: "
+        f"{len(two_phase)} vs {len(naive)} rows"
+    )
+    n_strata = len({s for s, _ in two_phase})
+    print(f"  exact: {len(two_phase):,} rows across {n_strata} strata")
+
+    # --- select_by_budget: histogram decomposition vs naive window ---
+    total_cost = corpus.agg(F.sum("n_chars")).collect()[0][0]
+    budget = int(total_cost * 0.3) + 7  # +7: land mid-bucket, not on an edge
+    got = timed(
+        f"select_by_budget histogram form (budget {budget:,})",
+        lambda: sorted(
+            r["doc_id"]
+            for r in select_by_budget(
+                corpus, budget, score_col="quality", cost_col="n_chars"
+            ).collect()
+        ),
+    )
+    w_run = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive_sel = timed(
+        "select_by_budget naive global window (whole corpus, one task)",
+        lambda: sorted(
+            r["doc_id"]
+            for r in corpus.withColumn("__run", F.sum("n_chars").over(w_run))
+            .filter(F.col("__run") <= budget)
+            .collect()
+        ),
+    )
+    assert got, "budget probe selected no rows — vacuous"
+    assert got == naive_sel, (
+        f"histogram select_by_budget diverged from naive: "
+        f"{len(got)} vs {len(naive_sel)} rows"
+    )
+    # the boundary bucket's per-row leg must actually have fired: the
+    # budget must fall STRICTLY INSIDE some score bucket (walk the
+    # 1000-row histogram on the driver), else whole buckets alone
+    # reproduce the naive result and the boundary leg goes untested
+    hist = (
+        corpus.groupBy("quality")
+        .agg(F.sum("n_chars").alias("bc"))
+        .orderBy(F.desc("quality"))
+        .collect()
+    )
+    run, inside = 0, False
+    for r in hist:
+        if run + r["bc"] <= budget:
+            run += r["bc"]
+            continue
+        inside = run < budget
+        break
+    assert inside, (
+        "budget fell exactly on a bucket edge — boundary leg untested"
+    )
+    print(
+        f"  exact: {len(got):,} docs selected; budget falls strictly "
+        f"inside a score bucket (boundary per-row leg exercised)"
+    )
+
+
 def streaming_state_probe(spark, args) -> None:
     """Watermark-eviction family (r8): state-store rows must stay
     BOUNDED as micro-batches accumulate — the #1 streaming scale
@@ -844,6 +980,9 @@ def main() -> int:
     ap.add_argument("--iter2-only", action="store_true",
                     help="run only the second iteration section "
                          "(bfs/core/truss/scc/levels/trainers)")
+    ap.add_argument("--sampling-only", action="store_true",
+                    help="run only the sampling/curation section "
+                         "(cap_per_stratum/select_by_budget vs naive)")
     args = ap.parse_args()
 
     from php_etl_spark.operators.agg import first_wins_dedup
@@ -877,6 +1016,11 @@ def main() -> int:
     if args.iter2_only:
         iteration_probe2(spark, args)
         print("scale probe OK (iteration section 2 only)")
+        return 0
+
+    if args.sampling_only:
+        sampling_probe(spark, args)
+        print("scale probe OK (sampling section only)")
         return 0
 
     # power-law key: id -> key = floor(sqrt-like collapse). xxhash the
@@ -1606,6 +1750,7 @@ def main() -> int:
         f"(overlapping spans merged, 31/victim)"
     )
 
+    sampling_probe(spark, args)
     graph_iteration_probe(spark, args)
     iteration_probe2(spark, args)
     streaming_state_probe(spark, args)
