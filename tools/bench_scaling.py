@@ -39,6 +39,21 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def release_storage(spark) -> None:
+    """Drop every persisted/localCheckpointed block left by the
+    previous run. Each timed rep rebuilds its frames from scratch, so
+    blocks pinned by dead frames are pure leak — and with ~75 queries
+    x 3 scales in one 4g JVM the iterative operators' per-round
+    localCheckpoints accumulate until an unrelated query OOMs (the r10
+    gate died in graph_k_truss@sf0.1 on blocks leaked by the ~40 graph
+    queries before it). Released OUTSIDE the timed window; reps never
+    reuse blocks across runs (fresh RDD ids), so timings are unchanged
+    except for no longer degrading as the suite progresses."""
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+    spark.catalog.clearCache()
+
+
 def main() -> int:
     os.environ.setdefault("SPARK_GRAFT_STREAM_PARTITIONS", "8")
     import bench
@@ -64,6 +79,7 @@ def main() -> int:
             force(Q.QUERIES[name](spark, SFS[0]))
         except Exception:  # noqa: BLE001 — warmup best-effort
             pass
+        release_storage(spark)
 
     bad = 0
     for name in names:
@@ -71,6 +87,7 @@ def main() -> int:
         for sf in SFS:
             best = float("inf")
             for _ in range(2):
+                release_storage(spark)
                 t0 = time.time()
                 force(Q.QUERIES[name](spark, sf))
                 best = min(best, time.time() - t0)
