@@ -328,6 +328,15 @@ AUDITS = {
         ("orders scan pruned to the date column",
          lambda p: all(n <= 1 for n in read_schema_cols(p))),
     ],
+    "pipeline_etl": [
+        ("config-spec WHERE (`query: l_quantity > 45`) pushed through the "
+         "plan builder to the parquet scan",
+         lambda p: "PushedFilters" in p and "l_quantity" in p),
+        ("first-wins unique-key dedup is one window pass, never a self-join",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p
+         and "Window" in p),
+    ],
     "agg_priority_counts_q12": [
         ("date filter pushed to the lineitem scan",
          lambda p: "PushedFilters" in p and "l_shipdate" in p),
