@@ -128,51 +128,19 @@ def test_pipeline_parallel_matches_sequential(spark):
     """`pipeline_etl_parallel` (the registered end-to-end exercise of
     the spec's `parallel: true` flag, judge r9 #7) must produce output
     identical to the same 2-table spec run sequentially — the stage
-    split reorders table SUBMISSION, never data."""
-    from php_etl_spark.queries import QUERIES
+    split reorders table SUBMISSION, never data. Both paths run the
+    ONE shared spec builder (queries.run_pipeline_par_spec) so the
+    twins can't drift apart."""
+    from php_etl_spark.queries import QUERIES, run_pipeline_par_spec
     from tests.conftest import SF_DIR as sf_dir
 
-    par = sorted(tuple(r) for r in QUERIES["pipeline_etl_parallel"](spark, sf_dir).collect())
-    # sequential twin: same tables, parallel flag absent (defaults 1)
-    import tempfile
-
-    from php_etl_spark.plans.spec import PipelineSpec
-    from php_etl_spark.plans.runner import run_pipeline
-    from pyspark.sql import functions as F
-
-    dst = tempfile.mkdtemp(prefix="pipeline_seq_")
-    spec = PipelineSpec.from_dict(
-        {
-            "connections": {
-                "from": {"type": "parquet", "path": sf_dir},
-                "to": {"type": "parquet", "path": dst},
-            },
-            "tables": [
-                {
-                    "flow": "lineitem -> t_items",
-                    "columns": {"k": "[l_orderkey]", "v": "[l_quantity]"},
-                    "query": "l_quantity > 45",
-                },
-                {
-                    "flow": "orders -> t_orders",
-                    "columns": {"k": "[o_orderkey]", "v": "[o_totalprice]"},
-                    "query": "o_totalprice > 200000",
-                },
-            ],
-        }
+    par = sorted(
+        tuple(r)
+        for r in QUERIES["pipeline_etl_parallel"](spark, sf_dir).collect()
     )
-    assert spec.parallel == 1
-    run_pipeline(spark, spec)
     seq = sorted(
         tuple(r)
-        for r in spark.read.parquet(f"{dst}/t_items")
-        .select(F.lit("items").alias("src"), "k", "v")
-        .unionAll(
-            spark.read.parquet(f"{dst}/t_orders").select(
-                F.lit("orders").alias("src"), "k", "v"
-            )
-        )
-        .collect()
+        for r in run_pipeline_par_spec(spark, sf_dir, parallel=False).collect()
     )
     assert par == seq
     assert len(par) > 0

@@ -331,7 +331,9 @@ AUDITS = {
     "pipeline_etl": [
         ("config-spec WHERE (`query: l_quantity > 45`) pushed through the "
          "plan builder to the parquet scan",
-         lambda p: "PushedFilters" in p and "l_quantity" in p),
+         # anchored INSIDE the bracket: 'PushedFilters: []' plus a
+         # post-scan Filter on l_quantity must NOT pass
+         lambda p: re.search(r"PushedFilters: \[[^\]]*l_quantity", p)),
         ("first-wins unique-key dedup is one window pass, never a self-join",
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoop" not in p

@@ -811,6 +811,14 @@ def sampling_probe(spark, args) -> None:
         f"  exact: {len(got):,} docs selected; budget falls strictly "
         f"inside a score bucket (boundary per-row leg exercised)"
     )
+    # this section runs FIRST in the full probe: release the 10M-row
+    # corpus checkpoint (and any blocks the operators pinned) so it
+    # doesn't sit in storage under the graph/iteration/streaming
+    # sections — the exact leak class that OOMed the r10 gate's
+    # scaling leg (see bench_scaling.release_storage)
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+    spark.catalog.clearCache()
 
 
 def streaming_state_probe(spark, args) -> None:
