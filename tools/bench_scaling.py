@@ -48,9 +48,12 @@ def release_storage(spark) -> None:
     gate died in graph_k_truss@sf0.1 on blocks leaked by the ~40 graph
     queries before it). Released OUTSIDE the timed window; reps never
     reuse blocks across runs (fresh RDD ids), so timings are unchanged
-    except for no longer degrading as the suite progresses."""
+    except for no longer degrading as the suite progresses. Blocking
+    unpersist: the release happens outside the timed window, so waiting
+    for block removal costs nothing, while async removal could leave
+    eviction work bleeding into the next timed rep (judge ADVICE r10)."""
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist(False)
+        rdd.unpersist(True)
     spark.catalog.clearCache()
 
 

@@ -76,9 +76,10 @@ def main() -> int:
     ap.add_argument(
         "--fail-empty",
         action="store_true",
-        help="fail if any oracle-backed query PASSes with 0 rows — the "
-        "vacuous-at-scale gate (two engines agreeing on an empty result "
-        "verify nothing). Used by the sf0.1 sweep: tools/lint_oracles.py "
+        help="fail if any query returns 0 rows — oracle-backed (a 0-row "
+        "agreement verifies nothing) AND rows-only (a 0-row rows-only "
+        "result verifies even less): the vacuous-at-scale gate. "
+        "Used by the sf0.1 sweep: tools/lint_oracles.py "
         "guards sf0.01, but results that exist at the lint scale can "
         "still vanish as data GROWS (df cutoffs, min-support thresholds "
         "— the r8 sim_sparse_tfidf_topk / agg_itemsets_apriori class). "
