@@ -276,6 +276,11 @@ def main() -> int:
             force(Q.QUERIES[name](spark, sf_dir))
             best = min(best, time.time() - t0)
         rerun[name] = round(best, 3)
+    # the re-runs execute AFTER sentinel_after, so they need their own
+    # load context: without it, a spike that starts during the re-run
+    # pass would read as a "reproduced regression" inside an artifact
+    # that says loaded=false — the exact ambiguity the pass removes
+    sentinel_rerun = sentinel_time(spark) if rerun else None
 
     total = round(sum(times.values()), 3)
     print(
@@ -296,6 +301,7 @@ def main() -> int:
                 "loaded": loaded,
                 "rerun_ratio": RERUN_RATIO,
                 "rerun": rerun,
+                "sentinel_rerun_sec": sentinel_rerun,
             }
         )
     )

@@ -35,26 +35,17 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 SLOPE_BUDGET = 1.3
 
 
+# shared with the scale probe so the blocking-unpersist semantics can
+# never diverge between the two harnesses (each timed rep here rebuilds
+# its frames from scratch, so blocks pinned by dead frames are pure
+# leak — the class that OOMed the r10 gate in graph_k_truss@sf0.1;
+# released OUTSIDE the timed window, so timings are unchanged except
+# for no longer degrading as the suite progresses)
+from tools.scale_probe import release_storage  # noqa: E402
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
-
-
-def release_storage(spark) -> None:
-    """Drop every persisted/localCheckpointed block left by the
-    previous run. Each timed rep rebuilds its frames from scratch, so
-    blocks pinned by dead frames are pure leak — and with ~75 queries
-    x 3 scales in one 4g JVM the iterative operators' per-round
-    localCheckpoints accumulate until an unrelated query OOMs (the r10
-    gate died in graph_k_truss@sf0.1 on blocks leaked by the ~40 graph
-    queries before it). Released OUTSIDE the timed window; reps never
-    reuse blocks across runs (fresh RDD ids), so timings are unchanged
-    except for no longer degrading as the suite progresses. Blocking
-    unpersist: the release happens outside the timed window, so waiting
-    for block removal costs nothing, while async removal could leave
-    eviction work bleeding into the next timed rep (judge ADVICE r10)."""
-    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist(True)
-    spark.catalog.clearCache()
 
 
 def main() -> int:
