@@ -982,6 +982,111 @@ AUDITS = {
          "(no Python row path)",
          lambda p: "BatchEvalPython" not in p),
     ],
+    # r11: the headline-suite queries that still lacked plan pins.
+    # (stream_tumbling is deliberately absent: its returned frame is
+    # the sink read-back — a bare parquet scan — and the operator's
+    # scale contract, bounded state under the watermark, is asserted
+    # by tools/scale_probe.py --streaming-only, not by a batch plan.)
+    "window_percent_rank_cume": [
+        ("ONE Window node computes both percent_rank and cume_dist "
+         "(no per-function passes)",
+         lambda p: p.split("== Initial Plan ==")[0].count("Window [") == 1),
+        ("single hash exchange on the partition key (the output sort's "
+         "range exchange is the only other shuffle)",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") == 1),
+        ("scan prunes to the three referenced customer columns",
+         lambda p: read_schema_cols(
+             p.split("== Initial Plan ==")[0]) == [3]),
+    ],
+    "text_bpe_pair_counts": [
+        ("both aggregations combine map-side (partial before exchange)",
+         lambda p: "partial_count" in p and "partial_sum" in p),
+        ("only the word-frequency and pair tables shuffle — never the "
+         "corpus (two hash exchanges total)",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") == 2),
+        ("top-k is TakeOrderedAndProject (no global sort of the pair "
+         "table)",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("scan prunes to the text column alone",
+         lambda p: read_schema_cols(
+             p.split("== Initial Plan ==")[0]) == [1]),
+    ],
+    "sim_sparse_tfidf_topk": [
+        ("weighted postings are persisted and reused (both join sides "
+         "read the InMemoryRelation, not a recomputed index)",
+         lambda p: "InMemoryTableScan" in p),
+        ("candidate generation is a keyed equi-join on the term "
+         "(broadcast at this SF, sort-merge at scale); the single "
+         "nested loop is the 1-row IDF scalar broadcast inside the "
+         "cached postings build",
+         lambda p: re.search(
+             r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[term",
+             p.split("== Initial Plan ==")[0])
+         and "CartesianProduct" not in p
+         and p.split("== Initial Plan ==")[0].count(
+             "BroadcastNestedLoopJoin") <= 1),
+        ("dot products combine map-side before the (doc_a, doc_b) "
+         "exchange",
+         lambda p: "partial_sum" in p),
+        ("top-k is TakeOrderedAndProject",
+         lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "ml_auc_rank": [
+        ("the rank window runs over the per-distinct-score aggregate, "
+         "never the row grain: exactly one single-partition exchange, "
+         "fed by a keyed score aggregate",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange SinglePartition") == 1
+         and "HashAggregate(keys=[score" in p),
+        ("score histogram combines map-side",
+         lambda p: "partial_count" in p),
+        ("one window pass (cumulative count before each score)",
+         lambda p: p.split("== Initial Plan ==")[0].count("Window [") == 1),
+        ("scan prunes to the four referenced lineitem columns",
+         lambda p: read_schema_cols(
+             p.split("== Initial Plan ==")[0]) == [4]),
+    ],
+    "ml_ndcg_mrr": [
+        ("one ranking window per query group; DCG/IDCG/MRR are "
+         "aggregates over it (no second window)",
+         lambda p: p.split("== Initial Plan ==")[0].count("Window [") == 1),
+        ("per-query and global reductions both combine map-side",
+         lambda p: "partial_sum" in p and "partial_avg" in p),
+        ("the only single-partition exchange carries per-query "
+         "partials, not rows",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange SinglePartition") == 1),
+    ],
+    "text_bm25_topk": [
+        ("tf/df joins broadcast (the posting side never shuffles for "
+         "the dimension joins)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("at most one nested-loop join, and only for the 1-row corpus "
+         "stats (the documented scalar broadcast)",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "BroadcastNestedLoopJoin") <= 1
+         and "CartesianProduct" not in p),
+        ("per-doc score sum combines map-side; top-k is "
+         "TakeOrderedAndProject",
+         lambda p: "partial_sum" in p and "TakeOrderedAndProject" in p),
+        ("every documents scan (tf/df/dl legs) prunes to doc_id + text",
+         lambda p: set(read_schema_cols(
+             p.split("== Initial Plan ==")[0])) == {2}),
+    ],
+    "window_hampel_filter": [
+        ("ONE window collects the 7-sample frame; median and MAD are "
+         "array expressions over it (no second window, no re-sort)",
+         lambda p: p.split("== Initial Plan ==")[0].count("Window [") == 1),
+        ("single hash exchange on the series key",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") == 1),
+        ("null filter pushed to the parquet scan",
+         lambda p: "PushedFilters: [IsNotNull(value)]" in p),
+        ("despike math is JVM-side (no Python row path)",
+         lambda p: "BatchEvalPython" not in p),
+    ],
 }
 
 
