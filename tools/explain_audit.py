@@ -1075,6 +1075,54 @@ AUDITS = {
          lambda p: set(read_schema_cols(
              p.split("== Initial Plan ==")[0])) == {2}),
     ],
+    # r11: the three most expensive SINGLE-PASS graph queries in the
+    # scaling leg (the iterative ones — k_truss, boruvka, LPA, pagerank,
+    # bfs, ppr, condensation — are covered by scale_probe's
+    # marginal-round assertions, which see what a static plan of the
+    # final round cannot: per-round recompute and lineage growth).
+    "graph_local_bridges": [
+        ("triangle-support pass rides keyed equi-joins "
+         "(no cartesian; the only nested loop is the 1-row x 1-row "
+         "scalar count combine)",
+         lambda p: "CartesianProduct" not in p
+         and p.split("== Initial Plan ==")[0].count(
+             "BroadcastNestedLoopJoin") <= 1
+         and (p.split("== Initial Plan ==")[0].count("BroadcastHashJoin")
+              + p.split("== Initial Plan ==")[0].count("SortMergeJoin"))
+         >= 1),
+        ("edge/triangle counts combine map-side",
+         lambda p: "partial_count" in p),
+        ("census math is JVM-side (no Python row path)",
+         lambda p: "BatchEvalPython" not in p),
+    ],
+    "graph_rich_club": [
+        ("club-edge count is keyed equi-joins on u and (k, v) — no "
+         "pair enumeration beyond existing edges, no cartesian",
+         lambda p: "CartesianProduct" not in p
+         and (p.split("== Initial Plan ==")[0].count("BroadcastHashJoin")
+              + p.split("== Initial Plan ==")[0].count("SortMergeJoin"))
+         >= 2),
+        ("the only nested loops are the 3-row k-grid theta join "
+         "(bounded broadcast, printed once per club consumer)",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "BroadcastNestedLoopJoin") <= 3),
+        ("degree and club counts combine map-side",
+         lambda p: "partial_count" in p),
+    ],
+    "graph_assortativity": [
+        ("degree table joins onto edges as keyed equi-joins only "
+         "(no cartesian / nested loop anywhere)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("moment sums combine map-side; exactly one single-partition "
+         "exchange carries the six scalar moments, never edge rows",
+         lambda p: "partial_sum" in p
+         and p.split("== Initial Plan ==")[0].count(
+             "Exchange SinglePartition") == 1),
+        ("lineitem scan prunes to the two co-occurrence columns",
+         lambda p: read_schema_cols(
+             p.split("== Initial Plan ==")[0]) == [2]),
+    ],
     "window_hampel_filter": [
         ("ONE window collects the 7-sample frame; median and MAD are "
          "array expressions over it (no second window, no re-sort)",
