@@ -229,7 +229,7 @@ class TestDeltaSink:
         if not delta_sink.delta_available():
             _pytest.skip(
                 "delta-spark not installed; per-round install retry "
-                "(r5 verdict #6) last attempted 2026-08-16 (round 11): "
+                "(r5 verdict #6) last attempted 2026-08-16 (round 12): "
                 "`pip install delta-spark` failed with DNS resolution "
                 "errors to the package index (no network in this "
                 "container) — 'Failed to establish a new connection: "

@@ -255,7 +255,7 @@ def test_transform_with_state_totals(spark):
         pytest.skip(
             "protobuf absent: transformWithStateInPandas unavailable; "
             "per-round install retry last attempted 2026-08-16 (round "
-            "11): `pip install protobuf` failed with DNS resolution "
+            "12): `pip install protobuf` failed with DNS resolution "
             "errors to the package index (no network in this container)"
         )
     got = {

@@ -1135,6 +1135,151 @@ AUDITS = {
         ("despike math is JVM-side (no Python row path)",
          lambda p: "BatchEvalPython" not in p),
     ],
+    # ------------------------------------------------------------------
+    # r12 extension (judge r11 #7): the 10 most expensive never-driver-
+    # checked keys by the r12 sf0.1 debt sweep, pinned BEFORE the driver
+    # window hits them. Keys whose registered frame is a materialize()/
+    # read-back leaf get PLAN_BUILDERS capturing the real inner stage
+    # (the stream_stream_join precedent).
+    # ------------------------------------------------------------------
+    "graph_k_truss": [  # 50.6 s — per-round support recount (builder)
+        ("wedge/support recount is keyed equi-joins, never cartesian "
+         "or nested-loop",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("two keyed joins per round (common-neighbor count)",
+         lambda p: sum(p.count(j) for j in (
+             "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")) >= 2),
+        ("support agg is map-side combined (partial before exchange)",
+         lambda p: "partial_count" in p or "partial_sum" in p),
+    ],
+    "stream_left_outer_join": [  # 18.2 s — micro-batch plan (builder)
+        ("stream-stream join node with LeftOuter semantics",
+         lambda p: "StreamingSymmetricHashJoin" in p and "LeftOuter" in p),
+        ("state eviction is watermark-driven (watermark predicates in "
+         "the join state spec)",
+         lambda p: "watermark" in p.lower()),
+        ("keyed on user (hash-partitioned state), never a cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "pipeline_etl_parallel": [  # 9.8 s — O1 parallel stage split
+        ("returned frame unions the parallel branches' sink read-backs",
+         lambda p: p.count("Union") >= 1 and p.count("FileScan parquet") >= 2),
+        ("branch read-backs are column-pruned scans inside codegen",
+         lambda p: has_codegen(p)),
+        ("no shuffle in the read-back (branch work happened in the "
+         "staged writes)",
+         lambda p: "Exchange hashpartitioning" not in p),
+    ],
+    "scan_json_corrupt_modes": [  # 9.0 s — permissive scan (builder)
+        ("PERMISSIVE read is a schema-explicit json FileScan (no "
+         "inference pass over the corpus)",
+         lambda p: "FileScan json" in p),
+        ("corrupt-row split is a filter on the scan, no shuffle",
+         lambda p: "Exchange hashpartitioning" not in p),
+        ("quarantine path stays JVM-side",
+         lambda p: "BatchEvalPython" not in p),
+    ],
+    "graph_ppr_personalized": [  # 8.2 s — one push round (builder)
+        ("per-round inflow is ONE keyed join r⋈(adj+deg) — no "
+         "cartesian/nested-loop beyond the documented 1-row seed-count "
+         "broadcast (the restart vector instantiates it twice: once "
+         "under r, once under the update)",
+         lambda p: "CartesianProduct" not in p
+         and p.split("== Initial Plan ==")[0].count(
+             "BroadcastNestedLoop") <= 2),
+        ("inflow aggregate is map-side combined",
+         lambda p: "partial_sum" in p),
+        ("restart vector / seed count rides a broadcast, not a shuffle "
+         "of the rank table",
+         lambda p: "BroadcastExchange" in p),
+    ],
+    "graph_powerlaw_fit": [  # 7.4 s — degree hist + closed-form slope
+        ("log-log slope is ONE closed-form moment aggregate: exactly "
+         "one SinglePartition exchange, fed by partial aggregates "
+         "(one row per partition, never the degree table)",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange SinglePartition") == 1
+         and "partial_count" in p),
+        ("degree + frequency histograms are map-side combined groupBys",
+         lambda p: p.count("partial_count") >= 2),
+        ("hot-basket cap is a broadcast anti-join, never cartesian",
+         lambda p: "LeftAnti" in p and "CartesianProduct" not in p),
+        ("co-occurrence pair build joins on the order key (keyed, "
+         "no nested loop)",
+         lambda p: "BroadcastNestedLoop" not in p),
+    ],
+    "join_fifo_lot_matching": [  # 7.3 s — interval-overlap lot match
+        ("lot overlap is an EQUI-join on the part key with the "
+         "interval condition as residual — never a range-only "
+         "nested-loop",
+         lambda p: ("BroadcastHashJoin" in p or "SortMergeJoin" in p
+                    or "ShuffledHashJoin" in p)
+         and "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("both prefix-sum windows partition by the part key (two "
+         "window exchanges, same key ⇒ co-located at scale)",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") == 2
+         and p.split("== Initial Plan ==")[0].count("Window [") == 2),
+        ("receipt/issue split filters push IsNotNull to the scan",
+         lambda p: "PushedFilters: [IsNotNull" in p),
+        ("column-pruned lineitem scan (4 of 16 cols)",
+         lambda p: all(n <= 4 for n in read_schema_cols(p))),
+    ],
+    "ml_threshold_cost_optimal": [  # 6.6 s — cost-optimal threshold
+        ("single-partition cumulative window runs over the per-"
+         "distinct-score AGGREGATE (map-side combined), never the row "
+         "grain — the ml_auc_rank invariant (plan renders top-down: "
+         "the SinglePartition exchange's subtree must contain the "
+         "score-grain agg)",
+         lambda p: "partial_count" in p
+         and "HashAggregate(keys=[score"
+         in p.split("Exchange SinglePartition")[1]),
+        ("argmin is TakeOrderedAndProject(limit=1), not a global sort",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("the only nested-loop is the documented 1-row scalar (p, neg) "
+         "broadcast",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "BroadcastNestedLoop") <= 1
+         and "IdentityBroadcastMode" in p
+         and "CartesianProduct" not in p),
+    ],
+    "text_char_trigram_profile": [  # 5.1 s — per-lang trigram top-k
+        ("trigram counting is map-side combined before its exchange",
+         lambda p: "partial_count" in p),
+        ("per-language top-10 pushes a PARTIAL WindowGroupLimit below "
+         "the exchange (each mapper ships ≤10 rows per lang, never the "
+         "full distinct-trigram table)",
+         lambda p: "WindowGroupLimit" in p
+         and "Partial" in p.split("Exchange hashpartitioning(lang")[1][:400]),
+        ("two exchanges total: (lang,tri) count + lang window",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") == 2),
+        ("column-pruned documents scan (text+lang only)",
+         lambda p: all(n <= 2 for n in read_schema_cols(p))),
+    ],
+    "graph_closeness_sampled": [  # 5.1 s — sampled multi-source BFS
+        ("no cartesian/nested-loop anywhere in the unrolled BFS "
+         "(every frontier expansion is a keyed join)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("frontier joins are keyed equi-joins",
+         lambda p: sum(p.count(j) for j in (
+             "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")) >= 4),
+        ("distance updates are map-side combined (partial_min)",
+         lambda p: "partial_min" in p or "partial_count" in p),
+    ],
+    "docs_safety_lexicon": [  # 4.9 s — lexicon flag scan
+        ("pure narrow scan: token/flag counts are array expressions "
+         "(no Generate explosion, no shuffle, no window)",
+         lambda p: "Generate" not in p
+         and "Exchange hashpartitioning" not in p
+         and "Window" not in p),
+        ("column-pruned documents scan (doc_id+text)",
+         lambda p: all(n <= 2 for n in read_schema_cols(p))),
+        ("flag math inside whole-stage codegen", has_codegen),
+    ],
 }
 
 
@@ -1222,10 +1367,199 @@ def _zorder_layout_plan(spark, sf_dir: str) -> str:
     return clustered._jdf.queryExecution().executedPlan().toString()
 
 
+def _k_truss_round_plan(spark, sf_dir: str) -> str:
+    """One k-truss peel round — the registered key's final frame is a
+    materialize() leaf (iterative), so pin the per-round support
+    recount (operators/graph.edge_triangle_support), which is ALL the
+    work the loop repeats."""
+    from php_etl_spark.catalog import Catalog
+    from php_etl_spark.operators import graph as G
+
+    li = Catalog(spark, sf_dir).lineitem
+    edges = G.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    und = G.undirected_edges(edges, "item_a", "item_b")
+    from pyspark.sql import functions as F
+
+    sup = G.edge_triangle_support(und).filter(F.col("support") >= 8)
+    sup.collect()
+    return plan_of(sup)
+
+
+def _ppr_round_plan(spark, sf_dir: str) -> str:
+    """One personalized-PageRank push round — the registered key's
+    final frame is a materialize() leaf + top-k, so pin the per-round
+    inflow join/aggregate the loop repeats (queries.py
+    graph_ppr_personalized builds exactly this shape per round)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from php_etl_spark.catalog import Catalog
+
+    c = Catalog(spark, sf_dir)
+    edges = (
+        c.orders.join(
+            c.lineitem, c.lineitem["l_orderkey"] == c.orders["o_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("cn"),
+            (F.col("l_suppkey") + 1000000).alias("sn"),
+        )
+        .distinct()
+    )
+    adj = edges.select(
+        F.col("cn").alias("a"), F.col("sn").alias("b")
+    ).unionAll(edges.select(F.col("sn").alias("a"), F.col("cn").alias("b")))
+    deg = adj.groupBy("a").agg(F.count("*").alias("tot"))
+    nodes = adj.select(F.col("a").alias("node")).distinct()
+    sup_nodes = c.supplier.select(
+        (F.col("s_suppkey") + 1000000).alias("node")
+    )
+    w_seed = W.orderBy(
+        ((F.col("node") * 2654435761) % 1000000007).asc(),
+        F.col("node").asc(),
+    )
+    seeds = (
+        sup_nodes.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") <= 4)
+        .select("node")
+    )
+    n_seeds = seeds.agg(F.count("*").alias("k"))
+    e = (
+        nodes.join(seeds.withColumn("is_seed", F.lit(1)), "node", "left")
+        .crossJoin(F.broadcast(n_seeds))
+        .select(
+            "node",
+            F.when(
+                F.col("is_seed").isNotNull(), F.expr("1000000000 div k")
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("ev"),
+        )
+    )
+    r = e.select("node", F.col("ev").alias("r"))
+    inflow = (
+        adj.join(deg, "a")
+        .join(r.withColumnRenamed("node", "a"), "a")
+        .select(F.col("b").alias("node"), F.expr("r div tot").alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("inflow"))
+    )
+    nxt = e.join(inflow, "node", "left").select(
+        "node",
+        F.expr(
+            "CAST((15 * ev + 85 * COALESCE(inflow, 0)) div 100 AS BIGINT)"
+        ).alias("r"),
+    )
+    nxt.collect()
+    return plan_of(nxt)
+
+
+def _json_corrupt_scan_plan(spark, sf_dir: str) -> str:
+    """The PERMISSIVE corrupt-record scan — the registered key returns
+    a driver-built two-row summary (counts are computed during frame
+    construction), so pin the scan+filter that does the corpus-scale
+    work."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from php_etl_spark.catalog import Catalog
+
+    path = tempfile.mkdtemp(prefix="audit_json_") + "/nation.jsonl"
+    n = Catalog(spark, sf_dir).nation.select("n_nationkey", "n_name")
+    good = [
+        f'{{"n_nationkey": {r["n_nationkey"]}, "n_name": "{r["n_name"]}"}}'
+        for r in n.collect()
+    ]
+    bad = [f'{{"n_nationkey": BROKEN{i}' for i in range(5)]
+    spark.createDataFrame(
+        [(line,) for line in good + bad], "value string"
+    ).coalesce(1).write.mode("overwrite").text(path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    ).cache()
+    permissive.count()
+    corrupt = permissive.filter(F.col("_corrupt_record").isNotNull())
+    corrupt.collect()
+    return plan_of(corrupt)
+
+
+def _stream_loj_plan_via_capture(spark, sf_dir: str) -> str:
+    """Micro-batch plan of the LEFT OUTER stream-stream interval join
+    (the registered key returns the sink read-back; the state/watermark
+    machinery lives in the streaming plan captured here)."""
+    import contextlib
+    import io
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from php_etl_spark.streaming.events import events_stream
+
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="audit_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(extended=True)
+    return buf.getvalue()
+
+
 PLAN_BUILDERS = {
     "stream_stream_join": _stream_plan_via_capture,
     "lsh_buckets_narrow": _lsh_buckets_plan,
     "zorder_layout": _zorder_layout_plan,
+    # r12 debt-pool extension: keys whose registered frame is a
+    # materialize()/read-back/driver-built leaf
+    "graph_k_truss": _k_truss_round_plan,
+    "graph_ppr_personalized": _ppr_round_plan,
+    "scan_json_corrupt_modes": _json_corrupt_scan_plan,
+    "stream_left_outer_join": _stream_loj_plan_via_capture,
 }
 
 
