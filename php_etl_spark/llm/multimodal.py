@@ -60,20 +60,48 @@ def _fake_decode(payload: bytes, n_features: int) -> list[float]:
     ]
 
 
+def _sliced(
+    batches: "Iterator[pd.DataFrame]", max_rows: int | None
+) -> "Iterator[pd.DataFrame]":
+    """Re-chunk incoming Arrow batches to ≤ ``max_rows`` row slices.
+
+    Binary-payload batch arithmetic (the 100 TB hazard this bounds):
+    Spark's Arrow transfer is sized in ROWS
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10 000)
+    with no byte cap, so 1 MB payloads make a 10 GB batch land in the
+    Python worker. The JVM→Python transfer batch itself can only be
+    bounded by that conf (set it to ~budget_bytes/payload_bytes for
+    media workloads); this slicer bounds everything AFTER the
+    transfer — the per-step Python working set (decode buffers are
+    per-slice, not per-batch) and the return-path batches — so one
+    oversized incoming batch degrades latency, not the worker's
+    memory ceiling."""
+    for pdf in batches:
+        if max_rows is None or len(pdf) <= max_rows:
+            yield pdf
+            continue
+        for lo in range(0, len(pdf), max_rows):
+            yield pdf.iloc[lo : lo + max_rows]
+
+
 def decode_features(
     df: DataFrame,
     n_features: int = 8,
     fake: bool = True,
-    batch_hint: int | None = None,
+    batch_hint: int | None = 1024,
 ) -> DataFrame:
     """Arrow-batched decode: mapInPandas over (doc_id, payload, mime)
     yielding fixed-width feature vectors. The UDF boundary transfers
     columnar Arrow batches — the right shape for real image decode
-    (PIL per batch) or audio frame sampling.
+    (PIL per batch) or audio frame sampling. ``batch_hint`` bounds the
+    per-step Python working set and the yielded batches via _sliced
+    (see its docstring for the byte arithmetic; the transfer-IN batch
+    is bounded by arrow.maxRecordsPerBatch, which the multimodal
+    scale probe asserts is honored end-to-end through this path).
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _sliced(batches, batch_hint):
             if not fake:
                 raise NotImplementedError(
                     "real media decoding requires PIL/ffmpeg; "

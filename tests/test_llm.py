@@ -136,6 +136,25 @@ def test_multimodal_payload_and_decode(spark):
     )
 
 
+def test_multimodal_sliced_bounds_and_preserves_rows():
+    """_sliced re-chunks Arrow batches to the row cap without changing
+    content or order (the post-transfer working-set bound for binary
+    payload columns — values must never depend on slice boundaries)."""
+    import pandas as pd
+
+    batches = [
+        pd.DataFrame({"x": range(0, 250)}),
+        pd.DataFrame({"x": range(250, 300)}),
+    ]
+    out = list(M._sliced(iter(batches), 100))
+    assert all(len(pdf) <= 100 for pdf in out)
+    assert [len(pdf) for pdf in out] == [100, 100, 50, 50]
+    assert pd.concat(out)["x"].tolist() == list(range(300))
+    # cap None / cap >= batch size: passthrough, no copies
+    assert [len(p) for p in M._sliced(iter(batches), None)] == [250, 50]
+    assert [len(p) for p in M._sliced(iter(batches), 250)] == [250, 50]
+
+
 def test_multimodal_real_decoder_is_stubbed(spark):
     import pytest
 

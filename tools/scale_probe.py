@@ -1067,6 +1067,118 @@ def ann_probe(spark, args) -> None:
     release_storage(spark)
 
 
+def multimodal_probe(spark, args) -> None:
+    """Arrow-batch byte discipline for binary-payload (media) columns —
+    the multimodal family's scale killer is not compute but TRANSFER
+    GRANULARITY: Spark sizes Arrow batches in ROWS
+    (arrow.maxRecordsPerBatch, default 10 000) with no byte cap, so
+    1 MB payloads silently make 10 GB batches land in each Python
+    worker. This section asserts the two bounds the engine relies on:
+
+    1. the conf is honored END-TO-END through the engine's mapInPandas
+       decode path (a future switch to an API that ignores it — e.g.
+       applyInPandas grouping — would fail here, not at 100 TB), and
+    2. llm/multimodal._sliced keeps results IDENTICAL while bounding
+       the post-transfer working set (slice boundaries must never
+       change decoded values).
+    """
+    import pandas as pd
+
+    from php_etl_spark.llm import multimodal as MM
+
+    assert_storage_clean(spark, "multimodal")
+    n_rows = int(getattr(args, "mm_rows", 20_000))
+    payload_bytes = 65_536
+    cap_rows = 256
+
+    # deterministic pseudo-media payloads: repeat a per-row hash hex
+    # out to payload_bytes (values vary per row; bytes are opaque)
+    docs = (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.encode(
+                F.substring(
+                    F.repeat(F.hex(F.xxhash64("id")), payload_bytes // 8),
+                    1,
+                    payload_bytes,
+                ),
+                "UTF-8",
+            ).alias("payload"),
+            F.lit("application/octet-stream").alias("mime"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    total_mb = n_rows * payload_bytes / 2**20
+    print(f"multimodal: {n_rows:,} payloads x {payload_bytes // 1024} KiB "
+          f"({total_mb:,.0f} MiB corpus)")
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    batch_schema = StructType([StructField("batch_rows", LongType())])
+
+    def observe(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"batch_rows": [len(pdf)]})
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(cap_rows))
+    try:
+        seen = (
+            docs.mapInPandas(observe, batch_schema)
+            .agg(
+                F.max("batch_rows").alias("mx"),
+                F.sum("batch_rows").alias("total"),
+                F.count("*").alias("n_batches"),
+            )
+            .first()
+        )
+        mx_mb = seen.mx * payload_bytes / 2**20
+        print(
+            f"  transfer-in batches under maxRecordsPerBatch={cap_rows}: "
+            f"max {seen.mx} rows = {mx_mb:.0f} MiB "
+            f"({seen.n_batches} batches, {seen.total:,} rows total)"
+        )
+        assert seen.total == n_rows, seen.total
+        assert seen.mx <= cap_rows, (
+            f"Arrow transfer batch {seen.mx} rows > configured {cap_rows} — "
+            "the conf is not reaching the engine's mapInPandas path"
+        )
+
+        t0 = time.time()
+        agg = (
+            MM.decode_features(docs, n_features=8, batch_hint=cap_rows)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("n_bytes").alias("b"),
+            )
+            .first()
+        )
+        print(f"  decode_features over the corpus: {time.time()-t0:.2f}s "
+              f"({agg.n:,} rows, {agg.b / 2**20:,.0f} MiB decoded)")
+        assert agg.n == n_rows and agg.b == n_rows * payload_bytes, agg
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    # slice-invariance: decoded VALUES must not depend on batch
+    # boundaries (checked on a 2k-row slice, unsliced vs 100-row hint)
+    small = docs.limit(2_000)
+    base = {
+        (r["doc_id"], r["features"][0])
+        for r in MM.decode_features(small, batch_hint=None).collect()
+    }
+    sliced = {
+        (r["doc_id"], r["features"][0])
+        for r in MM.decode_features(small, batch_hint=100).collect()
+    }
+    assert base == sliced and len(base) == 2_000, (
+        "slice boundaries changed decoded values"
+    )
+    print("  slice-invariance: 2,000 docs decode identically at "
+          "batch_hint None vs 100")
+    release_storage(spark)
+
+
 def streaming_state_probe(spark, args) -> None:
     """Watermark-eviction family (r8): state-store rows must stay
     BOUNDED as micro-batches accumulate — the #1 streaming scale
@@ -1243,6 +1355,11 @@ def main() -> int:
     ap.add_argument("--ann-only", action="store_true",
                     help="run only the ANN retrieval section "
                          "(IVF/LSH candidate-work fraction + recall)")
+    ap.add_argument("--mm-rows", type=int, default=20_000)
+    ap.add_argument("--multimodal-only", action="store_true",
+                    help="run only the multimodal Arrow-batch section "
+                         "(transfer-granularity bounds for binary "
+                         "payload columns)")
     args = ap.parse_args()
 
     from php_etl_spark.operators.agg import first_wins_dedup
@@ -1286,6 +1403,11 @@ def main() -> int:
     if args.ann_only:
         ann_probe(spark, args)
         print("scale probe OK (ann section only)")
+        return 0
+
+    if args.multimodal_only:
+        multimodal_probe(spark, args)
+        print("scale probe OK (multimodal section only)")
         return 0
 
     # power-law key: id -> key = floor(sqrt-like collapse). xxhash the
@@ -2019,6 +2141,7 @@ def main() -> int:
     # so the sections below start from (asserted-)clean storage
     release_storage(spark)
     sampling_probe(spark, args)
+    multimodal_probe(spark, args)
     ann_probe(spark, args)
     graph_iteration_probe(spark, args)
     iteration_probe2(spark, args)
