@@ -275,12 +275,16 @@ def main() -> int:
     # spike has usually passed by the time the pass runs), a real
     # regression reproduces; either way BENCH_r{N}.json adjudicates
     # itself instead of costing a judge re-measurement.
-    # ... but only at the SF the baselines were recorded at: at any
+    # ... but only at the SCALE the baselines were recorded at: at any
     # other scale every query trips the ratio by construction and the
-    # block would read as 35 reproduced regressions (judge ADVICE r11)
-    at_baseline_sf = os.path.realpath(sf_dir.rstrip("/")) == os.path.realpath(
-        BASELINE_SF_DIR
+    # block would read as 35 reproduced regressions (judge ADVICE r11).
+    # Gate on the parsed sf value, not path identity — the baselines
+    # depend on the scale factor, not where the dataset lives (a copy
+    # of sf0.1 under another root must still self-adjudicate).
+    baseline_sf = float(
+        BASELINE_SF_DIR.rstrip("/").split("sf")[-1]
     )
+    at_baseline_sf = sf == baseline_sf
     rerun: dict[str, float] | None = {} if at_baseline_sf else None
     if at_baseline_sf:
         for name in rerun_outliers(times):

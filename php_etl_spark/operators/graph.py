@@ -620,6 +620,15 @@ def edge_triangle_support(und: DataFrame) -> DataFrame:
     )
 
 
+def k_truss_round(und: DataFrame, k: int) -> DataFrame:
+    """One k-truss peel round: recount per-edge triangle support on
+    the surviving edges and keep those closing ≥ k-2 triangles — the
+    loop body k_truss repeats to the fixpoint, factored out so the
+    explain_audit plan builder pins exactly the round the loop runs
+    (code-review r12)."""
+    return edge_triangle_support(und).filter(F.col("support") >= k - 2)
+
+
 def k_truss(
     edges: DataFrame,
     a: str,
@@ -651,9 +660,7 @@ def k_truss(
     n_edges = und.count()
     sup = None
     for _ in range(max_rounds):
-        sup = materialize(
-            edge_triangle_support(und).filter(F.col("support") >= k - 2)
-        )
+        sup = materialize(k_truss_round(und, k))
         n_kept = sup.count()
         if n_kept == n_edges:
             break

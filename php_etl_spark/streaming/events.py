@@ -484,6 +484,44 @@ def stateful_session_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_click_interval_join(
+    ev_purchases: DataFrame, ev_clicks: DataFrame, how: str = "inner"
+) -> DataFrame:
+    """The purchases⋈preceding-hour-clicks interval-join SPEC (2 h
+    watermarks on both sides, 1 h backward interval, user equi-key) —
+    ONE definition shared by stream_stream_join (inner),
+    stream_left_outer_join (leftOuter) and the explain_audit plan
+    builders, so the audited plan can never drift from the spec the
+    registered queries run (code-review r12). Callers pass raw event
+    streams (possibly from different staged sources) and select from
+    the joined columns."""
+    purchases = (
+        ev_purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev_clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        how,
+    )
+
+
 def stateful_ewma(events: DataFrame) -> DataFrame:
     """Streaming IIR EWMA per user (α=½) — the streaming twin of the
     batch ``ts_ewma_recursive`` operator: per-key (count, accumulator)

@@ -303,14 +303,32 @@ def test_front_never_checked_and_upgrade_deferral():
             assert k in window, f"{k} declared front-of-debt but not in window"
     n_debt = sum(1 for k in QUERIES if k not in seen)
     upgraded = [k for k in rows_only_last if k in QUERIES and k in ORACLES]
-    if n_debt >= _LOW_DEBT_THRESHOLD and n_debt >= 50:
+    if n_debt >= _LOW_DEBT_THRESHOLD:
         assert not [k for k in upgraded if k in set(window)], (
             "upgraded rows-only keys must defer to the low-debt "
             "crossover while never-checked debt is large"
         )
     else:
-        # low debt: every upgraded key fronts for its first hash verdict
-        assert all(k in set(window) for k in upgraded[:50])
+        # low debt: upgraded keys front for their first hash verdicts —
+        # behind driver-flagged reds and un-green _PRIORITY keys, which
+        # legitimately outrank them, so only assert up to the head
+        # capacity those leave free
+        from php_etl_spark.queries import _PRIORITY
+
+        outranking = len(
+            set(k for k in red_keys if k in QUERIES)
+            | {
+                k
+                for k in _PRIORITY
+                if k in QUERIES and k not in set(hash_green)
+            }
+        )
+        capacity = max(0, 50 - outranking)
+        missing = [k for k in upgraded if k not in set(window)]
+        assert len(missing) <= max(0, len(upgraded) - capacity), (
+            f"upgraded keys left out of the window with head capacity "
+            f"to spare: {missing}"
+        )
 
 
 def test_bench_baselines_match_baseline_md():

@@ -1300,38 +1300,15 @@ def _stream_plan_via_capture(spark, sf_dir: str) -> str:
     explain output."""
     import contextlib
     import io
-
     import tempfile
 
-    from pyspark.sql import functions as F
-
-    from php_etl_spark.streaming.events import events_stream
-
-    purchases = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "2 hours")
+    from php_etl_spark.streaming.events import (
+        events_stream,
+        purchase_click_interval_join,
     )
-    clicks = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
+
+    joined = purchase_click_interval_join(
+        events_stream(spark, sf_dir), events_stream(spark, sf_dir)
     )
     q = (
         joined.writeStream.format("noop")
@@ -1370,17 +1347,16 @@ def _zorder_layout_plan(spark, sf_dir: str) -> str:
 def _k_truss_round_plan(spark, sf_dir: str) -> str:
     """One k-truss peel round — the registered key's final frame is a
     materialize() leaf (iterative), so pin the per-round support
-    recount (operators/graph.edge_triangle_support), which is ALL the
-    work the loop repeats."""
+    recount via the SAME factored round the loop runs
+    (operators/graph.k_truss_round; code-review r12: no duplicated
+    threshold to drift)."""
     from php_etl_spark.catalog import Catalog
     from php_etl_spark.operators import graph as G
 
     li = Catalog(spark, sf_dir).lineitem
     edges = G.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
     und = G.undirected_edges(edges, "item_a", "item_b")
-    from pyspark.sql import functions as F
-
-    sup = G.edge_triangle_support(und).filter(F.col("support") >= 8)
+    sup = G.k_truss_round(und, k=10)
     sup.collect()
     return plan_of(sup)
 
@@ -1388,69 +1364,17 @@ def _k_truss_round_plan(spark, sf_dir: str) -> str:
 def _ppr_round_plan(spark, sf_dir: str) -> str:
     """One personalized-PageRank push round — the registered key's
     final frame is a materialize() leaf + top-k, so pin the per-round
-    inflow join/aggregate the loop repeats (queries.py
-    graph_ppr_personalized builds exactly this shape per round)."""
-    from pyspark.sql import Window as W
+    inflow join/aggregate the loop repeats, built from the SAME
+    factored construction the query runs (queries._ppr_inputs /
+    _ppr_push_round with pinning disabled so the full round plan is
+    inspectable — code-review r12: no duplicated copy to drift)."""
     from pyspark.sql import functions as F
 
-    from php_etl_spark.catalog import Catalog
+    from php_etl_spark import queries as Q
 
-    c = Catalog(spark, sf_dir)
-    edges = (
-        c.orders.join(
-            c.lineitem, c.lineitem["l_orderkey"] == c.orders["o_orderkey"]
-        )
-        .select(
-            F.col("o_custkey").alias("cn"),
-            (F.col("l_suppkey") + 1000000).alias("sn"),
-        )
-        .distinct()
-    )
-    adj = edges.select(
-        F.col("cn").alias("a"), F.col("sn").alias("b")
-    ).unionAll(edges.select(F.col("sn").alias("a"), F.col("cn").alias("b")))
-    deg = adj.groupBy("a").agg(F.count("*").alias("tot"))
-    nodes = adj.select(F.col("a").alias("node")).distinct()
-    sup_nodes = c.supplier.select(
-        (F.col("s_suppkey") + 1000000).alias("node")
-    )
-    w_seed = W.orderBy(
-        ((F.col("node") * 2654435761) % 1000000007).asc(),
-        F.col("node").asc(),
-    )
-    seeds = (
-        sup_nodes.withColumn("rn", F.row_number().over(w_seed))
-        .filter(F.col("rn") <= 4)
-        .select("node")
-    )
-    n_seeds = seeds.agg(F.count("*").alias("k"))
-    e = (
-        nodes.join(seeds.withColumn("is_seed", F.lit(1)), "node", "left")
-        .crossJoin(F.broadcast(n_seeds))
-        .select(
-            "node",
-            F.when(
-                F.col("is_seed").isNotNull(), F.expr("1000000000 div k")
-            )
-            .otherwise(0)
-            .cast("long")
-            .alias("ev"),
-        )
-    )
+    e, aj = Q._ppr_inputs(spark, sf_dir)
     r = e.select("node", F.col("ev").alias("r"))
-    inflow = (
-        adj.join(deg, "a")
-        .join(r.withColumnRenamed("node", "a"), "a")
-        .select(F.col("b").alias("node"), F.expr("r div tot").alias("c"))
-        .groupBy("node")
-        .agg(F.sum("c").alias("inflow"))
-    )
-    nxt = e.join(inflow, "node", "left").select(
-        "node",
-        F.expr(
-            "CAST((15 * ev + 85 * COALESCE(inflow, 0)) div 100 AS BIGINT)"
-        ).alias("r"),
-    )
+    nxt = Q._ppr_push_round(e, aj, r)
     nxt.collect()
     return plan_of(nxt)
 
@@ -1506,36 +1430,15 @@ def _stream_loj_plan_via_capture(spark, sf_dir: str) -> str:
     import io
     import tempfile
 
-    from pyspark.sql import functions as F
-
-    from php_etl_spark.streaming.events import events_stream
-
-    purchases = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "2 hours")
+    from php_etl_spark.streaming.events import (
+        events_stream,
+        purchase_click_interval_join,
     )
-    clicks = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-        "left_outer",
+
+    joined = purchase_click_interval_join(
+        events_stream(spark, sf_dir),
+        events_stream(spark, sf_dir),
+        "leftOuter",
     )
     q = (
         joined.writeStream.format("noop")
