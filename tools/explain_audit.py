@@ -1280,6 +1280,140 @@ AUDITS = {
          lambda p: all(n <= 2 for n in read_schema_cols(p))),
         ("flag math inside whole-stage codegen", has_codegen),
     ],
+    # ------------------------------------------------------------------
+    # r12 post-gate addendum: the next debt tier by the same sf0.1
+    # sweep ranking (4.8 s .. 2.5 s), pinned ahead of the r13 window.
+    # ------------------------------------------------------------------
+    "corpus_pretrain_build": [  # 4.8 s — mix/cap/pack composition
+        ("the only nested-loops are the 1-row corpus-count scalar "
+         "broadcasts (IdentityBroadcastMode), never a cartesian",
+         lambda p: "CartesianProduct" not in p
+         and p.split("== Initial Plan ==")[0].count(
+             "BroadcastNestedLoop") <= 2
+         and "IdentityBroadcastMode" in p),
+        ("mix/cap aggregations are map-side combined",
+         lambda p: "partial_count" in p or "partial_sum" in p),
+        ("bounded exchanges for the full composition",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 4),
+    ],
+    "privacy_generalize_to_k": [  # 3.8 s — k-anonymity generalization
+        ("no cartesian/nested-loop (quasi-identifier regrouping is "
+         "keyed)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p.split("== Initial Plan ==")[0]),
+        ("group-size counting is map-side combined",
+         lambda p: "partial_count" in p),
+        ("bounded exchanges (ladder levels share the groupBy keys)",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 3),
+    ],
+    "ml_map_at_k": [  # 3.8 s — mean average precision
+        ("per-query precision runs in windows over the scored rows; "
+         "the only nested-loop is the 1-row query-count scalar",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "BroadcastNestedLoop") <= 1
+         and "CartesianProduct" not in p),
+        ("ONE keyed exchange feeds both per-query windows",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 1),
+        ("rank math inside codegen", has_codegen),
+    ],
+    "agg_reaggregate_from_cube": [  # 3.3 s — cube → coarser rollup
+        ("re-aggregation is two map-side-combined groupBys, no "
+         "window, no join blowup",
+         lambda p: "partial_" in p and "Window" not in p
+         and "CartesianProduct" not in p),
+        ("two exchanges total (cube grain, then coarse grain)",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 2),
+    ],
+    "ml_minmax_scale": [  # 3.2 s — per-type min-max scaling
+        ("per-type (lo,hi) stats BROADCAST onto the stream — the "
+         "event rows are never shuffled",
+         lambda p: "BroadcastHashJoin" in p
+         and p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 1),
+        ("null filters pushed to the parquet scan",
+         lambda p: "PushedFilters: [IsNotNull" in p),
+        ("scale math inside codegen", has_codegen),
+    ],
+    "graph_hits_authorities": [  # 3.2 s — unrolled HITS iterations
+        ("no cartesian/nested-loop anywhere in the unrolled "
+         "hub/authority iterations (every propagation is a keyed "
+         "join)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p.split("== Initial Plan ==")[0]),
+        ("score propagation aggregates are map-side combined",
+         lambda p: "partial_sum" in p),
+        ("bounded exchanges for the fixed iteration unroll",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 9),
+    ],
+    "agg_chain_ladder": [  # 3.1 s — actuarial dev-factor triangle
+        ("triangle build + dev factors: map-side-combined aggs, one "
+         "ordered window, no cartesian",
+         lambda p: "partial_" in p and "CartesianProduct" not in p
+         and p.split("== Initial Plan ==")[0].count("Window [") == 1),
+        ("bounded exchanges",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 3),
+    ],
+    "event_markov_steadystate": [  # 2.9 s — unrolled power iteration
+        ("no cartesian; the only nested-loop is the 1-row "
+         "normalization scalar",
+         lambda p: "CartesianProduct" not in p
+         and p.split("== Initial Plan ==")[0].count(
+             "BroadcastNestedLoop") <= 1),
+        ("transition-matrix propagation is keyed joins with map-side "
+         "combine",
+         lambda p: "partial_sum" in p),
+        ("bounded exchanges for the fixed power-iteration unroll",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 20),
+    ],
+    "dim_late_arriving_inferred": [  # 2.9 s — inferred-member dim
+        ("dim side broadcast LeftOuter — facts never shuffle for the "
+         "match",
+         lambda p: "BroadcastHashJoin" in p and "LeftOuter" in p),
+        ("one map-side-combined aggregation exchange",
+         lambda p: "partial_" in p
+         and p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 1),
+    ],
+    "window_rolling_corr": [  # 2.8 s — 24h rolling correlation
+        ("ONE window node computes ALL six rolling moments over the "
+         "hourly aggregate (no per-moment passes)",
+         lambda p: p.split("== Initial Plan ==")[0].count("Window [") == 1),
+        ("the window input is the hourly AGGREGATE grain, never raw "
+         "events (aggregate below the window)",
+         lambda p: "partial_" in p and "HashAggregate" in p),
+        ("no cartesian/nested-loop",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p.split("== Initial Plan ==")[0]),
+    ],
+    "event_absorbing_markov": [  # 2.8 s — absorbing-chain solve
+        ("no cartesian/nested-loop anywhere in the unrolled absorbing "
+         "solve",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p.split("== Initial Plan ==")[0]),
+        ("propagation aggregates are map-side combined",
+         lambda p: "partial_sum" in p),
+        ("bounded exchanges for the fixed unroll",
+         lambda p: p.split("== Initial Plan ==")[0].count(
+             "Exchange hashpartitioning") <= 22),
+    ],
+    "udf_pandas_scalar_iter": [  # 2.5 s — Arrow scalar-iter UDF demo
+        ("the UDF runs on the ARROW path (ArrowEvalPython), never the "
+         "row-at-a-time BatchEvalPython path",
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+        ("the selective filter is pushed BELOW the Python eval into "
+         "the parquet scan (the UDF sees only surviving rows)",
+         lambda p: "PushedFilters: [IsNotNull(o_orderkey), "
+         "LessThan(o_orderkey,5000)]" in p),
+        ("no shuffle anywhere",
+         lambda p: "Exchange hashpartitioning" not in p),
+    ],
 }
 
 
