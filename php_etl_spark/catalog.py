@@ -43,13 +43,21 @@ class Catalog:
         self.spark = spark
         self.base_dir = base_dir
         self._cache: dict[str, DataFrame] = {}
+        self._raw: dict[str, DataFrame] = {}
 
     def path(self, name: str) -> str:
         return os.path.join(self.base_dir, f"{name}.parquet")
 
+    def raw(self, name: str) -> DataFrame:
+        """The un-normalized file scan (events keeps its stored ts
+        type) — streaming sources need the on-disk schema."""
+        if name not in self._raw:
+            self._raw[name] = self.spark.read.parquet(self.path(name))
+        return self._raw[name]
+
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
-            df = self.spark.read.parquet(self.path(name))
+            df = self.raw(name)
             if name == "events":
                 df = _normalize_event_ts(df)
             self._cache[name] = df
@@ -90,3 +98,24 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
 
 def load(spark: SparkSession, base_dir: str) -> Catalog:
     return Catalog(spark, base_dir)
+
+
+def cached(spark: SparkSession, base_dir: str) -> Catalog:
+    """Session-scoped Catalog memo. A Catalog holds only LAZY plans
+    (scan metadata, never rows), but constructing one costs a parquet
+    footer read + InMemoryFileIndex per table (~0.1-0.2 s each through
+    py4j), and the query registry re-enters the catalog on every
+    invocation. Cache per (session, dir) so repeated calls reuse the
+    resolved scans — the per-session file-listing cache Spark already
+    keeps, surfaced at the catalog layer. Keyed on the SparkSession
+    object itself, so the memo dies with the session; every action
+    still computes from the parquet inputs."""
+    memo = getattr(spark, "_php_etl_catalogs", None)
+    if memo is None:
+        memo = {}
+        spark._php_etl_catalogs = memo
+    cat = memo.get(base_dir)
+    if cat is None:
+        cat = Catalog(spark, base_dir)
+        memo[base_dir] = cat
+    return cat

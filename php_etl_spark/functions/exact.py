@@ -59,3 +59,61 @@ def round_milli(x):
     import math
 
     return int(math.copysign(math.floor(abs(p) + 0.5), p))
+
+
+# ---------------------------------------------------------------------------
+# r13: scaled-integer exact aggregation (fast path)
+#
+# Per-row decimal casts + decimal partial sums are the dominant cost
+# of the flagship pricing aggregation (guide §2.3 "narrower types":
+# measured 0.97 s → 0.41 s at sf0.1 for Q1). The fast path keeps the
+# SAME exact semantics — order-insensitive integer arithmetic,
+# single final rounding to double — but does all per-row work in
+# BIGINT and defers decimals to one expression per group:
+#
+#   x_scaled = round(x · 10^digits)          (exact: inputs carry
+#                                             ≤ digits decimals)
+#   sum      = Σ(x >> 20) · 2^20 + Σ(x & 0xFFFFF)
+#
+# The split accumulator keeps each long partial sum far from int64
+# overflow — the floor decomposition x = (x>>20)·2^20 + (x&0xFFFFF)
+# holds for any two's-complement long, so recombining the two sums in
+# DECIMAL(38,0) is exact. Headroom: a column of per-row magnitude M
+# overflows a plain long sum at Σ ≈ 9.2e18, but the hi sum at
+# Σ ≈ 9.2e18·2^20/M-per-row — e.g. charge micro-dollars (M ≈ 1e11)
+# are safe to ~9e13 rows (≈ 1.5 PB of lineitem), vs ~9e7 rows if the
+# product were summed as one long. The final decimal divide by
+# 10^digits is exact (result scale ≥ digits by Spark's division
+# typing), so the closing cast to double is the SAME single rounding
+# the decimal path performs — bit-identical results.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SHIFT = 20
+_SPLIT_MASK = (1 << _SPLIT_SHIFT) - 1
+
+
+def cents(col: Column | str, digits: int = 2) -> Column:
+    """Scaled-integer view of a fixed-point double: round(x·10^digits)
+    as BIGINT. Exact whenever the source carries ≤ ``digits`` decimal
+    places (the synthetic money/rate columns carry 2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(10 ** digits)).cast("long")
+
+
+def sum_scaled(col: Column | str, digits: int) -> Column:
+    """Exact order-insensitive sum of a BIGINT column holding values
+    in units of 10^-``digits``, returned as double — bit-identical to
+    ``dsum``'s decimal path (see module comment for the overflow
+    headroom argument)."""
+    c = F.col(col) if isinstance(col, str) else col
+    hi = F.sum(F.shiftright(c, _SPLIT_SHIFT)).cast("decimal(38,0)")
+    lo = F.sum(c.bitwiseAND(F.lit(_SPLIT_MASK))).cast("decimal(38,0)")
+    exact = hi * F.lit(1 << _SPLIT_SHIFT) + lo
+    return (exact / F.lit(10 ** digits)).cast("double")
+
+
+def avg_scaled(col: Column | str, digits: int) -> Column:
+    """Exact-sum average over a scaled BIGINT column: double(exact
+    sum) / count — the same expression shape as ``davg``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return sum_scaled(c, digits) / F.count(c)

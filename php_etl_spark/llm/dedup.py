@@ -192,27 +192,47 @@ def lsh_candidates(
     on EVERY row of at least one band — the classic S-curve knob
     (bands=8, rows=4 → ~(j^4) per-band match prob).
 
-    ``max_bucket_size`` caps the per-(band, bucket) membership joined:
+    ``max_bucket_size`` caps the per-(band, bucket) membership paired:
     a bucket of k docs emits k²/2 pairs, so one boilerplate-heavy hot
-    bucket (empty pages, template text) can dominate the whole join at
+    bucket (empty pages, template text) can dominate the whole pass at
     crawl scale. Docs in an oversized bucket almost always share their
     OTHER bands' buckets too (they are near-identical by construction)
     or are caught by exact dedup first, so capping costs little recall
     while bounding pairs by bands × Σ min(bucket, cap)². Bounded by
     DEFAULT (cap 1000, same policy as ``jaccard_pairs``); pass
-    ``max_bucket_size=None`` explicitly for the unbounded join."""
+    ``max_bucket_size=None`` explicitly for the unbounded pairing.
+
+    Pair generation is a single grouped pass, NOT a self-join: the
+    r13 plan audit showed the aliased a⋈b bucket join physically
+    recomputing the whole signature subtree (shingle explode + 32-min
+    aggregate + banding + cap window) once per side — broadcast and
+    stream sides of a self-join share no exchange, so nothing is
+    reused. Grouping each bucket's (capped) membership into a sorted
+    array and emitting (ds[i], ds[j]) for i<j in-row yields the exact
+    same pair set with the signature branch computed once, one fewer
+    exchange, and no join at all. Per-group state stays bounded by
+    the cap (the WindowGroupLimit sort keeps ≤cap rows per bucket
+    before the array is collected)."""
     banded = _cap_buckets(
         _band_table(signatures, n_hashes, bands), max_bucket_size
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # groupBy keys == the cap window's partition keys, so this
+    # aggregation reuses the window's exchange (no extra shuffle)
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    # stream pairs per anchor (posexplode + sliced explode) instead of
+    # materializing the full k²/2 pair array per bucket in one value
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
+        members.select("ds", F.posexplode("ds").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ds", F.col("i") + F.lit(2), F.size("ds"))
+            ).alias("doc_b"),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
 

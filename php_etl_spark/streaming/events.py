@@ -20,6 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from php_etl_spark.catalog import cached as catalog_cached
 from php_etl_spark.functions.exact import dec
 
 
@@ -37,7 +38,9 @@ def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     real cluster, materialize single-file tables into a directory on
     the shared store instead."""
     path = f"{sf_dir}/{table}.parquet"
-    schema = spark.read.parquet(path).schema
+    # session-memoized raw scan: the schema probe otherwise costs a
+    # fresh footer read + file index per streaming-query construction
+    schema = catalog_cached(spark, sf_dir).raw(table).schema
     if os.path.isfile(path):
         # the streaming file source needs a directory; expose the
         # single-file table through a symlink dir (testdata is

@@ -707,3 +707,27 @@ class TestPythonDataSource:
             f.write('{"k": 3}\n')
         drain()
         assert sorted(r.k for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+
+def test_catalog_cached_memoizes_per_session_and_dir(spark):
+    """catalog.cached returns the same Catalog (and the same lazy scan
+    plans) for repeated (session, dir) lookups — the r13 fix for the
+    per-invocation footer-read cost — while distinct dirs still get
+    distinct catalogs, and the memo stores plans, not rows."""
+    from php_etl_spark.catalog import cached
+
+    from tests.conftest import SF_DIR
+
+    c1 = cached(spark, SF_DIR)
+    c2 = cached(spark, SF_DIR)
+    assert c1 is c2
+    # table DataFrames are memoized inside the catalog too
+    assert c1.table("orders") is c2.table("orders")
+    # raw vs normalized: events raw keeps the stored type, table() is
+    # the normalized view, and both are cached
+    assert c1.raw("events") is c1.raw("events")
+    assert dict(c1.table("events").dtypes)["ts"] == "timestamp"
+    # a different base dir must not collide
+    other = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    if os.path.isdir(other):
+        assert cached(spark, other) is not c1
