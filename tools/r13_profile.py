@@ -85,8 +85,19 @@ def main() -> int:
 
     total = round(sum(v["sec"] for v in census.values()), 3)
     print(json.dumps({"total_sec": total, "n": len(census)}))
-    with open(os.path.join(args.outdir, f"census_{args.tag}.json"), "w") as f:
-        json.dump(census, f, indent=1, sort_keys=True)
+    # merge into any prior census for this tag so partial re-profiles
+    # don't drop earlier entries
+    census_path = os.path.join(args.outdir, f"census_{args.tag}.json")
+    merged = {}
+    if os.path.exists(census_path):
+        try:
+            with open(census_path) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    merged.update(census)
+    with open(census_path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
     return 0
 
 
