@@ -868,21 +868,38 @@ def longest_duplicate_substrings(
         )
         .select("doc", (F.col("pos0") + 1).alias("pos"), "h")
     )
-    capped = (
+    # One grouped pass replaces the df-cap groupBy + two-sided
+    # inverted-index self-join (r13, guide §2.4/§3.3): the join
+    # formulation computed the tokenize+gram-hash explode three times
+    # (once per join side plus the cap count) and shuffled it by h
+    # twice. Collecting each gram's (doc, pos) postings list bounds
+    # per-group state by ``max_df`` (the SAME cap the join applied),
+    # checks the cap on the collected size, and streams the cross-doc
+    # (i < j) pairs in-row from the sorted postings — the identical
+    # anchor-pair multiset (sorted by (doc, pos), i<j on distinct
+    # docs ⇔ join output filtered to doc_a < doc_b), with the gram
+    # subtree computed ONCE and a single exchange on h.
+    postings = (
         grams.groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "pos"))).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_df))
     )
-    g = grams.join(capped, "h")
     anchors = (
-        g.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pa"), "h")
-        .join(
-            g.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "h"),
-            "h",
+        postings.select("ms", F.posexplode("ms").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.slice("ms", F.col("i") + F.lit(2), F.size("ms"))
+            ).alias("b"),
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+        .filter(F.col("a.doc") != F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
     )
     w = _W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     islands = (
