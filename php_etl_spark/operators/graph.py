@@ -211,23 +211,37 @@ def pagerank(
     )
     n = nodes_deg.count()
     state = nodes_deg.select("node", "out_deg", F.lit(1.0).alias("rank"))
+    # per-round shape (r13, guide §2.4): the message aggregate and the
+    # rebuild used to be groupBy(node) THEN nodes_deg⋈contribs left
+    # join — two exchanges on node per round. Seeding the aggregate
+    # with one (node, out_deg, 0.0) row per node folds the join into
+    # the SAME groupBy: out_deg rides only the seed rows (max over
+    # one non-null), missing-inbound nodes sum to the seed's zero —
+    # one exchange per round, no join operator.
     for _ in range(iterations):
         # 1-row aggregate, broadcast below — never collected
         dangling = state.filter(F.col("out_deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
         )
-        contribs = (
+        msgs = (
             edges.join(
                 state.filter(F.col("out_deg").isNotNull()),
                 edges[src] == state["node"],
             )
-            .select(F.col(dst).alias("node"),
-                    (F.col("rank") / F.col("out_deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_mass"))
+            .select(
+                F.col(dst).alias("node"),
+                F.lit(None).cast("long").alias("out_deg"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
         )
+        seed = nodes_deg.select("node", "out_deg", F.lit(0.0).alias("c"))
         state = materialize(
-            nodes_deg.join(contribs, "node", "left")
+            seed.unionByName(msgs)
+            .groupBy("node")
+            .agg(
+                F.max("out_deg").alias("out_deg"),
+                F.sum("c").alias("in_mass"),
+            )
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -235,8 +249,7 @@ def pagerank(
                 (
                     F.lit(1.0 - damping)
                     + F.lit(damping) * F.col("dangling") / F.lit(float(n))
-                    + F.lit(damping)
-                    * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    + F.lit(damping) * F.col("in_mass")
                 ).alias("rank"),
             )
         )
@@ -308,22 +321,38 @@ def pagerank_exact(
     state = nodes_deg.select(
         "node", "out_deg", F.lit(scale).cast("long").alias("rank")
     )
+    # per-round shape (r13, guide §2.4): seed the message aggregate
+    # with one (node, out_deg, 0) row per node so the rebuild's
+    # nodes_deg⋈contribs left join folds into the SAME groupBy the
+    # messages need anyway — out_deg rides the seed row (max over one
+    # non-null), inbound-less nodes sum to the seed's exact zero.
+    # One exchange on node per round instead of two, no join operator;
+    # integer sums are order-insensitive so the values are unchanged.
     for _ in range(iterations):
         dangling = state.filter(F.col("out_deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("dangling")
         )
-        contribs = (
+        msgs = (
             edges.join(
                 state.filter(F.col("out_deg").isNotNull()),
                 edges[src] == state["node"],
             )
-            .select(F.col(dst).alias("node"),
-                    F.expr("rank div out_deg").alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_mass"))
+            .select(
+                F.col(dst).alias("node"),
+                F.lit(None).cast("long").alias("out_deg"),
+                F.expr("rank div out_deg").alias("c"),
+            )
+        )
+        seed = nodes_deg.select(
+            "node", "out_deg", F.lit(0).cast("long").alias("c")
         )
         state = materialize(
-            nodes_deg.join(contribs, "node", "left")
+            seed.unionByName(msgs)
+            .groupBy("node")
+            .agg(
+                F.max("out_deg").alias("out_deg"),
+                F.sum("c").alias("in_mass"),
+            )
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -331,8 +360,7 @@ def pagerank_exact(
                 (
                     F.lit(base).cast("long")
                     + F.expr(
-                        "(85 * (coalesce(in_mass, 0L)"
-                        f" + dangling div {n}L)) div 100"
+                        f"(85 * (in_mass + dangling div {n}L)) div 100"
                     )
                 ).cast("long").alias("rank"),
             )
