@@ -83,26 +83,46 @@ def jaccard_pairs(
     """
     sets_df = materialize(_shingle_sets(df, text_col, id_col, n))
     if candidates is None:
+        # one grouped pass builds each shingle's posting list; the df
+        # cutoff is the collected size (identical to the old
+        # groupBy-count + join-back: df == |docs containing shingle|,
+        # shingle sets being distinct per doc), and pairs stream
+        # in-row (_pairs_in_group) instead of a two-sided self-join
         sh = sets_df.select("doc", F.explode("sh").alias("shingle"))
+        postings = sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_list("doc")).alias("ms")
+        ).filter(F.size("ms") >= 2)
         if max_doc_freq is not None:
-            rare = (
-                sh.groupBy("shingle")
-                .agg(F.count("*").alias("df"))
-                .filter(F.col("df") <= max_doc_freq)
-                .select("shingle")
-            )
-            sh = sh.join(rare, "shingle")
-        a, b = sh.alias("a"), sh.alias("b")
+            postings = postings.filter(F.size("ms") <= max_doc_freq)
         candidates = (
-            a.join(
-                b,
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc") < F.col("b.doc")),
-            )
-            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            _pairs_in_group(postings)
+            .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
             .distinct()
         )
     return _exact_jaccard_on_candidates(candidates, sets_df, threshold)
+
+
+def _pairs_in_group(members: DataFrame, list_col: str = "ms") -> DataFrame:
+    """Stream all (i < j) element pairs of a SORTED array column as
+    rows (a, b) — the shared r13 candidate-pair generator (guide
+    §2.4/§3.3): every inverted-index candidate step here used to be
+    an aliased self-join on the bucket key, which physically
+    recomputes the index subtree once per side (broadcast and stream
+    sides share no exchange) and shuffles it twice. Collecting each
+    bucket's membership once and emitting pairs in-row yields the
+    identical pair multiset — sorted array + (i < j) ⇔ join output
+    under a < b — with the index computed once and a single exchange.
+    posexplode + sliced explode streams the pairs row-group-
+    incrementally instead of materializing one k²/2 array per
+    bucket."""
+    return members.select(
+        list_col, F.posexplode(list_col).alias("i", "a")
+    ).select(
+        "a",
+        F.explode(
+            F.slice(F.col(list_col), F.col("i") + F.lit(2), F.size(list_col))
+        ).alias("b"),
+    )
 
 
 def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -226,13 +246,8 @@ def lsh_candidates(
     # stream pairs per anchor (posexplode + sliced explode) instead of
     # materializing the full k²/2 pair array per bucket in one value
     return (
-        members.select("ds", F.posexplode("ds").alias("i", "doc_a"))
-        .select(
-            "doc_a",
-            F.explode(
-                F.slice("ds", F.col("i") + F.lit(2), F.size("ds"))
-            ).alias("doc_b"),
-        )
+        _pairs_in_group(members, "ds")
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
 
@@ -437,14 +452,17 @@ def hamming_near_pairs(
     banded = st.select(
         "doc", "simhash", F.explode(F.array(*bands)).alias("bb")
     ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
+    # grouped band-bucket membership + in-row pair streaming (r13,
+    # see _pairs_in_group): the aliased self-join recomputed the
+    # fingerprint subtree (for simhash_pairs, the 64-vote groupBy)
+    # once per side; one grouped pass computes it once. A doc appears
+    # once per band, so sorted-array (i < j) pairs on distinct docs
+    # reproduce exactly the join's doc_a < doc_b output.
+    members = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "simhash"))).alias("ms")
+    ).filter(F.size("ms") >= 2)
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
+        _pairs_in_group(members)
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
@@ -761,23 +779,17 @@ def containment_pairs(
     candidate is scored once and emits up to two directed rows, so
     the scoring cost matches the Jaccard path."""
     sets_df = materialize(_shingle_sets(df, text_col, id_col, n))
+    # grouped posting lists + in-row pair streaming (r13, see
+    # _pairs_in_group): same bounded index, no self-join
     sh = sets_df.select("doc", F.explode("sh").alias("shingle"))
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc")).alias("ms")
+    ).filter(F.size("ms") >= 2)
     if max_doc_freq is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
-    a, b = sh.alias("a"), sh.alias("b")
+        postings = postings.filter(F.size("ms") <= max_doc_freq)
     candidates = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        _pairs_in_group(postings)
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
     sa = sets_df.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
