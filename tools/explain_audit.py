@@ -234,9 +234,13 @@ AUDITS = {
          lambda p: "AdaptiveSparkPlan isFinalPlan=true" in p),
     ],
     "dedup_minhash_lsh": [
-        ("no all-pairs blowup: banded bucket join, never cartesian",
+        ("no all-pairs blowup: banded bucket pairing, never cartesian",
          lambda p: "CartesianProduct" not in p),
-        ("candidate join is a hash join on (band, bucket)",
+        ("candidate pairs stream from grouped bucket postings "
+         "(posexplode generator — r13; the old bucket self-join "
+         "recomputed the whole signature subtree once per side)",
+         lambda p: "posexplode" in p),
+        ("exact-Jaccard verification joins are keyed hash joins",
          lambda p: "HashJoin" in p or "SortMergeJoin" in p),
     ],
     "stream_stream_join": [
@@ -918,12 +922,15 @@ AUDITS = {
          lambda p: all(n <= 1 for n in read_schema_cols(p))),
     ],
     "dedup_prefix_filter_join": [
-        ("candidate generation and verification are keyed joins — no "
-         "cartesian / nested loop anywhere",
+        ("candidate generation streams from grouped prefix postings; "
+         "verification is keyed joins — no cartesian / nested loop",
          lambda p: "CartesianProduct" not in p
-         and "BroadcastNestedLoop" not in p),
-        ("documents scan prunes to (doc_id, text)",
-         lambda p: all(n <= 2 for n in read_schema_cols(p))),
+         and "BroadcastNestedLoop" not in p
+         and "posexplode" in p),
+        ("the ranked sketch table is pinned once (r13): the final "
+         "plan's verification sides read the materialized frame, not "
+         "a recomputed shingle subtree",
+         lambda p: "ExistingRDD" in p or "LogicalRDD" in p),
     ],
     "event_lindley_queue": [
         ("both prefix passes share one per-key window exchange",
@@ -945,10 +952,11 @@ AUDITS = {
          lambda p: "lineitem" not in p.lower()),
     ],
     "docs_longest_dup_substring": [
-        ("anchor self-join is a keyed equi-join on the gram hash "
-         "(no cartesian / nested loop)",
+        ("anchor pairs stream from grouped gram postings (posexplode "
+         "generator — r13; no join, no cartesian / nested loop)",
          lambda p: "CartesianProduct" not in p
-         and "BroadcastNestedLoop" not in p),
+         and "BroadcastNestedLoop" not in p
+         and "posexplode" in p),
         ("anchor construction is columnar (no Python row path)",
          lambda p: "BatchEvalPython" not in p),
         ("islands + per-pair argmax are keyed windows, not global",
