@@ -719,10 +719,16 @@ AUDITS = {
          lambda p: "EvalPython" not in p),
     ],
     "graph_bipartite_copurchase": [
-        ("the projection self-join is an EQUI-join co-partitioned on "
-         "l_orderkey — never an all-pairs part×part plan",
-         lambda p: ("SortMergeJoin" in p or "ShuffledHashJoin" in p
-                    or "BroadcastHashJoin" in p)
+        ("r13 grouped shape: basket sets collected once (collect_set "
+         "absorbs the DISTINCT) and (i<j) pairs stream in-row via "
+         "Generate — no self-join, so the basket subtree is never "
+         "computed once per join side and nothing lineitem-sized is "
+         "broadcast",
+         lambda p: p.count("Generate") >= 2
+         and "collect_set" in p
+         and "SortMergeJoin" not in p
+         and "BroadcastHashJoin" not in p
+         and "ShuffledHashJoin" not in p
          and "CartesianProduct" not in p
          and "BroadcastNestedLoop" not in p),
         ("pair counts reduce map-side before the pair shuffle",
