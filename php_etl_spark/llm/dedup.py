@@ -683,8 +683,18 @@ def semantic_dedup(
             emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, by=centroids_by
         )
     assign = S.ivf_assign(emb, centroids, nprobe=1, id_col=id_col, vec_col=vec_col)
-    prep = S._prepared(emb, id_col, vec_col, "v").join(
-        assign, on="v_id"
+    # pin the prepared-and-assigned table: it feeds the within-cell
+    # pairwise branch AND the final keep/drop join (three consumers on
+    # the SQL path), and un-pinned the whole quantize → broadcast-
+    # codebook crossJoin → argmax-window subtree is physically
+    # recomputed once per consumer (r13 plan read: nodes 1-28 ≡ 29-56
+    # in dedup_semantic's plan). The pinned frame is (id, quantized
+    # vector, norm, cell) — the bounded SemDeDup working set, never
+    # the pair explosion.
+    prep = materialize(
+        S._prepared(emb, id_col, vec_col, "v").join(
+            assign, on="v_id"
+        )
     )  # (v_id, v_q, v_norm, cell)
     a = prep.select(
         F.col("v_id").alias("keep_cand"),
