@@ -193,14 +193,27 @@ PRE_GATE_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "600"))
 
 
 def sentinel_time(spark) -> float:
-    """Fixed pure-CPU + small-shuffle micro-op, independent of SF data:
-    400M-row range -> 8 chained xxhash64 -> 64-key grouped sum, forced
-    with a noop write (~1.15 s idle on this box — heavy enough per row
-    that compute dominates scheduler jitter). Inflates with box
-    contention exactly like the suite does. Min of two runs (a loaded
-    box inflates both)."""
+    """Pure-CPU + small-shuffle micro-op, independent of SF data:
+    12.5M rows PER CORE -> 8 chained xxhash64 -> 64-key grouped sum,
+    forced with a noop write (~1.15 s idle on this box — heavy enough
+    per row that compute dominates scheduler jitter). Inflates with
+    box contention exactly like the suite does. Min of two runs (a
+    loaded box inflates both).
+
+    Sized per core (one partition per core, constant rows/core) so the
+    reading is core-count-independent: at the 32-core primary config
+    this is bit-for-bit the original fixed 400M-row/32-partition job
+    the 0.921 s floor was calibrated on, while at the driver's
+    lower-core-count scaling runs the old FIXED-size sentinel read
+    ~4x the floor by construction (3.76 s at 8 cores, r13 measured),
+    which made the pre-suite load gate unpassable and burned its full
+    2x600 s wait on every such sitting. Same work per core = same
+    idle-box wall time at any core count, so one floor serves all
+    configs (a measurement-methodology fix, noted in
+    OPTIMIZATION_r13.md)."""
     from pyspark.sql import functions as F
 
+    cores = spark.sparkContext.defaultParallelism
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
@@ -208,7 +221,7 @@ def sentinel_time(spark) -> float:
         for _h in range(8):
             c = F.xxhash64(c)
         df = (
-            spark.range(0, 400_000_000, 1, 32)
+            spark.range(0, 12_500_000 * cores, 1, cores)
             .select((c % 64).alias("k"), F.col("id"))
             .groupBy("k")
             .agg(F.sum("id").alias("s"))
