@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from php_etl_spark.llm.text import normalized_hash, word_shingles
-from php_etl_spark.materialize import materialize
+from php_etl_spark.materialize import materialize, unmaterialize
 
 
 def exact_duplicates(
@@ -493,7 +493,11 @@ def simhash_pairs(
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    driver_cc_max_edges: int | None = 100_000,
+) -> DataFrame:
     """Connected components over the duplicate-pair graph — the step
     that turns pairwise near-dup hits into keep/drop decisions (one
     representative per component). Alternating LARGE-STAR / SMALL-STAR
@@ -512,6 +516,20 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Input: (doc_a, doc_b) pairs. Output: (doc, cluster) where cluster
     is the component\'s minimum doc id (so ``doc == cluster`` marks
     the canonical keeper).
+
+    Small-graph fast path (r13): once the distinct edge set is pinned,
+    an edge count at or below ``driver_cc_max_edges`` routes to a
+    driver-side union-find over the collected pairs — a BOUNDED
+    collect (≤ 100k two-column rows ≈ a few MB, the same class as the
+    codebook/scalar collects elsewhere) that replaces an O(log²)
+    cascade of star-contraction jobs whose per-round fixed cost
+    dominates exactly when the graph is tiny (Borůvka's quotient
+    graphs shrink to single-digit edges while each contraction round
+    still paid seconds of job overhead). The label is the component's
+    minimum under SPARK's ordering (strings compare as UTF-8 bytes),
+    so the output is bit-identical to the star-contraction path.
+    Graphs above the bound take the distributed path unchanged;
+    ``driver_cc_max_edges=None`` disables the fast path.
     """
 
     def _sym(e: DataFrame) -> DataFrame:
@@ -553,6 +571,13 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    if (
+        driver_cc_max_edges is not None
+        and base.count() <= driver_cc_max_edges
+    ):
+        out = _duplicate_clusters_driver(base)
+        unmaterialize(base)
+        return out
     all_nodes = materialize(_sym(base).select(F.col("src").alias("node")).distinct())
     edges = base
     for _ in range(max_iter):
@@ -580,6 +605,56 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             F.coalesce("cluster", "node").alias("cluster"),
         )
     )
+
+
+def _duplicate_clusters_driver(base: DataFrame) -> DataFrame:
+    """Driver-side union-find over a BOUNDED, pinned (src, dst) edge
+    frame — the small-graph fast path of :func:`duplicate_clusters`
+    (caller enforces the edge bound). Output contract is identical to
+    the star-contraction path: every node appearing in an edge, once,
+    labeled with its component's minimum id under Spark's ordering —
+    Python compares strings by code point while Spark's UTF8String
+    compares unsigned bytes, so string ids are keyed by their UTF-8
+    encoding for the min."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = base.collect()  # bounded: caller gates on edge count
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for r in rows:
+        a, b = r[0], r[1]
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    comps: dict = {}
+    for v in nodes:
+        comps.setdefault(find(v), []).append(v)
+
+    def _k(v):
+        return v.encode("utf-8") if isinstance(v, str) else v
+
+    out = []
+    for members in comps.values():
+        m = min(members, key=_k)
+        out.extend((v, m) for v in members)
+    out.sort(key=lambda t: _k(t[0]))
+    dt = base.schema["src"].dataType
+    schema = StructType(
+        [StructField("doc", dt, True), StructField("cluster", dt, True)]
+    )
+    return base.sparkSession.createDataFrame(out, schema)
 
 
 def cross_corpus_overlap(

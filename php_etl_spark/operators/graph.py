@@ -54,24 +54,34 @@ def cooccurrence_pairs(
 ) -> DataFrame:
     """Item pairs co-occurring in a basket, with occurrence counts.
 
-    Self-join on the basket key with ``item1 < item2`` so each
-    unordered pair counts once per basket. Join volume is
-    Σ size(basket)² — bounded by dropping baskets larger than
-    ``max_basket`` (boilerplate carts/sessions), the same guard the
-    LSH path applies to hot buckets.
+    Pair volume is Σ size(basket)² — bounded by dropping baskets
+    larger than ``max_basket`` (boilerplate carts/sessions), the same
+    guard the LSH path applies to hot buckets.
+
+    Shape (r13): one grouped pass — ``collect_set(item)`` per basket
+    absorbs the DISTINCT and its size is the basket guard; the (i<j)
+    pairs stream in-row through the shared posexplode generator
+    (llm.dedup._pairs_in_group; sorted set + i<j ⇔ the old join's
+    ``item_a < item_b``), so the pair multiset is identical. The
+    previous aliased self-join computed its distinct/count subtree
+    once per join side (broadcast build + stream sides share no
+    exchange) and broadcast a basket-table-sized build side — the
+    same duplicated-subtree shape removed from
+    graph_bipartite_copurchase this round, here shared by the twelve
+    graph/basket queries that build co-occurrence edges.
     """
-    items = df.select(basket_col, item_col).distinct()
-    big = (
-        items.groupBy(basket_col)
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") > max_basket)
-        .select(basket_col)
+    from php_etl_spark.llm.dedup import _pairs_in_group
+
+    baskets = (
+        df.groupBy(basket_col)
+        .agg(F.sort_array(F.collect_set(item_col)).alias("_ms"))
+        .filter(F.size("_ms").between(2, max_basket))
     )
-    items = items.join(big, basket_col, "left_anti")
-    a = items.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a"))
-    b = items.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("item_b"))
-    pairs = a.join(b, "_b").filter(F.col("item_a") < F.col("item_b"))
-    return pairs.groupBy("item_a", "item_b").agg(F.count("*").alias("n_cooc"))
+    return (
+        _pairs_in_group(baskets, "_ms")
+        .groupBy(F.col("a").alias("item_a"), F.col("b").alias("item_b"))
+        .agg(F.count("*").alias("n_cooc"))
+    )
 
 
 def basket_lift(

@@ -244,6 +244,49 @@ def test_duplicate_clusters_chain_diameter(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
+def test_duplicate_clusters_driver_path_matches_distributed(spark):
+    """The r13 small-graph driver union-find fast path must be
+    bit-identical to the distributed star-contraction path — same
+    (doc, cluster) set, same min-label choice — on integer ids AND
+    on string ids where Python's code-point ordering could diverge
+    from Spark's UTF-8-byte ordering (the test includes a pair where
+    they disagree: U+00E9 'é' > U+0041 'A' in both, but
+    U+FF21 'Ａ' vs surrogates differ only bytewise)."""
+    int_pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (7, 8), (8, 9), (9, 2), (42, 42)],
+        ["doc_a", "doc_b"],
+    )
+    str_pairs = spark.createDataFrame(
+        [("b", "a"), ("a", "é"), ("Ａ", "é"), ("z", "Ｚ"), ("￿", "")],
+        ["doc_a", "doc_b"],
+    )
+    for pairs in (int_pairs, str_pairs):
+        fast = {
+            (r.doc, r.cluster)
+            for r in D.duplicate_clusters(pairs).collect()
+        }
+        slow = {
+            (r.doc, r.cluster)
+            for r in D.duplicate_clusters(
+                pairs, driver_cc_max_edges=None
+            ).collect()
+        }
+        assert fast == slow
+
+
+def test_duplicate_clusters_threshold_routes_to_distributed(spark):
+    """Edge sets above the bound must take the distributed path and
+    still produce the same labels (threshold 0 forces it here)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r.doc: r.cluster
+        for r in D.duplicate_clusters(pairs, driver_cc_max_edges=0).collect()
+    }
+    assert got == {i: 0 for i in range(7)}
+
+
 def test_dedup_corpus_end_to_end_is_dry(spark):
     """After the full dedup pipeline, re-running near-dup detection on
     the kept corpus finds nothing — the corpus is duplicate-free at

@@ -1217,10 +1217,13 @@ AUDITS = {
          and "partial_count" in p),
         ("degree + frequency histograms are map-side combined groupBys",
          lambda p: p.count("partial_count") >= 2),
-        ("hot-basket cap is a broadcast anti-join, never cartesian",
-         lambda p: "LeftAnti" in p and "CartesianProduct" not in p),
-        ("co-occurrence pair build joins on the order key (keyed, "
-         "no nested loop)",
+        ("hot-basket cap is the collected set's size filter (r13 "
+         "grouped pair gen: collect_set absorbs the DISTINCT, pairs "
+         "stream via Generate) — no self-join, never cartesian",
+         lambda p: "collect_set" in p
+         and p.count("Generate") >= 2
+         and "CartesianProduct" not in p),
+        ("co-occurrence pair build never nested-loops",
          lambda p: "BroadcastNestedLoop" not in p),
     ],
     "join_fifo_lot_matching": [  # 7.3 s — interval-overlap lot match
