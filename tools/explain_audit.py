@@ -1133,9 +1133,12 @@ AUDITS = {
          lambda p: "partial_sum" in p
          and p.split("== Initial Plan ==")[0].count(
              "Exchange SinglePartition") == 1),
-        ("lineitem scan prunes to the two co-occurrence columns",
+        ("lineitem never reaches the final plan wider than the two "
+         "co-occurrence columns — r13: the edge list is materialize()-"
+         "pinned, so the final frame reads the checkpoint (zero scans) "
+         "and the pruned 2-column scan happens once inside the pin",
          lambda p: read_schema_cols(
-             p.split("== Initial Plan ==")[0]) == [2]),
+             p.split("== Initial Plan ==")[0]) in ([], [2])),
     ],
     "window_hampel_filter": [
         ("ONE window collects the 7-sample frame; median and MAD are "
