@@ -183,6 +183,29 @@ def table_diff(
     return j.select(*keys, status.alias("diff_status"))
 
 
+def _nodes_with_out_deg(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(node, out_deg) over the distinct node set, NULL out_deg marking
+    dangling nodes — ONE exploded aggregate (r14, guide §2.4) instead
+    of union+distinct+left-join(groupBy): each edge emits its two
+    endpoints tagged is_src, one exchange on node computes the node
+    set AND the out-degree (Σ is_src = the node's edge count as src;
+    0 → NULL, the dangling marker). Identical frame, two fewer
+    exchanges and no join in the fixpoint setup."""
+    both = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("node"), F.lit(1).alias("is_src")),
+                F.struct(F.col(dst).alias("node"), F.lit(0).alias("is_src")),
+            )
+        ).alias("ns")
+    ).select("ns.node", "ns.is_src")
+    return both.groupBy("node").agg(
+        F.when(F.sum("is_src") > 0, F.sum("is_src"))
+        .cast("long")
+        .alias("out_deg")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str,
@@ -210,15 +233,7 @@ def pagerank(
     # typically hand us a join+distinct whose recomputation would
     # dominate the fixpoint
     edges = materialize(edges.select(src, dst))
-    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count("*").alias("out_deg")
-    )
-    nodes_deg = materialize(
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .join(out_deg, "node", "left")
-    )
+    nodes_deg = materialize(_nodes_with_out_deg(edges, src, dst))
     n = nodes_deg.count()
     state = nodes_deg.select("node", "out_deg", F.lit(1.0).alias("rank"))
     # per-round shape (r13, guide §2.4): the message aggregate and the
@@ -227,8 +242,12 @@ def pagerank(
     # with one (node, out_deg, 0.0) row per node folds the join into
     # the SAME groupBy: out_deg rides only the seed rows (max over
     # one non-null), missing-inbound nodes sum to the seed's zero —
-    # one exchange per round, no join operator.
-    for _ in range(iterations):
+    # one exchange per round, no join operator. The FINAL round's
+    # state stays lazy (r14): it feeds exactly one downstream
+    # consumer, so the eager checkpoint write bought nothing — a
+    # caller that branches over the result pays one cheap recompute
+    # from the round-(N-1) checkpoint.
+    for it in range(iterations):
         # 1-row aggregate, broadcast below — never collected
         dangling = state.filter(F.col("out_deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
@@ -245,7 +264,7 @@ def pagerank(
             )
         )
         seed = nodes_deg.select("node", "out_deg", F.lit(0.0).alias("c"))
-        state = materialize(
+        state = (
             seed.unionByName(msgs)
             .groupBy("node")
             .agg(
@@ -263,6 +282,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if it < iterations - 1:
+            state = materialize(state)
     return state.select("node", "rank")
 
 
@@ -316,17 +337,10 @@ def pagerank_exact(
     # callers typically hand us a join+distinct whose recomputation
     # would dominate the whole fixpoint
     edges = materialize(edges.select(src, dst))
-    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count("*").alias("out_deg")
-    )
     # (node, out_deg) with NULL out_deg marking dangling nodes — built
-    # once; every round's new state re-joins contribs onto this frame
-    nodes_deg = materialize(
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .join(out_deg, "node", "left")
-    )
+    # once in a single exploded aggregate (see _nodes_with_out_deg);
+    # every round's seed rows come from this frame
+    nodes_deg = materialize(_nodes_with_out_deg(edges, src, dst))
     n = nodes_deg.count()
     state = nodes_deg.select(
         "node", "out_deg", F.lit(scale).cast("long").alias("rank")
@@ -338,7 +352,11 @@ def pagerank_exact(
     # non-null), inbound-less nodes sum to the seed's exact zero.
     # One exchange on node per round instead of two, no join operator;
     # integer sums are order-insensitive so the values are unchanged.
-    for _ in range(iterations):
+    # The FINAL round's state stays lazy (r14): it feeds exactly one
+    # downstream consumer, so the eager checkpoint write bought
+    # nothing — a caller that branches over the result pays one cheap
+    # recompute from the round-(N-1) checkpoint.
+    for it in range(iterations):
         dangling = state.filter(F.col("out_deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("dangling")
         )
@@ -356,7 +374,7 @@ def pagerank_exact(
         seed = nodes_deg.select(
             "node", "out_deg", F.lit(0).cast("long").alias("c")
         )
-        state = materialize(
+        state = (
             seed.unionByName(msgs)
             .groupBy("node")
             .agg(
@@ -375,6 +393,8 @@ def pagerank_exact(
                 ).cast("long").alias("rank"),
             )
         )
+        if it < iterations - 1:
+            state = materialize(state)
     return state.select("node", "rank")
 
 
