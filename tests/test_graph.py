@@ -49,6 +49,38 @@ def test_cooccurrence_cap_bounds_pairs(spark):
     assert (pairs[0]["item_a"], pairs[0]["item_b"]) == (100, 101)
 
 
+def test_cooccurrence_guard_truncates_before_collect(spark):
+    """r14 bounded-buffer guard: the pre-collect dense_rank cap must
+    reproduce the r13 drop semantics exactly — a mega-basket (the
+    degenerate hot bucket) is dropped, a basket at EXACTLY the cap is
+    kept in full, duplicate rows never eat the distinct-item budget,
+    and null items are ignored (collect_set always excluded them)."""
+    mega = [(1, i) for i in range(40)] * 3          # 40 distinct, 120 rows
+    exact = [(2, i) for i in range(10)] * 2         # 10 distinct == cap
+    nullish = [(3, 100), (3, 101), (3, None)]       # null ignored
+    df = spark.createDataFrame(
+        mega + exact + nullish, "basket: long, item: long"
+    )
+    pairs = G.cooccurrence_pairs(df, "basket", "item", max_basket=10)
+    got = {(r["item_a"], r["item_b"]): r["n_cooc"] for r in pairs.collect()}
+    # basket 1 dropped (40 > 10); basket 2 contributes C(10,2) pairs;
+    # basket 3 contributes the single non-null pair
+    expect = {(a, b): 1 for a in range(10) for b in range(a + 1, 10)}
+    expect[(100, 101)] = 1
+    assert got == expect
+
+
+def test_capped_item_sets_truncates_deterministically(spark):
+    """The shared basket build keeps the FIRST ``cap`` distinct items
+    in item order — the bounded-state contract the MST query's inline
+    edge build relies on."""
+    rows = [(1, i) for i in range(20, 0, -1)] + [(1, 5), (1, 7)]
+    df = spark.createDataFrame(rows, "basket: long, item: long")
+    out = G.capped_item_sets(df, "basket", "item", cap=5, set_col="ms")
+    [r] = out.collect()
+    assert r["ms"] == [1, 2, 3, 4, 5]
+
+
 def test_table_diff_classification(spark):
     old = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
