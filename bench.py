@@ -297,7 +297,12 @@ def main() -> int:
     baseline_sf = float(
         BASELINE_SF_DIR.rstrip("/").split("sf")[-1]
     )
-    at_baseline_sf = sf == baseline_sf
+    # the opt-in scaling multiplier (catalog.py, judge r13 directive
+    # #8) inflates every query by ~mult by construction — the outlier
+    # pass would read that as 35 reproduced regressions, so it only
+    # runs at mult=1 (the JSON records the active value either way)
+    scale_mult = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "1")))
+    at_baseline_sf = sf == baseline_sf and scale_mult == 1
     rerun: dict[str, float] | None = {} if at_baseline_sf else None
     if at_baseline_sf:
         for name in rerun_outliers(times):
@@ -333,6 +338,7 @@ def main() -> int:
                 "rerun_ratio": RERUN_RATIO,
                 "rerun": rerun,
                 "sentinel_rerun_sec": sentinel_rerun,
+                "scale_mult": scale_mult,
             }
         )
     )

@@ -44,6 +44,21 @@ class Catalog:
         self.base_dir = base_dir
         self._cache: dict[str, DataFrame] = {}
         self._raw: dict[str, DataFrame] = {}
+        # Opt-in input multiplier for SCALING measurements only (r14,
+        # judge directive #8): at sf0.1 the bench suite is fixed-
+        # overhead-dominated, so the driver's 8-core scaling leg reads
+        # ≈1 for every query and carries no signal. With
+        # SPARK_GRAFT_SCALE_MULT=N (default 1 = byte-identical
+        # behavior), every batch table scan is unioned with itself N
+        # times — data-dependent work (scan, shuffle, agg state)
+        # multiplies by ~N while the per-query fixed floor (session,
+        # job scheduling, py4j) does not, so core-count ratios spread
+        # away from 1 for the genuinely parallel keys. Results are NOT
+        # comparable to mult=1 runs and the oracle harness must never
+        # set this; bench.py records the active value in its JSON.
+        self.scale_mult = max(
+            1, int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "1"))
+        )
 
     def path(self, name: str) -> str:
         return os.path.join(self.base_dir, f"{name}.parquet")
@@ -60,6 +75,10 @@ class Catalog:
             df = self.raw(name)
             if name == "events":
                 df = _normalize_event_ts(df)
+            if self.scale_mult > 1:
+                one = df
+                for _ in range(self.scale_mult - 1):
+                    df = df.unionAll(one)
             self._cache[name] = df
         return self._cache[name]
 
@@ -114,8 +133,12 @@ def cached(spark: SparkSession, base_dir: str) -> Catalog:
     if memo is None:
         memo = {}
         spark._php_etl_catalogs = memo
-    cat = memo.get(base_dir)
+    # key on the active scale multiplier too, so a scaling sitting
+    # that flips SPARK_GRAFT_SCALE_MULT mid-session never reuses plans
+    # built under another multiplier
+    key = (base_dir, os.environ.get("SPARK_GRAFT_SCALE_MULT", "1"))
+    cat = memo.get(key)
     if cat is None:
         cat = Catalog(spark, base_dir)
-        memo[base_dir] = cat
+        memo[key] = cat
     return cat

@@ -660,7 +660,11 @@ def _duplicate_clusters_driver(base: DataFrame) -> DataFrame:
         comps.setdefault(find(v), []).append(v)
 
     def _k(v):
-        return v.encode("utf-8") if isinstance(v, str) else v
+        # surrogatepass: a lone surrogate (possible in any JVM string,
+        # which is unvalidated UTF-16) must key by its 3-byte UTF-8
+        # encoding — the bytes UTF8String would carry — instead of
+        # raising UnicodeEncodeError and failing the query (ADVICE r13)
+        return v.encode("utf-8", "surrogatepass") if isinstance(v, str) else v
 
     out = []
     for members in comps.values():

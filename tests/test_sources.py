@@ -731,3 +731,19 @@ def test_catalog_cached_memoizes_per_session_and_dir(spark):
     other = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
     if os.path.isdir(other):
         assert cached(spark, other) is not c1
+
+
+def test_catalog_scale_mult_default_off_and_multiplies(spark, monkeypatch):
+    """SPARK_GRAFT_SCALE_MULT (scaling-leg opt-in, r14): unset/1 keeps
+    the scan byte-identical; N unions the scan with itself N times so
+    data-dependent work scales while the per-query floor does not."""
+    from php_etl_spark.catalog import Catalog
+
+    sf = "/root/testdata/sf0.001"
+    base = Catalog(spark, sf).region.count()
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_MULT", "3")
+    tripled = Catalog(spark, sf)
+    assert tripled.scale_mult == 3
+    assert tripled.region.count() == 3 * base
+    monkeypatch.delenv("SPARK_GRAFT_SCALE_MULT")
+    assert Catalog(spark, sf).scale_mult == 1
